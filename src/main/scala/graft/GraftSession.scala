@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session factory for jobs and tests.
+  *
+  * Settings chosen for the 100 TB design target (see SURVEY.md §4.2):
+  * AQE on (runtime partition coalescing, skew-join splitting, join-strategy
+  * switch), UTC session time zone for oracle parity, shuffle partitions
+  * sized to the local core count rather than the 200 default — on a real
+  * cluster this would be `spark.sql.adaptive.coalescePartitions` doing the
+  * sizing from `advisoryPartitionSizeInBytes`.
+  */
+object GraftSession {
+  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

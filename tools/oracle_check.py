@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers each testdata table as a
+DuckDB view over <sfDir>/<table>.parquet, runs each oracle SQL, and
+compares against the Spark-written parquet at <verifyOutDir>/<name>/
+(sort columns by name, sort rows, exact value compare).
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {name}: spark output missing: {e}")
+            n_fail += 1
+            continue
+        w, g = canon(want), canon(got)
+        if list(w.columns) != list(g.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            n_fail += 1
+            continue
+        if len(w) != len(g):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                          check_exact=True)
+            print(f"OK   {name}: {len(g)} rows")
+        except AssertionError as e:
+            print(f"FAIL {name}: value mismatch\n{str(e)[:2000]}")
+            # show first differing cells
+            for c in w.columns:
+                neq = (w[c] != g[c]) & ~(w[c].isna() & g[c].isna())
+                if neq.any():
+                    i = neq.idxmax()
+                    print(f"  col {c} row {i}: spark={g[c][i]!r} duck={w[c][i]!r}")
+            n_fail += 1
+    print(f"{'PASS' if n_fail == 0 else 'FAIL'}: "
+          f"{len(oracle) - n_fail}/{len(oracle)} queries match")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
