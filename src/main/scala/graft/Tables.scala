@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-provided TPC-H-ish tables (`TESTDATA.md`).
   *
@@ -25,7 +27,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects by default. Read nanos as long and convert to
+    * a microsecond TimestampType (floor division — matches DuckDB's
+    * ns→µs truncation), so every downstream operator sees a normal `ts`.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    raw.withColumn("ts", timestamp_micros(floor(col("ts").cast(LongType) / 1000L).cast(LongType)))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -1,10 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.Tables
+import graft.{QueryDef, Tables}
 
 /** Batch relational inventory (SURVEY.md §2.7).
   *
@@ -14,29 +15,38 @@ import graft.Tables
   * inherits pushdown/pruning/codegen/AQE for free.
   *
   * Oracle-comparison discipline (driver hashes values after sorting columns
-  * by name): every query carries an explicit ORDER BY, aliases every
-  * computed column, and makes floating-point aggregates deterministic by
+  * by name, rows in the query's own ORDER BY): every query carries an
+  * explicit total-order ORDER BY, aliases every computed column identically
+  * in Spark and SQL, and makes floating-point aggregates deterministic by
   * summing in exact decimal (cast before the sum) and casting the final
   * value back to double — both Spark and DuckDB then produce bit-identical
   * doubles regardless of partition order.
+  *
+  * Scale notes (100 TB target): every query is a declarative plan —
+  * filters/projections reach the parquet scan, aggregates run
+  * partial+final, small dimensions are broadcast explicitly, and the only
+  * shuffles are the unavoidable ones on group/join keys. No collect, no
+  * driver-side loops.
   */
 object Relational {
 
   /** Exact-sum helper: sum a double column in decimal space, return double.
     * Deterministic under Spark's nondeterministic partition order (decimal
-    * addition is associative), and matches DuckDB's sequential sum exactly.
+    * addition is associative) and bit-identical to DuckDB's sequential sum.
     */
-  private def dsum(c: Column, scale: Int = 2): Column =
+  private[operators] def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
 
-  /** q1: pricing summary report (TPC-H Q1 shape).
-    * Single scan + partial/final hash aggregate; only the 8 referenced
-    * columns are read (ReadSchema pruning) and the shipdate filter is
-    * pushed to parquet.
-    */
-  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+  private def dsumSql(expr: String, scale: Int = 2): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------------
+  // q1: pricing summary report (TPC-H Q1 shape). Scan → partial/final hash
+  // agg; shipdate filter pushed to parquet, 8-column ReadSchema.
+  // ---------------------------------------------------------------------
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
@@ -45,17 +55,385 @@ object Relational {
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
-  }
 
   val q1PricingSummarySql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-      |  COUNT(*) AS count_order
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${dsumSql("l_quantity")} AS sum_qty,
+       |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+       |  COUNT(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q2: five-way star join → revenue by nation. nation/region are tiny at
+  // any scale factor → explicit broadcast; customer/orders/lineitem join
+  // on their keys (sort-merge or AQE-chosen) — the canonical star-schema
+  // plan at 100 TB.
+  // ---------------------------------------------------------------------
+  def q2RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val q2RevenueByNationSql: String =
+    s"""SELECT r_name, n_name,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS revenue,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q3: left-semi join (EXISTS). Catalyst plans a semi join — no row
+  // duplication, lineitem side reduced before the join at scale.
+  // ---------------------------------------------------------------------
+  def q3SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast(TimestampType))
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q3SemiJoinSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q4: left-anti join (NOT EXISTS): customers with no pending ('P')
+  // orders. The right side is filtered before the anti join — at scale
+  // the filter prunes the build side before any shuffle.
+  // ---------------------------------------------------------------------
+  def q4AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val q4AntiJoinSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q5: window function top-N per group (row_number). One shuffle on the
+  // partition key, in-partition sort — no global sort until the final
+  // (small) result.
+  // ---------------------------------------------------------------------
+  def q5WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val q5WindowTopNSql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |             ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |      FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q6: running-frame window (cumulative sum + lag) per supplier. The
+  // cumulative sum runs in decimal so Spark's and DuckDB's sequential
+  // frame evaluation agree bit-for-bit.
+  // ---------------------------------------------------------------------
+  def q6RunningWindow(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.withColumn("running_qty",
+        sum(col("l_quantity").cast(DecimalType(30, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType))
+      .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("running_qty"), col("prev_qty"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val q6RunningWindowSql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
+      |       OVER (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+      |  LAG(l_quantity, 1) OVER (PARTITION BY l_suppkey
+      |                           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
       |FROM lineitem
-      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-      |GROUP BY l_returnflag, l_linestatus
-      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q7: global top-k. Spark plans TakeOrderedAndProject — per-partition
+  // heap + driver merge of k rows, no full sort at scale.
+  // ---------------------------------------------------------------------
+  def q7TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val q7TopKSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q8: set operations — INTERSECT / EXCEPT (distinct semantics) / UNION
+  // ALL, tagged into one result.
+  // ---------------------------------------------------------------------
+  def q8SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    a.intersect(b).withColumn("tag", lit("both"))
+      .unionByName(a.except(b).withColumn("tag", lit("open_only")))
+      .unionByName(b.except(a).withColumn("tag", lit("closed_only")))
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  val q8SetOpsSql: String =
+    """SELECT tag, o_custkey FROM (
+      |  SELECT 'both' AS tag, o_custkey FROM
+      |    ((SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |     INTERSECT
+      |     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+      |  UNION ALL
+      |  SELECT 'open_only' AS tag, o_custkey FROM
+      |    ((SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |     EXCEPT
+      |     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+      |  UNION ALL
+      |  SELECT 'closed_only' AS tag, o_custkey FROM
+      |    ((SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |     EXCEPT
+      |     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
+      |) t ORDER BY tag, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q9 / q10: hierarchical aggregates — ROLLUP and CUBE. Null grouping
+  // slots are coalesced to 'ALL' so the compared output is null-free
+  // (Spark and DuckDB disagree on default null sort order).
+  // ---------------------------------------------------------------------
+  def q9Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rf"), col("ls"))
+
+  val q9RollupSql: String =
+    s"""SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+       |  COALESCE(l_linestatus, 'ALL') AS ls,
+       |  COUNT(*) AS n,
+       |  ${dsumSql("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY rf, ls""".stripMargin
+
+  def q10Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("sum_price"))
+      .orderBy(col("status"), col("priority"))
+
+  val q10CubeSql: String =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |  COALESCE(o_orderpriority, 'ALL') AS priority,
+       |  COUNT(*) AS n,
+       |  ${dsumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q11: exact distinct aggregation (Catalyst expand + two-phase agg).
+  // The HLL approx variant is a separate rows-only query (sketch values
+  // are implementation-defined and can't hash-match DuckDB).
+  // ---------------------------------------------------------------------
+  def q11Distinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("c_nationkey")).as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  val q11DistinctSql: String =
+    """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+      |  COUNT(*) AS n_customers
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** approx_count_distinct (HLL++) — rows-only: sketch estimates are
+    * engine-specific. Pinned instead by a ScalaTest spec (within 5% of
+    * exact). This is the 100 TB path for distinct counts.
+    */
+  def q11ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // ---------------------------------------------------------------------
+  // q12: event-time tumbling window (hourly) — the batch shape of the
+  // streaming windowed aggregation; bucket emitted as a string for a
+  // timezone-representation-proof compare.
+  // ---------------------------------------------------------------------
+  def q12HourlyEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 6).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val q12HourlyEventsSql: String =
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       |  event_type,
+       |  COUNT(*) AS n,
+       |  ${dsumSql("value", 6)} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY hour, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q13: GROUPING SETS (same SQL text runs on Spark and DuckDB).
+  // ---------------------------------------------------------------------
+  private val q13Text: String =
+    s"""SELECT COALESCE(event_type, 'ALL') AS et,
+       |  COALESCE(CAST(user_id % 10 AS STRING), 'ALL') AS user_bucket,
+       |  COUNT(*) AS n,
+       |  ${dsumSql("value", 6)} AS sum_value
+       |FROM events
+       |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+       |ORDER BY et, user_bucket""".stripMargin
+
+  def q13GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    spark.sql(q13Text)
+  }
+
+  val q13GroupingSetsSql: String = q13Text.replace("AS STRING", "AS VARCHAR")
+
+  // ---------------------------------------------------------------------
+  // q14: correlated scalar subquery (Catalyst decorrelates to an
+  // aggregate + join). The per-nation average is computed with
+  // decimal-exact sums so the > comparison is deterministic.
+  // ---------------------------------------------------------------------
+  private val q14Text: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c1
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer c2
+      |                   WHERE c2.c_nationkey = c1.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  def q14CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(q14Text)
+  }
+
+  val q14CorrelatedSubquerySql: String = q14Text
+
+  // ---------------------------------------------------------------------
+  // q15: range (non-equi) predicate on top of an equi join: lineitems
+  // shipped within 30 days of their order's date. The equi key carries
+  // the join; the range condition is a post-join filter — this stays a
+  // hash/sort-merge join at scale, NOT a cartesian.
+  // ---------------------------------------------------------------------
+  def q15RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") >= o("o_orderdate") &&
+        li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 30 DAY"),
+        "left")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_shipped_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val q15RangeJoinSql: String =
+    """SELECT o_orderkey, COUNT(l_orderkey) AS n_shipped_30d
+      |FROM orders
+      |LEFT JOIN lineitem
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
+    QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
+    QueryDef.sql("q3_semi_join", q3SemiJoin _, q3SemiJoinSql),
+    QueryDef.sql("q4_anti_join", q4AntiJoin _, q4AntiJoinSql),
+    QueryDef.sql("q5_window_topn", q5WindowTopN _, q5WindowTopNSql),
+    QueryDef.sql("q6_running_window", q6RunningWindow _, q6RunningWindowSql),
+    QueryDef.sql("q7_topk", q7TopK _, q7TopKSql),
+    QueryDef.sql("q8_setops", q8SetOps _, q8SetOpsSql),
+    QueryDef.sql("q9_rollup", q9Rollup _, q9RollupSql),
+    QueryDef.sql("q10_cube", q10Cube _, q10CubeSql),
+    QueryDef.sql("q11_distinct", q11Distinct _, q11DistinctSql),
+    QueryDef.rowsOnly("q11b_approx_distinct", q11ApproxDistinct _),
+    QueryDef.sql("q12_hourly_events", q12HourlyEvents _, q12HourlyEventsSql),
+    QueryDef.sql("q13_grouping_sets", q13GroupingSets _, q13GroupingSetsSql),
+    QueryDef.sql("q14_correlated_subquery", q14CorrelatedSubquery _, q14CorrelatedSubquerySql),
+    QueryDef.sql("q15_range_join", q15RangeJoin _, q15RangeJoinSql),
+  )
 }

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  test("every relational query runs and has a stable schema") {
+    Relational.defs.foreach { d =>
+      val df = d.fn(spark, dir)
+      assert(df.columns.nonEmpty, s"${d.name} has no columns")
+      df.collect() // must execute without throwing
+    }
+  }
+
+  test("q1 groups by the two flag columns and sums are positive") {
+    val rows = Relational.q1PricingSummary(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 9) // |returnflag| x |linestatus|
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("q2 revenue-by-nation covers every nation with lineitems") {
+    val rows = Relational.q2RevenueByNation(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 25)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+  }
+
+  test("q3 semi join never exceeds total order count") {
+    val total = Tables.orders(spark, dir).count()
+    val semi = Relational.q3SemiJoin(spark, dir)
+      .agg(sum("n_orders")).collect()(0).getLong(0)
+    assert(semi <= total && semi > 0)
+  }
+
+  test("q4 anti join complements the semi join on the same predicate") {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    assert(anti + semi == c.count())
+  }
+
+  test("q5 emits at most 3 rows per customer, ranked") {
+    val byCust = Relational.q5WindowTopN(spark, dir)
+      .groupBy("o_custkey").count().collect()
+    assert(byCust.forall(_.getAs[Long]("count") <= 3))
+  }
+
+  test("q6 running window final value equals the group sum") {
+    val last = Relational.q6RunningWindow(spark, dir)
+      .groupBy("l_suppkey").agg(max("running_qty").as("final_running"))
+    val direct = Tables.lineitem(spark, dir)
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity").cast("decimal(30,2)")).cast("double").as("direct_sum"))
+    val joined = last.join(direct, "l_suppkey")
+      .filter(abs(col("final_running") - col("direct_sum")) > 1e-9)
+    assert(joined.count() == 0)
+  }
+
+  test("q7 returns exactly 10 rows in descending price order") {
+    val prices = Relational.q7TopK(spark, dir).collect().map(_.getAs[Double]("o_totalprice"))
+    assert(prices.length == 10)
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q8 set-op branches partition the distinct custkey universe") {
+    val rows = Relational.q8SetOps(spark, dir)
+    // a key appears at most once per tag, and 'both' keys never appear in only_* branches
+    val dupes = rows.groupBy("tag", "o_custkey").count().filter(col("count") > 1)
+    assert(dupes.count() == 0)
+    val perKeyTags = rows.groupBy("o_custkey").agg(collect_set("tag").as("tags")).collect()
+    perKeyTags.foreach { r =>
+      val tags = r.getAs[scala.collection.Seq[String]]("tags")
+      assert(tags.size == 1, s"custkey in multiple set-op branches: $tags")
+    }
+  }
+
+  test("q9 rollup grand-total row equals table count") {
+    val total = Tables.lineitem(spark, dir).count()
+    val all = Relational.q9Rollup(spark, dir)
+      .filter(col("rf") === "ALL" && col("ls") === "ALL").collect()
+    assert(all.length == 1 && all(0).getAs[Long]("n") == total)
+  }
+
+  test("q10 cube contains all four grouping combinations") {
+    val df = Relational.q10Cube(spark, dir)
+    val combos = df.select(
+      (col("status") === "ALL").as("sAll"), (col("priority") === "ALL").as("pAll"))
+      .distinct().count()
+    assert(combos == 4)
+  }
+
+  test("q11 approx distinct is within 10% of exact") {
+    val approx = Relational.q11ApproxDistinct(spark, dir).collect()
+    val exact = Tables.lineitem(spark, dir).groupBy("l_returnflag")
+      .agg(countDistinct("l_orderkey").as("e1"), countDistinct("l_partkey").as("e2"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    approx.foreach { r =>
+      val (e1, e2) = exact(r.getString(0))
+      assert(math.abs(r.getAs[Long]("approx_orders") - e1).toDouble / e1 < 0.1)
+      assert(math.abs(r.getAs[Long]("approx_parts") - e2).toDouble / e2 < 0.1)
+    }
+  }
+
+  test("q12 hourly buckets sum to the events row count") {
+    val total = Tables.events(spark, dir).count()
+    val bucketed = Relational.q12HourlyEvents(spark, dir)
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(bucketed == total)
+  }
+
+  test("q15 range-join counts are bounded by per-order lineitem counts") {
+    val perOrder = Tables.lineitem(spark, dir).groupBy(col("l_orderkey").as("o_orderkey")).count()
+    val bad = Relational.q15RangeJoin(spark, dir)
+      .join(perOrder, "o_orderkey")
+      .filter(col("n_shipped_30d") > col("count"))
+    assert(bad.count() == 0)
+  }
+}

@@ -19,9 +19,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+    # Strict: columns sorted by name, rows kept in FILE order — the driver
+    # relies on the queries' own ORDER BY, so we must too.
+    return df.reindex(sorted(df.columns), axis=1)
 
 
 def main(sf_dir: str, out_dir: str) -> int:
