@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Stream sources. The reference ingests JSON `{readTag_id, readValue}`
+  * records from a Kafka 0.8 receiver (`KafkaUtils.createStream`,
+  * KafkaStreamAverageCalculator.java:66-67); here that's the direct
+  * `kafka` DSv2 source — offsets planned by the driver and tracked in the
+  * checkpoint, no receivers, no ZooKeeper.
+  *
+  * The zero-egress test environment has no broker, so Kafka paths are
+  * carried as configuration behind this seam and exercised through the
+  * payload-shape parsers below with file/memory sources (SURVEY.md §7.5).
+  */
+object Sources {
+
+  /** The reference's implicit record schema (`AVG:202-214`): note
+    * `readValue` is a JSON *string* carrying a number — the reference does
+    * `getString` then `Double.parseDouble`; here the same two-step is
+    * `from_json` to string + cast to double.
+    */
+  val readingSchema: StructType = StructType(Seq(
+    StructField("readTag_id", StringType),
+    StructField("readValue", StringType)))
+
+  def kafkaStream(spark: SparkSession, bootstrapServers: String, topic: String,
+                  startingOffsets: String = "latest"): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+
+  /** P1 (`AVG:80-81`): Kafka value bytes → (readTag_id, value: double).
+    * Malformed records produce nulls instead of the reference's
+    * task-killing JSONException — filtered, not fatal.
+    */
+  def parseReadings(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast(StringType), readingSchema).as("j"))
+      .select(col("j.readTag_id").as("readTag_id"),
+        col("j.readValue").cast(DoubleType).as("value"))
+      .filter(col("readTag_id").isNotNull && col("value").isNotNull)
+
+  /** P2 (`AGG:64-72`): extract just the tag id for the wordcount job. */
+  def extractTagIds(raw: DataFrame): DataFrame =
+    raw.select(get_json_object(col("value").cast(StringType), "$.readTag_id").as("line"))
+      .filter(col("line").isNotNull)
+
+  /** File-replay source: the events table as a stream (the test/bench
+    * stand-in for the Kafka topic — event_type plays readTag_id,
+    * value plays readValue).
+    */
+  def eventsStream(spark: SparkSession, sfDir: String,
+                   maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      // glob (not the bare file path): the file stream source requires a
+      // directory basePath and re-lists the glob each trigger
+      .parquet(s"$sfDir/events*.parquet")
+      .withColumn("ts", timestamp_micros(floor(col("ts").cast(LongType) / 1000L).cast(LongType)))
+  }
+}

@@ -1,0 +1,31 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Job-2 semantics (KafkaStreamPropertyAggregator.java): tokenize on the
+  * compiled `" "` pattern (`AGG:28,74-79`) and count occurrences
+  * (`AGG:81-94`).
+  *
+  * The reference's counts are **per 2 s micro-batch, not cumulative**
+  * (`reduceByKey` on a plain DStream — state resets every batch,
+  * SURVEY.md §2.4 A1). Structured Streaming expresses exactly that as a
+  * per-batch aggregate inside `foreachBatch`; the cumulative variant is
+  * the same aggregate as a Complete/Update-mode streaming query.
+  *
+  * `explode(split(...))` is a built-in Generator — whole-stage codegen,
+  * no UDTF; the count is a partial+final hash aggregate, one shuffle.
+  */
+object WordCount {
+
+  /** F1: one row per whitespace-separated token. */
+  def tokenize(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(split(text, " ")).as("word"))
+      .filter(col("word") =!= "")
+
+  /** A1: token frequencies of `text` within the given frame (a micro-batch
+    * in streaming use, the whole table in batch use).
+    */
+  def apply(df: DataFrame, text: Column): DataFrame =
+    tokenize(df, text).groupBy(col("word")).agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,112 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{RunningStats, Sources, WordCount}
+
+/** Streaming-semantics tests (SURVEY.md §5.2.2): per-epoch Update-mode
+  * emissions match the reference's once-per-updated-key-per-batch cadence
+  * (A2), wordcount resets per batch (A1), and the file-replayed events
+  * stream converges to the batch answer.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+
+  test("update-mode stats emit once per updated key per batch and cumulate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val stats = RunningStats(input.toDF().toDF("readTag_id", "value"),
+      col("readTag_id"), col("value"))
+    val q = stats.writeStream.format("memory").queryName("stats_updates")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+      q.processAllAvailable()
+      val afterB1 = spark.table("stats_updates").collect()
+      assert(afterB1.length == 2, "batch 1: one emission per key")
+      val a1 = afterB1.find(_.getString(0) == "a").get
+      assert(a1.getAs[Double]("summer") == 4.0 && a1.getAs[Long]("counter") == 2)
+      assert(a1.getAs[Double]("mean") == 2.0 && a1.getAs[Double]("var") == 2.0)
+
+      input.addData(("a", 5.0)) // only 'a' updates in batch 2
+      q.processAllAvailable()
+      val all = spark.table("stats_updates").collect()
+      assert(all.length == 3, "batch 2 emitted only the updated key")
+      val a2 = all.filter(_.getString(0) == "a")
+        .maxBy(_.getAs[Long]("counter"))
+      assert(a2.getAs[Double]("summer") == 9.0 && a2.getAs[Long]("counter") == 3)
+      assert(a2.getAs[Double]("mean") == 3.0 && a2.getAs[Double]("var") == 4.0)
+      assert(a2.getAs[Double]("bestmin") == 1.0 && a2.getAs[Double]("bestmax") == 5.0)
+    } finally q.stop()
+  }
+
+  test("wire payload has the reference's 10-field JSON shape") {
+    import spark.implicits._
+    val stats = RunningStats(
+      Seq(("t1", 2.0), ("t1", 4.0)).toDF("readTag_id", "value"),
+      col("readTag_id"), col("value"))
+    val wire = RunningStats.toWire(stats).collect()
+    assert(wire.length == 1)
+    assert(wire(0).getAs[String]("key") == "t1")
+    val json = wire(0).getAs[String]("value")
+    for (f <- Seq("readTag_id", "summer", "counter", "sumsqr", "delta",
+        "bestmin", "bestmax", "mean", "m2", "var"))
+      assert(json.contains("\"" + f + "\""), s"missing field $f in $json")
+  }
+
+  test("per-batch wordcount resets between micro-batches (A1 semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val batches = mutable.Map[Long, Map[String, Long]]()
+    val q = input.toDF().toDF("line").writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val counts = WordCount(batch, col("line")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        batches.synchronized { batches(id) = counts }
+        ()
+      }
+      .start()
+    try {
+      input.addData("tag one", "tag two")
+      q.processAllAvailable()
+      input.addData("tag three")
+      q.processAllAvailable()
+      val byBatch = batches.synchronized(batches.toMap)
+      assert(byBatch(0L) == Map("tag" -> 2L, "one" -> 1L, "two" -> 1L))
+      // counts reset: batch 1 sees only its own records, like the
+      // reference's per-batch reduceByKey (AGG:81-94)
+      assert(byBatch(1L) == Map("tag" -> 1L, "three" -> 1L))
+    } finally q.stop()
+  }
+
+  test("file-replayed events stream converges to the batch stats") {
+    val stream = Sources.eventsStream(spark, "/root/testdata/sf0.001")
+    val stats = RunningStats(stream, col("event_type"), col("value"))
+    val q = stats.writeStream.format("memory").queryName("replay_stats")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay_stats").collect()
+        .map(r => r.getAs[String]("readTag_id") -> r).toMap
+      val batch = RunningStats(Tables.events(spark, "/root/testdata/sf0.001"),
+        col("event_type"), col("value")).collect()
+        .map(r => r.getAs[String]("readTag_id") -> r).toMap
+      assert(streamed.keySet == batch.keySet && streamed.nonEmpty)
+      for ((k, b) <- batch; s = streamed(k)) {
+        assert(s.getAs[Long]("counter") == b.getAs[Long]("counter"))
+        for (c <- Seq("summer", "bestmin", "bestmax", "mean", "var")) {
+          val bv = b.getAs[Double](c); val sv = s.getAs[Double](c)
+          assert(math.abs(bv - sv) <= math.max(1e-9, math.abs(bv) * 1e-9),
+            s"$k.$c: stream=$sv batch=$bv")
+        }
+      }
+    } finally q.stop()
+  }
+}
