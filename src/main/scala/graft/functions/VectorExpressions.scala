@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for embedding math over
+  * `ArrayType(FloatType)` — the similarity-search extension
+  * (SURVEY.md §4.2: "no built-in ANN; CosineSimilarity not a SQL
+  * function"). A custom codegen'd Expression rather than a Scala UDF so
+  * the hot loop stays inside whole-stage codegen with no
+  * boxing/serialization: at 100 TB the brute-force scorer is
+  * scan-bound, and this keeps it that way.
+  *
+  * Accumulation is in double over sequential element order — the same
+  * operation sequence as `aggregate(zip_with(...))` and DuckDB's
+  * `list_sum(list_transform(list_zip(...)))`, so oracle comparisons are
+  * bit-exact.
+  */
+abstract class VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  protected def checkLengths(a: ArrayData, b: ArrayData): Unit =
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"vector length mismatch: ${a.numElements()} vs ${b.numElements()}")
+}
+
+/** dot(a, b) = Σ a_i * b_i (doubles). */
+case class VecDot(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    checkLengths(a, b)
+    var dot = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements())
+         |  throw new IllegalArgumentException("vector length mismatch: " + $n + " vs " + $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++)
+         |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_dot"
+}
+
+/** cosine(a, b) = dot / (||a|| * ||b||), one pass; null when either norm
+  * is zero (undefined direction) rather than NaN.
+  */
+case class VecCosine(left: Expression, right: Expression) extends VectorBinaryExpression {
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    checkLengths(a, b)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements())
+         |  throw new IllegalArgumentException("vector length mismatch: " + $n + " vs " + $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $x = (double) $a.getFloat($i);
+         |  final double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "vec_cosine"
+}
+
+/** Registration + Column-facing API. Functions are injected either via
+  * `spark.sql.extensions=graft.GraftExtensions` or [[Vectors.register]]
+  * on an existing session; `vec_dot`/`vec_cosine` then work from SQL and
+  * from the Column API below.
+  */
+object Vectors {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (es => VecDot(es(0), es(1))),
+    "vec_cosine" -> (es => VecCosine(es(0), es(1))))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+  def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+}

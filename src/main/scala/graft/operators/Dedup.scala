@@ -1,0 +1,295 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+import graft.functions.Vectors
+
+/** Deduplication suite over the `documents` / `embeddings` tables — the
+  * training-data-pipeline extension (absent from the reference; SURVEY.md
+  * §2.7 / §4.2 "dedup" row).
+  *
+  * Scale design: the only all-pairs quadratic here is the exact n-gram
+  * Jaccard (d41), kept as the *oracle baseline* for the sub-quadratic
+  * paths — MinHash+LSH band-bucket join (d42) and SimHash band join (d43)
+  * are the 100 TB operators: candidate generation is an equi-join on
+  * band buckets (shuffle on bucket key, no cross product), verification
+  * touches only candidates.
+  *
+  * Everything is built from engine-portable primitives (md5, which is
+  * bit-identical in Spark and DuckDB, drives every hash) so even the LSH
+  * pipelines are SQL-expressible and hash-compared against the oracle.
+  */
+object Dedup {
+
+  private def tokens: Column = split(col("text"), " ")
+
+  /** Distinct word 3-gram shingles per doc (docs with < 3 tokens drop out). */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(size(tokens) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(tokens) - 2),
+          i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
+            element_at(tokens, i + 2))))).as("shingle"))
+
+  private val shingleSqlView: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= 3),
+      |shingles AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+      |  FROM toks)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d40: exact dedup — content-hash grouping with keeper election
+  // (min doc_id). The library-facing `dedupExact` drops the losers; the
+  // query form exposes the group structure for the oracle.
+  // ---------------------------------------------------------------------
+  def dedupExact(df: DataFrame, keyCols: Seq[Column]): DataFrame =
+    df.dropDuplicates(keyCols.map(_.toString))
+
+  def d40ExactGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("text_hash"))
+
+  val d40ExactGroupsSql: String =
+    """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keep_id
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY text_hash""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d41: exact n-gram Jaccard near-dup — the quadratic oracle baseline.
+  // Pairs come from a shingle-equality self-join (docs sharing no shingle
+  // never meet — already far better than a cross product), intersections
+  // from a count, Jaccard from |A|+|B|-|A∩B|.
+  // ---------------------------------------------------------------------
+  def d41NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(spark, dir).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+      .withColumn("jaccard", round(col("n_common") /
+        (col("na") + col("nb") - col("n_common")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d41NgramJaccardSql: String =
+    s"""$shingleSqlView,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+       |  FROM shingles a JOIN shingles b
+       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_common,
+       |  ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = doc_a
+       |JOIN sizes sb ON sb.doc_id = doc_b
+       |WHERE ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d42: MinHash + LSH — the sub-quadratic scale path. 32 hash functions
+  // h_i(s) = int64(md5(i || ':' || s)[0:15 hex]); signature = per-i min;
+  // 8 bands x 4 rows; candidates = band-bucket equi-join; estimate =
+  // matching signature fraction. All md5-derived → bit-identical across
+  // engines → fully oracle-checked.
+  // ---------------------------------------------------------------------
+  private val NumHashes = 32
+  private val NumBands = 8
+  private val RowsPerBand = NumHashes / NumBands
+
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), lit(NumHashes - 1)),
+        i => conv(substring(md5(concat(i.cast(StringType), lit(":"), col("shingle"))), 1, 15), 16, 10)
+          .cast(LongType))))
+      .groupBy(col("doc_id"), col("pos").as("seed"))
+      .agg(min(col("col")).as("minh"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
+        x => x.getField("minh")).as("sig"))
+
+  def d42MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(spark, dir).cache()
+    val bands = sigs.select(col("doc_id"), posexplode(transform(
+      sequence(lit(0), lit(NumBands - 1)),
+      b => md5(concat_ws(",", transform(
+        slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
+        x => x.cast(StringType)))))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", round(
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          / lit(NumHashes.toDouble), 6))
+      .filter(col("est_jaccard") >= 0.35)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d42MinhashLshSql: String =
+    s"""$shingleSqlView,
+       |hashed AS (
+       |  SELECT doc_id, i AS seed,
+       |    MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS minh
+       |  FROM shingles CROSS JOIN range(0, $NumHashes) r(i)
+       |  GROUP BY doc_id, i),
+       |sigs AS (SELECT doc_id, array_agg(minh ORDER BY seed) AS sig FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, b AS band,
+       |    md5(array_to_string(list_slice(sig, b * $RowsPerBand + 1, b * $RowsPerBand + $RowsPerBand), ',')) AS bucket
+       |  FROM sigs CROSS JOIN range(0, $NumBands) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  ROUND(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0, 6) AS est_jaccard
+       |FROM cand
+       |JOIN sigs sa ON sa.doc_id = doc_a
+       |JOIN sigs sb ON sb.doc_id = doc_b
+       |WHERE list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0 >= 0.35
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d43: SimHash near-dup. 60-bit token-hash simhash (md5-derived), then
+  // 5 bands x 12 bits: any pair at Hamming distance <= 4 shares at least
+  // one band (pigeonhole) → the band equi-join is lossless for the
+  // threshold while staying sub-quadratic.
+  // ---------------------------------------------------------------------
+  private val SimBits = 60
+  private val SimBands = 5
+  private val SimBandBits = SimBits / SimBands
+  private val MaxHamming = SimBands - 1 // completeness guarantee
+
+  /** SimHash over the same distinct 3-gram shingle features as d41/d42,
+    * so the three near-dup measures agree on what "similar" means —
+    * Hamming distance then tracks shingle-set overlap, and ham<=4/60 is a
+    * strictly-tighter filter than J>=0.5 in practice.
+    */
+  def simhashes(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .withColumn("h", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast(LongType))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(SimBits - 1))).as("bit"))
+      .withColumn("contrib",
+        expr("shiftright(h, bit)").bitwiseAND(lit(1L)) * 2 - 1)
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+
+  def d43Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashes(spark, dir).cache()
+    val mask = (1L << SimBandBits) - 1
+    val bands = sh.select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), lit(SimBands - 1)),
+        b => call_function("shiftright", col("simhash"), b * lit(SimBandBits))
+          .bitwiseAND(lit(mask)))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bval"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= MaxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d43SimhashSql: String =
+    s"""$shingleSqlView,
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM shingles),
+       |bits AS (
+       |  SELECT doc_id, bit, SUM(((h >> bit) & 1) * 2 - 1) AS s
+       |  FROM hashed CROSS JOIN range(0, $SimBits) r(bit)
+       |  GROUP BY 1, 2),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY 1),
+       |bands AS (
+       |  SELECT doc_id, b AS band, (simhash >> (b * $SimBandBits)) & ${(1L << SimBandBits) - 1} AS bval
+       |  FROM sh CROSS JOIN range(0, $SimBands) r(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |FROM cand
+       |JOIN sh a ON a.doc_id = doc_a
+       |JOIN sh b ON b.doc_id = doc_b
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $MaxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // d44: embedding-cosine near-dup — brute pair scan with the native
+  // VecCosine expression. Quadratic: serves as the oracle baseline for
+  // the LSH-bucketed ANN path (Similarity.q31).
+  // ---------------------------------------------------------------------
+  def d44EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")).as("a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")).as("b"),
+        col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(Vectors.vecCosine(col("ea"), col("eb")), 6))
+      .filter(col("sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val d44EmbeddingNearDupSql: String =
+    """WITH pairs AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+      |    (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+      |     sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, ROUND(sim, 6) AS sim
+      |FROM pairs
+      |WHERE ROUND(sim, 6) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("d40_dedup_exact", d40ExactGroups _, d40ExactGroupsSql),
+    QueryDef.sql("d41_ngram_jaccard", d41NgramJaccard _, d41NgramJaccardSql),
+    QueryDef.sql("d42_minhash_lsh", d42MinhashLsh _, d42MinhashLshSql),
+    QueryDef.sql("d43_simhash", d43Simhash _, d43SimhashSql),
+    QueryDef.sql("d44_embedding_neardup", d44EmbeddingNearDup _, d44EmbeddingNearDupSql),
+  )
+}

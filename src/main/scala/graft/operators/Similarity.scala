@@ -1,0 +1,129 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.Vectors
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64)
+  * — the ANN extension (SURVEY.md §4.2). Two paths:
+  *
+  *  - q30 brute-force cosine top-k: the exact baseline. Queries are the
+  *    SMALL side → broadcast; the corpus streams through the codegen'd
+  *    [[graft.functions.VecCosine]] scorer — at 100 TB this is a single
+  *    scan, no shuffle until the (tiny) per-query top-k reduction.
+  *  - q31 random-hyperplane LSH: the sub-quadratic scale path. Sign
+  *    sketches bucket the corpus; candidate generation is an equi-join
+  *    on (table, bucket), exact cosine re-ranks candidates only.
+  *    Recall vs q30 is pinned by SimilaritySpec.
+  */
+object Similarity {
+
+  private val K = 5
+  private val NumQueries = 10 // queries = vec_id < 10
+
+  // -------------------------------------------------------------------
+  // q30: exact brute-force top-k per query.
+  // -------------------------------------------------------------------
+  def q30AnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Vectors.vecCosine(col("qe"), col("ne")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val q30AnnBruteSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(qe, e.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+       |  FROM q CROSS JOIN embeddings e
+       |  WHERE e.vec_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id, ROUND(sim, 6) AS sim
+       |FROM ranked
+       |WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q31: LSH-bucketed ANN. `Tables`-deterministic hyperplanes (seeded),
+  // NumTables independent sketches of BitsPerTable sign bits each;
+  // candidates = corpus vectors sharing any (table, bucket) with the
+  // query; exact cosine re-rank of candidates only. Rows-only (the
+  // hyperplane constants live in the engine, not in SQL); recall is
+  // pinned by SimilaritySpec.
+  // -------------------------------------------------------------------
+  private val NumTables = 8
+  private val BitsPerTable = 6
+  private val Dim = 64
+
+  /** Deterministic Gaussian-ish hyperplanes, seed fixed → reproducible
+    * plans and results across sessions/executors.
+    */
+  private[operators] lazy val hyperplanes: Array[Array[Array[Float]]] = {
+    val rnd = new Random(42)
+    Array.fill(NumTables, BitsPerTable, Dim)((rnd.nextGaussian()).toFloat)
+  }
+
+  /** (table, bucket) sketch pairs for one embedding column. */
+  private def sketches(emb: Column): Column = {
+    val perTable = (0 until NumTables).map { t =>
+      val bucket = (0 until BitsPerTable).map { j =>
+        val plane = typedlit(hyperplanes(t)(j).toSeq)
+        when(Vectors.vecDot(emb, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    array(perTable: _*)
+  }
+
+  def q31AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val corpusBuckets = e
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        explode(sketches(col("embedding"))).as("sk"))
+      .select(col("neighbor_id"), col("ne"), col("sk.tbl"), col("sk.bucket"))
+    val queryBuckets = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        explode(sketches(col("embedding"))).as("sk"))
+      .select(col("query_id"), col("qe"), col("sk.tbl"), col("sk.bucket"))
+    val cand = corpusBuckets.join(broadcast(queryBuckets), Seq("tbl", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    cand.withColumn("sim", Vectors.vecCosine(col("qe"), col("ne")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q30_ann_brute", q30AnnBrute _, q30AnnBruteSql),
+    QueryDef.rowsOnly("q31_ann_lsh", q31AnnLsh _),
+  )
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Vectors
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  test("vec_cosine/vec_dot native expressions: known values and null handling") {
+    Vectors.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(2.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val rows = df.select(
+      Vectors.vecDot(col("a"), col("b")).as("dot"),
+      Vectors.vecCosine(col("a"), col("b")).as("cos")).collect()
+    assert(rows(0).getDouble(0) == 4.0)
+    assert(math.abs(rows(0).getDouble(1) - 0.8) < 1e-12)
+    assert(rows(1).getDouble(1) == 1.0)
+    assert(rows(2).isNullAt(1), "zero-norm vector → null cosine, not NaN")
+    // SQL surface works too
+    assert(spark.sql("SELECT vec_dot(array(1.0f,1.0f), array(2.0f,3.0f))")
+      .collect()(0).getDouble(0) == 5.0)
+  }
+
+  test("vec_cosine matches an independent scala computation on real data") {
+    Vectors.register(spark)
+    val rows = Tables.embeddings(spark, dir).limit(20).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expected = {
+      val (idA, a) = rows(0); val (idB, b) = rows(1)
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      (idA, idB, dot / (na * nb))
+    }
+    val e = Tables.embeddings(spark, dir)
+    val got = e.as("a").join(e.as("b"),
+        col("a.vec_id") === expected._1 && col("b.vec_id") === expected._2)
+      .select(Vectors.vecCosine(col("a.embedding"), col("b.embedding")))
+      .collect()(0).getDouble(0)
+    assert(math.abs(got - expected._3) < 1e-12)
+  }
+
+  test("minhash estimate correlates with exact jaccard on near-dup pairs") {
+    val exact = Dedup.d41NgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val est = Dedup.d42MinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    // every strongly-similar pair (J>=0.7) must be found by LSH with a
+    // sane estimate (32 hashes → sd ~ 0.08)
+    val strong = exact.filter(_._2 >= 0.7)
+    assert(strong.nonEmpty)
+    strong.foreach { case (pair, j) =>
+      assert(est.contains(pair), s"LSH missed strong pair $pair (J=$j)")
+      assert(math.abs(est(pair) - j) <= 0.3, s"estimate off: ${est(pair)} vs $j")
+    }
+  }
+
+  test("simhash finds the planted near-dup pairs found by exact jaccard") {
+    val exact = Dedup.d41NgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = Dedup.d43Simhash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty, "simhash should fire on planted near-dups")
+    // simhash(ham<=4 of 60 bits) is stricter than J>=0.5; it must not
+    // invent pairs the exact measure rejects outright
+    val invented = sim -- exact
+    assert(invented.isEmpty, s"simhash-only pairs (suspicious): $invented")
+  }
+
+  test("LSH ANN achieves useful recall against brute force") {
+    val brute = Similarity.q30AnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.q31AnnLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.2f (${lsh.size} returned)")
+    assert(recall >= 0.4, f"recall@5 $recall%.2f below floor")
+  }
+
+  test("dedupExact removes exact duplicates and keeps everything else") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupExact(df, Seq(col("text")))
+    assert(out.count() == 2)
+  }
+}
