@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QueryDef, Tables}
+
+/** Text-analysis operators over `documents` — the training-data-pipeline
+  * extension (language-ID heuristic, quality scoring, token counting,
+  * fingerprinting). All single-pass, per-row map work: at 100 TB these are
+  * scan-bound with zero shuffles (the per-doc outputs partition with the
+  * scan), which is exactly the shape a data-curation pipeline wants.
+  *
+  * Note: the synthetic corpus carries no real language signal (the text is
+  * the same vocabulary for every `lang` label), so t50's correctness is
+  * the determinism of its scoring rule — pinned by the DuckDB oracle
+  * running the identical rule — not label recovery.
+  */
+object TextOps {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Tiny per-language stopword profiles (public common-word lists). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"))
+
+  private def langScore(lang: String): Column =
+    size(filter(toks, t => t.isin(stopwords(lang): _*))).as(s"${lang}_score")
+
+  private def langScoreSql(lang: String): String = {
+    val list = stopwords(lang).map(w => s"'$w'").mkString(", ")
+    s"list_sum(list_transform(string_split(text, ' '), t -> CASE WHEN t IN ($list) THEN 1 ELSE 0 END))"
+  }
+
+  // -------------------------------------------------------------------
+  // t50: language identification — stopword-profile n-gram heuristic
+  // with a deterministic argmax (score desc, language asc).
+  // -------------------------------------------------------------------
+  def t50LangId(spark: SparkSession, dir: String): DataFrame = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id") +: col("lang").as("labeled_lang") +:
+        langs.map(langScore): _*)
+    val best = langs.map(l => struct(col(s"${l}_score").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+    scored
+      .withColumn("pred_lang", best.getField("l"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t50LangIdSql: String = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scoreCols = langs.map(l => s"  ${langScoreSql(l)} AS ${l}_score").mkString(",\n")
+    // same argmax: left-fold keeping earlier language on ties
+    val best = langs.map(l => s"struct_pack(s := ${l}_score, l := '$l')")
+      .reduce((a, b) => s"CASE WHEN ($b).s > ($a).s THEN $b ELSE $a END")
+    s"""WITH scored AS (
+       |SELECT doc_id, lang AS labeled_lang,
+       |$scoreCols
+       |FROM documents)
+       |SELECT doc_id, labeled_lang, ${langs.map(l => s"${l}_score").mkString(", ")},
+       |  ($best).l AS pred_lang
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // t51: quality scoring — length/punctuation/stopword signals combined
+  // into a deterministic [0,1] score.
+  // -------------------------------------------------------------------
+  def t51Quality(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens = size(toks)
+    val stopEn = size(filter(toks, t => t.isin(stopwords("en"): _*)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        nTokens.as("n_tokens"),
+        regexp_count(col("text"), lit("[^a-z0-9 ]")).as("n_punct"),
+        stopEn.as("n_stop"))
+      .withColumn("punct_ratio", col("n_punct") / col("n_chars_calc"))
+      .withColumn("stop_ratio", col("n_stop") / col("n_tokens"))
+      .withColumn("quality_score", round(
+        lit(0.3) * least(lit(1.0), col("n_tokens") / lit(100.0)) +
+        lit(0.4) * (lit(1.0) - col("punct_ratio")) +
+        lit(0.3) * least(lit(1.0), col("stop_ratio") * 5.0), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val t51QualitySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    length(text) AS n_chars_calc,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct,
+       |    ${langScoreSql("en")} AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_chars_calc, n_tokens, n_punct, n_stop,
+       |  n_punct / n_chars_calc AS punct_ratio,
+       |  n_stop / n_tokens AS stop_ratio,
+       |  ROUND(0.3 * least(1.0, n_tokens / 100.0) +
+       |        0.4 * (1.0 - n_punct / n_chars_calc) +
+       |        0.3 * least(1.0, (n_stop / n_tokens) * 5.0), 6) AS quality_score
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t52: token counting — whitespace tokens and a BPE-ish regex
+  // (word pieces + isolated non-space symbols).
+  // -------------------------------------------------------------------
+  def t52TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks).as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_ ]")).as("re_tokens"))
+      .orderBy(col("doc_id"))
+
+  val t52TokenCountSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ ]')) AS re_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t53: document fingerprinting — whole-content hash of the normalized
+  // text plus a rolling-hash minimum over char 8-grams (the winnowing
+  // primitive: near-identical texts collide on min_shingle_hash with
+  // high probability).
+  // -------------------------------------------------------------------
+  def t53Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .withColumn("norm", norm)
+      .select(col("doc_id"),
+        md5(col("norm")).as("content_md5"),
+        array_min(transform(sequence(lit(1), greatest(length(col("norm")) - 7, lit(1))),
+          i => conv(substring(md5(col("norm").substr(i, lit(8))), 1, 15), 16, 10)
+            .cast(LongType))).as("min_shingle_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t53FingerprintSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |SELECT doc_id, md5(norm) AS content_md5,
+      |  list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+      |    i -> ('0x' || substr(md5(substr(norm, i, 8)), 1, 15))::BIGINT)) AS min_shingle_hash
+      |FROM n
+      |ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
+    QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
+    QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
+    QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),
+  )
+}
