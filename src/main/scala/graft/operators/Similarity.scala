@@ -35,6 +35,7 @@ object Similarity {
     val queries = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
       .crossJoin(broadcast(queries))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", Vectors.vecCosine(col("qe"), col("ne")))
@@ -101,21 +102,28 @@ object Similarity {
   def q31AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     Vectors.register(spark)
     val e = Tables.embeddings(spark, dir)
-    val corpusBuckets = e
-      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
-        explode(sketches(col("embedding"))).as("sk"))
-      .select(col("neighbor_id"), col("ne"), col("sk.tbl"), col("sk.bucket"))
-    val queryBuckets = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-        explode(sketches(col("embedding"))).as("sk"))
-      .select(col("query_id"), col("qe"), col("sk.tbl"), col("sk.bucket"))
+    val corpus = e.repartition(spark.sessionState.conf.numShufflePartitions)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    // candidates carry ids only — the distinct shuffles narrow rows, and
+    // the embeddings are re-attached afterwards (corpus via equi-join,
+    // queries via broadcast) instead of riding through the dedup
+    val corpusBuckets = corpus
+      .select(col("vec_id").as("neighbor_id"), explode(sketches(col("embedding"))).as("sk"))
+      .select(col("neighbor_id"), col("sk.tbl"), col("sk.bucket"))
+    val queryBuckets = queries
+      .select(col("query_id"), explode(sketches(col("qe"))).as("sk"))
+      .select(col("query_id"), col("sk.tbl"), col("sk.bucket"))
     val cand = corpusBuckets.join(broadcast(queryBuckets), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("qe"), col("neighbor_id"), col("ne"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    cand.withColumn("sim", Vectors.vecCosine(col("qe"), col("ne")))
+    cand
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+      .join(broadcast(queries), "query_id")
+      .withColumn("sim", Vectors.vecCosine(col("qe"), col("ne")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= K)
       .select(col("query_id"), col("rn"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
