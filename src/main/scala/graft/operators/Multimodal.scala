@@ -118,7 +118,7 @@ object Multimodal {
       |    encode(text) AS payload
       |  FROM documents)
       |SELECT format, COUNT(*) AS n_media,
-      |  SUM(octet_length(payload)) AS total_bytes,
+      |  CAST(SUM(octet_length(payload)) AS BIGINT) AS total_bytes,
       |  AVG(width) AS avg_width,
       |  MAX(n_frames) AS max_frames
       |FROM media
@@ -159,7 +159,9 @@ object Multimodal {
   // m62: frame sampling — every k-th fixed-size chunk of the payload as
   // one output row (video → sampled frames). Generator shape: explode
   // over deterministic offsets, no shuffle, frame bytes stay
-  // partition-local. Fully SQL-expressible → oracle-checked.
+  // partition-local. The sampled-frame *size* is pure offset arithmetic
+  // (last chunk may be short), so the oracle needs no BLOB slicing —
+  // DuckDB has no substring(BLOB). Fully SQL-expressible → oracle-checked.
   // -------------------------------------------------------------------
   private val FrameBytes = 64
   private val SampleEvery = 4 // keep every 4th frame
@@ -171,25 +173,25 @@ object Multimodal {
         ceil(octet_length(col("media")) / lit(FrameBytes.toDouble)).cast(IntegerType))
       .select(col("media_id"),
         explode(sequence(lit(0), col("n_frames_payload") - 1)).as("frame_no"),
-        col("media"))
+        octet_length(col("media")).as("payload_bytes"))
       .filter(col("frame_no") % SampleEvery === 0)
       .select(col("media_id"), col("frame_no"),
-        octet_length(col("media").substr(col("frame_no") * FrameBytes + 1,
-          lit(FrameBytes))).as("frame_bytes"))
+        least(lit(FrameBytes), col("payload_bytes") - col("frame_no") * FrameBytes)
+          .as("frame_bytes"))
       .orderBy(col("media_id"), col("frame_no"))
 
   val m62FrameSampleSql: String =
     s"""WITH media AS (
-       |  SELECT doc_id AS media_id, encode(text) AS payload
+       |  SELECT doc_id AS media_id, octet_length(encode(text)) AS payload_bytes
        |  FROM documents
        |  WHERE ['png','jpeg','wav','mp4'][(doc_id % 4 + 1)::INT] = 'mp4'),
        |frames AS (
        |  SELECT media_id, unnest(range(0,
-       |    CAST(ceil(octet_length(payload) / $FrameBytes.0) AS INT))) AS frame_no,
-       |    payload
+       |    CAST(ceil(payload_bytes / $FrameBytes.0) AS INT))) AS frame_no,
+       |    payload_bytes
        |  FROM media)
        |SELECT media_id, frame_no,
-       |  octet_length(substring(payload, frame_no * $FrameBytes + 1, $FrameBytes)) AS frame_bytes
+       |  least($FrameBytes, payload_bytes - frame_no * $FrameBytes) AS frame_bytes
        |FROM frames
        |WHERE frame_no % $SampleEvery = 0
        |ORDER BY media_id, frame_no""".stripMargin

@@ -31,9 +31,12 @@ object TextOps {
   private def langScore(lang: String): Column =
     size(filter(toks, t => t.isin(stopwords(lang): _*))).as(s"${lang}_score")
 
+  // CAST to BIGINT: DuckDB's list_sum returns HUGEINT, which pandas (the
+  // driver's compare layer) widens to float64 — the value hash then sees
+  // 4.0 vs Spark's 4 and fails even though every value is equal.
   private def langScoreSql(lang: String): String = {
     val list = stopwords(lang).map(w => s"'$w'").mkString(", ")
-    s"list_sum(list_transform(string_split(text, ' '), t -> CASE WHEN t IN ($list) THEN 1 ELSE 0 END))"
+    s"CAST(list_sum(list_transform(string_split(text, ' '), t -> CASE WHEN t IN ($list) THEN 1 ELSE 0 END)) AS BIGINT)"
   }
 
   // -------------------------------------------------------------------
