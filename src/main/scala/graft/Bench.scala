@@ -16,7 +16,11 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop-format write: executes the DECLARED plan — count() would let
+      // Catalyst drop the final sort and all projections, under-measuring
+      // order-by and expression-heavy queries
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -13,7 +13,7 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
-              shufflePartitions: Int = 32): SparkSession.Builder =
+              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .appName("graft")

@@ -29,13 +29,15 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
   /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
     * parquet reader rejects by default. Read nanos as long and convert to
-    * a microsecond TimestampType (floor division — matches DuckDB's
-    * ns→µs truncation), so every downstream operator sees a normal `ts`.
+    * a microsecond TimestampType with INTEGER division (`div`) — Spark's
+    * `/` on longs casts through double, and ~1.7e18 ns exceeds 2^53, so
+    * `floor(long / 1000)` silently loses low bits (~12.5% of values land
+    * 1 µs off DuckDB's exact ns→µs truncation).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    raw.withColumn("ts", timestamp_micros(floor(col("ts").cast(LongType) / 1000L).cast(LongType)))
+    raw.withColumn("ts", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -69,8 +69,18 @@ object Dedup {
   // (min doc_id). The library-facing `dedupExact` drops the losers; the
   // query form exposes the group structure for the oracle.
   // ---------------------------------------------------------------------
-  def dedupExact(df: DataFrame, keyCols: Seq[Column]): DataFrame =
-    df.dropDuplicates(keyCols.map(_.toString))
+  /** Exact dedup with explicit keeper election: within each key group the
+    * row with the smallest `keeper` value survives — deterministic, unlike
+    * `dropDuplicates` (which keeps an arbitrary partition-order-dependent
+    * row). One shuffle: rank within the key partition, keep rank 1.
+    */
+  def dedupExact(df: DataFrame, keyCols: Seq[String], keeper: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(keeper.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
 
   def d40ExactGroups(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -97,15 +107,16 @@ object Dedup {
     // joins on the same md5-derived key, so any collision is shared),
     // and carry each side's shingle count through the join — the count is
     // known before the explode, so no per-doc size table and no rejoins.
-    // The identical self-join sides shuffle on the same key, so the
-    // shingle pipeline runs once (AQE exchange reuse), no cache needed.
+    // No cache: the identical self-join sides shuffle on the same key, so
+    // the shingle pipeline runs once (AQE exchange reuse, verified in the
+    // plan) — and at 100 TB pinning a corpus-wide shingle table in
+    // executor memory would be a hazard, not a win.
     // shuffle_hash: broadcasting a ~260k-row build side is slower than a
     // partitioned hash join, and at scale a corpus self-join must never
     // broadcast anyway.
     val sh = shingledCounted(spark, dir)
       .select(col("doc_id"), col("n_shingles"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast(LongType).as("k"))
-      .cache()
     sh.as("a").join(sh.as("b").hint("shuffle_hash"),
         col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -137,27 +148,34 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------
-  // d42: MinHash + LSH — the sub-quadratic scale path. 32 hash functions
-  // h_i(s) = int64(md5(i || ':' || s)[0:15 hex]); signature = per-i min,
-  // computed as ONE hash-aggregate of 32 mins (map-side partial combine,
-  // no per-seed row blowup through the shuffle). Per-slot md5 keeps the
-  // 32 slots genuinely independent permutations — cheaper seeded families
-  // (h1 + i·h2 double hashing, multilinear combos of hash halves) share
-  // their argmin shingle across slots (it sits on the halves' Pareto
-  // frontier), which collapses the estimator's variance and floods the
-  // candidate set with false positives. 8 bands x 4 rows; candidates =
-  // band-bucket equi-join; estimate = matching signature fraction. All
-  // md5-derived → bit-identical across engines → fully oracle-checked.
+  // d42: MinHash + LSH — the sub-quadratic scale path. 32 hash slots from
+  // 16 md5 digests: digest_j = md5(j || ':' || shingle), slot 2j = 60-bit
+  // window hex[1..15], slot 2j+1 = hex[17..31] — disjoint bit windows of
+  // one digest are independent uniform hashes, so slot independence (what
+  // a minhash estimator needs; cheap h1+i·h2 families lose it — their
+  // argmin shingle is shared across slots, collapsing estimator variance)
+  // is kept at half the hashing cost. The digest array is materialized in
+  // a projection BEFORE the aggregate so each digest is computed once per
+  // shingle row, not once per min-slot. Signature = ONE hash-aggregate of
+  // 32 mins (map-side partial combine, no per-seed row blowup through the
+  // shuffle). 8 bands x 4 rows; candidates = band-bucket equi-join;
+  // estimate = matching signature fraction. All md5-derived →
+  // bit-identical across engines → fully oracle-checked.
   // ---------------------------------------------------------------------
   private val NumHashes = 32
   private val NumBands = 8
   private val RowsPerBand = NumHashes / NumBands
+  private val NumDigests = NumHashes / 2
+  private def windowOff(i: Int): Int = if (i % 2 == 0) 1 else 17
 
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val digests = array((0 until NumDigests).map(j =>
+      md5(concat(lit(s"$j:"), col("shingle")))): _*)
     val mins = (0 until NumHashes).map(i =>
-      min(conv(substring(md5(concat(lit(s"$i:"), col("shingle"))), 1, 15), 16, 10)
+      min(conv(substring(element_at(col("ds"), i / 2 + 1), windowOff(i), 15), 16, 10)
         .cast(LongType)).as(s"m$i"))
     shingled(spark, dir)
+      .withColumn("ds", digests)
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -168,10 +186,11 @@ object Dedup {
     // each band row carries the full signature, so candidate pairs come
     // out of the band join with both signatures attached — no signature
     // rejoin stages, and the identical self-join sides reuse one
-    // signature computation (AQE exchange reuse), so no cache either.
-    // A signature is 32 longs ≈ 300 B: carrying it through the (small)
-    // band shuffle is far cheaper than two more shuffled joins.
-    val bands = minhashSignatures(spark, dir).cache()
+    // signature computation (AQE exchange reuse, verified in the plan),
+    // so no cache either. A signature is 32 longs ≈ 300 B: carrying it
+    // through the (small) band shuffle is far cheaper than two more
+    // shuffled joins.
+    val bands = minhashSignatures(spark, dir)
       .select(col("doc_id"), col("sig"), posexplode(transform(
         sequence(lit(0), lit(NumBands - 1)),
         b => md5(concat_ws(",", transform(
@@ -199,7 +218,7 @@ object Dedup {
        |sigs AS (
        |  SELECT doc_id,
        |    [${(0 until NumHashes).map(i =>
-              s"MIN(('0x' || substr(md5('$i:' || shingle), 1, 15))::BIGINT)").mkString(", ")}] AS sig
+              s"MIN(('0x' || substr(md5('${i / 2}:' || shingle), ${windowOff(i)}, 15))::BIGINT)").mkString(", ")}] AS sig
        |  FROM shingles GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, b AS band,
@@ -251,8 +270,9 @@ object Dedup {
     // band rows carry the full simhash (one long), so pairs leave the
     // band join with both hashes — no rejoin stages, no cache; the
     // identical self-join sides reuse one simhash computation
+    // (AQE exchange reuse, verified in the plan)
     val mask = (1L << SimBandBits) - 1
-    val bands = simhashes(spark, dir).cache()
+    val bands = simhashes(spark, dir)
       .select(col("doc_id"), col("simhash"), posexplode(transform(
         sequence(lit(0), lit(SimBands - 1)),
         b => call_function("shiftright", col("simhash"), b * lit(SimBandBits))

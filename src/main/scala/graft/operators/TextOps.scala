@@ -9,8 +9,10 @@ import graft.{QueryDef, Tables}
 /** Text-analysis operators over `documents` — the training-data-pipeline
   * extension (language-ID heuristic, quality scoring, token counting,
   * fingerprinting). All single-pass, per-row map work: at 100 TB these are
-  * scan-bound with zero shuffles (the per-doc outputs partition with the
-  * scan), which is exactly the shape a data-curation pipeline wants.
+  * scan-bound (the per-doc outputs partition with the scan), which is
+  * exactly the shape a data-curation pipeline wants; the only exchange is
+  * the input-spreading repartition of [[docs]], needed when the scan
+  * arrives in fewer splits than cores.
   *
   * Note: the synthetic corpus carries no real language signal (the text is
   * the same vocabulary for every `lang` label), so t50's correctness is
@@ -18,6 +20,16 @@ import graft.{QueryDef, Tables}
   * running the identical rule — not label recovery.
   */
 object TextOps {
+
+  /** documents, spread across all cores before the per-row compute: the
+    * testdata parquet is one row group → one input split, which would
+    * serialize the compute-dense scoring/hashing. The shuffled payload is
+    * raw docs (tiny vs the downstream work); on a real cluster the scan
+    * arrives in many splits and AQE can elide the exchange.
+    */
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
 
   private def toks: Column = split(col("text"), " ")
 
@@ -45,7 +57,7 @@ object TextOps {
   // -------------------------------------------------------------------
   def t50LangId(spark: SparkSession, dir: String): DataFrame = {
     val langs = stopwords.keys.toSeq.sorted
-    val scored = Tables.documents(spark, dir)
+    val scored = docs(spark, dir)
       .select(col("doc_id") +: col("lang").as("labeled_lang") +:
         langs.map(langScore): _*)
     val best = langs.map(l => struct(col(s"${l}_score").as("s"), lit(l).as("l")))
@@ -78,7 +90,7 @@ object TextOps {
   def t51Quality(spark: SparkSession, dir: String): DataFrame = {
     val nTokens = size(toks)
     val stopEn = size(filter(toks, t => t.isin(stopwords("en"): _*)))
-    Tables.documents(spark, dir)
+    docs(spark, dir)
       .select(col("doc_id"),
         length(col("text")).as("n_chars_calc"),
         nTokens.as("n_tokens"),
@@ -115,7 +127,7 @@ object TextOps {
   // (word pieces + isolated non-space symbols).
   // -------------------------------------------------------------------
   def t52TokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    docs(spark, dir)
       .select(col("doc_id"),
         size(toks).as("ws_tokens"),
         regexp_count(col("text"), lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_ ]")).as("re_tokens"))
@@ -130,31 +142,59 @@ object TextOps {
 
   // -------------------------------------------------------------------
   // t53: document fingerprinting — whole-content hash of the normalized
-  // text plus a rolling-hash minimum over char 8-grams (the winnowing
+  // text plus a polynomial-hash minimum over char 8-grams (the winnowing
   // primitive: near-identical texts collide on min_shingle_hash with
-  // high probability).
+  // high probability). The window hash is Rabin-Karp (base 257 mod a
+  // 50-bit prime): one char-code array pass, then 8 multiply-adds per
+  // window — per-window md5 would be ~20× the CPU on what is otherwise
+  // the scan-bound operator of the suite. All arithmetic stays below
+  // 2^63 (M*257+255 < 2.6e17), so Spark and DuckDB BIGINT agree exactly.
   // -------------------------------------------------------------------
+  private val PolyBase = 257L
+  private val PolyMod = 999999999999989L // prime < 2^50
+  private val WindowChars = 8
+
   def t53Fingerprint(spark: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-    Tables.documents(spark, dir)
+    // one pass to char codes; slice drops split('')'s trailing empty token
+    val codes = slice(transform(split(col("norm"), ""), c => ascii(c).cast(LongType)),
+      lit(1), length(col("norm")))
+    // 8-term Horner fold; try_element_at (null, not ANSI error, when out
+    // of bounds) + coalesce pads the single window of a sub-8-char doc
+    // (for len >= 8 every index is in bounds)
+    def windowHash(i: Column): Column =
+      (1 until WindowChars).foldLeft(coalesce(try_element_at(col("codes"), i), lit(0L))) {
+        (h, k) => (h * PolyBase + coalesce(try_element_at(col("codes"), i + k), lit(0L))) % PolyMod
+      }
+    docs(spark, dir)
       .withColumn("norm", norm)
+      .withColumn("codes", codes)
       .select(col("doc_id"),
         md5(col("norm")).as("content_md5"),
-        array_min(transform(sequence(lit(1), greatest(length(col("norm")) - 7, lit(1))),
-          i => conv(substring(md5(col("norm").substr(i, lit(8))), 1, 15), 16, 10)
-            .cast(LongType))).as("min_shingle_hash"))
+        array_min(transform(
+          sequence(lit(1), greatest(length(col("norm")) - (WindowChars - 1), lit(1))),
+          i => windowHash(i))).as("min_shingle_hash"))
       .orderBy(col("doc_id"))
   }
 
-  val t53FingerprintSql: String =
-    """WITH n AS (
-      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
-      |  FROM documents)
-      |SELECT doc_id, md5(norm) AS content_md5,
-      |  list_min(list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
-      |    i -> ('0x' || substr(md5(substr(norm, i, 8)), 1, 15))::BIGINT)) AS min_shingle_hash
-      |FROM n
-      |ORDER BY doc_id""".stripMargin
+  val t53FingerprintSql: String = {
+    val fold = (1 until WindowChars).foldLeft("coalesce(codes[i], 0)") {
+      (h, k) => s"(($h) * $PolyBase + coalesce(codes[i + $k], 0)) % $PolyMod"
+    }
+    s"""WITH n AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, norm,
+       |    list_transform(range(1, length(norm) + 1),
+       |      i -> ord(substr(norm, i::INT, 1))::BIGINT) AS codes
+       |  FROM n)
+       |SELECT doc_id, md5(norm) AS content_md5,
+       |  list_min(list_transform(range(1, greatest(length(norm) - ${WindowChars - 1}, 1) + 1),
+       |    i -> $fold)) AS min_shingle_hash
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),

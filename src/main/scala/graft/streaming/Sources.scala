@@ -66,6 +66,8 @@ object Sources {
       // glob (not the bare file path): the file stream source requires a
       // directory basePath and re-lists the glob each trigger
       .parquet(s"$sfDir/events*.parquet")
-      .withColumn("ts", timestamp_micros(floor(col("ts").cast(LongType) / 1000L).cast(LongType)))
+      // integer division (`div`): long/1000 via `/` casts through double
+      // and loses low bits above 2^53 — see Tables.events
+      .withColumn("ts", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
   }
 }

@@ -87,11 +87,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, f"recall@5 $recall%.2f below floor")
   }
 
-  test("dedupExact removes exact duplicates and keeps everything else") {
+  test("dedupExact keeps exactly the min-keeper row per duplicate group") {
     import spark.implicits._
-    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+    val df = Seq((2L, "same text"), (1L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")
-    val out = Dedup.dedupExact(df, Seq(col("text")))
-    assert(out.count() == 2)
+    val out = Dedup.dedupExact(df, Seq("text"), col("doc_id"))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"keeper election must pick min doc_id, got $kept")
   }
 }
