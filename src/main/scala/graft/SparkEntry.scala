@@ -9,8 +9,8 @@ import graft.operators._
 object SparkEntry {
   /** All operator modules contributing queries. */
   def allDefs: Seq[QueryDef] =
-    Relational.defs ++ StatsOps.defs ++ Dedup.defs ++ Similarity.defs ++
-      TextOps.defs ++ Multimodal.defs
+    Relational.defs ++ EventWindows.defs ++ StatsOps.defs ++ Dedup.defs ++
+      Similarity.defs ++ TextOps.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Event-time windowing over the `events` table — session and sliding
+  * windows (SURVEY.md §2.7 rows 2-3; the reference has no windowing at
+  * all, its only notion of time is the 2 s processing-time micro-batch,
+  * KafkaStreamAverageCalculator.java:65).
+  *
+  * Both operators use Spark's native window expressions
+  * (`session_window`, `window`) so the identical aggregation runs as a
+  * streaming query with a watermark (see [[graft.streaming.Watermarks]]
+  * and StreamingSpec's late-data test); the batch forms here are the
+  * DuckDB-oracle-checked shape.
+  *
+  * Oracle parity: all boundary arithmetic is done on integer microseconds
+  * (`unix_micros` / `epoch_us`) — Spark's µs-truncated event time and
+  * DuckDB's µs-truncated parquet read agree exactly, and BIGINT compare
+  * avoids timezone-representation issues entirely.
+  *
+  * Scale: session windows shuffle once on the session key (user_id) and
+  * sort within partitions — Spark's physical plan merges sessions in a
+  * single pass per key (UpdatingSessionsExec), state O(open sessions) in
+  * streaming. Sliding windows expand each row into windowLength/slide
+  * rows (here 2×) BEFORE the shuffle — partial aggregation still applies,
+  * so the shuffle carries one partial row per (window × type × map task),
+  * not per event.
+  */
+object EventWindows {
+
+  private val SessionGap = "6 hours"
+  private val SessionGapUs = 6L * 3600 * 1000000
+
+  // ---------------------------------------------------------------------
+  // q16: session windows — per-user sessions separated by >= 6 h of
+  // inactivity. A session's end is last-event time + gap (end-exclusive
+  // merge rule: an event at exactly start+gap opens a NEW session).
+  // ---------------------------------------------------------------------
+  def q16SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), SessionGap).as("sw"))
+      .agg(count(lit(1)).as("n_events"), Relational.dsum(col("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
+  /** Gaps-and-islands formulation of the same sessions: a row opens a new
+    * session iff it is >= gap after its predecessor; islands are numbered
+    * by a running sum of the new-session flags.
+    */
+  val q16SessionWindowSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+       |flagged AS (
+       |  SELECT user_id, ts_us, value,
+       |    CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+       |              >= $SessionGapUs
+       |         OR lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM e),
+       |islands AS (
+       |  SELECT user_id, ts_us, value,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+       |                     ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM flagged)
+       |SELECT user_id,
+       |  MIN(ts_us) AS session_start_us,
+       |  MAX(ts_us) + $SessionGapUs AS session_end_us,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+       |FROM islands
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, session_start_us""".stripMargin
+
+  private val SlideUs = 30L * 60 * 1000000   // 30 min
+  private val WindowUs = 2 * SlideUs         // 1 h window = 2 slides
+
+  // ---------------------------------------------------------------------
+  // q17: sliding windows — 1 h windows every 30 min, per event type.
+  // Each event contributes to exactly windowLength/slide = 2 windows.
+  // ---------------------------------------------------------------------
+  def q17SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Relational.dsum(col("value"), 6).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("w_start_us"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
+  /** Explicit expansion of the same windows: an event at t falls in the
+    * windows starting at slide-aligned (t div slide − k)·slide for
+    * k ∈ {0, 1} — both always contain t since window = 2 slides (Spark
+    * aligns window origins to the unix epoch; so does integer division).
+    */
+  val q17SlidingWindowSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_us(ts) AS ts_us, event_type, value FROM events),
+       |expanded AS (
+       |  SELECT ((ts_us // $SlideUs) - k) * $SlideUs AS w_start_us,
+       |    event_type, value
+       |  FROM e CROSS JOIN range(0, ${WindowUs / SlideUs}) r(k))
+       |SELECT w_start_us, event_type,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+       |FROM expanded
+       |GROUP BY w_start_us, event_type
+       |ORDER BY w_start_us, event_type""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
+    QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
+  )
+}

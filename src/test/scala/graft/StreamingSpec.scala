@@ -86,6 +86,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("P2 extractTagIds feeds the wordcount job end-to-end (AGG:64-94)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val batches = mutable.Map[Long, Map[String, Long]]()
+    val lines = Sources.extractTagIds(input.toDF().toDF("value"))
+    val q = lines.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val counts = WordCount(batch, col("line")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        batches.synchronized { batches(id) = counts }
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        """{"readTag_id":"pump one","readValue":"1.5"}""",
+        """{"readTag_id":"pump two","readValue":"2.5"}""",
+        "not json at all") // malformed record is filtered, not fatal
+      q.processAllAvailable()
+      val byBatch = batches.synchronized(batches.toMap)
+      assert(byBatch(0L) == Map("pump" -> 2L, "one" -> 1L, "two" -> 1L))
+    } finally q.stop()
+  }
+
   test("file-replayed events stream converges to the batch stats") {
     val stream = Sources.eventsStream(spark, "/root/testdata/sf0.001")
     val stats = RunningStats(stream, col("event_type"), col("value"))
