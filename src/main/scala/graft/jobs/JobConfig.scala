@@ -1,0 +1,54 @@
+package graft.jobs
+
+/** Tiny CLI config shared by the two job mains — the Spark-native stand-in
+  * for the reference's positional-args parsing (which has an off-by-one:
+  * `args.length < 4` guarded but `args[4]` read,
+  * KafkaStreamAverageCalculator.java:39-52 — SURVEY.md Q5; not ported).
+  *
+  * Flags:
+  *   --source kafka://host:port/topic | file:/sfDir   (default: the
+  *       reference's endpoints, kafka://localhost:9092/bms)
+  *   --sink   kafka://host:port/topic | console       (default console)
+  *   --checkpoint <dir>   (default: ./spark_cache, the reference's dir,
+  *       AVG:70)
+  *   --trigger <interval> (default "2 seconds", the reference's 2000 ms
+  *       batch clock, AVG:65/AGG:58)
+  *   --once               (file replay: process everything available,
+  *       then exit — the sandbox/test mode; without it the job runs until
+  *       terminated, like the reference)
+  */
+final case class JobConfig(
+    source: String = "kafka://localhost:9092/bms",
+    sink: String = "console",
+    checkpoint: String = "./spark_cache",
+    trigger: String = "2 seconds",
+    once: Boolean = false) {
+
+  def isFileSource: Boolean = source.startsWith("file:")
+  def sourcePath: String = source.stripPrefix("file:")
+
+  /** kafka://host:port/topic → (host:port, topic) */
+  def kafkaParts(uri: String): (String, String) = {
+    val rest = uri.stripPrefix("kafka://")
+    val slash = rest.lastIndexOf('/')
+    require(slash > 0, s"expected kafka://host:port/topic, got $uri")
+    (rest.substring(0, slash), rest.substring(slash + 1))
+  }
+}
+
+object JobConfig {
+  def parse(args: Array[String]): JobConfig = {
+    @annotation.tailrec
+    def loop(rest: List[String], c: JobConfig): JobConfig = rest match {
+      case "--source" :: v :: t     => loop(t, c.copy(source = v))
+      case "--sink" :: v :: t       => loop(t, c.copy(sink = v))
+      case "--checkpoint" :: v :: t => loop(t, c.copy(checkpoint = v))
+      case "--trigger" :: v :: t    => loop(t, c.copy(trigger = v))
+      case "--once" :: t            => loop(t, c.copy(once = true))
+      case Nil                      => c
+      case other :: _ =>
+        throw new IllegalArgumentException(s"unknown flag: $other")
+    }
+    loop(args.toList, JobConfig())
+  }
+}
