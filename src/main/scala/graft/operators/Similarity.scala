@@ -82,16 +82,19 @@ object Similarity {
   /** Deterministic Gaussian-ish hyperplanes, seed fixed → reproducible
     * plans and results across sessions/executors.
     */
-  private[operators] lazy val hyperplanes: Array[Array[Array[Float]]] = {
-    val rnd = new Random(42)
-    Array.fill(NumTables, BitsPerTable, Dim)((rnd.nextGaussian()).toFloat)
+  private def planes(seed: Int, tables: Int, bits: Int): Array[Array[Array[Float]]] = {
+    val rnd = new Random(seed)
+    Array.fill(tables, bits, Dim)((rnd.nextGaussian()).toFloat)
   }
 
+  private[operators] lazy val hyperplanes: Array[Array[Array[Float]]] =
+    planes(42, NumTables, BitsPerTable)
+
   /** (table, bucket) sketch pairs for one embedding column. */
-  private def sketches(emb: Column): Column = {
-    val perTable = (0 until NumTables).map { t =>
-      val bucket = (0 until BitsPerTable).map { j =>
-        val plane = typedlit(hyperplanes(t)(j).toSeq)
+  private def sketches(emb: Column, hp: Array[Array[Array[Float]]] = hyperplanes): Column = {
+    val perTable = hp.indices.map { t =>
+      val bucket = hp(t).indices.map { j =>
+        val plane = typedlit(hp(t)(j).toSeq)
         when(Vectors.vecDot(emb, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
       struct(lit(t).as("tbl"), bucket.as("bucket"))
@@ -130,8 +133,50 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
+  // -------------------------------------------------------------------
+  // q32: corpus × corpus near-neighbor pairs — the symmetric bucketed
+  // SELF-join form of the hyperplane LSH: both sides sketched, NO
+  // broadcast anywhere. This is the operator a 100 TB dedup-by-embedding
+  // pipeline actually runs (d44 is its quadratic oracle baseline, q31
+  // its small-query-set sibling). Candidates = ids-only distinct over
+  // the (tbl, bucket) equi-join (identical sides → one sketch
+  // computation via AQE exchange reuse); embeddings re-attach by
+  // equi-join; exact cosine keeps only sim >= threshold, so the output
+  // is a SUBSET of d44's exact pairs — recall pinned by
+  // DedupSimilaritySpec. More tables × fewer bits than q31
+  // (16×5 vs 8×6): pair recall at the 0.4 threshold needs higher
+  // per-table collision probability; at larger corpora, scale bits up
+  // (bucket occupancy ~ n/2^bits drives the candidate count).
+  // -------------------------------------------------------------------
+  private val PairTables = 16
+  private val PairBits = 5
+  private val PairThreshold = 0.4
+
+  def q32CorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val hp = planes(43, PairTables, PairBits)
+    val buckets = e
+      .select(col("vec_id"), explode(sketches(col("embedding"), hp)).as("sk"))
+      .select(col("vec_id"), col("sk.tbl").as("tbl"), col("sk.bucket").as("bucket"))
+    val cand = buckets.as("x").join(buckets.as("y").hint("shuffle_hash"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .withColumn("sim", round(Vectors.vecCosine(col("ea"), col("eb")), 6))
+      .filter(col("sim") >= PairThreshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q30_ann_brute", q30AnnBrute _, q30AnnBruteSql),
     QueryDef.rowsOnly("q31_ann_lsh", q31AnnLsh _),
+    QueryDef.rowsOnly("q32_corpus_neardup", q32CorpusNearDup _),
   )
 }

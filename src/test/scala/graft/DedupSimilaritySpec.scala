@@ -87,6 +87,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, f"recall@5 $recall%.2f below floor")
   }
 
+  test("corpus-wide LSH near-dup is a subset of exact pairs with good recall") {
+    val exact = Dedup.d44EmbeddingNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.q32CorpusNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    // the exact-cosine re-rank guarantees precision 1.0: every returned
+    // pair must also pass the exact >=0.4 filter
+    val invented = lsh -- exact
+    assert(invented.isEmpty, s"LSH returned pairs below the exact threshold: $invented")
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    info(f"corpus near-dup recall = $recall%.2f (${lsh.size}/${exact.size})")
+    assert(recall >= 0.6, f"recall $recall%.2f below floor 0.6")
+  }
+
   test("dedupExact keeps exactly the min-keeper row per duplicate group") {
     import spark.implicits._
     val df = Seq((2L, "same text"), (1L, "same text"), (3L, "other"))
