@@ -121,15 +121,85 @@ case class VecCosine(left: Expression, right: Expression) extends VectorBinaryEx
   override def prettyName: String = "vec_cosine"
 }
 
+/** Random-hyperplane LSH sketch: one bucket (the `bits` sign bits packed
+  * into a long) per hash table, for `tables` tables, as
+  * `array<bigint>` indexed by table. The Gaussian plane matrix is derived
+  * deterministically from `seed` and lives in ONE reference object —
+  * doing this with per-plane `vec_dot(emb, lit(plane))` columns puts
+  * tables×bits 64-float literals into the plan, and optimizer passes +
+  * codegen + task deserialization over those trees end up costing more
+  * than the actual math (measured: q31 spent more time planning than
+  * executing). The matrix is @transient lazy, so executors regenerate it
+  * from the seed instead of shipping it with every task.
+  */
+case class VecLshSketch(child: Expression, seed: Int, tables: Int, bits: Int, dim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bits <= 62, "bucket bits must fit a long")
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.catalogString}")
+  }
+
+  // flat [tables*bits*dim] for cache-friendly row-major access; identical
+  // fill order to a Array.fill(tables, bits, dim) walk
+  @transient private lazy val planes: Array[Float] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(tables * bits * dim)(rnd.nextGaussian().toFloat)
+  }
+
+  def compute(a: ArrayData): ArrayData = {
+    if (a.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"vector length mismatch: ${a.numElements()} vs sketch dim $dim")
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val base = (t * bits + j) * dim
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += a.getFloat(d).toDouble * planes(base + d); d += 1 }
+        if (dot >= 0) bucket |= 1L << j
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("vecLshSketch", this, classOf[VecLshSketch].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "vec_lsh_sketch"
+}
+
 /** Registration + Column-facing API. Functions are injected either via
   * `spark.sql.extensions=graft.GraftExtensions` or [[Vectors.register]]
   * on an existing session; `vec_dot`/`vec_cosine` then work from SQL and
   * from the Column API below.
   */
 object Vectors {
+  private def asInt(e: Expression): Int =
+    e.eval().asInstanceOf[Number].intValue()
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (es => VecDot(es(0), es(1))),
-    "vec_cosine" -> (es => VecCosine(es(0), es(1))))
+    "vec_cosine" -> (es => VecCosine(es(0), es(1))),
+    "vec_lsh_sketch" -> (es =>
+      VecLshSketch(es(0), asInt(es(1)), asInt(es(2)), asInt(es(3)), asInt(es(4)))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -139,4 +209,8 @@ object Vectors {
 
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
   def vecCosine(a: Column, b: Column): Column = call_function("vec_cosine", a, b)
+  def vecLshSketch(emb: Column, seed: Int, tables: Int, bits: Int, dim: Int): Column =
+    call_function("vec_lsh_sketch", emb,
+      org.apache.spark.sql.functions.lit(seed), org.apache.spark.sql.functions.lit(tables),
+      org.apache.spark.sql.functions.lit(bits), org.apache.spark.sql.functions.lit(dim))
 }

@@ -79,28 +79,19 @@ object Similarity {
   private val BitsPerTable = 6
   private val Dim = 64
 
-  /** Deterministic Gaussian-ish hyperplanes, seed fixed → reproducible
-    * plans and results across sessions/executors.
+  /** (tbl, bucket) rows for one embedding column: posexplode of the
+    * native [[graft.functions.VecLshSketch]] (pos = table index). The
+    * seeded plane matrix lives inside the expression as one reference
+    * object — the previous per-plane `vec_dot(emb, lit(plane))` formulation
+    * put tables×bits 64-float literals in the plan, and optimizer + codegen
+    * + task-deser over those trees dominated q31's runtime (8.4 s for a
+    * 2000-vector corpus).
     */
-  private def planes(seed: Int, tables: Int, bits: Int): Array[Array[Array[Float]]] = {
-    val rnd = new Random(seed)
-    Array.fill(tables, bits, Dim)((rnd.nextGaussian()).toFloat)
-  }
-
-  private[operators] lazy val hyperplanes: Array[Array[Array[Float]]] =
-    planes(42, NumTables, BitsPerTable)
-
-  /** (table, bucket) sketch pairs for one embedding column. */
-  private def sketches(emb: Column, hp: Array[Array[Array[Float]]] = hyperplanes): Column = {
-    val perTable = hp.indices.map { t =>
-      val bucket = hp(t).indices.map { j =>
-        val plane = typedlit(hp(t)(j).toSeq)
-        when(Vectors.vecDot(emb, plane) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      struct(lit(t).as("tbl"), bucket.as("bucket"))
-    }
-    array(perTable: _*)
-  }
+  private def bucketed(df: DataFrame, idCol: String, idAs: String, emb: Column,
+                       seed: Int, tables: Int, bits: Int): DataFrame =
+    df.select(col(idCol).as(idAs),
+        posexplode(Vectors.vecLshSketch(emb, seed, tables, bits, Dim)))
+      .select(col(idAs), col("pos").as("tbl"), col("col").as("bucket"))
 
   def q31AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     Vectors.register(spark)
@@ -111,12 +102,10 @@ object Similarity {
     // candidates carry ids only — the distinct shuffles narrow rows, and
     // the embeddings are re-attached afterwards (corpus via equi-join,
     // queries via broadcast) instead of riding through the dedup
-    val corpusBuckets = corpus
-      .select(col("vec_id").as("neighbor_id"), explode(sketches(col("embedding"))).as("sk"))
-      .select(col("neighbor_id"), col("sk.tbl"), col("sk.bucket"))
-    val queryBuckets = queries
-      .select(col("query_id"), explode(sketches(col("qe"))).as("sk"))
-      .select(col("query_id"), col("sk.tbl"), col("sk.bucket"))
+    val corpusBuckets = bucketed(corpus, "vec_id", "neighbor_id",
+      col("embedding"), 42, NumTables, BitsPerTable)
+    val queryBuckets = bucketed(queries, "query_id", "query_id", col("qe"),
+      42, NumTables, BitsPerTable)
     val cand = corpusBuckets.join(broadcast(queryBuckets), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
@@ -156,10 +145,8 @@ object Similarity {
     Vectors.register(spark)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sessionState.conf.numShufflePartitions)
-    val hp = planes(43, PairTables, PairBits)
-    val buckets = e
-      .select(col("vec_id"), explode(sketches(col("embedding"), hp)).as("sk"))
-      .select(col("vec_id"), col("sk.tbl").as("tbl"), col("sk.bucket").as("bucket"))
+    val buckets = bucketed(e, "vec_id", "vec_id",
+      col("embedding"), 43, PairTables, PairBits)
     val cand = buckets.as("x").join(buckets.as("y").hint("shuffle_hash"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))
