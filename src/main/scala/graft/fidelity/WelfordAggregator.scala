@@ -46,15 +46,18 @@ class WelfordAggregator(sentinelInit: Boolean = false)
         0.0, 0.0, 0.0, 0.0)
 
   override def reduce(b: StatsBuf, x: Double): StatsBuf = {
-    // Statement order mirrors AVG:134-150.
+    // Statement order mirrors the reference loop (AVG:135-143): sums,
+    // then the Welford delta/mean/m2 updates, then min/max. The variance
+    // guard (AVG:146-150) runs after the loop in the reference; deriving
+    // it per record from the same m2/counter yields the identical value.
     b.summer += x
     b.counter += 1.0
     b.sumsqr += x * x
-    b.bestmin = math.min(b.bestmin, x)
-    b.bestmax = math.max(b.bestmax, x)
     b.delta = x - b.mean
     b.mean += b.delta / b.counter
     b.m2 += b.delta * (x - b.mean)
+    b.bestmin = math.min(b.bestmin, x)
+    b.bestmax = math.max(b.bestmax, x)
     b.variance = if (b.counter > 1.0) b.m2 / (b.counter - 1.0) else 0.0
     b
   }

@@ -28,4 +28,14 @@ object WordCount {
     */
   def apply(df: DataFrame, text: Column): DataFrame =
     tokenize(df, text).groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Cumulative variant (SURVEY.md §2.4 A1): the same aggregate as a
+    * streaming query — Update/Complete output mode makes Spark carry the
+    * counts in the state store across micro-batches, the semantics the
+    * reference WOULD have had with `updateStateByKey` instead of a plain
+    * `reduceByKey`. State is O(distinct words); pair with a watermarked
+    * windowed variant when the vocabulary is unbounded.
+    */
+  def cumulative(stream: DataFrame, text: Column): DataFrame =
+    apply(stream, text)
 }

@@ -86,6 +86,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cumulative wordcount carries counts across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val counts = WordCount.cumulative(input.toDF().toDF("line"), col("line"))
+    val q = counts.writeStream.format("memory").queryName("cum_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData("tag one", "tag two")
+      q.processAllAvailable()
+      input.addData("tag three")
+      q.processAllAvailable()
+      val now = spark.table("cum_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // unlike the per-batch A1 form, 'tag' accumulates to 3 across batches
+      assert(now == Map("tag" -> 3L, "one" -> 1L, "two" -> 1L, "three" -> 1L))
+    } finally q.stop()
+  }
+
   test("P2 extractTagIds feeds the wordcount job end-to-end (AGG:64-94)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
