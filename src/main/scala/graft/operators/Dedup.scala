@@ -35,11 +35,13 @@ object Dedup {
     * and this is a cheap reshuffle of raw docs, not of shingles.
     */
   /** As [[shingled]] but keeps the per-doc distinct-shingle count, known
-    * for free before the explode.
+    * for free before the explode. Takes any (doc_id, text) frame so
+    * pipeline operators (e.g. [[Curation]]) can shingle a filtered
+    * corpus.
     */
-  private def shingledCounted(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+  private[operators] def shingledCountedFrom(docs: DataFrame): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       // materialize the token array once per row: referencing split()
       // inside the transform lambda would re-split the whole text for
       // every shingle position (O(tokens²) per doc)
@@ -52,17 +54,25 @@ object Dedup {
       .select(col("doc_id"), size(col("shingles")).as("n_shingles"),
         explode(col("shingles")).as("shingle"))
 
+  private def shingledCounted(spark: SparkSession, dir: String): DataFrame =
+    shingledCountedFrom(Tables.documents(spark, dir))
+
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledCounted(spark, dir).select(col("doc_id"), col("shingle"))
 
-  private val shingleSqlView: String =
-    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-      |              WHERE len(string_split(text, ' ')) >= 3),
-      |shingles AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(1, len(t) - 1),
-      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
-      |  FROM toks)""".stripMargin
+  /** The shingle CTE chain (no leading WITH) over a caller-chosen source
+    * relation, so pipeline SQL can prepend its own CTEs.
+    */
+  private[operators] def shingleCtesFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src
+       |              WHERE len(string_split(text, ' ')) >= 3),
+       |shingles AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS shingle
+       |  FROM toks)""".stripMargin
+
+  private val shingleSqlView: String = "WITH " + shingleCtesFrom("documents")
 
   // ---------------------------------------------------------------------
   // d40: exact dedup — content-hash grouping with keeper election
@@ -168,13 +178,14 @@ object Dedup {
   private val NumDigests = NumHashes / 2
   private def windowOff(i: Int): Int = if (i % 2 == 0) 1 else 17
 
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignaturesFrom(docs: DataFrame): DataFrame = {
     val digests = array((0 until NumDigests).map(j =>
       md5(concat(lit(s"$j:"), col("shingle")))): _*)
     val mins = (0 until NumHashes).map(i =>
       min(conv(substring(element_at(col("ds"), i / 2 + 1), windowOff(i), 15), 16, 10)
         .cast(LongType)).as(s"m$i"))
-    shingled(spark, dir)
+    shingledCountedFrom(docs)
+      .select(col("doc_id"), col("shingle"))
       .withColumn("ds", digests)
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
@@ -182,7 +193,14 @@ object Dedup {
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  def d42MinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesFrom(Tables.documents(spark, dir))
+
+  /** Near-dup candidate pairs (doc_a < doc_b) with their signature-match
+    * estimate, over any (doc_id, text) frame — the reusable core of d42
+    * (also the near-dup stage of [[Curation]]). Unordered.
+    */
+  def minhashNearDupPairsFrom(docs: DataFrame, threshold: Double = 0.35): DataFrame = {
     // each band row carries the full signature, so candidate pairs come
     // out of the band join with both signatures attached — no signature
     // rejoin stages, and the identical self-join sides reuse one
@@ -190,7 +208,7 @@ object Dedup {
     // so no cache either. A signature is 32 longs ≈ 300 B: carrying it
     // through the (small) band shuffle is far cheaper than two more
     // shuffled joins.
-    val bands = minhashSignatures(spark, dir)
+    val bands = minhashSignaturesFrom(docs)
       .select(col("doc_id"), col("sig"), posexplode(transform(
         sequence(lit(0), lit(NumBands - 1)),
         b => md5(concat_ws(",", transform(
@@ -208,14 +226,20 @@ object Dedup {
       .withColumn("est_jaccard", round(
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           / lit(NumHashes.toDouble), 6))
-      .filter(col("est_jaccard") >= 0.35)
+      .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val d42MinhashLshSql: String =
-    s"""$shingleSqlView,
-       |sigs AS (
+  def d42MinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashNearDupPairsFrom(Tables.documents(spark, dir))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** sigs/bands/cand/nd_pairs CTE chain (no leading WITH); expects the
+    * `shingles` CTE in scope. nd_pairs = (doc_a, doc_b, est_jaccard >=
+    * threshold) — the SQL mirror of [[minhashNearDupPairsFrom]].
+    */
+  private[operators] val minhashPairCtes: String =
+    s"""sigs AS (
        |  SELECT doc_id,
        |    [${(0 until NumHashes).map(i =>
               s"MIN(('0x' || substr(md5('${i / 2}:' || shingle), ${windowOff(i)}, 15))::BIGINT)").mkString(", ")}] AS sig
@@ -227,15 +251,21 @@ object Dedup {
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM bands x JOIN bands y
-       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
-       |SELECT doc_a, doc_b,
-       |  ROUND(list_sum(list_transform(list_zip(sa.sig, sb.sig),
-       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0, 6) AS est_jaccard
-       |FROM cand
-       |JOIN sigs sa ON sa.doc_id = doc_a
-       |JOIN sigs sb ON sb.doc_id = doc_b
-       |WHERE list_sum(list_transform(list_zip(sa.sig, sb.sig),
-       |    p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0 >= 0.35
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |nd_pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    ROUND(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0, 6) AS est_jaccard
+       |  FROM cand
+       |  JOIN sigs sa ON sa.doc_id = doc_a
+       |  JOIN sigs sb ON sb.doc_id = doc_b
+       |  WHERE list_sum(list_transform(list_zip(sa.sig, sb.sig),
+       |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / $NumHashes.0 >= 0.35)""".stripMargin
+
+  val d42MinhashLshSql: String =
+    s"""$shingleSqlView,
+       |$minhashPairCtes
+       |SELECT doc_a, doc_b, est_jaccard FROM nd_pairs
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---------------------------------------------------------------------

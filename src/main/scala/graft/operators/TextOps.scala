@@ -40,45 +40,76 @@ object TextOps {
     "fr" -> Seq("le", "la", "de", "et", "un", "que", "pour", "dans"),
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein"))
 
-  private def langScore(lang: String): Column =
+  private[operators] def langScore(lang: String): Column =
     size(filter(toks, t => t.isin(stopwords(lang): _*))).as(s"${lang}_score")
 
   // CAST to BIGINT: DuckDB's list_sum returns HUGEINT, which pandas (the
   // driver's compare layer) widens to float64 — the value hash then sees
   // 4.0 vs Spark's 4 and fails even though every value is equal.
-  private def langScoreSql(lang: String): String = {
+  private[operators] def langScoreSql(lang: String): String = {
     val list = stopwords(lang).map(w => s"'$w'").mkString(", ")
     s"CAST(list_sum(list_transform(string_split(text, ' '), t -> CASE WHEN t IN ($list) THEN 1 ELSE 0 END)) AS BIGINT)"
   }
+
+  private[operators] val langsSorted: Seq[String] = stopwords.keys.toSeq.sorted
+
+  /** Deterministic argmax over per-language score columns (score desc,
+    * earlier language wins ties); `scoreOf` maps a language to its score
+    * column (usually a materialized `{lang}_score` column).
+    */
+  private[operators] def bestLangFold(scoreOf: String => Column): Column =
+    langsSorted.map(l => struct(scoreOf(l).as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
+      .getField("l")
+
+  /** SQL mirror of [[bestLangFold]] over `{lang}_score` columns. */
+  private[operators] val bestLangFoldSql: String = {
+    val fold = langsSorted.map(l => s"struct_pack(s := ${l}_score, l := '$l')")
+      .reduce((a, b) => s"CASE WHEN ($b).s > ($a).s THEN $b ELSE $a END")
+    s"($fold).l"
+  }
+
+  /** The t51 quality score as one inline expression over `text` — reused
+    * by the curation pipeline; identical arithmetic to [[t51Quality]].
+    */
+  private[operators] def qualityScoreExpr: Column = {
+    val nTokens = size(toks)
+    val nChars = length(col("text"))
+    val nPunct = regexp_count(col("text"), lit("[^a-z0-9 ]"))
+    val stopEn = size(filter(toks, t => t.isin(stopwords("en"): _*)))
+    round(
+      lit(0.3) * least(lit(1.0), nTokens / lit(100.0)) +
+      lit(0.4) * (lit(1.0) - nPunct / nChars) +
+      lit(0.3) * least(lit(1.0), (stopEn / nTokens) * 5.0), 6)
+  }
+
+  /** SQL mirror of [[qualityScoreExpr]] over `text` of the relation in
+    * scope.
+    */
+  private[operators] val qualityScoreSqlExpr: String =
+    s"""ROUND(0.3 * least(1.0, len(string_split(text, ' ')) / 100.0) +
+       |      0.4 * (1.0 - len(regexp_extract_all(text, '[^a-z0-9 ]')) / length(text)) +
+       |      0.3 * least(1.0, (${langScoreSql("en")} / len(string_split(text, ' '))) * 5.0), 6)""".stripMargin
 
   // -------------------------------------------------------------------
   // t50: language identification — stopword-profile n-gram heuristic
   // with a deterministic argmax (score desc, language asc).
   // -------------------------------------------------------------------
-  def t50LangId(spark: SparkSession, dir: String): DataFrame = {
-    val langs = stopwords.keys.toSeq.sorted
-    val scored = docs(spark, dir)
+  def t50LangId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .select(col("doc_id") +: col("lang").as("labeled_lang") +:
-        langs.map(langScore): _*)
-    val best = langs.map(l => struct(col(s"${l}_score").as("s"), lit(l).as("l")))
-      .reduce((a, b) => when(b.getField("s") > a.getField("s"), b).otherwise(a))
-    scored
-      .withColumn("pred_lang", best.getField("l"))
+        langsSorted.map(langScore): _*)
+      .withColumn("pred_lang", bestLangFold(l => col(s"${l}_score")))
       .orderBy(col("doc_id"))
-  }
 
   val t50LangIdSql: String = {
-    val langs = stopwords.keys.toSeq.sorted
-    val scoreCols = langs.map(l => s"  ${langScoreSql(l)} AS ${l}_score").mkString(",\n")
-    // same argmax: left-fold keeping earlier language on ties
-    val best = langs.map(l => s"struct_pack(s := ${l}_score, l := '$l')")
-      .reduce((a, b) => s"CASE WHEN ($b).s > ($a).s THEN $b ELSE $a END")
+    val scoreCols = langsSorted.map(l => s"  ${langScoreSql(l)} AS ${l}_score").mkString(",\n")
     s"""WITH scored AS (
        |SELECT doc_id, lang AS labeled_lang,
        |$scoreCols
        |FROM documents)
-       |SELECT doc_id, labeled_lang, ${langs.map(l => s"${l}_score").mkString(", ")},
-       |  ($best).l AS pred_lang
+       |SELECT doc_id, labeled_lang, ${langsSorted.map(l => s"${l}_score").mkString(", ")},
+       |  $bestLangFoldSql AS pred_lang
        |FROM scored
        |ORDER BY doc_id""".stripMargin
   }
