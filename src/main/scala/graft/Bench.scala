@@ -14,7 +14,9 @@ object Bench {
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     Tables.documents(spark, sfDir).count()
     Tables.lineitem(spark, sfDir).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // fixed name order: a Map's iteration order would vary with the query
+    // set, making per-query numbers incomparable across rounds
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write: executes the DECLARED plan — count() would let
       // Catalyst drop the final sort and all projections, under-measuring
@@ -25,7 +27,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -161,9 +161,47 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  // -------------------------------------------------------------------
+  // q33: per-group embedding centroids — the aggregation primitive of
+  // embedding pipelines (cluster seeds, per-domain mean vectors).
+  // Exploded to (group, dim) so the aggregate is an ordinary partial+
+  // final hash agg (one shuffle on (lang, dim), map-side combine); the
+  // per-dim sums run in exact decimal over round(x, 7) so partition
+  // order cannot perturb the double sum, then ONE double division —
+  // bit-identical in DuckDB.
+  // -------------------------------------------------------------------
+  def q33LangCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    Tables.embeddings(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+      .select(col("lang"), posexplode(col("embedding")))
+      .groupBy(col("lang"), col("pos").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("col").cast(DoubleType), 7).cast(DecimalType(30, 7))).as("s"))
+      .select(col("lang"), col("dim"), col("n_vecs"),
+        round(col("s").cast(DoubleType) / col("n_vecs"), 6).as("centroid"))
+      .orderBy(col("lang"), col("dim"))
+  }
+
+  val q33LangCentroidsSql: String =
+    s"""WITH joined AS (
+       |  SELECT d.lang, e.embedding
+       |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+       |exploded AS (
+       |  SELECT lang, j - 1 AS dim, embedding[j] AS x
+       |  FROM joined CROSS JOIN range(1, ${Dim + 1}) r(j))
+       |SELECT lang, dim, COUNT(*) AS n_vecs,
+       |  ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 7) AS DECIMAL(30,7))) AS DOUBLE)
+       |        / COUNT(*), 6) AS centroid
+       |FROM exploded
+       |GROUP BY lang, dim
+       |ORDER BY lang, dim""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q30_ann_brute", q30AnnBrute _, q30AnnBruteSql),
     QueryDef.rowsOnly("q31_ann_lsh", q31AnnLsh _),
     QueryDef.rowsOnly("q32_corpus_neardup", q32CorpusNearDup _),
+    QueryDef.sql("q33_lang_centroids", q33LangCentroids _, q33LangCentroidsSql),
   )
 }
