@@ -283,18 +283,26 @@ object Dedup {
     * so the three near-dup measures agree on what "similar" means —
     * Hamming distance then tracks shingle-set overlap, and ham<=4/60 is a
     * strictly-tighter filter than J>=0.5 in practice.
+    *
+    * One hash-aggregate of 60 per-bit set-counts + the shingle count (no
+    * row blowup, map-side partial combine, single shuffle on doc_id) —
+    * the explode-per-bit formulation pushed 60× the shingle rows through
+    * TWO shuffles and was the slowest dedup stage at sf0.1. Bit b of the
+    * simhash is set iff its ±1 contribution sum is positive, i.e.
+    * 2·ones_b > n_shingles.
     */
-  def simhashes(spark: SparkSession, dir: String): DataFrame =
+  def simhashes(spark: SparkSession, dir: String): DataFrame = {
+    val ones = (0 until SimBits).map(b =>
+      sum(expr(s"shiftright(h, $b)").bitwiseAND(lit(1L))).as(s"o$b"))
     shingled(spark, dir)
       .withColumn("h", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast(LongType))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(SimBits - 1))).as("bit"))
-      .withColumn("contrib",
-        expr("shiftright(h, bit)").bitwiseAND(lit(1L)) * 2 - 1)
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("contrib")).as("s"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, bit)")).otherwise(0L)).as("simhash"))
+      .agg(ones.head, (ones.tail :+ count(lit(1)).as("n")): _*)
+      .select(col("doc_id"),
+        (0 until SimBits).map(b =>
+          when(col(s"o$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
 
   def d43Simhash(spark: SparkSession, dir: String): DataFrame = {
     // band rows carry the full simhash (one long), so pairs leave the
