@@ -21,14 +21,27 @@ object Bench {
       // noop-format write: executes the DECLARED plan — count() would let
       // Catalyst drop the final sort and all projections, under-measuring
       // order-by and expression-heavy queries
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // a failed query's time-to-failure must not pass as a measurement:
+    // report it as -1 in the per-query map and list it under "failed"
+    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // stdout is interleaved with sbt [info] noise; the file copy gives the
+    // driver a parse target that can't miss
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
     spark.stop()
   }
 }

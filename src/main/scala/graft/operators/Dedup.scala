@@ -83,6 +83,11 @@ object Dedup {
     * row with the smallest `keeper` value survives — deterministic, unlike
     * `dropDuplicates` (which keeps an arbitrary partition-order-dependent
     * row). One shuffle: rank within the key partition, keep rank 1.
+    *
+    * `keeper` must be UNIQUE within each key group (e.g. a row id): on a
+    * keeper tie, `row_number` falls back to partition order and the
+    * election is arbitrary again. Callers with non-unique keepers should
+    * pass a composite (`struct(keeper, rowId)`) to restore determinism.
     */
   def dedupExact(df: DataFrame, keyCols: Seq[String], keeper: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window

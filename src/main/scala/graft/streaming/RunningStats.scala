@@ -47,8 +47,10 @@ object RunningStats {
     coalesce(var_samp(value), lit(0.0)).as("var"))
 
   /** Batch or streaming: cumulative stats per key. */
-  def apply(df: DataFrame, key: Column, value: Column): DataFrame =
-    df.groupBy(key.as("readTag_id")).agg(statsColumns(value).head, statsColumns(value).tail: _*)
+  def apply(df: DataFrame, key: Column, value: Column): DataFrame = {
+    val cols = statsColumns(value)
+    df.groupBy(key.as("readTag_id")).agg(cols.head, cols.tail: _*)
+  }
 
   /** Kafka-wire projection: key = tag id, value = JSON with the exact
     * field set/order of the reference's Jackson-serialized POJO
