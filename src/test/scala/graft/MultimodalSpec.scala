@@ -23,6 +23,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.contains("doc_id") && plan.contains("n_chars"))
   }
 
+  test("m60 catalog over a materialized media table never reads the payload column") {
+    // the real-lakehouse shape: media table at rest as parquet; the
+    // catalog aggregation must push a media-free ReadSchema to the scan
+    val tmp = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Multimodal.mediaTable(spark, dir).write.mode("overwrite").parquet(tmp)
+    val catalog = Multimodal.mediaCatalog(spark.read.parquet(tmp))
+    // AQE wraps the physical plan, so inspect the rendered scan lines:
+    // every parquet scan's ReadSchema must exclude the payload column
+    val readSchemas = catalog.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("ReadSchema"))
+      .map(_.split("ReadSchema:")(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach { schema =>
+      assert(!schema.contains("media"), s"catalog scan reads the payload: $schema")
+    }
+    // and the result matches the in-line table's catalog
+    assert(catalog.collect().toSeq ==
+      Multimodal.m60MediaCatalog(spark, dir).collect().toSeq)
+  }
+
   test("m61 decode: deterministic stub features, one row per media, exact recompute") {
     val out = Multimodal.m61DecodeFeatures(spark, dir).collect()
     val n = Multimodal.mediaTable(spark, dir).count()
@@ -32,13 +52,22 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy(col("media_id")).select(col("media_id"), col("media")).head()
     val bytes = first.getAs[Array[Byte]]("media")
     val luma = FakeCodec.decodeLuma(bytes)
-    val want = BigDecimal(luma.sum.toDouble / luma.length)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val got = out.find(_.getLong(0) == first.getLong(0)).get
-    assert(got.getAs[Double]("mean_luma") == want)
+    assert(got.getAs[Double]("mean_luma") == luma.sum.toDouble / luma.length)
+    assert(got.getAs[Double]("f0") == FakeCodec.features(bytes)(0).toDouble)
     assert(got.getAs[Int]("n_bytes") == bytes.length)
     // feature vector dim is stable
     assert(FakeCodec.features(bytes).length == FakeCodec.FeatureDim)
+  }
+
+  test("m61 oracle precondition: corpus is ASCII (payload byte == codepoint)") {
+    // the DuckDB oracle recomputes byte sums via unicode(substr(text,i,1)),
+    // which equals the utf-8 byte only for ASCII text — assert it holds
+    // ASCII ⇔ utf-8 byte count equals character count
+    val nonAscii = Multimodal.mediaTable(spark, dir)
+      .filter(octet_length(col("media")) =!= length(decode(col("media"), "UTF-8")))
+      .count()
+    assert(nonAscii == 0)
   }
 
   test("m61 runs decode distributed across partitions, not on the driver") {
