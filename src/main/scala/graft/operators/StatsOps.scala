@@ -54,14 +54,46 @@ object StatsOps {
       |  FROM events GROUP BY event_type
       |) t ORDER BY readTag_id""".stripMargin
 
-  /** The engine's actual operator (Welford via var_samp) — rows-only;
-    * StatsSpec pins it to q20's decimal-exact values.
+  /** The engine's actual operator (Welford via var_samp) — oracle-checked
+    * against DuckDB's own Welford (`var_samp`/`avg`). The FP-path columns
+    * are rounded IN BOTH ENGINES at precisions with ≥4 orders of magnitude
+    * of margin over the worst-case cross-engine delta (measured ≤1e-13
+    * relative at sf0.01; both engines run the same sequential Welford
+    * recurrence, diverging only in partial-merge order), so the hash
+    * compare is stable under partitioning nondeterminism. StatsSpec
+    * additionally pins the unrounded values to q20's decimal-exact path
+    * within FP tolerance.
     */
   def q20bWelfordStats(spark: SparkSession, dir: String): DataFrame =
     RunningStats(Tables.events(spark, dir), col("event_type"), col("value"))
+      .select(col("readTag_id"),
+        round(col("summer"), 4).as("summer"), col("counter"),
+        round(col("sumsqr"), 2).as("sumsqr"),
+        col("bestmin"), col("bestmax"),
+        round(col("mean"), 6).as("mean"),
+        round(col("m2"), 2).as("m2"),
+        round(col("var"), 4).as("var"))
       .orderBy(col("readTag_id"))
 
-  /** Byte-faithful typed-Aggregator variant (fidelity harness). */
+  val q20bWelfordStatsSql: String =
+    """SELECT event_type AS readTag_id,
+      |  ROUND(SUM(value), 4) AS summer,
+      |  COUNT(value) AS counter,
+      |  ROUND(SUM(value * value), 2) AS sumsqr,
+      |  MIN(value) AS bestmin,
+      |  MAX(value) AS bestmax,
+      |  ROUND(AVG(value), 6) AS mean,
+      |  ROUND(COALESCE(VAR_SAMP(value) * (COUNT(value) - 1), 0), 2) AS m2,
+      |  ROUND(COALESCE(VAR_SAMP(value), 0), 4) AS "var"
+      |FROM events GROUP BY event_type ORDER BY readTag_id""".stripMargin
+
+  /** Byte-faithful typed-Aggregator variant (fidelity harness) — same
+    * rounded-oracle scheme as q20b. The order-dependent `delta` loop-leak
+    * (quirk Q3) is excluded from the projection: it is inherently
+    * partition-order-defined and stays pinned by WelfordSpec instead.
+    * `counter` is a Double in the reference's state vector (quirk Q6), so
+    * the oracle casts its count to DOUBLE to keep the hash dtype-stable.
+    */
   def q20cFidelityStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val agg = new WelfordAggregator(sentinelInit = false).toColumn
@@ -71,9 +103,28 @@ object StatsOps {
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(agg.name("s"))
-      .select(col("key").as("readTag_id"), col("s.*"))
+      .select(col("key").as("readTag_id"),
+        round(col("s.summer"), 4).as("summer"),
+        col("s.counter").as("counter"),
+        round(col("s.sumsqr"), 2).as("sumsqr"),
+        col("s.bestmin").as("bestmin"), col("s.bestmax").as("bestmax"),
+        round(col("s.mean"), 6).as("mean"),
+        round(col("s.m2"), 2).as("m2"),
+        round(col("s.variance"), 4).as("variance"))
       .orderBy(col("readTag_id"))
   }
+
+  val q20cFidelityStatsSql: String =
+    """SELECT event_type AS readTag_id,
+      |  ROUND(SUM(value), 4) AS summer,
+      |  CAST(COUNT(value) AS DOUBLE) AS counter,
+      |  ROUND(SUM(value * value), 2) AS sumsqr,
+      |  MIN(value) AS bestmin,
+      |  MAX(value) AS bestmax,
+      |  ROUND(AVG(value), 6) AS mean,
+      |  ROUND(COALESCE(VAR_SAMP(value) * (COUNT(value) - 1), 0), 2) AS m2,
+      |  ROUND(COALESCE(VAR_SAMP(value), 0), 4) AS variance
+      |FROM events GROUP BY event_type ORDER BY readTag_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q21: whitespace-tokenize wordcount (AGG:74-94) over documents.text.
@@ -114,8 +165,8 @@ object StatsOps {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q20_keyed_stats", q20KeyedStats _, q20KeyedStatsSql),
-    QueryDef.rowsOnly("q20b_welford_stats", q20bWelfordStats _),
-    QueryDef.rowsOnly("q20c_fidelity_stats", q20cFidelityStats _),
+    QueryDef.sql("q20b_welford_stats", q20bWelfordStats _, q20bWelfordStatsSql),
+    QueryDef.sql("q20c_fidelity_stats", q20cFidelityStats _, q20cFidelityStatsSql),
     QueryDef.sql("q21_wordcount", q21WordCount _, q21WordCountSql),
     QueryDef.sql("q22_json_extract", q22JsonExtract _, q22JsonExtractSql),
   )

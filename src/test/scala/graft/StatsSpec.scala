@@ -13,6 +13,14 @@ class StatsSpec extends AnyFunSuite {
   private def byKey(dfName: String, df: org.apache.spark.sql.DataFrame) =
     df.collect().map(r => r.getAs[String]("readTag_id") -> r).toMap
 
+  // q20b/q20c outputs are rounded for the hash-grade oracle compare (see
+  // StatsOps); comparisons against the unrounded decimal-exact path use
+  // each column's rounding unit as the tolerance floor
+  private val roundTol = Map(
+    "summer" -> 1e-4, "sumsqr" -> 1e-2, "mean" -> 1e-6,
+    "m2" -> 1e-2, "var" -> 1e-4, "variance" -> 1e-4,
+    "bestmin" -> 1e-9, "bestmax" -> 1e-9)
+
   test("Welford (var_samp) engine operator matches decimal-exact oracle stats") {
     val oracle = byKey("q20", StatsOps.q20KeyedStats(spark, dir))
     val welford = byKey("q20b", StatsOps.q20bWelfordStats(spark, dir))
@@ -22,7 +30,7 @@ class StatsSpec extends AnyFunSuite {
       assert(w.getAs[Long]("counter") == o.getAs[Long]("counter"))
       for (c <- Seq("summer", "sumsqr", "bestmin", "bestmax", "mean", "m2", "var")) {
         val ov = o.getAs[Double](c); val wv = w.getAs[Double](c)
-        val tol = math.max(1e-9, math.abs(ov) * 1e-9)
+        val tol = math.max(roundTol(c), math.abs(ov) * 1e-9)
         assert(math.abs(ov - wv) <= tol, s"$k.$c: welford=$wv oracle=$ov")
       }
     }
@@ -39,7 +47,7 @@ class StatsSpec extends AnyFunSuite {
           "bestmin" -> "bestmin", "bestmax" -> "bestmax", "mean" -> "mean",
           "m2" -> "m2", "variance" -> "var")) {
         val dv = d.getAs[Double](dc); val fv = f.getAs[Double](fc)
-        val tol = math.max(1e-9, math.abs(dv) * 1e-9)
+        val tol = math.max(roundTol(fc), math.abs(dv) * 1e-9)
         assert(math.abs(dv - fv) <= tol, s"$k.$fc: fidelity=$fv declarative=$dv")
       }
     }
