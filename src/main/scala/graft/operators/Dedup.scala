@@ -201,11 +201,19 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesFrom(Tables.documents(spark, dir))
 
+  /** Default band-bucket membership cap for the document LSH joins: doc
+    * buckets collide only through genuine shingle similarity (md5 keys are
+    * uniform otherwise) — observed max membership on the test corpora is
+    * single digits, so 500 is a pure runaway brake (see [[BucketGuard]]).
+    */
+  private[operators] val DocBucketCap = 500
+
   /** Near-dup candidate pairs (doc_a < doc_b) with their signature-match
     * estimate, over any (doc_id, text) frame — the reusable core of d42
     * (also the near-dup stage of [[Curation]]). Unordered.
     */
-  def minhashNearDupPairsFrom(docs: DataFrame, threshold: Double = 0.35): DataFrame = {
+  def minhashNearDupPairsFrom(docs: DataFrame, threshold: Double = 0.35,
+                              maxBucket: Int = DocBucketCap): DataFrame = {
     // each band row carries the full signature, so candidate pairs come
     // out of the band join with both signatures attached — no signature
     // rejoin stages, and the identical self-join sides reuse one
@@ -213,13 +221,14 @@ object Dedup {
     // so no cache either. A signature is 32 longs ≈ 300 B: carrying it
     // through the (small) band shuffle is far cheaper than two more
     // shuffled joins.
-    val bands = minhashSignaturesFrom(docs)
+    val rawBands = minhashSignaturesFrom(docs)
       .select(col("doc_id"), col("sig"), posexplode(transform(
         sequence(lit(0), lit(NumBands - 1)),
         b => md5(concat_ws(",", transform(
           slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
           x => x.cast(StringType)))))))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val bands = BucketGuard.capHotBuckets(rawBands, Seq("band", "bucket"), maxBucket)
     bands.as("x").join(bands.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -315,12 +324,13 @@ object Dedup {
     // identical self-join sides reuse one simhash computation
     // (AQE exchange reuse, verified in the plan)
     val mask = (1L << SimBandBits) - 1
-    val bands = simhashes(spark, dir)
+    val rawBands = simhashes(spark, dir)
       .select(col("doc_id"), col("simhash"), posexplode(transform(
         sequence(lit(0), lit(SimBands - 1)),
         b => call_function("shiftright", col("simhash"), b * lit(SimBandBits))
           .bitwiseAND(lit(mask)))))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bval"))
+    val bands = BucketGuard.capHotBuckets(rawBands, Seq("band", "bval"), DocBucketCap)
     bands.as("x").join(bands.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
         col("x.doc_id") < col("y.doc_id"))

@@ -236,12 +236,19 @@ object Similarity {
        |WHERE sim >= $PairThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** q32 bucket occupancy is density-driven (~n/2^bits ≈ 62 avg / 134 max
+    * at sf0.1): the cap is a skew brake ≥7× the observed max, not a
+    * density control — at larger corpora scale PairBits up first.
+    */
+  private val PairBucketCap = 1000
+
   def q32CorpusNearDup(spark: SparkSession, dir: String): DataFrame = {
     Vectors.register(spark)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sessionState.conf.numShufflePartitions)
-    val buckets = bucketed(e, "vec_id", "vec_id",
-      col("embedding"), 43, PairTables, PairBits)
+    val buckets = BucketGuard.capHotBuckets(
+      bucketed(e, "vec_id", "vec_id", col("embedding"), 43, PairTables, PairBits),
+      Seq("tbl", "bucket"), PairBucketCap)
     val cand = buckets.as("x").join(buckets.as("y").hint("shuffle_hash"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
         col("x.vec_id") < col("y.vec_id"))

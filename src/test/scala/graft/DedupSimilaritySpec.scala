@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.Vectors
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{BucketGuard, Dedup, Similarity}
 
 class DedupSimilaritySpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
@@ -100,6 +100,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect lsh).size.toDouble / exact.size
     info(f"corpus near-dup recall = $recall%.2f (${lsh.size}/${exact.size})")
     assert(recall >= 0.6, f"recall $recall%.2f below floor 0.6")
+  }
+
+  test("hot-bucket guard bounds candidates from a planted degenerate bucket") {
+    import spark.implicits._
+    // one degenerate bucket with 100 members + 50 normal 2-member buckets
+    val bands = ((0 until 100).map(i => (i.toLong, 0, "hot")) ++
+      (0 until 100).map(i => (i.toLong, 1, s"b${i / 2}"))).toDF("doc_id", "band", "bucket")
+    val hot = BucketGuard.hotBuckets(bands, Seq("band", "bucket"), 10).collect()
+    assert(hot.length == 1 && hot(0).getAs[String]("bucket") == "hot" &&
+      hot(0).getAs[Long]("members") == 100)
+    val kept = BucketGuard.capHotBuckets(bands, Seq("band", "bucket"), 10)
+    // the 100-member bucket (which alone would contribute 4950 candidate
+    // pairs) is gone; every bounded bucket survives intact
+    assert(kept.filter(col("bucket") === "hot").count() == 0)
+    assert(kept.count() == 100)
+    val pairs = kept.as("x").join(kept.as("y"),
+      col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+      col("x.doc_id") < col("y.doc_id")).count()
+    assert(pairs == 50)
+  }
+
+  test("hot-bucket guard is a no-op end-to-end on a normal corpus, bounded on a degenerate one") {
+    import spark.implicits._
+    // degenerate corpus: 60 near-identical docs (same 20-token text, one
+    // varying token) land in shared signature buckets; a tight cap keeps
+    // the band join from going quadratic within that bucket
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = (0 until 60).map(i => (i.toLong, s"$base tail$i")).toDF("doc_id", "text")
+    val unguarded = Dedup.minhashNearDupPairsFrom(docs, 0.35, maxBucket = 1000).count()
+    val guarded = Dedup.minhashNearDupPairsFrom(docs, 0.35, maxBucket = 10).count()
+    assert(unguarded > 1000, s"planted corpus should be degenerate, got $unguarded pairs")
+    assert(guarded < unguarded,
+      s"cap should bound the degenerate bucket: $guarded vs $unguarded")
+    // and on the real (non-degenerate) corpus the default cap changes nothing
+    val real = Tables.documents(spark, dir)
+    val a = Dedup.minhashNearDupPairsFrom(real).collect().toSet
+    val b = Dedup.minhashNearDupPairsFrom(real, 0.35, maxBucket = Int.MaxValue).collect().toSet
+    assert(a == b)
   }
 
   test("dedupExact keeps exactly the min-keeper row per duplicate group") {
