@@ -12,9 +12,12 @@ import graft.{QueryDef, Tables}
   *   1. exact dedup: keeper election (min doc_id) per content hash
   *      ([[Dedup.d40ExactGroups]] semantics);
   *   2. near-dup removal: MinHash+LSH candidate pairs
-  *      ([[Dedup.minhashNearDupPairsFrom]]), drop the larger doc_id of
-  *      every pair — the smallest member of each near-dup cluster
-  *      reachable by pairwise links survives;
+  *      ([[Dedup.minhashNearDupPairsFrom]]) resolved to connected
+  *      components ([[Dedup.connectedComponents]]); the keeper is the
+  *      CLUSTER-global min doc_id, every other member is dropped —
+  *      pairwise loser-dropping both over-deletes chains (it can drop all
+  *      of B, C for A~B, B~C even though B is C's only link) and leaves
+  *      no audit trail; the cluster_id makes the election explainable;
   *   3. quality gate: [[TextOps.qualityScoreExpr]] >= 0.6;
   *   4. language tag: [[TextOps.bestLangFold]] argmax.
   *
@@ -38,9 +41,13 @@ object Curation {
     val deduped = Dedup.dedupExact(
         docs.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
       .drop("__h")
-    // stage 2: near-dup losers = the greater id of each candidate pair
-    val losers = Dedup.minhashNearDupPairsFrom(deduped)
-      .select(col("doc_b").as("doc_id")).distinct()
+    // stage 2: near-dup losers = every cluster member except the
+    // cluster-global min (keeper); cluster_id comes from connected
+    // components over the candidate pair list
+    val losers = Dedup.connectedComponents(
+        Dedup.minhashNearDupPairsFrom(deduped), "doc_a", "doc_b")
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
     val survivors = deduped.join(losers, Seq("doc_id"), "left_anti")
     // stages 3-4: quality gate + language tag
     survivors
@@ -57,14 +64,23 @@ object Curation {
   val c70CurationSql: String = {
     val scoreCols = TextOps.langsSorted
       .map(l => s"    ${TextOps.langScoreSql(l)} AS ${l}_score").mkString(",\n")
-    s"""WITH keepers AS (
+    s"""WITH RECURSIVE keepers AS (
        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |docs0 AS (
        |  SELECT d.doc_id, d.text FROM documents d
        |  JOIN keepers k ON d.doc_id = k.doc_id),
        |${Dedup.shingleCtesFrom("docs0")},
        |${Dedup.minhashPairCtes},
-       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM nd_pairs),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM nd_pairs
+       |  UNION SELECT doc_b, doc_a FROM nd_pairs),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+       |losers AS (
+       |  SELECT id AS doc_id FROM reach GROUP BY id
+       |  HAVING LEAST(id, MIN(r)) <> id),
        |survivors AS (
        |  SELECT s.doc_id, s.text FROM docs0 s
        |  WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)),

@@ -410,11 +410,96 @@ object Dedup {
       |WHERE ROUND(sim, 6) >= 0.4
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d45: connected-component near-dup clusters. Pairwise candidate lists
+  // under-specify dedup semantics: A~B, B~C is one cluster even when A and
+  // C don't pair directly, and a keeper election must be CLUSTER-global
+  // (min id of the whole component) to be auditable. Components come from
+  // iterative min-label propagation over the (symmetric) pair list — no
+  // external graph library:
+  //
+  //   each round:  label(v) ← min(label(v), min over neighbors' labels)
+  //                (edges contracted to the label graph each round)
+  //   then one pointer-jump: label(v) ← label(label(v))
+  //
+  // The contraction + pointer-jump pair converges in O(log n) rounds on
+  // the chain/clique mixes near-dup graphs produce (plain propagation
+  // alone is O(diameter)); each round is two shuffled joins + an
+  // aggregation on the CONTRACTED graph, which shrinks geometrically.
+  // localCheckpoint truncates the iterative lineage so plans stay flat.
+  // At 100 TB the pair list is orders of magnitude smaller than the
+  // corpus (it holds near-dups only), so the loop runs on a small frame.
+  // ---------------------------------------------------------------------
+
+  /** (doc_id, cluster_id) for every node in `pairs`, cluster_id = min id
+    * of the node's connected component.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    // label-graph edges; contracted (relabeled + dedup'd) every round
+    var edges = sym.distinct().localCheckpoint(true)
+    var done = false
+    while (!done) {
+      // min neighbor label per label-graph node
+      val minN = edges.groupBy(col("a").as("label")).agg(min(col("b")).as("nl"))
+        .filter(col("nl") < col("label"))
+      if (minN.isEmpty) {
+        done = true
+      } else {
+        // apply update, then pointer-jump: label(v) ← label(label(v)) —
+        // every label value is itself a node id, so the lookup is a
+        // self-join of the updated table (halves chain depth per round)
+        val updated = labels.join(minN, Seq("label"), "left")
+          .select(col("id"), least(col("label"), col("nl")).as("label"))
+        val jump = updated.select(col("id").as("jid"), col("label").as("jl"))
+        labels = updated.join(jump, col("label") === col("jid"), "left")
+          .select(col("id"), coalesce(col("jl"), col("label")).as("label"))
+          .localCheckpoint(true)
+        edges = edges
+          .join(labels.withColumnRenamed("id", "a").withColumnRenamed("label", "la"), Seq("a"))
+          .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "lb"), Seq("b"))
+          .select(col("la").as("a"), col("lb").as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+          .localCheckpoint(true)
+      }
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  def d45NearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+        minhashNearDupPairsFrom(Tables.documents(spark, dir)), "doc_a", "doc_b")
+      .orderBy(col("doc_id"))
+
+  /** Oracle: transitive closure by recursive CTE (UNION dedups, so cycles
+    * terminate), cluster id = min reachable id.
+    */
+  val d45NearDupClustersSql: String =
+    s"""WITH RECURSIVE ${shingleCtesFrom("documents")},
+       |$minhashPairCtes,
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM nd_pairs
+       |  UNION SELECT doc_b, doc_a FROM nd_pairs),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+       |SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
+       |FROM reach
+       |GROUP BY id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d40_dedup_exact", d40ExactGroups _, d40ExactGroupsSql),
     QueryDef.sql("d41_ngram_jaccard", d41NgramJaccard _, d41NgramJaccardSql),
     QueryDef.sql("d42_minhash_lsh", d42MinhashLsh _, d42MinhashLshSql),
     QueryDef.sql("d43_simhash", d43Simhash _, d43SimhashSql),
+    QueryDef.sql("d45_neardup_clusters", d45NearDupClusters _, d45NearDupClustersSql),
     QueryDef.sql("d44_embedding_neardup", d44EmbeddingNearDup _, d44EmbeddingNearDupSql),
   )
 }

@@ -140,6 +140,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("connected components: chains, cliques, cycles collapse to min-id clusters") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 (diameter stress), clique {10,11,12}, cycle
+    // 20-21-22-20, isolated pair (30,31)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 31L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(got == want)
+  }
+
+  test("c70 cluster-global keeper: only cluster minima survive near-dup removal") {
+    val clusters = Dedup.d45NearDupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(clusters.nonEmpty)
+    // every cluster_id is a member of its own cluster and is the min
+    val byCluster = clusters.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_._1).min == cid)
+    }
+  }
+
   test("dedupExact keeps exactly the min-keeper row per duplicate group") {
     import spark.implicits._
     val df = Seq((2L, "same text"), (1L, "same text"), (3L, "other"))
