@@ -417,6 +417,51 @@ object Relational {
       |ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q18: TPC-H Q9-shape profit rollup — the 5-way multi-dimension join
+  // (lineitem ⋈ orders ⋈ part ⋈ supplier ⋈ nation) grouped by nation and
+  // order year. The testdata schema has no partsupp table, so supply cost
+  // is modeled off p_retailprice (deterministic, same in both engines).
+  //
+  // Scale shape: lineitem⋈orders is the big-big join (shuffle on
+  // orderkey); part/supplier are dimension joins on l_partkey/l_suppkey —
+  // small enough for AQE to broadcast at test scale, but NOT hinted,
+  // because at 100 TB part is ~1e9 rows and must shuffle-join; only
+  // nation (25 rows at any SF) is an explicit broadcast. The part filter
+  // prunes at the part scan and AQE's dynamic filter shrinks the lineitem
+  // side before the join.
+  // ---------------------------------------------------------------------
+  def q18ProfitByNationYear(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val p  = Tables.part(spark, dir).filter(col("p_size") < 25)
+    val s  = Tables.supplier(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(p, li("l_partkey") === p("p_partkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity") * lit(0.01), 4).as("profit"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  val q18ProfitByNationYearSql: String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity * 0.01", 4)} AS profit,
+       |  COUNT(*) AS n_items
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN part     ON l_partkey = p_partkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation   ON s_nationkey = n_nationkey
+       |WHERE p_size < 25
+       |GROUP BY 1, 2
+       |ORDER BY nation, o_year""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
@@ -435,5 +480,6 @@ object Relational {
     QueryDef.sql("q13_grouping_sets", q13GroupingSets _, q13GroupingSetsSql),
     QueryDef.sql("q14_correlated_subquery", q14CorrelatedSubquery _, q14CorrelatedSubquerySql),
     QueryDef.sql("q15_range_join", q15RangeJoin _, q15RangeJoinSql),
+    QueryDef.sql("q18_profit_by_nation_year", q18ProfitByNationYear _, q18ProfitByNationYearSql),
   )
 }

@@ -83,6 +83,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q18 five-way join: part filter reaches the part scan, totals reconcile") {
+    val q18 = Relational.q18ProfitByNationYear(spark, dir)
+    val rows = q18.collect()
+    assert(rows.nonEmpty)
+    // n_items summed over groups == filtered join cardinality
+    val joined = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_size") < 25), col("l_partkey") === col("p_partkey"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_items")).sum == joined)
+    // the p_size predicate is pushed down to the part parquet scan
+    val plan = q18.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(p_size,25)"), "p_size filter not pushed to scan")
+  }
+
   test("q9 rollup grand-total row equals table count") {
     val total = Tables.lineitem(spark, dir).count()
     val all = Relational.q9Rollup(spark, dir)
