@@ -1,0 +1,75 @@
+package graft.fidelity
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** The 10-field wire row of the reference's output POJO
+  * (SparkStreamingStatisticsProcessingResult.java:5-14), keyed.
+  */
+final case class KeyedStats(
+    readTag_id: String, summer: Double, counter: Double, sumsqr: Double,
+    delta: Double, bestmin: Double, bestmax: Double, mean: Double,
+    m2: Double, variance: Double)
+
+/** Imperative streaming port of the reference's `updateStateByKey` state
+  * machine (KafkaStreamAverageCalculator.java:102-171) on the
+  * `transformWithState` API — SURVEY.md §7.2's byte-fidelity STREAMING
+  * path, complementing the batch [[WelfordAggregator]].
+  *
+  * Each micro-batch replays the per-record loop (`AVG:134-150`, via
+  * `WelfordAggregator.reduce`, which mirrors its statement order) against
+  * a per-key `ValueState[StatsBuf]` that persists across batches — the
+  * exact shape of the reference's `Double[8]` state vector carried by
+  * `updateStateByKey`. Unlike the declarative aggregate (partial
+  * aggregation + Chan-style merges, ulp-level divergence possible), this
+  * path is STRICTLY SEQUENTIAL per key: every record passes through the
+  * same Welford statement order the reference executes, across any number
+  * of micro-batches — including the order-dependent `delta` loop-leak
+  * (quirk Q3) and the optional sentinel min/max initializers (quirk Q1).
+  *
+  * Scale: state is one 9-double buffer per key (O(distinct keys), not
+  * O(rows)), partitioned by group key across executors; per-batch work is
+  * one shuffle on the key. Requires the RocksDB state store provider (the
+  * 100 TB state mitigation, SURVEY.md §7.5.2) — `transformWithState`
+  * rejects the default HDFS-backed provider.
+  */
+class StatefulStatsProcessor(sentinelInit: Boolean = false)
+    extends StatefulProcessor[String, (String, Double), KeyedStats] {
+
+  @transient private var state: ValueState[StatsBuf] = _
+  @transient private lazy val agg = new WelfordAggregator(sentinelInit)
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[StatsBuf]("stats",
+      Encoders.product[StatsBuf], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+                               timerValues: TimerValues): Iterator[KeyedStats] = {
+    var buf = if (state.exists()) state.get() else agg.zero
+    rows.foreach { case (_, x) => buf = agg.reduce(buf, x) }
+    state.update(buf)
+    Iterator.single(KeyedStats(key, buf.summer, buf.counter, buf.sumsqr,
+      buf.delta, buf.bestmin, buf.bestmax, buf.mean, buf.m2, buf.variance))
+  }
+}
+
+object StatefulStats {
+
+  /** Streaming (key, value) frame → per-batch updated [[KeyedStats]]
+    * rows, one per key that received records (the reference's
+    * once-per-updated-key-per-batch cadence).
+    */
+  def apply(df: DataFrame, key: Column, value: Column,
+            sentinelInit: Boolean = false): Dataset[KeyedStats] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(key.cast(StringType).as("k"), value.cast(DoubleType).as("v"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new StatefulStatsProcessor(sentinelInit),
+        TimeMode.None(), OutputMode.Update())
+  }
+}

@@ -153,4 +153,125 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  // ---- imperative transformWithState fidelity path -------------------
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("imperative transformWithState stats ≡ declarative RunningStats epoch-by-epoch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val inputI = MemoryStream[(String, Double)]
+      val inputD = MemoryStream[(String, Double)]
+      val imp = graft.fidelity.StatefulStats(
+        inputI.toDF().toDF("readTag_id", "value"), col("readTag_id"), col("value"))
+      val decl = RunningStats(
+        inputD.toDF().toDF("readTag_id", "value"), col("readTag_id"), col("value"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws").toString
+      val qi = imp.writeStream.format("memory").queryName("imp_stats")
+        .option("checkpointLocation", s"$ckpt/imp").outputMode("update").start()
+      val qd = decl.writeStream.format("memory").queryName("decl_stats")
+        .option("checkpointLocation", s"$ckpt/decl").outputMode("update").start()
+      // driver-side strictly-sequential replay = the reference's loop
+      val agg = new graft.fidelity.WelfordAggregator(sentinelInit = false)
+      val replay = mutable.Map[String, graft.fidelity.StatsBuf]()
+      val batches = Seq(
+        Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)),
+        Seq(("a", 5.0), ("b", -2.0), ("b", 7.5)),
+        Seq(("c", 0.25), ("a", -1.5)))
+      try {
+        var emitted = 0L
+        for (batch <- batches) {
+          inputI.addData(batch: _*); inputD.addData(batch: _*)
+          qi.processAllAvailable(); qd.processAllAvailable()
+          for ((k, x) <- batch)
+            replay(k) = agg.reduce(replay.getOrElse(k, agg.zero), x)
+          // cadence: exactly one emission per updated key per epoch
+          val updatedKeys = batch.map(_._1).distinct.size
+          val impRows = spark.table("imp_stats").collect()
+          assert(impRows.length == emitted + updatedKeys,
+            s"expected $updatedKeys new emissions, table has ${impRows.length}")
+          emitted = impRows.length
+          // current state per key = the row with the max counter
+          def latest(t: String) = spark.table(t).collect()
+            .groupBy(_.getString(0))
+            .map { case (k, rs) => k -> rs.maxBy(_.getAs[Number]("counter").doubleValue) }
+          val imps = latest("imp_stats"); val decls = latest("decl_stats")
+          assert(imps.keySet == replay.keySet && decls.keySet == replay.keySet)
+          for ((k, buf) <- replay) {
+            val i = imps(k); val d = decls(k)
+            // imperative path vs sequential replay: same statement order
+            assert(i.getAs[Number]("counter").doubleValue == buf.counter)
+            assert(i.getAs[Double]("bestmin") == buf.bestmin)
+            assert(i.getAs[Double]("bestmax") == buf.bestmax)
+            for ((c, want) <- Seq("summer" -> buf.summer, "sumsqr" -> buf.sumsqr,
+                "mean" -> buf.mean, "m2" -> buf.m2, "variance" -> buf.variance)) {
+              val got = i.getAs[Double](c)
+              assert(math.abs(got - want) <= math.max(1e-9, math.abs(want) * 1e-12),
+                s"epoch imp $k.$c: got=$got want=$want")
+            }
+            // and the declarative aggregate agrees (Chan merges → ulps)
+            assert(d.getAs[Number]("counter").longValue == buf.counter.toLong)
+            for ((c, want) <- Seq("summer" -> buf.summer, "bestmin" -> buf.bestmin,
+                "bestmax" -> buf.bestmax, "mean" -> buf.mean,
+                "var" -> buf.variance)) {
+              val got = d.getAs[Double](c)
+              assert(math.abs(got - want) <= math.max(1e-9, math.abs(want) * 1e-9),
+                s"epoch decl $k.$c: got=$got want=$want")
+            }
+          }
+        }
+      } finally { qi.stop(); qd.stop() }
+    }
+  }
+
+  test("transformWithState single-record batches are bit-identical to the reference loop (incl. delta, Q1 sentinels)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(String, Double)]
+      val imp = graft.fidelity.StatefulStats(
+        input.toDF().toDF("readTag_id", "value"), col("readTag_id"), col("value"),
+        sentinelInit = true)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws1").toString
+      val q = imp.writeStream.format("memory").queryName("imp_sentinel")
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      val agg = new graft.fidelity.WelfordAggregator(sentinelInit = true)
+      var buf = agg.zero
+      try {
+        // one record per batch → per-key arrival order is fully
+        // deterministic → every field, including the order-dependent
+        // delta leak, must match the reference loop bit-for-bit
+        for (x <- Seq(5.0, 2.0, 9.0)) {
+          input.addData(("t", x))
+          q.processAllAvailable()
+          buf = agg.reduce(buf, x)
+          val row = spark.table("imp_sentinel").collect()
+            .maxBy(_.getAs[Double]("counter"))
+          assert(row.getAs[Double]("summer") == buf.summer)
+          assert(row.getAs[Double]("counter") == buf.counter)
+          assert(row.getAs[Double]("sumsqr") == buf.sumsqr)
+          assert(row.getAs[Double]("delta") == buf.delta)
+          assert(row.getAs[Double]("bestmin") == buf.bestmin)
+          assert(row.getAs[Double]("bestmax") == buf.bestmax)
+          assert(row.getAs[Double]("mean") == buf.mean)
+          assert(row.getAs[Double]("m2") == buf.m2)
+          assert(row.getAs[Double]("variance") == buf.variance)
+        }
+        // Q1 sentinel: all values were > -10, so bestmin is stuck at -10
+        assert(buf.bestmin == -10.0)
+      } finally q.stop()
+    }
+  }
 }
