@@ -30,15 +30,36 @@ import graft.{QueryDef, Tables}
   */
 object Relational {
 
-  /** Exact-sum helper: sum a double column in decimal space, return double.
-    * Deterministic under Spark's nondeterministic partition order (decimal
-    * addition is associative) and bit-identical to DuckDB's sequential sum.
+  /** Sum mode for the money-total aggregations (q1/q2/q9/q10/q12/q13/q18).
+    *
+    *  - `double` (default): native double sums rounded to cents in BOTH
+    *    engines. This is the production mode — the decimal path costs
+    *    ~3.5× on q1 at sf0.1 (measured medians 1.05 s vs 0.29 s,
+    *    BASELINE.md) because every row pays a Decimal box + 128-bit add
+    *    instead of a codegen'd double add. Cross-engine equality still
+    *    holds at the cents boundary: double-sum error on these totals is
+    *    ≤1e-4 relative-to-cents at gate scale, orders of magnitude inside
+    *    the ROUND(…, 2) margin.
+    *  - `decimal` (`-Dgraft.sums=decimal` / `GRAFT_SUMS=decimal`): sums in
+    *    decimal space — bit-exact at ANY partitioning/order, the
+    *    oracle-parity mode for audits and for sums that feed ORDER
+    *    BY/rank (those stay decimal unconditionally, e.g. q7's top-k key:
+    *    a rounded tie would make the emitted row SET engine-dependent).
+    *
+    * Both the Column builder and the SQL generator read the same flag, so
+    * the Spark plan and the DuckDB oracle always agree on the mode.
     */
+  private def sumsDecimal: Boolean =
+    sys.props.get("graft.sums").orElse(sys.env.get("GRAFT_SUMS"))
+      .contains("decimal")
+
   private[operators] def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+    if (sumsDecimal) sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
+    else round(sum(c), 2)
 
   private def dsumSql(expr: String, scale: Int = 2): String =
-    s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
+    if (sumsDecimal) s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
+    else s"ROUND(SUM($expr), 2)"
 
   // ---------------------------------------------------------------------
   // q1: pricing summary report (TPC-H Q1 shape). Scan → partial/final hash

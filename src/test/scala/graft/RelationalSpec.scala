@@ -97,6 +97,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("LessThan(p_size,25)"), "p_size filter not pushed to scan")
   }
 
+  test("double-sum default and decimal oracle-parity mode agree at the cents boundary") {
+    def run() = Relational.q1PricingSummary(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val dbl = run()
+    sys.props("graft.sums") = "decimal"
+    val dec = try run() finally sys.props.remove("graft.sums")
+    assert(dbl.keySet == dec.keySet)
+    for ((k, d) <- dbl; e = dec(k);
+         c <- Seq("sum_qty", "sum_base_price", "sum_disc_price", "sum_charge")) {
+      // double mode rounds to cents; decimal mode is exact at `scale` —
+      // they must agree within half a cent
+      assert(math.abs(d.getAs[Double](c) - e.getAs[Double](c)) <= 0.005 + 1e-9,
+        s"$k.$c: double=${d.getAs[Double](c)} decimal=${e.getAs[Double](c)}")
+    }
+  }
+
   test("q9 rollup grand-total row equals table count") {
     val total = Tables.lineitem(spark, dir).count()
     val all = Relational.q9Rollup(spark, dir)
