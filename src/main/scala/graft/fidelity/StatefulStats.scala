@@ -58,6 +58,20 @@ class StatefulStatsProcessor(sentinelInit: Boolean = false)
 
 object StatefulStats {
 
+  /** Kafka-wire projection with the reference's exact 10-field order
+    * (`MODEL:5-14`) — unlike [[graft.streaming.RunningStats.toWire]],
+    * `delta` here is the REAL order-dependent loop-leak and `counter`
+    * serializes as a Double, both faithful to the reference's Jackson
+    * output.
+    */
+  def toWire(ds: Dataset[KeyedStats]): DataFrame =
+    ds.select(col("readTag_id").as("key"),
+      org.apache.spark.sql.functions.to_json(
+        org.apache.spark.sql.functions.struct(
+          col("readTag_id"), col("summer"), col("counter"), col("sumsqr"),
+          col("delta"), col("bestmin"), col("bestmax"), col("mean"),
+          col("m2"), col("variance").as("var"))).as("value"))
+
   /** Streaming (key, value) frame → per-batch updated [[KeyedStats]]
     * rows, one per key that received records (the reference's
     * once-per-updated-key-per-batch cadence).

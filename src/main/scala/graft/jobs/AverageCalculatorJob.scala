@@ -36,13 +36,22 @@ object AverageCalculatorJob {
         Sources.parseReadings(Sources.kafkaStream(spark, servers, topic))
       }
 
-    val stats = RunningStats(readings, col("readTag_id"), col("value"))
+    // --fidelity: the imperative transformWithState state machine (real
+    // delta leak, Double counter) instead of the declarative aggregate
+    val wire: DataFrame =
+      if (conf.fidelity) {
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        graft.fidelity.StatefulStats.toWire(
+          graft.fidelity.StatefulStats(readings, col("readTag_id"), col("value")))
+      } else
+        RunningStats.toWire(RunningStats(readings, col("readTag_id"), col("value")))
 
     val writer =
       if (conf.sink == "console")
         // Update mode + 10-row cap: the observable behavior of the
         // reference's stat_writer.print() (AVG:185-188)
-        RunningStats.toWire(stats).writeStream
+        wire.writeStream
           .format("console")
           .option("numRows", 10)
           .option("truncate", false)
@@ -51,7 +60,7 @@ object AverageCalculatorJob {
           .trigger(Trigger.ProcessingTime(conf.trigger))
       else {
         val (servers, topic) = conf.kafkaParts(conf.sink)
-        RunningStats.kafkaWriter(stats, servers, topic, conf.checkpoint)
+        RunningStats.kafkaWireWriter(wire, servers, topic, conf.checkpoint)
       }
 
     val query = writer.start()

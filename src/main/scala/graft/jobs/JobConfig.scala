@@ -16,13 +16,19 @@ package graft.jobs
   *   --once               (file replay: process everything available,
   *       then exit — the sandbox/test mode; without it the job runs until
   *       terminated, like the reference)
+  *   --fidelity           (AverageCalculatorJob only: the imperative
+  *       transformWithState state machine instead of the declarative
+  *       aggregate — byte-faithful per-record replay of AVG:102-171
+  *       including the delta loop-leak and the Double counter;
+  *       configures the RocksDB state store it requires)
   */
 final case class JobConfig(
     source: String = "kafka://localhost:9092/bms",
     sink: String = "console",
     checkpoint: String = "./spark_cache",
     trigger: String = "2 seconds",
-    once: Boolean = false) {
+    once: Boolean = false,
+    fidelity: Boolean = false) {
 
   def isFileSource: Boolean = source.startsWith("file:")
   def sourcePath: String = source.stripPrefix("file:")
@@ -45,6 +51,7 @@ object JobConfig {
       case "--checkpoint" :: v :: t => loop(t, c.copy(checkpoint = v))
       case "--trigger" :: v :: t    => loop(t, c.copy(trigger = v))
       case "--once" :: t            => loop(t, c.copy(once = true))
+      case "--fidelity" :: t        => loop(t, c.copy(fidelity = true))
       case Nil                      => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")

@@ -72,7 +72,14 @@ object RunningStats {
     */
   def kafkaWriter(stats: DataFrame, bootstrapServers: String, topic: String,
                   checkpoint: String): DataStreamWriter[Row] =
-    toWire(stats).writeStream
+    kafkaWireWriter(toWire(stats), bootstrapServers, topic, checkpoint)
+
+  /** As [[kafkaWriter]] but over an already-wire-shaped (key, value)
+    * frame — shared by the declarative and fidelity paths.
+    */
+  def kafkaWireWriter(wire: DataFrame, bootstrapServers: String, topic: String,
+                      checkpoint: String): DataStreamWriter[Row] =
+    wire.writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("topic", topic)
