@@ -348,6 +348,61 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   // ---------------------------------------------------------------------
+  // q11c: KMV (k-minimum-values) distinct sketch — the ENGINE-PORTABLE
+  // approximate distinct count. Unlike HLL (q11b), the estimate is a pure
+  // function of the k smallest md5-derived hashes, so it is
+  // bit-deterministic across engines and rides the hash-grade oracle
+  // gate: est = (k-1) / u_k with u_k the k-th smallest hash mapped to
+  // (0,1] (Bar-Yossef et al.'s counting-distinct estimator; groups with
+  // fewer than k distinct hashes report the exact count).
+  //
+  // Gate shape: distinct (group, hash) → per-group rank → keep k → one
+  // aggregate. The rank sorts each group's distinct hashes, which is fine
+  // here and at moderate cardinalities; a 100 TB deployment replaces the
+  // window with a bounded-heap aggregation buffer (same estimator, no
+  // sort) or uses the built-in HLL (q11b) when cross-engine determinism
+  // isn't required.
+  // ---------------------------------------------------------------------
+  private val KmvK = 64
+  private val KmvSpace = (1L << 60).toDouble
+
+  def q11cKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(col("l_orderkey").cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType)
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), h.as("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_mins"), max(col("h")).as("hk"))
+      .select(col("l_returnflag"), col("n_mins"),
+        round(when(col("n_mins") < KmvK, col("n_mins").cast(DoubleType))
+          .otherwise(lit((KmvK - 1).toDouble) /
+            (col("hk").cast(DoubleType) / lit(KmvSpace))), 4).as("est_distinct"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q11cKmvDistinctSql: String =
+    s"""WITH hashed AS (
+       |  SELECT DISTINCT l_returnflag,
+       |    ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM lineitem),
+       |ranked AS (
+       |  SELECT l_returnflag, h,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+       |  FROM hashed),
+       |tops AS (
+       |  SELECT l_returnflag, COUNT(*) AS n_mins, MAX(h) AS hk
+       |  FROM ranked WHERE rn <= $KmvK GROUP BY 1)
+       |SELECT l_returnflag, n_mins,
+       |  ROUND(CASE WHEN n_mins < $KmvK THEN CAST(n_mins AS DOUBLE)
+       |             ELSE ${(KmvK - 1).toDouble} / (CAST(hk AS DOUBLE) / $KmvSpace)
+       |        END, 4) AS est_distinct
+       |FROM tops
+       |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q12: event-time tumbling window (hourly) — the batch shape of the
   // streaming windowed aggregation; bucket emitted as a string for a
   // timezone-representation-proof compare.
@@ -497,6 +552,7 @@ object Relational {
     QueryDef.sql("q10_cube", q10Cube _, q10CubeSql),
     QueryDef.sql("q11_distinct", q11Distinct _, q11DistinctSql),
     QueryDef.rowsOnly("q11b_approx_distinct", q11ApproxDistinct _),
+    QueryDef.sql("q11c_kmv_distinct", q11cKmvDistinct _, q11cKmvDistinctSql),
     QueryDef.sql("q12_hourly_events", q12HourlyEvents _, q12HourlyEventsSql),
     QueryDef.sql("q13_grouping_sets", q13GroupingSets _, q13GroupingSetsSql),
     QueryDef.sql("q14_correlated_subquery", q14CorrelatedSubquery _, q14CorrelatedSubquerySql),

@@ -140,6 +140,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q11c KMV sketch estimates distinct orders within 25% of exact") {
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Relational.q11cKmvDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("est_distinct")).toMap
+    assert(est.keySet == exact.keySet)
+    for ((k, e) <- est) {
+      val x = exact(k).toDouble
+      // KMV with k=64: relative sd ~ 1/sqrt(k-2) ≈ 13%; 25% is ~2σ
+      assert(math.abs(e - x) / x <= 0.25, s"$k: est=$e exact=$x")
+    }
+  }
+
   test("q12 hourly buckets sum to the events row count") {
     val total = Tables.events(spark, dir).count()
     val bucketed = Relational.q12HourlyEvents(spark, dir)
