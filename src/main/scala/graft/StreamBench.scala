@@ -1,14 +1,19 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.fidelity.StatefulStats
 import graft.streaming.{RunningStats, Sources}
 
 /** Streaming-pipeline benchmark (BASELINE.md streaming metrics): replays
   * the events table as a file stream through the cumulative stats
-  * pipeline (the reference's job 1 shape) and reports rows/s plus
-  * per-epoch latency from the query progress log. Prints one JSON line,
-  * same convention as [[Bench]].
+  * pipeline (the reference's job 1 shape) — BOTH forms: the declarative
+  * aggregate (RunningStats) and the imperative byte-fidelity
+  * transformWithState state machine (StatefulStats) — and reports rows/s
+  * plus per-epoch latency. Prints ONE JSON line, same convention as
+  * [[Bench]]; the declarative number is the primary metric, the fidelity
+  * path's throughput rides along as `fidelity_rows_per_sec`.
   */
 object StreamBench {
 
@@ -31,15 +36,13 @@ object StreamBench {
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = GraftSession.get()
+  /** (rows, epochs, avg epoch ms, wall sec) for one pipeline run. */
+  private def runOnce(spark: org.apache.spark.sql.SparkSession,
+                      stats: DataFrame, name: String): (Long, Long, Double, Double) = {
     val totals = new Totals
     spark.streams.addListener(totals)
-    val stream = Sources.eventsStream(spark, sfDir)
-    val stats = RunningStats(stream, col("event_type"), col("value"))
     val t0 = System.nanoTime()
-    val q = stats.writeStream.format("memory").queryName("stream_bench")
+    val q = stats.writeStream.format("memory").queryName(name)
       .outputMode("update").start()
     q.processAllAvailable()
     val elapsed = (System.nanoTime() - t0) / 1e9
@@ -52,12 +55,29 @@ object StreamBench {
       Thread.sleep(100); prev = cur; cur = totals.synchronized(totals.rows); spins += 1
     }
     spark.streams.removeListener(totals)
-    val (rows, epochs) = totals.synchronized((totals.rows, totals.epochs))
-    val avgBatch = if (epochs > 0) totals.batchMsSum / epochs else 0.0
+    val (rows, epochs, ms) =
+      totals.synchronized((totals.rows, totals.epochs, totals.batchMsSum))
     q.stop()
+    (rows, epochs, if (epochs > 0) ms / epochs else 0.0, elapsed)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.get()
+    val (rows, epochs, avgBatch, elapsed) = runOnce(spark,
+      RunningStats(Sources.eventsStream(spark, sfDir),
+        col("event_type"), col("value")), "stream_bench")
+    // fidelity path needs the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val (frows, _, favgBatch, felapsed) = runOnce(spark,
+      StatefulStats(Sources.eventsStream(spark, sfDir),
+        col("event_type"), col("value")).toDF(), "stream_bench_fidelity")
     println(s"""{"metric":"stream_rows_per_sec","value":${rows / elapsed},""" +
       s""""unit":"rows/sec","rows":$rows,"epochs":$epochs,""" +
-      s""""avg_epoch_ms":$avgBatch,"wall_sec":$elapsed,"sf":"$sfDir"}""")
+      s""""avg_epoch_ms":$avgBatch,"wall_sec":$elapsed,""" +
+      s""""fidelity_rows_per_sec":${frows / felapsed},""" +
+      s""""fidelity_avg_epoch_ms":$favgBatch,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
