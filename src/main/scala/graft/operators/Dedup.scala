@@ -427,8 +427,11 @@ object Dedup {
   // alone is O(diameter)); each round is two shuffled joins + an
   // aggregation on the CONTRACTED graph, which shrinks geometrically.
   // localCheckpoint truncates the iterative lineage so plans stay flat.
-  // At 100 TB the pair list is orders of magnitude smaller than the
-  // corpus (it holds near-dups only), so the loop runs on a small frame.
+  // Checkpoint retention is bounded and small — unlike a corpus-wide
+  // cache, each retained round is O(pair-list) bytes (labels + contracted
+  // edges, ids only) and the round count is O(log n); the pair list is
+  // itself orders of magnitude smaller than the corpus (near-dups only),
+  // so the loop never pins corpus-scale data in executor memory.
   // ---------------------------------------------------------------------
 
   /** (doc_id, cluster_id) for every node in `pairs`, cluster_id = min id
