@@ -438,8 +438,13 @@ object Dedup {
     * of the node's connected component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // materialize the (possibly expensive) pair pipeline ONCE before
+    // deriving both loop frames from it — labels and edges each force an
+    // action, and without this checkpoint each would re-execute the full
+    // upstream candidate-generation pipeline
     val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
