@@ -232,7 +232,9 @@ object Vectors {
     "vec_dot" -> (es => VecDot(es(0), es(1))),
     "vec_cosine" -> (es => VecCosine(es(0), es(1))),
     "vec_lsh_sketch" -> (es =>
-      VecLshSketch(es(0), asInt(es(1)), asInt(es(2)), asInt(es(3)), asInt(es(4)))))
+      VecLshSketch(es(0), asInt(es(1)), asInt(es(2)), asInt(es(3)), asInt(es(4)))),
+    "kmv_distinct" -> (es =>
+      KmvDistinct(es(0), asInt(es(1))).toAggregateExpression()))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -350,36 +350,34 @@ object Relational {
   // ---------------------------------------------------------------------
   // q11c: KMV (k-minimum-values) distinct sketch — the ENGINE-PORTABLE
   // approximate distinct count. Unlike HLL (q11b), the estimate is a pure
-  // function of the k smallest md5-derived hashes, so it is
+  // function of the k smallest distinct md5-derived hashes, so it is
   // bit-deterministic across engines and rides the hash-grade oracle
   // gate: est = (k-1) / u_k with u_k the k-th smallest hash mapped to
   // (0,1] (Bar-Yossef et al.'s counting-distinct estimator; groups with
   // fewer than k distinct hashes report the exact count).
   //
-  // Gate shape: distinct (group, hash) → per-group rank → keep k → one
-  // aggregate. The rank sorts each group's distinct hashes, which is fine
-  // here and at moderate cardinalities; a 100 TB deployment replaces the
-  // window with a bounded-heap aggregation buffer (same estimator, no
-  // sort) or uses the built-in HLL (q11b) when cross-engine determinism
-  // isn't required.
+  // Runs as the native [[graft.functions.KmvDistinct]] typed imperative
+  // aggregate: ONE hash-aggregate pass, O(k) bounded state per group,
+  // map-side partial combine, merge = k-way set union — no per-group
+  // sort/rank of all distinct hashes, which is what makes this the
+  // 100 TB shape. The DuckDB oracle computes the identical estimator via
+  // rank-over-distinct-hashes; commutativity of "k smallest of a set"
+  // means no rounding is needed for hash parity (round(…, 4) is display
+  // convention only).
   // ---------------------------------------------------------------------
   private val KmvK = 64
   private val KmvSpace = (1L << 60).toDouble
 
   def q11cKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Vectors.register(spark)
     val h = conv(substring(md5(col("l_orderkey").cast(StringType)), 1, 15), 16, 10)
       .cast(LongType)
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("h"))
     Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), h.as("h")).distinct()
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= KmvK)
+      .select(col("l_returnflag"), h.as("h"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n_mins"), max(col("h")).as("hk"))
-      .select(col("l_returnflag"), col("n_mins"),
-        round(when(col("n_mins") < KmvK, col("n_mins").cast(DoubleType))
-          .otherwise(lit((KmvK - 1).toDouble) /
-            (col("hk").cast(DoubleType) / lit(KmvSpace))), 4).as("est_distinct"))
+      .agg(call_function("kmv_distinct", col("h"), lit(KmvK)).as("s"))
+      .select(col("l_returnflag"), col("s.n_mins").as("n_mins"),
+        round(col("s.est"), 4).as("est_distinct"))
       .orderBy(col("l_returnflag"))
   }
 

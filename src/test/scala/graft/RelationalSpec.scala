@@ -140,6 +140,14 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q11c runs as one bounded-state aggregate, not a rank window") {
+    val plan = Relational.q11cKmvDistinct(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "q11c must not sort/rank distinct hashes")
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      "kmv_distinct should run as an imperative aggregate")
+  }
+
   test("q11c KMV sketch estimates distinct orders within 25% of exact") {
     val exact = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
