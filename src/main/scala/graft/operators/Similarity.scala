@@ -264,6 +264,91 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // q34: IVF-flat ANN — the second scale path beside LSH (q31). Coarse
+  // quantizer = a deterministic sample of the corpus itself
+  // (vec_id % IvfMod == IvfSel, so nlist grows with the corpus like the
+  // classic sqrt(n) guidance); every corpus vector is assigned to its
+  // nearest centroid cell, queries probe the IvfProbe nearest cells, and
+  // the exact re-rank touches only the probed cells' members.
+  //
+  // Scale shape: centroids are the ONLY broadcast (provably small);
+  // assignment is one corpus scan × nlist codegen'd cosines; candidate
+  // selection is a broadcast join of the (tiny) probed-cell list against
+  // the assigned corpus — the corpus itself never shuffles. Every number
+  // is a deterministic function of the input through IEEE-identical
+  // arithmetic, so the whole operator — cell assignment included — is
+  // oracle-checked, not just spec-pinned.
+  // -------------------------------------------------------------------
+  private val IvfMod = 24
+  private val IvfSel = 7
+  private val IvfProbe = 6
+
+  def q34AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val cents = e.filter(col("vec_id") % IvfMod === IvfSel)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.vecCosine(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probed = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.vecCosine(col("qe"), col("ce")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= IvfProbe)
+      .select(col("query_id"), col("qe"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probed), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Vectors.vecCosine(col("qe"), col("ne")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  def q34AnnIvfSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id % $IvfMod = $IvfSel),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS ne, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE crn = 1),
+       |probed AS (
+       |  SELECT query_id, qe, cid FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings q CROSS JOIN cents c
+       |    WHERE q.vec_id < $NumQueries) t
+       |  WHERE crn <= $IvfProbe),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("qe", "ne")} AS sim
+       |  FROM probed JOIN assigned USING (cid)
+       |  WHERE neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id, ROUND(sim, 6) AS sim
+       |FROM ranked
+       |WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin
+
+  // -------------------------------------------------------------------
   // q33: per-group embedding centroids — the aggregation primitive of
   // embedding pipelines (cluster seeds, per-domain mean vectors).
   // Exploded to (group, dim) so the aggregate is an ordinary partial+
@@ -305,5 +390,6 @@ object Similarity {
     QueryDef.sql("q31_ann_lsh", q31AnnLsh _, q31AnnLshSql),
     QueryDef.sql("q32_corpus_neardup", q32CorpusNearDup _, q32CorpusNearDupSql),
     QueryDef.sql("q33_lang_centroids", q33LangCentroids _, q33LangCentroidsSql),
+    QueryDef.sql("q34_ann_ivf", q34AnnIvf _, q34AnnIvfSql),
   )
 }

@@ -102,6 +102,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, f"recall $recall%.2f below floor 0.6")
   }
 
+  test("IVF ANN achieves useful recall and only broadcasts centroids/probes") {
+    val brute = Similarity.q30AnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.q34AnnIvf(spark, dir)
+    val got = ivf.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    info(f"IVF recall@5 = $recall%.2f (${got.size} returned)")
+    assert(recall >= 0.4, f"recall@5 $recall%.2f below floor")
+    // the corpus is never broadcast: every BroadcastExchange in the plan
+    // builds on the (filtered) centroid/probe side, not the full scan
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+  }
+
   test("hot-bucket guard bounds candidates from a planted degenerate bucket") {
     import spark.implicits._
     // one degenerate bucket with 100 members + 50 normal 2-member buckets
