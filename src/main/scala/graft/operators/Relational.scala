@@ -536,6 +536,36 @@ object Relational {
        |ORDER BY nation, o_year""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q19: exact interpolated percentiles (median / p95) per group — the
+  // ordered-statistics surface. Spark's `percentile` and DuckDB's
+  // `quantile_cont` both compute the same linear interpolation at rank
+  // p·(n-1) over the sorted values, so the doubles agree bit-for-bit;
+  // round(…, 6) is margin against interpolation-order ulps. At scale this
+  // is a sort-based aggregate per group; the approximate sibling is
+  // percentile_approx (implementation-defined sketch, q11b-style
+  // rows-only territory — not declared, the exact form is the oracle
+  // surface).
+  // ---------------------------------------------------------------------
+  def q19Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"))
+      .orderBy(col("l_returnflag"))
+
+  val q19PercentilesSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+      |  ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price,
+      |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS q1_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
@@ -556,5 +586,6 @@ object Relational {
     QueryDef.sql("q14_correlated_subquery", q14CorrelatedSubquery _, q14CorrelatedSubquerySql),
     QueryDef.sql("q15_range_join", q15RangeJoin _, q15RangeJoinSql),
     QueryDef.sql("q18_profit_by_nation_year", q18ProfitByNationYear _, q18ProfitByNationYearSql),
+    QueryDef.sql("q19_percentiles", q19Percentiles _, q19PercentilesSql),
   )
 }
