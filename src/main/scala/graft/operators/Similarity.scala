@@ -349,6 +349,116 @@ object Similarity {
        |ORDER BY query_id, rn""".stripMargin
 
   // -------------------------------------------------------------------
+  // q35: IVF with one Lloyd (k-means) refinement round — q34's sampled
+  // coarse quantizer, then: assign corpus → recompute each cell's
+  // centroid as the per-dimension MEAN of its members → re-assign →
+  // probe → exact re-rank. The refinement is the piece that makes IVF a
+  // learned quantizer rather than a random sample, and it stays
+  // oracle-checkable because the means run in decimal space (the q33
+  // recipe: round(x,7) → DECIMAL(30,7) sums → one double division),
+  // so the refined centroids — and every assignment made with them —
+  // are bit-identical across engines. Refined centroids are rebuilt as
+  // float vectors (deterministic IEEE cast) so the same codegen'd
+  // VecCosine kernel scores them.
+  //
+  // Scale: refinement is one posexplode + hash-aggregate on (cid, dim)
+  // (map-side combine, no shuffle of raw vectors beyond the aggregate),
+  // and centroids stay the only broadcast. More Lloyd rounds = repeat
+  // the same two stages; one round is declared here to keep the oracle
+  // SQL single-pass.
+  // -------------------------------------------------------------------
+  def q35AnnIvfLloyd(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
+    Vectors.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val cents0 = e.filter(col("vec_id") % IvfMod === IvfSel)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    def nearest(side: DataFrame, idCol: String, embCol: String,
+                cents: DataFrame, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid").asc)
+      side.crossJoin(broadcast(cents))
+        .withColumn("csim", Vectors.vecCosine(col(embCol), col("ce")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("csim", "crn", "ce")
+    }
+    val assigned0 = nearest(e, "vec_id", "embedding", cents0, 1)
+    val refined = assigned0.select(col("cid"), posexplode(col("embedding")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(sum(round(col("col").cast(DoubleType), 7).cast(DecimalType(30, 7))).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("cid"), col("pos"),
+        (col("s").cast(DoubleType) / col("n")).cast(FloatType).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("ce"))
+    val assigned1 = nearest(e, "vec_id", "embedding", refined, 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
+    val probed = nearest(
+        e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+        "query_id", "qe", refined, IvfProbe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    assigned1.join(broadcast(probed), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Vectors.vecCosine(col("qe"), col("ne")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  def q35AnnIvfLloydSql: String =
+    s"""WITH cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE vec_id % $IvfMod = $IvfSel),
+       |assigned0 AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings e CROSS JOIN cents0 c) t
+       |  WHERE crn = 1),
+       |dims AS (
+       |  SELECT cid, j - 1 AS dim,
+       |    SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE), 7) AS DECIMAL(30,7))) AS s,
+       |    COUNT(*) AS n
+       |  FROM assigned0 CROSS JOIN range(1, ${Dim + 1}) r(j)
+       |  GROUP BY cid, j),
+       |refined AS (
+       |  SELECT cid, list(CAST(CAST(s AS DOUBLE) / n AS REAL) ORDER BY dim) AS ce
+       |  FROM dims GROUP BY cid),
+       |assigned1 AS (
+       |  SELECT vec_id AS neighbor_id, embedding AS ne, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings e CROSS JOIN refined c) t
+       |  WHERE crn = 1),
+       |probed AS (
+       |  SELECT query_id, qe, cid FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings q CROSS JOIN refined c
+       |    WHERE q.vec_id < $NumQueries) t
+       |  WHERE crn <= $IvfProbe),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${cosSql("qe", "ne")} AS sim
+       |  FROM probed JOIN assigned1 USING (cid)
+       |  WHERE neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id, ROUND(sim, 6) AS sim
+       |FROM ranked
+       |WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin
+
+  // -------------------------------------------------------------------
   // q33: per-group embedding centroids — the aggregation primitive of
   // embedding pipelines (cluster seeds, per-domain mean vectors).
   // Exploded to (group, dim) so the aggregate is an ordinary partial+
@@ -391,5 +501,6 @@ object Similarity {
     QueryDef.sql("q32_corpus_neardup", q32CorpusNearDup _, q32CorpusNearDupSql),
     QueryDef.sql("q33_lang_centroids", q33LangCentroids _, q33LangCentroidsSql),
     QueryDef.sql("q34_ann_ivf", q34AnnIvf _, q34AnnIvfSql),
+    QueryDef.sql("q35_ann_ivf_lloyd", q35AnnIvfLloyd _, q35AnnIvfLloydSql),
   )
 }

@@ -116,6 +116,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"))
   }
 
+  test("Lloyd-refined IVF matches or beats the sampled quantizer's recall") {
+    val brute = Similarity.q30AnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (brute intersect got).size.toDouble / brute.size
+    }
+    val sampled = recall(Similarity.q34AnnIvf(spark, dir))
+    val lloyd = recall(Similarity.q35AnnIvfLloyd(spark, dir))
+    info(f"IVF recall@5: sampled=$sampled%.2f lloyd=$lloyd%.2f")
+    assert(lloyd >= 0.4, f"refined recall $lloyd%.2f below floor")
+    // refinement should not lose recall on the same nprobe budget
+    assert(lloyd >= sampled - 0.1, f"lloyd=$lloyd%.2f much worse than sampled=$sampled%.2f")
+  }
+
   test("hot-bucket guard bounds candidates from a planted degenerate bucket") {
     import spark.implicits._
     // one degenerate bucket with 100 members + 50 normal 2-member buckets
