@@ -566,6 +566,46 @@ object Relational {
       |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q36: salted two-phase aggregation — the manual skew mitigation for
+  // aggregations over pathologically low-cardinality keys (events has 5
+  // event_types for 100 k+ rows: a direct final aggregate funnels every
+  // row of a key through ONE reducer). Phase 1 groups on
+  // (key, salt = hash(row id) % S) so each hot key fans out over S
+  // reducers; phase 2 merges the S partials per key. Decimal partials
+  // compose exactly (decimal addition is associative), so the salted
+  // result is bit-identical to the direct aggregate — which is exactly
+  // what the DuckDB oracle computes, making the equivalence
+  // machine-checked rather than asserted. (AQE's skew handling covers
+  // joins; skewed AGGREGATES still need this shape when map-side combine
+  // isn't enough — e.g. high-cardinality state per key downstream.)
+  // ---------------------------------------------------------------------
+  private val SaltBuckets = 32
+
+  def q36SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("__salt", pmod(hash(col("event_id")), lit(SaltBuckets)))
+      .groupBy(col("event_type"), col("__salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("value").cast(DecimalType(30, 6))).as("ps"),
+        min(col("value")).as("pmin"),
+        max(col("value")).as("pmax"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n"),
+        sum(col("ps")).cast(DoubleType).as("sum_value"),
+        min(col("pmin")).as("min_value"),
+        max(col("pmax")).as("max_value"))
+      .orderBy(col("event_type"))
+
+  val q36SaltedAggSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+      |  MIN(value) AS min_value,
+      |  MAX(value) AS max_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
@@ -587,5 +627,6 @@ object Relational {
     QueryDef.sql("q15_range_join", q15RangeJoin _, q15RangeJoinSql),
     QueryDef.sql("q18_profit_by_nation_year", q18ProfitByNationYear _, q18ProfitByNationYearSql),
     QueryDef.sql("q19_percentiles", q19Percentiles _, q19PercentilesSql),
+    QueryDef.sql("q36_salted_agg", q36SaltedAgg _, q36SaltedAggSql),
   )
 }

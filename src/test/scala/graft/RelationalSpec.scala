@@ -163,6 +163,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("q36 salted aggregation fans hot keys over salt buckets, two exchange levels") {
+    val q36 = Relational.q36SaltedAgg(spark, dir)
+    // counts reconcile with the direct aggregate
+    val direct = Tables.events(spark, dir).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = q36.collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(salted == direct)
+    // the plan carries BOTH aggregation levels: a (key, salt) exchange
+    // fanning each hot key out, then the per-key merge
+    val plan = q36.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salted phase missing from the plan")
+    assert("hashpartitioning\\(event_type[#0-9L]*, __salt".r.findFirstIn(plan).isDefined,
+      s"no (key, salt) exchange in plan")
+  }
+
   test("q12 hourly buckets sum to the events row count") {
     val total = Tables.events(spark, dir).count()
     val bucketed = Relational.q12HourlyEvents(spark, dir)
