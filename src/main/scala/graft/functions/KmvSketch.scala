@@ -36,6 +36,10 @@ case class KmvDistinct(
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
   require(k >= 2, "KMV needs k >= 2")
+  // 1L << 63 is Long.MinValue and 1L << 64 wraps to 1 — either silently
+  // destroys the estimate's denominator in eval(), so bound the shift.
+  require(hashSpaceBits >= 1 && hashSpaceBits <= 62,
+    s"KMV hashSpaceBits must be in [1, 62], got $hashSpaceBits")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -53,9 +53,16 @@ object Relational {
     sys.props.get("graft.sums").orElse(sys.env.get("GRAFT_SUMS"))
       .contains("decimal")
 
+  /** `scale` is the DECIMAL-mode precision only. Double mode deliberately
+    * ignores it and always rounds to cents: the rounding margin is what
+    * absorbs cross-engine double-sum divergence, and a scale-6 margin
+    * (5e-7) would sit BELOW the accumulated double error on large totals
+    * (error grows with the total; the 0.005 cents margin does not).
+    * SumModeMarginSpec pins the measured error-to-margin ratio.
+    */
   private[operators] def dsum(c: Column, scale: Int = 2): Column =
     if (sumsDecimal) sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
-    else round(sum(c), 2)
+    else round(sum(c), 2) // cents regardless of `scale` — see Scaladoc
 
   private def dsumSql(expr: String, scale: Int = 2): String =
     if (sumsDecimal) s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"

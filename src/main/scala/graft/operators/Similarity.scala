@@ -265,30 +265,78 @@ object Similarity {
 
   // -------------------------------------------------------------------
   // q34: IVF-flat ANN — the second scale path beside LSH (q31). Coarse
-  // quantizer = a deterministic sample of the corpus itself
-  // (vec_id % IvfMod == IvfSel, so nlist grows with the corpus like the
-  // classic sqrt(n) guidance); every corpus vector is assigned to its
-  // nearest centroid cell, queries probe the IvfProbe nearest cells, and
-  // the exact re-rank touches only the probed cells' members.
+  // quantizer = a BOUNDED deterministic sample of the corpus: vec_id is
+  // a centroid iff its md5-60-bit hash falls below
+  // T = floor(2^60 * ceil(sqrt(n)) / n), so nlist ≈ ceil(sqrt(n)) —
+  // sublinear in the corpus, per the classic IVF guidance. (A mod-sample
+  // like `vec_id % 24` would be a constant FRACTION: linear nlist, an
+  // O(n) centroid broadcast and an O(n²/24) assignment at 100 TB.) The
+  // threshold is the same md5-60-bit gadget as d42/d43, so the whole
+  // quantizer stays oracle-expressible: DuckDB derives the identical
+  // threshold from the identical COUNT(*). Every corpus vector is
+  // assigned to its nearest centroid cell, queries probe the IvfProbe
+  // nearest cells, and the exact re-rank touches only the probed cells'
+  // members.
   //
-  // Scale shape: centroids are the ONLY broadcast (provably small);
-  // assignment is one corpus scan × nlist codegen'd cosines; candidate
-  // selection is a broadcast join of the (tiny) probed-cell list against
-  // the assigned corpus — the corpus itself never shuffles. Every number
-  // is a deterministic function of the input through IEEE-identical
-  // arithmetic, so the whole operator — cell assignment included — is
-  // oracle-checked, not just spec-pinned.
+  // Scale shape: centroids are the ONLY broadcast (O(sqrt(n)) vectors);
+  // assignment is one corpus scan × nlist codegen'd cosines
+  // (O(n·sqrt(n)) total); candidate selection is a broadcast join of the
+  // (tiny) probed-cell list against the assigned corpus — the corpus
+  // itself never shuffles. Every number is a deterministic function of
+  // the input through IEEE-identical arithmetic, so the whole operator —
+  // cell assignment included — is oracle-checked, not just spec-pinned.
   // -------------------------------------------------------------------
-  private val IvfMod = 24
-  private val IvfSel = 7
   private val IvfProbe = 6
+
+  /** The md5-60-bit hash space, 2^60 (15 hex digits). */
+  private val HashSpace = BigInt(1) << 60
+
+  /** Centroid-sample threshold: floor(2^60 * ceil(sqrt(n)) / n), exact
+    * integer arithmetic (BigInt — 2^60 * sqrt(n) overflows a long), so
+    * DuckDB's HUGEINT replay is bit-identical.
+    */
+  private[graft] def centroidThreshold(n: Long): Long = {
+    require(n > 0, "empty corpus has no centroids")
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    (HashSpace * k / n).toLong
+  }
+
+  /** Portable 60-bit hash of an id: first 15 hex digits of md5 of its
+    * decimal string — the d42/d43 gadget.
+    */
+  private def h60(c: Column): Column = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+  }
+
+  /** The bounded coarse quantizer: ≈ceil(sqrt(n)) corpus vectors chosen
+    * by md5 threshold. The one `count()` action is a cheap columnar
+    * metadata scan; its result becomes a literal in the plan, keeping
+    * the filter codegen'd. CentroidSpec pins nlist ≈ sqrt(n) at two
+    * corpus sizes.
+    */
+  private[graft] def sampleCentroids(e: DataFrame): DataFrame =
+    e.filter(h60(col("vec_id")) < centroidThreshold(e.count()))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** SQL mirror of [[sampleCentroids]] (no leading WITH): DuckDB computes
+    * floor(2^60 * ceil(sqrt(n)) / n) in HUGEINT — both engines floor a
+    * positive exact-integer quotient, so the centroid SET matches
+    * bit-for-bit.
+    */
+  private def centsSqlCte(name: String): String =
+    s"""$name AS (
+       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT <
+       |    (SELECT CAST(1152921504606846976::HUGEINT
+       |       * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) / COUNT(*) AS BIGINT)
+       |     FROM embeddings))""".stripMargin
 
   def q34AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     Vectors.register(spark)
     val e = Tables.embeddings(spark, dir)
       .repartition(spark.sessionState.conf.numShufflePartitions)
-    val cents = e.filter(col("vec_id") % IvfMod === IvfSel)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val cents = sampleCentroids(e)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid").asc)
     val assigned = e.crossJoin(broadcast(cents))
@@ -317,9 +365,7 @@ object Similarity {
   }
 
   def q34AnnIvfSql: String =
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-       |  WHERE vec_id % $IvfMod = $IvfSel),
+    s"""WITH ${centsSqlCte("cents")},
        |assigned AS (
        |  SELECT vec_id AS neighbor_id, embedding AS ne, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
@@ -349,42 +395,54 @@ object Similarity {
        |ORDER BY query_id, rn""".stripMargin
 
   // -------------------------------------------------------------------
-  // q35: IVF with one Lloyd (k-means) refinement round — q34's sampled
-  // coarse quantizer, then: assign corpus → recompute each cell's
-  // centroid as the per-dimension MEAN of its members → re-assign →
-  // probe → exact re-rank. The refinement is the piece that makes IVF a
-  // learned quantizer rather than a random sample, and it stays
-  // oracle-checkable because the means run in decimal space (the q33
-  // recipe: round(x,7) → DECIMAL(30,7) sums → one double division),
+  // q35: IVF with LloydRounds k-means refinement rounds — q34's bounded
+  // coarse quantizer, then per round: assign corpus → recompute each
+  // cell's centroid as the per-dimension MEAN of its members; finally
+  // re-assign → probe → exact re-rank. The refinement is the piece that
+  // makes IVF a learned quantizer rather than a random sample, and it
+  // stays oracle-checkable because the means run in decimal space (the
+  // q33 recipe: round(x,7) → DECIMAL(30,7) sums → one double division),
   // so the refined centroids — and every assignment made with them —
   // are bit-identical across engines. Refined centroids are rebuilt as
   // float vectors (deterministic IEEE cast) so the same codegen'd
-  // VecCosine kernel scores them.
+  // VecCosine kernel scores them. Cells that attract no members drop
+  // out (standard k-means cell death) — identically in both engines,
+  // since both group only over assigned cids.
   //
-  // Scale: refinement is one posexplode + hash-aggregate on (cid, dim)
-  // (map-side combine, no shuffle of raw vectors beyond the aggregate),
-  // and centroids stay the only broadcast. More Lloyd rounds = repeat
-  // the same two stages; one round is declared here to keep the oracle
-  // SQL single-pass.
+  // Scale: each round is one assignment pass (n × nlist codegen'd
+  // cosines, nlist ≈ sqrt(n)) plus one posexplode + hash-aggregate on
+  // (cid, dim) (map-side combine), and centroids stay the only
+  // broadcast. The round count is a declared constant: the oracle SQL
+  // generator unrolls the same CTE pair per round, so the iteration
+  // pattern — not just one step — is hash-checked cross-engine.
   // -------------------------------------------------------------------
-  def q35AnnIvfLloyd(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] val LloydRounds = 2
+
+  def q35AnnIvfLloyd(spark: SparkSession, dir: String): DataFrame =
+    annIvfLloyd(spark, dir, LloydRounds)
+
+  /** Nearest-centroid assignment: broadcast the (small) centroid set,
+    * score with the codegen'd VecCosine, keep the `keep` best cells per
+    * row (1 = assignment, IvfProbe = query probe).
+    */
+  private def nearest(side: DataFrame, idCol: String, embCol: String,
+                      cents: DataFrame, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid").asc)
+    side.crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.vecCosine(col(embCol), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= keep)
+      .drop("csim", "crn", "ce")
+  }
+
+  /** One Lloyd round: assign every corpus vector to its nearest
+    * centroid, recompute cell centroids as decimal-exact per-dimension
+    * means, rebuilt as float vectors.
+    */
+  private def lloydRound(e: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
-    Vectors.register(spark)
-    val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-    val cents0 = e.filter(col("vec_id") % IvfMod === IvfSel)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    def nearest(side: DataFrame, idCol: String, embCol: String,
-                cents: DataFrame, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cid").asc)
-      side.crossJoin(broadcast(cents))
-        .withColumn("csim", Vectors.vecCosine(col(embCol), col("ce")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("csim", "crn", "ce")
-    }
-    val assigned0 = nearest(e, "vec_id", "embedding", cents0, 1)
-    val refined = assigned0.select(col("cid"), posexplode(col("embedding")))
+    nearest(e, "vec_id", "embedding", cents, 1)
+      .select(col("cid"), posexplode(col("embedding")))
       .groupBy(col("cid"), col("pos"))
       .agg(sum(round(col("col").cast(DoubleType), 7).cast(DecimalType(30, 7))).as("s"),
         count(lit(1)).as("n"))
@@ -393,15 +451,22 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("ce"))
-    val assigned1 = nearest(e, "vec_id", "embedding", refined, 1)
+  }
+
+  def annIvfLloyd(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
+    Vectors.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val cents = (1 to rounds).foldLeft(sampleCentroids(e))((c, _) => lloydRound(e, c))
+    val assigned = nearest(e, "vec_id", "embedding", cents, 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
     val probed = nearest(
         e.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
-        "query_id", "qe", refined, IvfProbe)
+        "query_id", "qe", cents, IvfProbe)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id").asc)
-    assigned1.join(broadcast(probed), Seq("cid"))
+    assigned.join(broadcast(probed), Seq("cid"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", Vectors.vecCosine(col("qe"), col("ne")))
       .withColumn("rn", row_number().over(w))
@@ -410,44 +475,52 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  def q35AnnIvfLloydSql: String =
-    s"""WITH cents0 AS (
-       |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-       |  WHERE vec_id % $IvfMod = $IvfSel),
-       |assigned0 AS (
-       |  SELECT vec_id, embedding, cid FROM (
-       |    SELECT e.vec_id, e.embedding, c.cid,
-       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
-       |    FROM embeddings e CROSS JOIN cents0 c) t
-       |  WHERE crn = 1),
-       |dims AS (
-       |  SELECT cid, j - 1 AS dim,
-       |    SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE), 7) AS DECIMAL(30,7))) AS s,
-       |    COUNT(*) AS n
-       |  FROM assigned0 CROSS JOIN range(1, ${Dim + 1}) r(j)
-       |  GROUP BY cid, j),
-       |refined AS (
-       |  SELECT cid, list(CAST(CAST(s AS DOUBLE) / n AS REAL) ORDER BY dim) AS ce
-       |  FROM dims GROUP BY cid),
-       |assigned1 AS (
+  def q35AnnIvfLloydSql: String = annIvfLloydSql(LloydRounds)
+
+  /** SQL mirror of [[annIvfLloyd]]: unrolls one (assignment, means) CTE
+    * pair per Lloyd round — cents0 is the md5-threshold sample, centsR
+    * the round-R refinement; the final assignment/probe read cents<rounds>.
+    */
+  private[graft] def annIvfLloydSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      s"""asg${r - 1} AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+         |    FROM embeddings e CROSS JOIN cents${r - 1} c) t
+         |  WHERE crn = 1),
+         |dims$r AS (
+         |  SELECT cid, j - 1 AS dim,
+         |    SUM(CAST(ROUND(CAST(embedding[j] AS DOUBLE), 7) AS DECIMAL(30,7))) AS s,
+         |    COUNT(*) AS n
+         |  FROM asg${r - 1} CROSS JOIN range(1, ${Dim + 1}) rng(j)
+         |  GROUP BY cid, j),
+         |cents$r AS (
+         |  SELECT cid, list(CAST(CAST(s AS DOUBLE) / n AS REAL) ORDER BY dim) AS ce
+         |  FROM dims$r GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val fin = s"cents$rounds"
+    s"""WITH ${centsSqlCte("cents0")},
+       |$roundCtes,
+       |assigned AS (
        |  SELECT vec_id AS neighbor_id, embedding AS ne, cid FROM (
        |    SELECT e.vec_id, e.embedding, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
-       |    FROM embeddings e CROSS JOIN refined c) t
+       |    FROM embeddings e CROSS JOIN $fin c) t
        |  WHERE crn = 1),
        |probed AS (
        |  SELECT query_id, qe, cid FROM (
        |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.cid ASC) AS crn
-       |    FROM embeddings q CROSS JOIN refined c
+       |    FROM embeddings q CROSS JOIN $fin c
        |    WHERE q.vec_id < $NumQueries) t
        |  WHERE crn <= $IvfProbe),
        |scored AS (
        |  SELECT query_id, neighbor_id, ${cosSql("qe", "ne")} AS sim
-       |  FROM probed JOIN assigned1 USING (cid)
+       |  FROM probed JOIN assigned USING (cid)
        |  WHERE neighbor_id <> query_id),
        |ranked AS (
        |  SELECT query_id, neighbor_id, sim,
@@ -457,6 +530,7 @@ object Similarity {
        |FROM ranked
        |WHERE rn <= $K
        |ORDER BY query_id, rn""".stripMargin
+  }
 
   // -------------------------------------------------------------------
   // q33: per-group embedding centroids — the aggregation primitive of

@@ -116,6 +116,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"))
   }
 
+  test("IVF centroid sample is ~sqrt(n), sublinear across corpus sizes") {
+    // exact threshold arithmetic (floor(2^60 * ceil(sqrt(n)) / n)) —
+    // pinned to the values DuckDB's HUGEINT replay computes
+    assert(Similarity.centroidThreshold(500) == 53034389211914960L)
+    assert(Similarity.centroidThreshold(2000) == 25940733853654056L)
+    def nlist(d: String): (Long, Long) = {
+      val e = Tables.embeddings(spark, d)
+      (e.count(), Similarity.sampleCentroids(e).count())
+    }
+    val (n1, c1) = nlist("/root/testdata/sf0.001")
+    val (n2, c2) = nlist("/root/testdata/sf0.1")
+    def target(n: Long): Long = math.ceil(math.sqrt(n.toDouble)).toLong
+    // binomial sample around the sqrt target: within [k/2, 2k] at both
+    // corpus sizes, and the sampled FRACTION must shrink as n grows —
+    // the property the old mod-sample (constant fraction) lacked
+    assert(c1 >= target(n1) / 2 && c1 <= 2 * target(n1), s"nlist($n1) = $c1")
+    assert(c2 >= target(n2) / 2 && c2 <= 2 * target(n2), s"nlist($n2) = $c2")
+    assert(c2.toDouble / n2 < c1.toDouble / n1,
+      s"centroid fraction must shrink with n: $c1/$n1 vs $c2/$n2")
+  }
+
   test("Lloyd-refined IVF matches or beats the sampled quantizer's recall") {
     val brute = Similarity.q30AnnBrute(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
