@@ -434,6 +434,28 @@ object Dedup {
   // so the loop never pins corpus-scale data in executor memory.
   // ---------------------------------------------------------------------
 
+  /** Materialize one frame of the iterative loop with truncated lineage.
+    *
+    * Default: `localCheckpoint` — executor-local blocks, no DFS write.
+    * Fast, and right for the bench; but after truncation an executor loss
+    * makes those blocks unrecoverable, so a long production run on a real
+    * cluster should set `spark.graft.cc.checkpointDir` to a DFS path:
+    * the loop then uses reliable `checkpoint()` into that dir and an
+    * executor loss only recomputes from the checkpoint files. The trade
+    * is one distributed write per retained frame (O(pair-list) bytes,
+    * ids only — not corpus-scale). CheckpointModeSpec exercises both.
+    */
+  private def persistIter(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.cc.checkpointDir") match {
+      case Some(dir) if dir.nonEmpty =>
+        if (spark.sparkContext.getCheckpointDir.isEmpty)
+          spark.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(eager = true)
+      case _ => df.localCheckpoint(true)
+    }
+  }
+
   /** (doc_id, cluster_id) for every node in `pairs`, cluster_id = min id
     * of the node's connected component.
     */
@@ -442,14 +464,12 @@ object Dedup {
     // deriving both loop frames from it — labels and edges each force an
     // action, and without this checkpoint each would re-execute the full
     // upstream candidate-generation pipeline
-    val sym = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
-      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-      .localCheckpoint(true)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    val sym = persistIter(pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .union(pairs.select(col(bCol).as("a"), col(aCol).as("b"))))
+    var labels = persistIter(sym.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")))
     // label-graph edges; contracted (relabeled + dedup'd) every round
-    var edges = sym.distinct().localCheckpoint(true)
+    var edges = persistIter(sym.distinct())
     var done = false
     while (!done) {
       // min neighbor label per label-graph node
@@ -464,16 +484,14 @@ object Dedup {
         val updated = labels.join(minN, Seq("label"), "left")
           .select(col("id"), least(col("label"), col("nl")).as("label"))
         val jump = updated.select(col("id").as("jid"), col("label").as("jl"))
-        labels = updated.join(jump, col("label") === col("jid"), "left")
-          .select(col("id"), coalesce(col("jl"), col("label")).as("label"))
-          .localCheckpoint(true)
-        edges = edges
+        labels = persistIter(updated.join(jump, col("label") === col("jid"), "left")
+          .select(col("id"), coalesce(col("jl"), col("label")).as("label")))
+        edges = persistIter(edges
           .join(labels.withColumnRenamed("id", "a").withColumnRenamed("label", "la"), Seq("a"))
           .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "lb"), Seq("b"))
           .select(col("la").as("a"), col("lb").as("b"))
           .filter(col("a") =!= col("b"))
-          .distinct()
-          .localCheckpoint(true)
+          .distinct())
       }
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -209,6 +209,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connectedComponents reliable-checkpoint mode matches local and writes files") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    def run(): Map[Long, Long] =
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run()
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    try {
+      assert(run() == local, "reliable mode must produce identical clusters")
+      def files(p: java.io.File): Int =
+        if (p.isFile) 1 else Option(p.listFiles).map(_.map(files).sum).getOrElse(0)
+      assert(files(new java.io.File(dir)) > 0,
+        "reliable mode must write checkpoint files into the configured dir")
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+  }
+
   test("c70 cluster-global keeper: only cluster minima survive near-dup removal") {
     val clusters = Dedup.d45NearDupClusters(spark, dir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
