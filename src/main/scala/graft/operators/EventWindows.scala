@@ -111,8 +111,42 @@ object EventWindows {
        |GROUP BY w_start_us, event_type
        |ORDER BY w_start_us, event_type""".stripMargin
 
+  private val JoinBoundSec = 21600L // 6 h click→purchase attribution bound
+
+  // ---------------------------------------------------------------------
+  // q37: the batch shape of the watermarked stream-stream interval join
+  // ([[graft.streaming.StreamJoin.intervalJoin]] — SAME code path; the
+  // watermark node is eliminated on batch input): click → purchase pairs
+  // of the same user within 6 h. Gap is exact integer microseconds, so
+  // the whole row is hash-comparable. One shuffle on user_id; the range
+  // predicate prunes within each key group.
+  // ---------------------------------------------------------------------
+  def q37StreamJoinShape(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val buys = ev.filter(col("event_type") === "purchase").drop("event_type")
+    graft.streaming.StreamJoin
+      .intervalJoin(clicks, buys, "user_id", "ts", "10 minutes", JoinBoundSec)
+      .select(col("l_event_id").as("click_id"), col("r_event_id").as("purchase_id"),
+        col("l_user_id").as("user_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("gap_us"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  val q37StreamJoinShapeSql: String =
+    s"""WITH c AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+       |p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase')
+       |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       |  c.user_id AS user_id,
+       |  epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+       |FROM c JOIN p ON c.user_id = p.user_id
+       |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL $JoinBoundSec SECONDS
+       |ORDER BY click_id, purchase_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
+    QueryDef.sql("q37_stream_join_shape", q37StreamJoinShape _, q37StreamJoinShapeSql),
   )
 }

@@ -75,6 +75,43 @@ class WatermarkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: matches in-bound pairs, drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val buys = MemoryStream[(Long, Timestamp, Long)]
+    val joined = graft.streaming.StreamJoin.intervalJoin(
+        clicks.toDF().toDF("event_id", "ts", "user_id"),
+        buys.toDF().toDF("event_id", "ts", "user_id"),
+        "user_id", "ts", delay = "5 minutes", boundSeconds = 600)
+      .select(col("l_event_id").as("a"), col("r_event_id").as("b"))
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    def pairs(): Set[(Long, Long)] = spark.table("ss_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    try {
+      // purchase 5 min after the click, same user → exactly one pair
+      clicks.addData((1L, ts("10:00"), 7L))
+      buys.addData((100L, ts("10:05"), 7L))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 100L)))
+      // outside the 10-min bound, and a different user: no new pairs
+      buys.addData((101L, ts("10:20"), 7L), (102L, ts("10:21"), 8L))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 100L)))
+      // advance the watermark on BOTH streams to ~11:55 — click #1's
+      // buffered state (needed only until wm > 10:10) is evicted, and a
+      // late in-bound purchase (10:06 << watermark) is dropped outright
+      clicks.addData((2L, ts("12:00"), 9L))
+      buys.addData((103L, ts("12:00"), 10L))
+      q.processAllAvailable()
+      buys.addData((104L, ts("10:06"), 7L))
+      q.processAllAvailable()
+      assert(pairs() == Set((1L, 100L)),
+        s"late purchase must not join an evicted click: ${pairs()}")
+    } finally q.stop()
+  }
+
   test("cumulative stats run on the RocksDB state store provider") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
