@@ -49,23 +49,33 @@ object Sources {
     raw.select(get_json_object(col("value").cast(StringType), "$.readTag_id").as("line"))
       .filter(col("line").isNotNull)
 
+  /** Raw on-disk events schema (ts = int64 nanos — see Tables.events). */
+  val rawEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
   /** File-replay source: the events table as a stream (the test/bench
     * stand-in for the Kafka topic — event_type plays readTag_id,
     * value plays readValue).
     */
   def eventsStream(spark: SparkSession, sfDir: String,
-                   maxFilesPerTrigger: Int = 1): DataFrame = {
+                   maxFilesPerTrigger: Int = 1): DataFrame =
+    // glob (not the bare file path): the file stream source requires a
+    // directory basePath and re-lists the glob each trigger
+    eventsStreamFrom(spark, s"$sfDir/events*.parquet", maxFilesPerTrigger)
+
+  /** Same source over an arbitrary parquet glob — one micro-batch per
+    * `maxFilesPerTrigger` files, so a replay staged as N files drives N
+    * steady-state epochs (StreamBench).
+    */
+  def eventsStreamFrom(spark: SparkSession, glob: String,
+                       maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     spark.readStream
-      .schema(schema)
+      .schema(rawEventsSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      // glob (not the bare file path): the file stream source requires a
-      // directory basePath and re-lists the glob each trigger
-      .parquet(s"$sfDir/events*.parquet")
+      .parquet(glob)
       // integer division (`div`): long/1000 via `/` casts through double
       // and loses low bits above 2^53 — see Tables.events
       .withColumn("ts", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
