@@ -30,43 +30,58 @@ import graft.{QueryDef, Tables}
   */
 object Relational {
 
-  /** Sum mode for the money-total aggregations (q1/q2/q9/q10/q12/q13/q18).
+  /** Sum mode for the money-total aggregations (q1/q2/q9/q10/q12/q13/
+    * q16/q17/q18). One SEMANTIC — the exact fixed-point sum of each
+    * row's value snapped to the 10^scale grid — two implementations
+    * with bit-identical output (SumModeMarginSpec pins the equality):
     *
-    *  - `double` (default): native double sums rounded to cents in BOTH
-    *    engines. This is the production mode — the decimal path costs
-    *    ~3.5× on q1 at sf0.1 (measured medians 1.05 s vs 0.29 s,
-    *    BASELINE.md) because every row pays a Decimal box + 128-bit add
-    *    instead of a codegen'd double add. Cross-engine equality still
-    *    holds at the cents boundary: double-sum error on these totals is
-    *    ≤1e-4 relative-to-cents at gate scale, orders of magnitude inside
-    *    the ROUND(…, 2) margin.
-    *  - `decimal` (`-Dgraft.sums=decimal` / `GRAFT_SUMS=decimal`): sums in
-    *    decimal space — bit-exact at ANY partitioning/order, the
-    *    oracle-parity mode for audits and for sums that feed ORDER
-    *    BY/rank (those stay decimal unconditionally, e.g. q7's top-k key:
-    *    a rounded tie would make the emitted row SET engine-dependent).
+    *  - `long` (default): per row, floor(x·10^scale + 0.5) as a plain
+    *    long. The snap is exact: every money/value column in the schema
+    *    carries ≤ scale decimals (verified against the testdata — all
+    *    base columns are 2 dp; derived products are ≤ 6 dp), so the
+    *    scaled double sits within ~1e-9 of an integer, never near the
+    *    .5 tie. Longs sum associatively (partition-order-proof, fully
+    *    codegen'd: mult + floor + long add), and ONE long→double
+    *    conversion + ONE division at the end are correctly-rounded IEEE
+    *    ops on identical inputs in both engines.
+    *  - `decimal` (`-Dgraft.sums=decimal` / `GRAFT_SUMS=decimal`): the
+    *    same snap via a DECIMAL(30,scale) cast, summed in decimal —
+    *    SAME values; kept as the audit path and the overflow escape.
+    *    The long path saturates at |total| > 9.2e18 / 10^scale units
+    *    (~9.2 trillion currency units at scale 6); past that bound run
+    *    decimal mode — only the Spark side needs the switch, DuckDB's
+    *    BIGINT sum already widens to HUGEINT.
     *
-    * Both the Column builder and the SQL generator read the same flag, so
-    * the Spark plan and the DuckDB oracle always agree on the mode.
+    * History: round 3 used native double sums + ROUND(…,2) in both
+    * engines, arguing the 0.005 margin dominated double-sum error. The
+    * round-4 dual-SF gate and SumModeMarginSpec falsified the margin
+    * model: grid-valued data (2 dp inputs, 4-6 dp products) lands exact
+    * totals exactly ON cents boundaries, where any cross-engine double
+    * divergence — not just large error — flips the rounded cent (q18's
+    * profit did, at sf0.1). Fixed-point summation removes the margin
+    * concept entirely and keeps the hot loop codegen'd (the decimal
+    * path's per-row 128-bit boxing measured 3.5× on q1, BASELINE.md).
+    *
+    * Both the Column builder and the SQL generator read the same flag,
+    * so the Spark plan and the DuckDB oracle always agree on the mode.
     */
   private def sumsDecimal: Boolean =
     sys.props.get("graft.sums").orElse(sys.env.get("GRAFT_SUMS"))
       .contains("decimal")
 
-  /** `scale` is the DECIMAL-mode precision only. Double mode deliberately
-    * ignores it and always rounds to cents: the rounding margin is what
-    * absorbs cross-engine double-sum divergence, and a scale-6 margin
-    * (5e-7) would sit BELOW the accumulated double error on large totals
-    * (error grows with the total; the 0.005 cents margin does not).
-    * SumModeMarginSpec pins the measured error-to-margin ratio.
-    */
   private[operators] def dsum(c: Column, scale: Int = 2): Column =
     if (sumsDecimal) sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
-    else round(sum(c), 2) // cents regardless of `scale` — see Scaladoc
+    else {
+      val u = math.pow(10, scale)
+      (sum(floor(c * lit(u) + lit(0.5))).cast(DoubleType) / lit(u)).as("dsum")
+    }
 
   private def dsumSql(expr: String, scale: Int = 2): String =
     if (sumsDecimal) s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
-    else s"ROUND(SUM($expr), 2)"
+    else {
+      val u = s"${math.pow(10, scale).toLong}.0"
+      s"CAST(SUM(CAST(floor(($expr) * $u + 0.5) AS BIGINT)) AS DOUBLE) / $u"
+    }
 
   // ---------------------------------------------------------------------
   // q1: pricing summary report (TPC-H Q1 shape). Scan → partial/final hash
