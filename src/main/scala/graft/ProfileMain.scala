@@ -43,6 +43,9 @@ object ProfileMain {
         Tables.documents(spark, dir).repartition(32).count()
       } else if (n == "sig_only") {
         graft.operators.Dedup.minhashSignatures(spark, dir).count()
+      } else if (n == "d42_noguard") {
+        graft.operators.Dedup.minhashNearDupPairsFrom(
+          Tables.documents(spark, dir), maxBucket = Int.MaxValue).count()
       } else if (n == "d41_parts") {
         import org.apache.spark.sql.functions._
         val sh = graft.operators.Dedup.minhashSignatures(spark, dir) // warm nothing
