@@ -10,7 +10,8 @@ object SparkEntry {
   /** All operator modules contributing queries. */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ EventWindows.defs ++ StatsOps.defs ++ Dedup.defs ++
-      Similarity.defs ++ TextOps.defs ++ Multimodal.defs ++ Curation.defs
+      Similarity.defs ++ TextOps.defs ++ Multimodal.defs ++ Curation.defs ++
+      AsOfJoin.defs ++ Sampling.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

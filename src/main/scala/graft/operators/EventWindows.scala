@@ -144,9 +144,55 @@ object EventWindows {
        |  AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL $JoinBoundSec SECONDS
        |ORDER BY click_id, purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q39: funnel analysis — per-user ordered progression signup → click →
+  // purchase (each stage strictly after the previous stage's FIRST
+  // event), reported as per-stage user counts. The standard product-
+  // analytics shape: each stage is a keyed min-aggregate joined to the
+  // previous stage — shuffles on user_id only, no event×event blow-up,
+  // and AQE reuses the exchange across stages at scale.
+  // ---------------------------------------------------------------------
+  def q39Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id").filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id").filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(s1, "1_signup")
+      .unionByName(stage(s2, "2_click_after_signup"))
+      .unionByName(stage(s3, "3_purchase_after_click"))
+      .orderBy(col("stage"))
+  }
+
+  val q39FunnelSql: String =
+    s"""WITH s1 AS (
+       |  SELECT user_id, MIN(ts) AS t1 FROM events
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |s2 AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+       |s3 AS (
+       |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+       |SELECT stage, n_users FROM (
+       |  SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+       |  UNION ALL
+       |  SELECT '2_click_after_signup', COUNT(*) FROM s2
+       |  UNION ALL
+       |  SELECT '3_purchase_after_click', COUNT(*) FROM s3)
+       |ORDER BY stage""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
     QueryDef.sql("q37_stream_join_shape", q37StreamJoinShape _, q37StreamJoinShapeSql),
+    QueryDef.sql("q39_funnel", q39Funnel _, q39FunnelSql),
   )
 }

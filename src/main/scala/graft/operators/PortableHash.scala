@@ -1,0 +1,26 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** The engine's portable 60-bit hash gadget: first 15 hex digits of
+  * md5 of a value's decimal string, as a non-negative BIGINT — the one
+  * deterministic "randomness" primitive every sampled/sketched operator
+  * builds on (d42 minhash keys, d43 simhash, q11c KMV input, q34/q35
+  * centroid sampling, d46 stratified sampling), because both Spark and
+  * DuckDB compute it bit-identically:
+  *   Spark:  conv(substring(md5(cast(x AS STRING)), 1, 15), 16, 10)
+  *   DuckDB: ('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 15))::BIGINT
+  */
+object PortableHash {
+
+  /** 2^60 — the h60 value space (exclusive upper bound). */
+  val HashSpace: BigInt = BigInt(1) << 60
+
+  def h60(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  def h60Sql(expr: String): String =
+    s"('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15))::BIGINT"
+}

@@ -288,9 +288,6 @@ object Similarity {
   // -------------------------------------------------------------------
   private val IvfProbe = 6
 
-  /** The md5-60-bit hash space, 2^60 (15 hex digits). */
-  private val HashSpace = BigInt(1) << 60
-
   /** Centroid-sample threshold: floor(2^60 * ceil(sqrt(n)) / n), exact
     * integer arithmetic (BigInt — 2^60 * sqrt(n) overflows a long), so
     * DuckDB's HUGEINT replay is bit-identical.
@@ -298,25 +295,17 @@ object Similarity {
   private[graft] def centroidThreshold(n: Long): Long = {
     require(n > 0, "empty corpus has no centroids")
     val k = math.ceil(math.sqrt(n.toDouble)).toLong
-    (HashSpace * k / n).toLong
-  }
-
-  /** Portable 60-bit hash of an id: first 15 hex digits of md5 of its
-    * decimal string — the d42/d43 gadget.
-    */
-  private def h60(c: Column): Column = {
-    import org.apache.spark.sql.types.{LongType, StringType}
-    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+    (PortableHash.HashSpace * k / n).toLong
   }
 
   /** The bounded coarse quantizer: ≈ceil(sqrt(n)) corpus vectors chosen
-    * by md5 threshold. The one `count()` action is a cheap columnar
-    * metadata scan; its result becomes a literal in the plan, keeping
-    * the filter codegen'd. CentroidSpec pins nlist ≈ sqrt(n) at two
-    * corpus sizes.
+    * by md5 threshold ([[PortableHash.h60]]). The one `count()` action
+    * is a cheap columnar metadata scan; its result becomes a literal in
+    * the plan, keeping the filter codegen'd. The centroid spec pins
+    * nlist ≈ sqrt(n) at two corpus sizes.
     */
   private[graft] def sampleCentroids(e: DataFrame): DataFrame =
-    e.filter(h60(col("vec_id")) < centroidThreshold(e.count()))
+    e.filter(PortableHash.h60(col("vec_id")) < centroidThreshold(e.count()))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
   /** SQL mirror of [[sampleCentroids]] (no leading WITH): DuckDB computes

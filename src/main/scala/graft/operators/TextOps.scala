@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -227,10 +228,73 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t54: TF-IDF — top-3 terms per document by smoothed tf-idf
+  // (tf · (ln((N+1)/(df+1)) + 1), the sklearn-style smoothing). The
+  // classic keyword/feature extractor of a text pipeline: one explode,
+  // two hash aggregates (per-(doc,term) tf; per-term df), a broadcast-
+  // able df join, a per-doc top-k window.
+  //
+  // Cross-engine determinism: ln() is the one transcendental here, and
+  // libm implementations may legitimately differ by an ulp — an ulp on a
+  // raw ORDER BY key can flip which term ranks 3rd. So the idf is
+  // SNAPPED to integer nano-units (floor(ln(·)·1e9 + .5)) — a 1e-16
+  // relative ulp cannot move a value across a .5 nano boundary unless it
+  // sits exactly on one (measure-zero for transcendentals; the hash gate
+  // verifies this data) — and the score becomes tf · idf_nanos: exact
+  // integer arithmetic, exact ordering, one final division shared by
+  // both engines. Same fixed-point discipline as Relational.dsum.
+  // -------------------------------------------------------------------
+  private val TfIdfK = 3
+
+  def t54TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val nDocs = d.count() // one tiny count action → a plan literal
+    val terms = d.select(col("doc_id"), explode(toks).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = terms.distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idfNanos = (floor(log((lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0)))
+      * lit(1e9) + lit(0.5)) + lit(1000000000L)).cast(LongType)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_n").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("score_n", col("tf") * idfNanos)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfIdfK)
+      .select(col("doc_id"), col("rank"), col("term"), col("df"),
+        (col("score_n").cast(DoubleType) / lit(1e9)).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val t54TfIdfSql: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+       |dfreq AS (
+       |  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
+       |  GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id, term, df,
+       |    tf * (CAST(floor(ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df + 1.0))
+       |               * 1000000000.0 + 0.5) AS BIGINT) + 1000000000) AS score_n
+       |  FROM tf JOIN dfreq USING (term)),
+       |ranked AS (
+       |  SELECT doc_id, term, df, score_n,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score_n DESC, term ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, df,
+       |  CAST(score_n AS DOUBLE) / 1000000000.0 AS score
+       |FROM ranked WHERE rank <= $TfIdfK
+       |ORDER BY doc_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),
+    QueryDef.sql("t54_tfidf", t54TfIdf _, t54TfIdfSql),
   )
 }
