@@ -218,12 +218,19 @@ object Relational {
   // ---------------------------------------------------------------------
   // q6: running-frame window (cumulative sum + lag) per supplier. The
   // cumulative sum runs in decimal so Spark's and DuckDB's sequential
-  // frame evaluation agree bit-for-bit.
+  // frame evaluation agree bit-for-bit. The frame/output ordering
+  // includes l_quantity + l_extendedprice because the synthetic
+  // lineitem does NOT honor (l_orderkey, l_linenumber) uniqueness (one
+  // duplicate group at sf0.1): with value columns in the key, rows that
+  // still tie are output-identical, so tied-row placement cannot leak
+  // engine/partitioning order into the result — the discipline every
+  // ORDER BY in the suite follows.
   // ---------------------------------------------------------------------
   def q6RunningWindow(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
     li.withColumn("running_qty",
         sum(col("l_quantity").cast(DecimalType(30, 2)))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -231,19 +238,20 @@ object Relational {
       .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("l_quantity"), col("running_qty"), col("prev_qty"))
-      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
   }
 
   val q6RunningWindowSql: String =
     """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
       |       OVER (PARTITION BY l_suppkey
-      |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
       |  LAG(l_quantity, 1) OVER (PARTITION BY l_suppkey
-      |                           ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_qty
+      |                           ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS prev_qty
       |FROM lineitem
-      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
 
   // ---------------------------------------------------------------------
   // q7: global top-k. Spark plans TakeOrderedAndProject — per-partition
@@ -628,6 +636,76 @@ object Relational {
       |ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q40: pivot — per user-bucket counts spread into one column per
+  // event_type via the DataFrame pivot API with an EXPLICIT value list:
+  // without one, pivot first runs a distinct scan over the column AND
+  // the output schema becomes data-dependent — both unacceptable at
+  // 100 TB. Plans as a single conditional aggregation (one shuffle),
+  // which is exactly the oracle SQL's COUNT(*) FILTER form.
+  // ---------------------------------------------------------------------
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  def q40Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10)))
+      .groupBy(col("user_bucket"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      // a (bucket, type) combination with no rows pivots to null while
+      // COUNT(*) FILTER gives 0 — normalize to the SQL semantics
+      .na.fill(0L, EventTypes)
+      .orderBy(col("user_bucket"))
+
+  val q40PivotSql: String = {
+    val cols = EventTypes.map(t =>
+      s"""  COUNT(*) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n")
+    s"""SELECT user_id % 10 AS user_bucket,
+       |$cols
+       |FROM events
+       |GROUP BY user_bucket
+       |ORDER BY user_bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q41: salted skew-safe JOIN — q36's sibling for the join side. A hot
+  // key would land one reducer with the whole key's rows; salting
+  // spreads the FACT side over SaltBuckets sub-keys (deterministic
+  // per-row salt) and replicates each DIM row once per bucket, so the
+  // shuffle join runs on (key, salt) with bounded per-task input. The
+  // post-join aggregate proves result equivalence: the oracle runs the
+  // UNSALTED plain join — identical output is the correctness claim.
+  // (AQE's skew-join split handles sort-merge cases adaptively; explicit
+  // salting is the shape for when the engine can't — e.g. a broadcast
+  // isn't possible and the key histogram is known-degenerate.)
+  // ---------------------------------------------------------------------
+  def q41SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("__salt", pmod(hash(col("event_id")), lit(SaltBuckets)))
+    // derived per-user dimension (first-seen event id as a stand-in
+    // attribute), replicated once per salt bucket
+    val dim = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(min(col("event_id")).as("first_event_id"))
+      .withColumn("__salt", explode(sequence(lit(0), lit(SaltBuckets - 1))))
+    ev.join(dim, Seq("user_id", "__salt"))
+      .groupBy(pmod(col("user_id"), lit(10)).as("user_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("first_event_id")).as("sum_first_ids"),
+        sum(col("value").cast(DecimalType(30, 6))).cast(DoubleType).as("sum_value"))
+      .orderBy(col("user_bucket"))
+  }
+
+  val q41SaltedJoinSql: String =
+    """WITH dim AS (
+      |  SELECT user_id, MIN(event_id) AS first_event_id
+      |  FROM events GROUP BY user_id)
+      |SELECT e.user_id % 10 AS user_bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(d.first_event_id) AS BIGINT) AS sum_first_ids,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN dim d ON e.user_id = d.user_id
+      |GROUP BY user_bucket
+      |ORDER BY user_bucket""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
@@ -650,5 +728,7 @@ object Relational {
     QueryDef.sql("q18_profit_by_nation_year", q18ProfitByNationYear _, q18ProfitByNationYearSql),
     QueryDef.sql("q19_percentiles", q19Percentiles _, q19PercentilesSql),
     QueryDef.sql("q36_salted_agg", q36SaltedAgg _, q36SaltedAggSql),
+    QueryDef.sql("q40_pivot", q40Pivot _, q40PivotSql),
+    QueryDef.sql("q41_salted_join", q41SaltedJoin _, q41SaltedJoinSql),
   )
 }
