@@ -252,8 +252,10 @@ object TextOps {
     val nDocs = d.count() // one tiny count action → a plan literal
     val terms = d.select(col("doc_id"), explode(toks).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = terms.distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // tf rows ARE the distinct (doc, term) pairs — derive df from them
+    // instead of a second corpus explode + distinct (one scan, and the
+    // df aggregate runs over pre-aggregated rows, not raw tokens)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idfNanos = (floor(log((lit(nDocs.toDouble) + 1.0) / (col("df") + lit(1.0)))
       * lit(1e9) + lit(0.5)) + lit(1000000000L)).cast(LongType)
     val w = Window.partitionBy(col("doc_id"))
@@ -273,8 +275,7 @@ object TextOps {
        |tf AS (
        |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
        |dfreq AS (
-       |  SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms)
-       |  GROUP BY term),
+       |  SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
        |scored AS (
        |  SELECT doc_id, term, df,
        |    tf * (CAST(floor(ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df + 1.0))
