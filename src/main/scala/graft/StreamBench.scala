@@ -50,10 +50,12 @@ object StreamBench {
 
   private case class RunStats(rows: Long, epochs: Long, epochMs: Seq[Double],
                               wallSec: Double) {
+    // nearest-rank percentile: index = ceil(p·n) − 1 (so p50 of 8 values
+    // is the 4th, not the 5th)
     private def pct(p: Double): Double =
       if (epochMs.isEmpty) 0.0
       else epochMs.sorted.apply(math.min(epochMs.size - 1,
-        (p * epochMs.size).toInt))
+        math.max(0, math.ceil(p * epochMs.size).toInt - 1)))
     def rowsPerSec: Double = if (wallSec > 0) rows / wallSec else 0.0
     def avg: Double = if (epochMs.nonEmpty) epochMs.sum / epochMs.size else 0.0
     def p50: Double = pct(0.50)

@@ -131,7 +131,7 @@ object Dedup {
     // broadcast anyway.
     val sh = shingledCounted(spark, dir)
       .select(col("doc_id"), col("n_shingles"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast(LongType).as("k"))
+        PortableHash.h60(col("shingle")).as("k"))
     sh.as("a").join(sh.as("b").hint("shuffle_hash"),
         col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -309,7 +309,7 @@ object Dedup {
     val ones = (0 until SimBits).map(b =>
       sum(expr(s"shiftright(h, $b)").bitwiseAND(lit(1L))).as(s"o$b"))
     shingled(spark, dir)
-      .withColumn("h", conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast(LongType))
+      .withColumn("h", PortableHash.h60(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(ones.head, (ones.tail :+ count(lit(1)).as("n")): _*)
       .select(col("doc_id"),
@@ -440,26 +440,42 @@ object Dedup {
     * Fast, and right for the bench; but after truncation an executor loss
     * makes those blocks unrecoverable, so a long production run on a real
     * cluster should set `spark.graft.cc.checkpointDir` to a DFS path:
-    * the loop then uses reliable `checkpoint()` into that dir and an
-    * executor loss only recomputes from the checkpoint files. The trade
-    * is one distributed write per retained frame (O(pair-list) bytes,
-    * ids only — not corpus-scale). CheckpointModeSpec exercises both.
+    * the loop then uses reliable `checkpoint()` into a per-run
+    * subdirectory of that path and an executor loss only recomputes from
+    * the checkpoint files. The trade is one distributed write per
+    * retained frame. Retention is bounded, not cleaned: Spark does not
+    * delete reliable checkpoints while the app runs (and the returned
+    * frame READS from the final ones), so a run retains
+    * O(pair-list · log n) bytes — ids only, never corpus-scale — and the
+    * per-run subdir is the cleanup unit for the caller (or set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to let GC
+    * reap superseded rounds). Both modes are exercised by
+    * DedupSimilaritySpec's "connectedComponents reliable-checkpoint
+    * mode" test.
     */
   private def persistIter(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption("spark.graft.cc.checkpointDir") match {
-      case Some(dir) if dir.nonEmpty =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
-        df.checkpoint(eager = true)
+      case Some(dir) if dir.nonEmpty => df.checkpoint(eager = true)
       case _ => df.localCheckpoint(true)
     }
   }
+
+  /** Point the context's checkpoint location at a fresh per-run subdir
+    * of the configured base (no-op in localCheckpoint mode).
+    */
+  private def initCheckpointDir(spark: SparkSession): Unit =
+    spark.conf.getOption("spark.graft.cc.checkpointDir").foreach { dir =>
+      if (dir.nonEmpty)
+        spark.sparkContext.setCheckpointDir(
+          s"$dir/cc-${java.util.UUID.randomUUID()}")
+    }
 
   /** (doc_id, cluster_id) for every node in `pairs`, cluster_id = min id
     * of the node's connected component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    initCheckpointDir(pairs.sparkSession)
     // materialize the (possibly expensive) pair pipeline ONCE before
     // deriving both loop frames from it — labels and edges each force an
     // action, and without this checkpoint each would re-execute the full

@@ -72,7 +72,7 @@ object EventWindows {
        |  MIN(ts_us) AS session_start_us,
        |  MAX(ts_us) + $SessionGapUs AS session_end_us,
        |  COUNT(*) AS n_events,
-       |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+       |  ${Relational.dsumSql("value", 6)} AS sum_value
        |FROM islands
        |GROUP BY user_id, sid
        |ORDER BY user_id, session_start_us""".stripMargin
@@ -106,7 +106,7 @@ object EventWindows {
        |  FROM e CROSS JOIN range(0, ${WindowUs / SlideUs}) r(k))
        |SELECT w_start_us, event_type,
        |  COUNT(*) AS n_events,
-       |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+       |  ${Relational.dsumSql("value", 6)} AS sum_value
        |FROM expanded
        |GROUP BY w_start_us, event_type
        |ORDER BY w_start_us, event_type""".stripMargin

@@ -76,7 +76,7 @@ object Relational {
       (sum(floor(c * lit(u) + lit(0.5))).cast(DoubleType) / lit(u)).as("dsum")
     }
 
-  private def dsumSql(expr: String, scale: Int = 2): String =
+  private[operators] def dsumSql(expr: String, scale: Int = 2): String =
     if (sumsDecimal) s"CAST(SUM(CAST($expr AS DECIMAL(30,$scale))) AS DOUBLE)"
     else {
       val u = s"${math.pow(10, scale).toLong}.0"
@@ -400,8 +400,7 @@ object Relational {
 
   def q11cKmvDistinct(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Vectors.register(spark)
-    val h = conv(substring(md5(col("l_orderkey").cast(StringType)), 1, 15), 16, 10)
-      .cast(LongType)
+    val h = PortableHash.h60(col("l_orderkey"))
     Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), h.as("h"))
       .groupBy(col("l_returnflag"))

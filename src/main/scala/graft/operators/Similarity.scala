@@ -323,9 +323,11 @@ object Similarity {
 
   def q34AnnIvf(spark: SparkSession, dir: String): DataFrame = {
     Vectors.register(spark)
-    val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-    val cents = sampleCentroids(e)
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    // centroids sample the RAW scan: sampling through `e` would force the
+    // full repartition exchange just to run count() and the tiny filter
+    val cents = sampleCentroids(raw)
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid").asc)
     val assigned = e.crossJoin(broadcast(cents))
@@ -444,9 +446,10 @@ object Similarity {
 
   def annIvfLloyd(spark: SparkSession, dir: String, rounds: Int): DataFrame = {
     Vectors.register(spark)
-    val e = Tables.embeddings(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
-    val cents = (1 to rounds).foldLeft(sampleCentroids(e))((c, _) => lloydRound(e, c))
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    // raw scan for the sample — see q34AnnIvf
+    val cents = (1 to rounds).foldLeft(sampleCentroids(raw))((c, _) => lloydRound(e, c))
     val assigned = nearest(e, "vec_id", "embedding", cents, 1)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("cid"))
     val probed = nearest(
