@@ -706,6 +706,52 @@ object Relational {
       |GROUP BY user_bucket
       |ORDER BY user_bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q42: unpivot (melt) — q40's pivot round-tripped back to long form
+  // with the native Dataset.unpivot (MELT plan node: a generator, no
+  // shuffle). Zero-filled pivot cells are dropped on the way back, so
+  // the oracle is the PLAIN group-by — round-trip identity is the
+  // correctness claim for both directions at once.
+  // ---------------------------------------------------------------------
+  def q42Unpivot(spark: SparkSession, dir: String): DataFrame =
+    q40Pivot(spark, dir)
+      .unpivot(Array(col("user_bucket")), EventTypes.map(col).toArray,
+        "event_type", "n_events")
+      .filter(col("n_events") > 0)
+      .orderBy(col("user_bucket"), col("event_type"))
+
+  val q42UnpivotSql: String =
+    """SELECT user_id % 10 AS user_bucket, event_type, COUNT(*) AS n_events
+      |FROM events
+      |GROUP BY user_bucket, event_type
+      |ORDER BY user_bucket, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q43: fixed-bin histogram — 20 width-30 bins over events.value per
+  // event_type (bounds are LITERALS: a data-dependent min/max would need
+  // an extra pass and make the bin edges nondeterministic under
+  // re-ingestion; fixed edges are also what dashboards want). One hash
+  // aggregate; bin arithmetic is exact integer floor on a 2 dp grid.
+  // ---------------------------------------------------------------------
+  private val HistWidth = 30
+  private val HistBins = 20
+
+  def q43Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("bin",
+        least(floor(col("value") / HistWidth), lit(HistBins - 1L)).cast(LongType))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("bin"))
+
+  val q43HistogramSql: String =
+    s"""SELECT event_type,
+       |  LEAST(CAST(floor(value / $HistWidth) AS BIGINT), ${HistBins - 1}) AS bin,
+       |  COUNT(*) AS n
+       |FROM events
+       |GROUP BY event_type, bin
+       |ORDER BY event_type, bin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -729,5 +775,7 @@ object Relational {
     QueryDef.sql("q36_salted_agg", q36SaltedAgg _, q36SaltedAggSql),
     QueryDef.sql("q40_pivot", q40Pivot _, q40PivotSql),
     QueryDef.sql("q41_salted_join", q41SaltedJoin _, q41SaltedJoinSql),
+    QueryDef.sql("q42_unpivot", q42Unpivot _, q42UnpivotSql),
+    QueryDef.sql("q43_histogram", q43Histogram _, q43HistogramSql),
   )
 }
