@@ -58,6 +58,17 @@ class KmvPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("constructor rejects k < 2 and hashSpaceBits outside [1, 62]") {
+    val child = BoundReference(0, LongType, nullable = true)
+    intercept[IllegalArgumentException](KmvDistinct(child, 1))
+    // 1L << 63 is Long.MinValue and 1L << 64 wraps to 1 — both would
+    // silently corrupt the estimate denominator if allowed through
+    intercept[IllegalArgumentException](KmvDistinct(child, 64, hashSpaceBits = 63))
+    intercept[IllegalArgumentException](KmvDistinct(child, 64, hashSpaceBits = 0))
+    KmvDistinct(child, 64, hashSpaceBits = 62) // boundary accepted
+    ()
+  }
+
   test("null inputs are ignored, duplicates count once") {
     val a = agg(4)
     val b = Seq[Any](7L, null, 7L, 9L, null, 9L, 7L)
