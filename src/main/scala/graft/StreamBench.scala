@@ -48,8 +48,9 @@ object StreamBench {
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   }
 
-  private case class RunStats(rows: Long, epochs: Long, epochMs: Seq[Double],
+  private case class RunStats(rows: Long, epochMs: Seq[Double],
                               wallSec: Double) {
+    def epochs: Int = epochMs.size
     // nearest-rank percentile: index = ceil(p·n) − 1 (so p50 of 8 values
     // is the 4th, not the 5th)
     private def pct(p: Double): Double =
@@ -84,7 +85,7 @@ object StreamBench {
     spark.streams.removeListener(totals)
     val (rows, ms) = totals.synchronized((totals.rows, totals.epochMs.toSeq))
     q.stop()
-    RunStats(rows, ms.size.toLong, ms, elapsed)
+    RunStats(rows, ms, elapsed)
   }
 
   /** Warm-up replay (discarded) then the measured one. */

@@ -18,6 +18,11 @@ object PortableHash {
   /** 2^60 — the h60 value space (exclusive upper bound). */
   val HashSpace: BigInt = BigInt(1) << 60
 
+  /** The same bound as a DuckDB HUGEINT literal, for threshold
+    * arithmetic that must not overflow BIGINT.
+    */
+  val HashSpaceSqlHugeInt: String = s"$HashSpace::HUGEINT"
+
   def h60(c: Column): Column =
     conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
 

@@ -73,7 +73,7 @@ object Relational {
     if (sumsDecimal) sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
     else {
       val u = math.pow(10, scale)
-      (sum(floor(c * lit(u) + lit(0.5))).cast(DoubleType) / lit(u)).as("dsum")
+      sum(floor(c * lit(u) + lit(0.5))).cast(DoubleType) / lit(u)
     }
 
   private[operators] def dsumSql(expr: String, scale: Int = 2): String =

@@ -58,8 +58,8 @@ object Sampling {
        |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
        |t AS (
        |  SELECT lang, CAST(LEAST(
-       |      1152921504606846976::HUGEINT,
-       |      1152921504606846976::HUGEINT * ${Over * K} / n) AS BIGINT) AS t
+       |      ${PortableHash.HashSpaceSqlHugeInt},
+       |      ${PortableHash.HashSpaceSqlHugeInt} * ${Over * K} / n) AS BIGINT) AS t
        |  FROM n),
        |f AS (
        |  SELECT d.lang, d.doc_id, ${PortableHash.h60Sql("d.doc_id")} AS h

@@ -316,8 +316,8 @@ object Similarity {
   private def centsSqlCte(name: String): String =
     s"""$name AS (
        |  SELECT vec_id AS cid, embedding AS ce FROM embeddings
-       |  WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT <
-       |    (SELECT CAST(1152921504606846976::HUGEINT
+       |  WHERE ${PortableHash.h60Sql("vec_id")} <
+       |    (SELECT CAST(${PortableHash.HashSpaceSqlHugeInt}
        |       * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT) / COUNT(*) AS BIGINT)
        |     FROM embeddings))""".stripMargin
 

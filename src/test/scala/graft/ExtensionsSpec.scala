@@ -43,7 +43,10 @@ class ExtensionsSpec extends AnyFunSuite {
 
   test("vec_* functions resolve from SQL via spark.sql.extensions in a fresh JVM") {
     import scala.sys.process._
-    val java = s"${sys.props("java.home")}/bin/java"
+    val javaBin = s"${sys.props("java.home")}/bin/java"
+    // mirrors build.sbt's jdk17AddOpens (the forked JVM's RuntimeMXBean
+    // does not expose its input arguments here, so the list cannot be
+    // harvested at runtime; keep the two in sync)
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
       "java.base/java.lang.reflect", "java.base/java.io",
@@ -53,7 +56,7 @@ class ExtensionsSpec extends AnyFunSuite {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar",
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = Seq(java) ++ addOpens ++ Seq(
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
       "-Dspark.sql.session.timeZone=UTC", "-Xmx2g",
       "-cp", sys.props("java.class.path"), "graft.ExtensionsProbe")
     val out = new StringBuilder
