@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -189,10 +190,83 @@ object EventWindows {
        |  SELECT '3_purchase_after_click', COUNT(*) FROM s3)
        |ORDER BY stage""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q45: event-type transition matrix — the Markov-chain view of user
+  // behavior (what follows what). One window (lag over each user's
+  // time-ordered events; (user_id, ts) is unique in this data, so the
+  // order is total) + one hash aggregate over the 5×5 pair space.
+  // Shuffles once on user_id; the aggregate output is O(|types|²)
+  // regardless of corpus size.
+  // ---------------------------------------------------------------------
+  def q45Transitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val q45TransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_type
+      |  FROM events)
+      |SELECT prev_type, event_type, COUNT(*) AS n
+      |FROM seq WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, event_type
+      |ORDER BY prev_type, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q46: cohort retention — users bucketed by first-signup week, counted
+  // as active in each subsequent week. Week arithmetic runs on integer
+  // microseconds (epoch-aligned floor division — exact, timezone-free).
+  // Two shuffles on user_id (cohort min-agg + activity join) and one
+  // count-distinct per (cohort, offset); cohort cardinality is
+  // O(weeks²), corpus-independent.
+  // ---------------------------------------------------------------------
+  private val WeekUs = 7L * 24 * 3600 * 1000000L
+
+  def q46Retention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    // `div`, not `/`: Column./ is DOUBLE division, which loses low bits
+    // on epoch-microsecond magnitudes (> 2^53) — see Tables.events
+    val cohort = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("t1us"))
+      .select(col("user_id"), expr(s"t1us div $WeekUs").as("cohort_week"))
+    ev.withColumn("week", expr(s"unix_micros(ts) div $WeekUs"))
+      .join(cohort, "user_id")
+      .filter(col("week") >= col("cohort_week"))
+      .withColumn("week_offset", col("week") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q46RetentionSql: String =
+    s"""WITH cohort AS (
+       |  SELECT user_id, MIN(epoch_us(ts)) // $WeekUs AS cohort_week
+       |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+       |activity AS (
+       |  SELECT e.user_id, epoch_us(e.ts) // $WeekUs AS week, c.cohort_week
+       |  FROM events e JOIN cohort c USING (user_id))
+       |SELECT cohort_week, week - cohort_week AS week_offset,
+       |  COUNT(DISTINCT user_id) AS n_active
+       |FROM activity
+       |WHERE week >= cohort_week
+       |GROUP BY cohort_week, week_offset
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
     QueryDef.sql("q37_stream_join_shape", q37StreamJoinShape _, q37StreamJoinShapeSql),
     QueryDef.sql("q39_funnel", q39Funnel _, q39FunnelSql),
+    QueryDef.sql("q45_transitions", q45Transitions _, q45TransitionsSql),
+    QueryDef.sql("q46_retention", q46Retention _, q46RetentionSql),
   )
 }
