@@ -561,6 +561,65 @@ object Similarity {
        |GROUP BY lang, dim
        |ORDER BY lang, dim""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q47: int8 scalar-quantized ANN (SQ8) — the memory-compression path:
+  // each float is snapped to an integer grid (floor(x·200 + 0.5); the
+  // corpus lies in (−0.58, 0.52) so values stay within ±116, an int8
+  // range). At 100 TB the quantized corpus is 4× smaller — the scan,
+  // the cache footprint, and the shuffle all shrink with it — and
+  // scoring becomes EXACT integer dot products, which removes every
+  // floating-point determinism concern at once: no rounding, no margin,
+  // ties broken by neighbor id. Ranking by raw dot ≈ cosine for the
+  // near-unit-norm corpus; recall vs the exact float path is pinned by
+  // spec. Same broadcast-queries/scan-corpus shape as q30.
+  // -------------------------------------------------------------------
+  private val SqScale = 200.0
+
+  private def quantized(c: Column): Column = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    transform(c, x => floor(x.cast(DoubleType) * SqScale + lit(0.5)).cast(LongType))
+  }
+
+  def q47AnnSq8(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantized(col("embedding")).as("qe"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("qq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    e.select(col("vec_id").as("neighbor_id"), col("qe"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", aggregate(zip_with(col("qq"), col("qe"), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("qdot"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val q47AnnSq8Sql: String =
+    s"""WITH qz AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $SqScale + 0.5) AS BIGINT)) AS qe
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, qe AS qq FROM qz WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(q.qq, c.qe),
+       |      p -> p[1] * p[2])) AS BIGINT) AS qdot
+       |  FROM q CROSS JOIN qz c
+       |  WHERE c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, qdot,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY qdot DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id, qdot
+       |FROM ranked WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q30_ann_brute", q30AnnBrute _, q30AnnBruteSql),
     QueryDef.sql("q31_ann_lsh", q31AnnLsh _, q31AnnLshSql),
@@ -568,5 +627,6 @@ object Similarity {
     QueryDef.sql("q33_lang_centroids", q33LangCentroids _, q33LangCentroidsSql),
     QueryDef.sql("q34_ann_ivf", q34AnnIvf _, q34AnnIvfSql),
     QueryDef.sql("q35_ann_ivf_lloyd", q35AnnIvfLloyd _, q35AnnIvfLloydSql),
+    QueryDef.sql("q47_ann_sq8", q47AnnSq8 _, q47AnnSq8Sql),
   )
 }

@@ -152,6 +152,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lloyd >= sampled - 0.1, f"lloyd=$lloyd%.2f much worse than sampled=$sampled%.2f")
   }
 
+  test("SQ8 quantized ANN keeps useful recall against the exact float path") {
+    val brute = Similarity.q30AnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq8 = Similarity.q47AnnSq8(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect sq8).size.toDouble / brute.size
+    info(f"SQ8 recall@5 = $recall%.2f")
+    assert(recall >= 0.4, f"recall@5 $recall%.2f below floor")
+  }
+
   test("hot-bucket guard bounds candidates from a planted degenerate bucket") {
     import spark.implicits._
     // one degenerate bucket with 100 members + 50 normal 2-member buckets
