@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.fidelity.StatefulStats
-import graft.streaming.{RunningStats, Sources}
+import graft.streaming.{RunningStats, Sources, StreamJoin}
 
 /** Streaming-pipeline benchmark (BASELINE.md streaming metrics): replays
   * the events table as a file stream through the cumulative stats
@@ -64,14 +64,17 @@ object StreamBench {
     def max: Double = if (epochMs.nonEmpty) epochMs.max else 0.0
   }
 
-  /** One measured replay of `stats`. */
+  /** One measured replay of `stats`. Aggregation pipelines run in
+    * Update mode; stream-stream joins support Append only.
+    */
   private def runOnce(spark: org.apache.spark.sql.SparkSession,
-                      stats: DataFrame, name: String): RunStats = {
+                      stats: DataFrame, name: String,
+                      mode: String = "update"): RunStats = {
     val totals = new Totals
     spark.streams.addListener(totals)
     val t0 = System.nanoTime()
     val q = stats.writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
+      .outputMode(mode).start()
     q.processAllAvailable()
     val elapsed = (System.nanoTime() - t0) / 1e9
     // progress events are posted async: wait until the listener has gone
@@ -90,9 +93,10 @@ object StreamBench {
 
   /** Warm-up replay (discarded) then the measured one. */
   private def measure(spark: org.apache.spark.sql.SparkSession,
-                      mkStats: () => DataFrame, name: String): RunStats = {
-    runOnce(spark, mkStats(), s"${name}_warmup")
-    runOnce(spark, mkStats(), name)
+                      mkStats: () => DataFrame, name: String,
+                      mode: String = "update"): RunStats = {
+    runOnce(spark, mkStats(), s"${name}_warmup", mode)
+    runOnce(spark, mkStats(), name, mode)
   }
 
   /** Stage the events table as `n` ts-range parquet files so the file
@@ -122,6 +126,16 @@ object StreamBench {
     val fid = measure(spark,
       () => StatefulStats(Sources.eventsStreamFrom(spark, glob),
         col("event_type"), col("value")).toDF(), "stream_bench_fidelity")
+    // stream-stream watermarked interval join (q37's engine): two
+    // filtered views of the replay joined within the 6 h bound; the
+    // reported rows/s is INPUT rows consumed (both sides), the
+    // steady-state cost of keeping the interval-join state machine fed
+    def joinSide(t: String) = Sources.eventsStreamFrom(spark, glob)
+      .filter(col("event_type") === t)
+      .select(col("event_id"), col("ts"), col("user_id"))
+    val join = measure(spark,
+      () => StreamJoin.intervalJoin(joinSide("click"), joinSide("purchase"),
+        "user_id", "ts", "10 minutes", 21600L), "stream_bench_join", "append")
     println(s"""{"metric":"stream_rows_per_sec","value":${decl.rowsPerSec},""" +
       s""""unit":"rows/sec","rows":${decl.rows},"epochs":${decl.epochs},""" +
       s""""avg_epoch_ms":${decl.avg},"p50_epoch_ms":${decl.p50},""" +
@@ -129,7 +143,10 @@ object StreamBench {
       s""""wall_sec":${decl.wallSec},""" +
       s""""fidelity_rows_per_sec":${fid.rowsPerSec},""" +
       s""""fidelity_avg_epoch_ms":${fid.avg},"fidelity_p50_epoch_ms":${fid.p50},""" +
-      s""""fidelity_p95_epoch_ms":${fid.p95},"sf":"$sfDir"}""")
+      s""""fidelity_p95_epoch_ms":${fid.p95},""" +
+      s""""join_rows_per_sec":${join.rowsPerSec},""" +
+      s""""join_p50_epoch_ms":${join.p50},"join_p95_epoch_ms":${join.p95},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }
