@@ -24,6 +24,9 @@ object ProfileMain {
       if (n.startsWith("set:")) {
         val Array(k, v) = n.stripPrefix("set:").split("=", 2)
         spark.conf.set(k, v); println(s"PROF set $k=$v")
+      } else if (n.startsWith("show:")) {
+        defs(n.stripPrefix("show:")).fn(spark, dir).collect()
+          .foreach(r => println("ROW " + r.mkString("|")))
       } else if (n.startsWith("explain:")) {
         println(defs(n.stripPrefix("explain:")).fn(spark, dir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))

@@ -566,16 +566,96 @@ object Relational {
 
   // ---------------------------------------------------------------------
   // q19: exact interpolated percentiles (median / p95) per group — the
-  // ordered-statistics surface. Spark's `percentile` and DuckDB's
-  // `quantile_cont` both compute the same linear interpolation at rank
-  // p·(n-1) over the sorted values, so the doubles agree bit-for-bit;
-  // round(…, 6) is margin against interpolation-order ulps. At scale this
-  // is a sort-based aggregate per group; the approximate sibling is
-  // percentile_approx (implementation-defined sketch, q11b-style
-  // rows-only territory — not declared, the exact form is the oracle
-  // surface).
+  // ordered-statistics surface, in the scale-safe rank-based form.
+  //
+  // Why not the `percentile` aggregate: it is a TypedImperativeAggregate
+  // whose buffer holds a value→count map of every distinct value in the
+  // group, so with few groups the final merge funnels ~all rows' values
+  // into a handful of reducer buffers — per-reducer memory linear in
+  // corpus size, an OOM at 100×. `rankQuantiles` below computes the SAME
+  // interpolation (rank p·(n-1) over the sorted values, the semantics
+  // Spark `percentile` and DuckDB `quantile_cont` share) with every
+  // per-reducer footprint bounded by a range-partition slice:
+  //
+  //   1. range-partition (group, value) into `parts` slices — each slice
+  //      a contiguous run of one-or-more groups' sorted order;
+  //   2. per-(slice, group) counts (≤ parts·|groups| rows) → cumulative
+  //      start offsets + group totals, broadcast back;
+  //   3. row_number within (slice, group) — a partition-bounded sort —
+  //      plus the slice offset = the exact global rank;
+  //   4. keep ONLY the two bracketing ranks per quantile and interpolate.
+  //
+  // No whole-group buffer anywhere; sorts are slice-local and spillable;
+  // parallelism is `parts`, not |groups|. round(…, 6) is margin against
+  // interpolation-order ulps, as before. PercentileSpec pins this plan
+  // ≡ the buffered `percentile` aggregate at sf0.001.
   // ---------------------------------------------------------------------
-  def q19Percentiles(spark: SparkSession, dir: String): DataFrame =
+
+  /** Exact interpolated quantiles by distributed rank (see q19 comment).
+    * `qs` maps output column name → quantile p in [0,1]. Output: one row
+    * per group: (grp, __n, <name per q>). Never buffers a group.
+    */
+  private[graft] def rankQuantiles(df: DataFrame, grp: String, value: String,
+                                   qs: Seq[(String, Double)],
+                                   parts: Int = 32): DataFrame = {
+    val slice = df.select(col(grp), col(value).cast(DoubleType).as("__v"))
+      .where(col("__v").isNotNull)
+      .repartitionByRange(parts, col(grp), col("__v"))
+      .withColumn("__pid", spark_partition_id())
+    // Tiny side table: slice start offset + group total per (pid, grp).
+    val perSlice = slice.groupBy(col("__pid"), col(grp)).agg(count(lit(1)).as("__c"))
+    val wOff = Window.partitionBy(col(grp)).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perSlice
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(grp))))
+      .select(col("__pid"), col(grp), col("__off"), col("__n"))
+    // Global rank = slice offset + slice-local row_number (bounded sort).
+    val ranked = slice
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__pid"), col(grp)).orderBy(col("__v"))))
+      .join(broadcast(offs), Seq("__pid", grp))
+      .withColumn("__rn", col("__off") + col("__lrn"))
+    // 0-based target position p·(n-1); bracketing 1-based ranks are
+    // floor(pos)+1 and floor(pos)+2 (the latter absent iff pos integral
+    // at the group's end — coalesce to the lower value, frac is 0 there).
+    val pos = qs.map { case (_, p) => lit(p) * (col("__n") - 1).cast(DoubleType) }
+    val keep = pos.map(ps =>
+      col("__rn") === floor(ps) + 1 || col("__rn") === floor(ps) + 2).reduce(_ || _)
+    val aggs = qs.zip(pos).flatMap { case ((name, _), ps) =>
+      Seq(max(when(col("__rn") === floor(ps) + 1, col("__v"))).as(s"__lo_$name"),
+          max(when(col("__rn") === floor(ps) + 2, col("__v"))).as(s"__hi_$name"),
+          max(ps).as(s"__pos_$name"))
+    } :+ max(col("__n")).as("__n")
+    val res = qs.map { case (name, _) =>
+      val lo = col(s"__lo_$name"); val hi = coalesce(col(s"__hi_$name"), col(s"__lo_$name"))
+      val frac = col(s"__pos_$name") - floor(col(s"__pos_$name"))
+      round(lo + frac * (hi - lo), 6).as(name)
+    }
+    ranked.where(keep)
+      .groupBy(col(grp))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(grp) +: col("__n") +: res: _*)
+  }
+
+  def q19Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val price = rankQuantiles(li, "l_returnflag", "l_extendedprice",
+      Seq("median_price" -> 0.5, "p95_price" -> 0.95))
+      .withColumnRenamed("__n", "n")
+    val qty = rankQuantiles(li, "l_returnflag", "l_quantity", Seq("q1_qty" -> 0.25))
+      .drop("__n")
+    price.join(qty, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("n"), col("median_price"),
+        col("p95_price"), col("q1_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** The buffered `percentile`-aggregate form — NOT declared (whole-group
+    * value buffers OOM at scale); kept only as PercentileSpec's
+    * cross-check oracle for the rank-based plan above.
+    */
+  private[graft] def q19PercentilesBuffered(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
