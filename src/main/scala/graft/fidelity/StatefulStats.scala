@@ -36,7 +36,8 @@ final case class KeyedStats(
   * 100 TB state mitigation, SURVEY.md §7.5.2) — `transformWithState`
   * rejects the default HDFS-backed provider.
   */
-class StatefulStatsProcessor(sentinelInit: Boolean = false)
+class StatefulStatsProcessor(sentinelInit: Boolean = false,
+                             ttl: Option[java.time.Duration] = None)
     extends StatefulProcessor[String, (String, Double), KeyedStats] {
 
   @transient private var state: ValueState[StatsBuf] = _
@@ -44,7 +45,8 @@ class StatefulStatsProcessor(sentinelInit: Boolean = false)
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
     state = getHandle.getValueState[StatsBuf]("stats",
-      Encoders.product[StatsBuf], TTLConfig.NONE)
+      Encoders.product[StatsBuf],
+      ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
   override def handleInputRows(key: String, rows: Iterator[(String, Double)],
                                timerValues: TimerValues): Iterator[KeyedStats] = {
@@ -72,18 +74,46 @@ object StatefulStats {
           col("delta"), col("bestmin"), col("bestmax"), col("mean"),
           col("m2"), col("variance").as("var"))).as("value"))
 
+  /** Session-conf key enabling the optional state TTL (SURVEY §2.7
+    * Watermarks row: "optional state TTL as 100 TB hygiene"). Accepts a
+    * Spark time string ("30s", "10m", "1h"). Default (unset) keeps the
+    * reference's unbounded-state semantics (`AVG:97-99` acknowledges the
+    * risk and keeps every key forever) — TTL is strictly opt-in.
+    */
+  val TtlConfKey = "spark.graft.stats.ttl"
+
   /** Streaming (key, value) frame → per-batch updated [[KeyedStats]]
     * rows, one per key that received records (the reference's
     * once-per-updated-key-per-batch cadence).
+    *
+    * TTL: pass `ttl` explicitly or set [[TtlConfKey]] on the session; a
+    * key idle past the TTL has its state evicted (RocksDB cleans it up —
+    * the 100 TB bound on distinct-key cardinality) and re-initializes
+    * from `agg.zero` on its next record. The declarative equivalent for
+    * bounded state is event-time watermarking ([[graft.streaming
+    * .Watermarks]]); TTL is the processing-time analogue for this
+    * watermark-less running-stats shape.
+    *
+    * Operational caveat: with TTL the engine runs a (possibly empty)
+    * micro-batch every trigger to advance the expiry clock, so
+    * `processAllAvailable()` never observes a quiescent stream — drive
+    * TTL'd queries by awaiting sink contents (see StateTtlSpec).
     */
   def apply(df: DataFrame, key: Column, value: Column,
-            sentinelInit: Boolean = false): Dataset[KeyedStats] = {
+            sentinelInit: Boolean = false,
+            ttl: Option[java.time.Duration] = None): Dataset[KeyedStats] = {
     val spark = df.sparkSession
     import spark.implicits._
+    val effTtl = ttl.orElse(spark.conf.getOption(TtlConfKey).map(s =>
+      java.time.Duration.ofMillis(
+        org.apache.spark.network.util.JavaUtils.timeStringAsMs(s))))
+    // TTL bookkeeping needs a processing-time clock; without TTL keep
+    // TimeMode.None() so the default path is byte-identical to round 4.
+    val mode = if (effTtl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
     df.select(key.cast(StringType).as("k"), value.cast(DoubleType).as("v"))
       .as[(String, Double)]
       .groupByKey(_._1)
-      .transformWithState(new StatefulStatsProcessor(sentinelInit),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new StatefulStatsProcessor(sentinelInit, effTtl),
+        mode, OutputMode.Update())
   }
 }
