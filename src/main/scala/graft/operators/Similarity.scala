@@ -620,6 +620,91 @@ object Similarity {
        |FROM ranked WHERE rn <= $K
        |ORDER BY query_id, rn""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q48: IVF-SQ8 — the composition a 100 TB corpus actually runs: q34's
+  // bounded ≈sqrt(n) coarse quantizer prunes the search to IvfProbe
+  // cells, and INSIDE the probed cells the re-rank runs on q47's int8
+  // grid (4× smaller candidate scan; cell lists store quantized vectors
+  // only). Cell assignment and query probing keep the float-cosine
+  // geometry (the same codegen'd VecCosine that is already
+  // oracle-proven bit-identical in q34); the candidate scoring — the
+  // part that touches O(n/nlist · probe) vectors per query — is exact
+  // integer dot products: no rounding margin, ties by neighbor id, zero
+  // FP determinism surface where the volume is. Memory shape at scale:
+  // the full-precision corpus is read ONCE (assignment); everything
+  // that persists or shuffles downstream (cell membership, candidate
+  // join) carries the int8 vectors.
+  // -------------------------------------------------------------------
+  def q48AnnIvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    val cents = sampleCentroids(raw)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.vecCosine(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id").as("neighbor_id"),
+        quantized(col("embedding")).as("nq"), col("cid"))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probed = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.vecCosine(col("qe"), col("ce")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= IvfProbe)
+      .select(col("query_id"), quantized(col("qe")).as("qq"), col("cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probed), Seq("cid"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("qdot", aggregate(zip_with(col("qq"), col("nq"), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("rn"), col("neighbor_id"), col("qdot"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val q48AnnIvfSq8Sql: String =
+    s"""WITH ${centsSqlCte("cents")},
+       |assigned AS (
+       |  SELECT neighbor_id, list_transform(ne,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $SqScale + 0.5) AS BIGINT)) AS nq, cid
+       |  FROM (
+       |    SELECT e.vec_id AS neighbor_id, e.embedding AS ne, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE crn = 1),
+       |probed AS (
+       |  SELECT query_id, list_transform(qe,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * $SqScale + 0.5) AS BIGINT)) AS qq, cid
+       |  FROM (
+       |    SELECT q.vec_id AS query_id, q.embedding AS qe, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings q CROSS JOIN cents c
+       |    WHERE q.vec_id < $NumQueries) t
+       |  WHERE crn <= $IvfProbe),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(list_sum(list_transform(list_zip(qq, nq),
+       |      p -> p[1] * p[2])) AS BIGINT) AS qdot
+       |  FROM probed JOIN assigned USING (cid)
+       |  WHERE neighbor_id <> query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, qdot,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY qdot DESC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id, qdot
+       |FROM ranked WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q30_ann_brute", q30AnnBrute _, q30AnnBruteSql),
     QueryDef.sql("q31_ann_lsh", q31AnnLsh _, q31AnnLshSql),
@@ -628,5 +713,6 @@ object Similarity {
     QueryDef.sql("q34_ann_ivf", q34AnnIvf _, q34AnnIvfSql),
     QueryDef.sql("q35_ann_ivf_lloyd", q35AnnIvfLloyd _, q35AnnIvfLloydSql),
     QueryDef.sql("q47_ann_sq8", q47AnnSq8 _, q47AnnSq8Sql),
+    QueryDef.sql("q48_ann_ivf_sq8", q48AnnIvfSq8 _, q48AnnIvfSq8Sql),
   )
 }

@@ -116,6 +116,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange"))
   }
 
+  test("IVF-SQ8 recall meets the IVF floor; candidates score integer-exact") {
+    val brute = Similarity.q30AnnBrute(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val df = Similarity.q48AnnIvfSq8(spark, dir)
+    val rows = df.collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect got).size.toDouble / brute.size
+    info(f"IVF-SQ8 recall@5 = $recall%.2f (${got.size} returned)")
+    assert(recall >= 0.4, f"recall@5 $recall%.2f below the q34 floor")
+    // scores are exact integer dots — a LongType column, no rounding
+    assert(df.schema("qdot").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // corpus is never broadcast — only centroids and probed queries
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"))
+  }
+
   test("IVF centroid sample is ~sqrt(n), sublinear across corpus sizes") {
     // exact threshold arithmetic (floor(2^60 * ceil(sqrt(n)) / n)) —
     // pinned to the values DuckDB's HUGEINT replay computes
