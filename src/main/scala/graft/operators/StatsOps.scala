@@ -56,11 +56,14 @@ object StatsOps {
 
   /** The engine's actual operator (Welford via var_samp) — oracle-checked
     * against DuckDB's own Welford (`var_samp`/`avg`). The FP-path columns
-    * are rounded IN BOTH ENGINES at precisions with ≥4 orders of magnitude
-    * of margin over the worst-case cross-engine delta (measured ≤1e-13
-    * relative at sf0.01; both engines run the same sequential Welford
-    * recurrence, diverging only in partial-merge order), so the hash
-    * compare is stable under partitioning nondeterminism. StatsSpec
+    * are rounded IN BOTH ENGINES at a margin over the cross-engine delta
+    * that is MEASURED per scale factor, not assumed: SumModeMarginSpec
+    * computes each total's distance to its nearest rounding boundary vs
+    * its vs-exact double-summation error and asserts ≥50× headroom at
+    * both gated SFs (tightest measured point: 152×, sf0.1 sumsqr — the
+    * round-3 "≥4 orders of magnitude" claim was optimistic). The error
+    * grows with corpus size; when the spec's bar breaks at a larger SF,
+    * these columns move to the q20 decimal-exact recipe. StatsSpec
     * additionally pins the unrounded values to q20's decimal-exact path
     * within FP tolerance.
     */
