@@ -38,4 +38,23 @@ object WordCount {
     */
   def cumulative(stream: DataFrame, text: Column): DataFrame =
     apply(stream, text)
+
+  /** Streaming top-k word rank (SURVEY §2.7 Sorts row: the streaming
+    * top-k surface). Sorting an unbounded stream is only meaningful over
+    * the complete cumulative aggregate, so this targets COMPLETE output
+    * mode — the one mode where Structured Streaming permits a global
+    * `orderBy`+`limit` over a streaming aggregate (each epoch re-emits
+    * the full current top-k; ties broken by word for a deterministic
+    * cut). State is the O(distinct words) count map; the sort itself
+    * touches only the aggregate's output rows, not the input stream, so
+    * at scale the epoch cost is the aggregate update + a top-k
+    * TakeOrderedAndProject over |vocabulary| rows. For unbounded
+    * vocabularies pair with a watermarked window or the state-TTL
+    * recipe; for Update-mode sinks run the same rank in `foreachBatch`
+    * against an external keeper table.
+    */
+  def topK(stream: DataFrame, text: Column, k: Int): DataFrame =
+    cumulative(stream, text)
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(k)
 }

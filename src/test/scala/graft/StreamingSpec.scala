@@ -105,6 +105,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming top-k word rank re-emits the exact cumulative top-k each epoch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[String]
+    val topk = WordCount.topK(input.toDF().toDF("line"), col("line"), k = 3)
+    val q = topk.writeStream.format("memory").queryName("topk_words")
+      .outputMode("complete").start()
+    def now(): Seq[(String, Long)] = spark.table("topk_words").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy { case (w, n) => (-n, w) }
+    try {
+      input.addData("a a a b b c d")
+      q.processAllAvailable()
+      // exactly k rows, ordered by count desc then word asc ("c" beats
+      // "d" on the tie; "d" is cut)
+      assert(spark.table("topk_words").count() == 3)
+      assert(now() == Seq("a" -> 3L, "b" -> 2L, "c" -> 1L))
+      // epoch 2 flips the ranking: "d" overtakes, "b" and "c" tie at 2
+      // and the word tiebreak keeps "b"; Complete mode REPLACES the sink
+      input.addData("d d d d c")
+      q.processAllAvailable()
+      assert(spark.table("topk_words").count() == 3)
+      assert(now() == Seq("d" -> 5L, "a" -> 3L, "b" -> 2L))
+    } finally q.stop()
+  }
+
   test("P2 extractTagIds feeds the wordcount job end-to-end (AGG:64-94)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
