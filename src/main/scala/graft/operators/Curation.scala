@@ -35,8 +35,13 @@ object Curation {
 
   private val QualityFloor = 0.6
 
-  def c70Curation(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def c70Curation(spark: SparkSession, dir: String): DataFrame =
+    curateFrom(Tables.documents(spark, dir))
+
+  /** The from-scratch pipeline over any (doc_id, text, ...) frame —
+    * c70's body, reusable by the incremental-equivalence spec.
+    */
+  private[graft] def curateFrom(docs: DataFrame): DataFrame = {
     // stage 1: exact dedup with explicit min-doc_id keeper election
     val deduped = Dedup.dedupExact(
         docs.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
@@ -50,14 +55,120 @@ object Curation {
       .select(col("doc_id"))
     val survivors = deduped.join(losers, Seq("doc_id"), "left_anti")
     // stages 3-4: quality gate + language tag
-    survivors
+    scoreDocs(survivors)
+      .filter(col("quality_score") >= QualityFloor)
+      .select(col("doc_id"), col("pred_lang"), col("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stages 3-4 as a per-doc map: (doc_id, pred_lang, quality_score). */
+  private def scoreDocs(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id") +: col("text") +:
         TextOps.langsSorted.map(TextOps.langScore): _*)
       .withColumn("quality_score", TextOps.qualityScoreExpr)
-      .filter(col("quality_score") >= QualityFloor)
       .select(col("doc_id"),
         TextOps.bestLangFold(l => col(s"${l}_score")).as("pred_lang"),
         col("quality_score"))
+
+  // -------------------------------------------------------------------
+  // Incremental curation (VERDICT r04 item 7): a real pipeline runs c70
+  // over ARRIVING data, not from scratch. State after each batch:
+  //
+  //   hashKeepers (content_hash, keeper_id) — exact-dedup memory;
+  //   bands       (doc_id, sig, band, bucket) of every stage-1 survivor
+  //               — INCLUDING near-dup losers: a future doc may link two
+  //               existing clusters only through a loser, so dropping
+  //               loser bands would break transitivity vs from-scratch;
+  //   clusters    (doc_id, cluster_id) current near-dup components;
+  //   scored      (doc_id, pred_lang, quality_score) per survivor.
+  //
+  // Batch step: exact-dedup the batch within itself and against
+  // hashKeepers; band the newcomers once; new candidate pairs = band
+  // join of (all bands) × (new bands) — with batch-monotone doc ids
+  // every pair's larger side is new exactly when the pair is new, so
+  // this is precisely the pair-set delta; then connected components
+  // over (old cluster STAR edges ∪ new pairs) — star contraction
+  // preserves connectivity, so labels equal a from-scratch CC over the
+  // full accumulated pair list. Per-doc scores are computed once on
+  // arrival. `curated` then reads pure state: anti-join losers, quality
+  // gate — no corpus rescan.
+  //
+  // Equivalence contract (pinned by IncrementalCurationSpec): with
+  // batch-monotone doc ids and the hot-bucket cap not binding,
+  // curated(advance*(batches)) ≡ curateFrom(union of batches) exactly.
+  // (Monotone ids make min-id elections prefix-stable; a binding
+  // BucketGuard cap is corpus-order-dependent by design — at a planted
+  // degenerate bucket the incremental run admits the first `cap`
+  // arrivals rather than a global sample.)
+  //
+  // Scale shape: each advance touches O(|batch|) texts for
+  // hashing/banding/scoring, joins |batch| bands against the band
+  // store on (band, bucket) — the same sub-quadratic candidate
+  // generation as d42 — and runs CC over star edges (|survivors|) plus
+  // the pair delta, converging in O(log n) rounds on the DELTA's
+  // cluster merges. State frames are localCheckpoint'd per advance so
+  // lineage stays O(1) across batches; on a cluster point
+  // spark.graft.cc.checkpointDir at reliable storage and persist the
+  // four frames as tables between runs.
+  // -------------------------------------------------------------------
+
+  /** Incremental pipeline state; see the design note above. */
+  final case class CurationState(hashKeepers: DataFrame, bands: DataFrame,
+                                 clusters: DataFrame, scored: DataFrame)
+
+  def emptyState(spark: SparkSession): CurationState = {
+    import org.apache.spark.sql.types._
+    def empty(schema: StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    CurationState(
+      hashKeepers = empty(StructType(Seq(
+        StructField("__h", StringType), StructField("keeper_id", LongType)))),
+      bands = empty(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("sig", ArrayType(LongType, containsNull = false)),
+        StructField("band", IntegerType), StructField("bucket", StringType)))),
+      clusters = empty(StructType(Seq(
+        StructField("doc_id", LongType), StructField("cluster_id", LongType)))),
+      scored = empty(StructType(Seq(
+        StructField("doc_id", LongType), StructField("pred_lang", StringType),
+        StructField("quality_score", DoubleType)))))
+  }
+
+  /** Folds one batch of (doc_id, text) into the state. Doc ids must be
+    * batch-monotone (every id in this batch > every id seen before) —
+    * the natural shape of an append-only ingest.
+    */
+  def advance(state: CurationState, newDocs: DataFrame,
+              threshold: Double = 0.35): CurationState = {
+    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    // stage 1: within-batch exact dedup, then drop content already keyed
+    val inBatch = Dedup.dedupExact(
+      newDocs.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
+    val fresh = inBatch.join(state.hashKeepers.select("__h"), Seq("__h"), "left_anti")
+    val hashKeepers = pin(state.hashKeepers.unionByName(
+      fresh.select(col("__h"), col("doc_id").as("keeper_id"))))
+    // band the newcomers once; pair delta = all-bands × new-bands
+    val newBands = pin(Dedup.bandedSignaturesFrom(fresh.drop("__h")))
+    val allBands = state.bands.unionByName(newBands)
+    val newPairs = Dedup.pairsFromBandJoin(allBands, newBands, threshold)
+    // CC over star edges of the existing clustering + the pair delta
+    val starEdges = state.clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val clusters = pin(Dedup.connectedComponents(
+      starEdges.unionByName(newPairs.select("doc_a", "doc_b")), "doc_a", "doc_b"))
+    val scored = pin(state.scored.unionByName(scoreDocs(fresh)))
+    CurationState(hashKeepers, pin(allBands), clusters, scored)
+  }
+
+  /** The curated corpus for the current state — c70's output shape. */
+  def curated(state: CurationState): DataFrame = {
+    val losers = state.clusters
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    state.scored
+      .join(losers, Seq("doc_id"), "left_anti")
+      .filter(col("quality_score") >= QualityFloor)
       .orderBy(col("doc_id"))
   }
 
@@ -95,7 +206,23 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** c71: the incremental pipeline as a declared, oracle-checked query —
+    * folds the corpus in as two id-ordered batches through [[advance]]
+    * and emits [[curated]] of the merged state. Its oracle is c70's SQL
+    * VERBATIM: incremental ≡ from-scratch is the operator's contract,
+    * so the driver's hash gate checks the equivalence cross-engine,
+    * not just the Scala-vs-Scala spec.
+    */
+  def c71IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val s1 = advance(emptyState(spark), docs.filter(col("doc_id") <= cut))
+    val s2 = advance(s1, docs.filter(col("doc_id") > cut))
+    curated(s2)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
+    QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
   )
 }

@@ -212,24 +212,29 @@ object Dedup {
     * estimate, over any (doc_id, text) frame — the reusable core of d42
     * (also the near-dup stage of [[Curation]]). Unordered.
     */
-  def minhashNearDupPairsFrom(docs: DataFrame, threshold: Double = 0.35,
-                              maxBucket: Int = DocBucketCap): DataFrame = {
-    // each band row carries the full signature, so candidate pairs come
-    // out of the band join with both signatures attached — no signature
-    // rejoin stages, and the identical self-join sides reuse one
-    // signature computation (AQE exchange reuse, verified in the plan),
-    // so no cache either. A signature is 32 longs ≈ 300 B: carrying it
-    // through the (small) band shuffle is far cheaper than two more
-    // shuffled joins.
-    val rawBands = minhashSignaturesFrom(docs)
+  /** Banded minhash signatures of a (doc_id, text) frame: one row per
+    * (doc, band) with the band's bucket digest AND the full signature —
+    * carrying the ~300 B signature through the (small) band shuffle is
+    * far cheaper than signature-rejoin stages after the bucket join.
+    */
+  private[operators] def bandedSignaturesFrom(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(docs)
       .select(col("doc_id"), col("sig"), posexplode(transform(
         sequence(lit(0), lit(NumBands - 1)),
         b => md5(concat_ws(",", transform(
           slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
           x => x.cast(StringType)))))))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
-    val bands = BucketGuard.capHotBuckets(rawBands, Seq("band", "bucket"), maxBucket)
-    bands.as("x").join(bands.as("y").hint("shuffle_hash"),
+
+  /** Candidate pairs from a band-bucket join of two banded frames
+    * (x.doc_id < y.doc_id), estimate-filtered at `threshold`. With
+    * x = y this is d42's self-join core; [[Curation.advance]] passes
+    * x = all docs, y = the new batch to get exactly the pairs touching
+    * a new doc (ids are batch-monotone there).
+    */
+  private[operators] def pairsFromBandJoin(x: DataFrame, y: DataFrame,
+                                           threshold: Double): DataFrame =
+    x.as("x").join(y.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -242,6 +247,14 @@ object Dedup {
           / lit(NumHashes.toDouble), 6))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+
+  def minhashNearDupPairsFrom(docs: DataFrame, threshold: Double = 0.35,
+                              maxBucket: Int = DocBucketCap): DataFrame = {
+    // the identical self-join sides reuse one signature computation
+    // (AQE exchange reuse, verified in the plan), so no cache needed
+    val bands = BucketGuard.capHotBuckets(
+      bandedSignaturesFrom(docs), Seq("band", "bucket"), maxBucket)
+    pairsFromBandJoin(bands, bands, threshold)
   }
 
   def d42MinhashLsh(spark: SparkSession, dir: String): DataFrame =
