@@ -14,6 +14,18 @@ object Bench {
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     Tables.documents(spark, sfDir).count()
     Tables.lineitem(spark, sfDir).count()
+    // steady-state warmup (StreamBench's warm-fairness discipline applied
+    // to the batch suite): replay the WHOLE query set unmeasured at a
+    // tiny SF so each query's codegen/JIT/window-exec warm-up is paid
+    // before its measured run. Without this, whichever queries sort
+    // first (c7x/d4x) absorb the entire cold-JVM cost and read as 3-5×
+    // regressions on unchanged code (BASELINE.md round-6 table).
+    val warmDir = sys.env.getOrElse("GRAFT_BENCH_WARMUP_SF", "/root/testdata/sf0.001")
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     // fixed name order: a Map's iteration order would vary with the query
     // set, making per-query numbers incomparable across rounds
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -549,6 +550,67 @@ object Dedup {
        |GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d47: chunk-level (paragraph-style) exact dedup — the sub-document
+  // granularity between d40's whole-doc hash and d42/d43's fuzzy
+  // matching: split each doc into fixed 8-token chunks, hash each chunk,
+  // elect the globally-first occurrence per hash (min (doc_id,
+  // chunk_idx)), and report each doc's duplicated-chunk fraction. This is
+  // the "remove repeated paragraphs/boilerplate blocks" pass of a
+  // training-data pipeline, where near-dup docs share long verbatim runs
+  // that whole-doc hashing misses.
+  //
+  // Scale shape: ONE shuffle keyed on the chunk hash (the row_number
+  // window), one on doc_id (the per-doc rollup). Only the 32-hex md5 —
+  // never the chunk text — crosses the wire: at 100 TB the shuffle
+  // payload is 32 bytes/chunk regardless of chunk width. The election is
+  // deterministic ((doc_id, chunk_idx) total order), so "keeper" is
+  // auditable, same discipline as d40.
+  // ---------------------------------------------------------------------
+  private val ChunkTokens = 8
+
+  def d47ChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val nChunks = ceil(size(col("toks")) / lit(ChunkTokens.toDouble)).cast(IntegerType)
+    val chunks = Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .withColumn("toks", tokens)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(nChunks, lit(1))),
+        i => struct(i.as("chunk_idx"),
+          md5(concat_ws(" ",
+            slice(col("toks"), (i - 1) * ChunkTokens + 1, lit(ChunkTokens)))).as("h")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.h"))
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc, col("chunk_idx").asc)
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum((col("rn") > 1).cast(LongType)).as("n_dup_chunks"))
+      .withColumn("dup_chunk_frac", col("n_dup_chunks") / col("n_chunks"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d47ChunkDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |chunks AS (
+       |  SELECT doc_id, i AS chunk_idx,
+       |    md5(list_aggregate(t[(i-1)*$ChunkTokens+1 : i*$ChunkTokens],
+       |      'string_agg', ' ')) AS h
+       |  FROM toks, unnest(range(1,
+       |    greatest(CAST(ceil(len(t) / $ChunkTokens.0) AS BIGINT), 1) + 1)) AS u(i)),
+       |elected AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY h
+       |      ORDER BY doc_id ASC, chunk_idx ASC) AS rn
+       |  FROM chunks)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       |  SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS dup_chunk_frac
+       |FROM elected
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d40_dedup_exact", d40ExactGroups _, d40ExactGroupsSql),
     QueryDef.sql("d41_ngram_jaccard", d41NgramJaccard _, d41NgramJaccardSql),
@@ -556,5 +618,6 @@ object Dedup {
     QueryDef.sql("d43_simhash", d43Simhash _, d43SimhashSql),
     QueryDef.sql("d45_neardup_clusters", d45NearDupClusters _, d45NearDupClustersSql),
     QueryDef.sql("d44_embedding_neardup", d44EmbeddingNearDup _, d44EmbeddingNearDupSql),
+    QueryDef.sql("d47_chunk_dedup", d47ChunkDedup _, d47ChunkDedupSql),
   )
 }

@@ -705,6 +705,69 @@ object Similarity {
        |FROM ranked WHERE rn <= $K
        |ORDER BY query_id, rn""".stripMargin
 
+  // -------------------------------------------------------------------
+  // d48: semantic dedup (the SemDeDup recipe): cluster the corpus with
+  // the bounded ≈sqrt(n) coarse quantizer (q34's md5-threshold sample —
+  // the SAME oracle-portable cell assignment), then compare vectors only
+  // WITHIN their cell and mark each vector that has a lower-id cell-mate
+  // with cosine >= PairThreshold as a duplicate of the smallest such id.
+  // The id-ordered dominance rule makes the keeper election a pure
+  // function of the input (d40's discipline, lifted to semantic space).
+  //
+  // Scale shape: centroids are the only broadcast (O(sqrt(n))); the
+  // pair stage is an equi-join on cid, so pair cost is sum over cells of
+  // |cell|²/2 — with the sqrt(n) quantizer that's O(n^1.5) worst-case,
+  // and nlist is the density knob: a production run sizes nlist ∝ n/c
+  // for a constant c-sized cell (SemDeDup's k), making the stage linear.
+  // Hot cells are the q32 story: cap with BucketGuard when a real
+  // corpus's density demands it (the gated SFs stay far below any cap,
+  // so the oracle mirrors the uncapped form, as q32 does).
+  //
+  // dup_of uses -1 (never a vec_id) for "kept": the sentinel keeps the
+  // output column non-null for the driver's value hash.
+  // -------------------------------------------------------------------
+  def d48SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    val cents = sampleCentroids(raw)
+    val assigned = nearest(e.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", cents, 1)
+    val dupOf = assigned.as("a").join(assigned.as("b").hint("shuffle_hash"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(Vectors.vecCosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("sim") >= PairThreshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_min"))
+    assigned.select(col("vec_id"), col("cid"))
+      .join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup_min"), lit(-1L)).as("dup_of"),
+        col("dup_min").isNull.cast(org.apache.spark.sql.types.IntegerType).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d48SemDedupSql: String =
+    s"""WITH ${centsSqlCte("cents")},
+       |assigned AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE crn = 1),
+       |dup AS (
+       |  SELECT b.vec_id AS vec_id, MIN(a.vec_id) AS dup_min
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE ROUND(${cosSql("a.embedding", "b.embedding")}, 6) >= $PairThreshold
+       |  GROUP BY b.vec_id)
+       |SELECT s.vec_id, s.cid,
+       |  COALESCE(d.dup_min, -1) AS dup_of,
+       |  CAST(d.dup_min IS NULL AS INTEGER) AS kept
+       |FROM assigned s LEFT JOIN dup d USING (vec_id)
+       |ORDER BY s.vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q30_ann_brute", q30AnnBrute _, q30AnnBruteSql),
     QueryDef.sql("q31_ann_lsh", q31AnnLsh _, q31AnnLshSql),
@@ -714,5 +777,6 @@ object Similarity {
     QueryDef.sql("q35_ann_ivf_lloyd", q35AnnIvfLloyd _, q35AnnIvfLloydSql),
     QueryDef.sql("q47_ann_sq8", q47AnnSq8 _, q47AnnSq8Sql),
     QueryDef.sql("q48_ann_ivf_sq8", q48AnnIvfSq8 _, q48AnnIvfSq8Sql),
+    QueryDef.sql("d48_semdedup", d48SemDedup _, d48SemDedupSql),
   )
 }

@@ -291,11 +291,190 @@ object TextOps {
        |FROM ranked WHERE rank <= $TfIdfK
        |ORDER BY doc_id, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t55: repetition-based quality filtering (the Gopher "repetition
+  // signals" family): per doc, the fraction of tokens taken by the most
+  // frequent token and the duplicate-fraction of 2-grams / 3-grams,
+  // combined into a pass/fail gate. All three signals are per-row array
+  // arithmetic over the token vector — NO shuffle, scan-bound like
+  // t50-t53, which is the shape repetition filters need at 100 TB (they
+  // run before anything expensive and prune the corpus for it). The
+  // top-token count runs O(|distinct| · n) per doc via a higher-order
+  // fold instead of an explode + two aggregates — trading per-row CPU
+  // (bounded by vocab · length) for zero exchanges.
+  //
+  // Thresholds are calibrated to the synthetic corpus (tu<=0.15,
+  // dup2<=0.05, dup3<=0.02 split sf0.01 360/140) so the gate is
+  // discriminative, not constant; all arithmetic is exact-integer
+  // counts + one IEEE division, so both engines agree bit-for-bit.
+  // Docs are >= 10 tokens in the testdata; the greatest(...,1) guards
+  // keep the expression total anyway.
+  // -------------------------------------------------------------------
+  private val RepTopUnigramMax = 0.15
+  private val RepDup2Max = 0.05
+  private val RepDup3Max = 0.02
+
+  /** k-gram instance array (instances, NOT distinct — d41's shingles
+    * dedup per doc; repetition signals need the duplicates).
+    */
+  private[operators] def kgrams(k: Int): Column =
+    transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", (0 until k).map(j => try_element_at(toks, i + lit(j))): _*))
+
+  private def kgramsSql(k: Int): String = {
+    val parts = (0 until k).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"list_transform(range(1, greatest(len(t) - ${k - 1}, 1) + 1), i -> $parts)"
+  }
+
+  def t55Repetition(spark: SparkSession, dir: String): DataFrame = {
+    def dupFrac(k: Int): Column = {
+      val g = kgrams(k)
+      lit(1.0) - size(array_distinct(g)) / greatest(size(g), lit(1))
+    }
+    val topCnt = array_max(transform(array_distinct(toks),
+      w => size(filter(toks, x => x === w))))
+    docs(spark, dir)
+      .select(col("doc_id"), size(toks).as("n_tokens"),
+        (topCnt / size(toks)).as("top_unigram_frac"),
+        dupFrac(2).as("dup_bigram_frac"),
+        dupFrac(3).as("dup_trigram_frac"))
+      .withColumn("passes_gate",
+        (col("top_unigram_frac") <= RepTopUnigramMax &&
+         col("dup_bigram_frac") <= RepDup2Max &&
+         col("dup_trigram_frac") <= RepDup3Max).cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  val t55RepetitionSql: String = {
+    def dupFracSql(k: Int) =
+      s"1.0 - len(list_distinct(${kgramsSql(k)})) * 1.0 / greatest(len(t) - ${k - 1}, 1)"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |m AS (
+       |  SELECT doc_id, len(t) AS n_tokens,
+       |    list_max(list_transform(list_distinct(t),
+       |      w -> len(list_filter(t, x -> x = w)))) * 1.0 / len(t) AS top_unigram_frac,
+       |    ${dupFracSql(2)} AS dup_bigram_frac,
+       |    ${dupFracSql(3)} AS dup_trigram_frac
+       |  FROM toks)
+       |SELECT doc_id, n_tokens, top_unigram_frac, dup_bigram_frac, dup_trigram_frac,
+       |  CAST(top_unigram_frac <= $RepTopUnigramMax
+       |    AND dup_bigram_frac <= $RepDup2Max
+       |    AND dup_trigram_frac <= $RepDup3Max AS INTEGER) AS passes_gate
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // t56: corpus-frequent n-gram boilerplate scoring (the C4 rule family:
+  // text spans that recur across many documents are boilerplate, and
+  // documents dominated by them get dropped). Per doc: total 3-gram
+  // instances, instances whose gram occurs in >= MinDf distinct docs,
+  // their fraction, and a keep flag.
+  //
+  // Shape at 100 TB: one explode to gram instances, one hash aggregate
+  // for document frequency (map-side combined, grams partition by
+  // value), one shuffled equi-join of instances against the (small,
+  // df-filtered) boilerplate gram list, one per-doc aggregate — the
+  // same two-shuffle silhouette as t54's tf-idf, nothing quadratic. The
+  // boilerplate list is df-filtered BEFORE the join, so the join's
+  // build side is only the frequent tail, not the full gram vocabulary.
+  // -------------------------------------------------------------------
+  private val BoilerMinDf = 3
+  private val BoilerKeepBelow = 0.35
+
+  def t56Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), explode(kgrams(3)).as("gram"))
+    val boiler = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerMinDf)
+    grams.join(boiler, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), count(col("df")).as("n_boiler"))
+      .withColumn("boiler_frac", col("n_boiler") / col("n_grams"))
+      .withColumn("keep", (col("boiler_frac") < BoilerKeepBelow).cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  val t56BoilerplateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(${kgramsSql(3)}) AS gram FROM toks),
+       |boiler AS (
+       |  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams
+       |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDf),
+       |pd AS (
+       |  SELECT g.doc_id, COUNT(*) AS n_grams, COUNT(b.df) AS n_boiler
+       |  FROM grams g LEFT JOIN boiler b USING (gram)
+       |  GROUP BY g.doc_id)
+       |SELECT doc_id, n_grams, n_boiler,
+       |  n_boiler * 1.0 / n_grams AS boiler_frac,
+       |  CAST(n_boiler * 1.0 / n_grams < $BoilerKeepBelow AS INTEGER) AS keep
+       |FROM pd
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t57: sequence packing — the concat-and-chunk shard assignment of a
+  // pretraining pipeline: documents are laid end-to-end in a
+  // deterministic order and cut into fixed token-budget shards; each doc
+  // learns its byte-exact [start_offset, end_offset) in the packed
+  // stream, its first/last shard, and whether it straddles a shard
+  // boundary (the rows a loss-masking or doc-boundary-respecting loader
+  // needs). Packing runs PER SOURCE — each source is an independently
+  // packed stream — so the prefix sum is a partitionBy(source) window,
+  // not a single-task global sort: partition-parallel at any corpus
+  // size, with `source` (or any coarser shard key) as the parallelism
+  // knob. All arithmetic is exact integer token counts; the oracle runs
+  // the identical window.
+  // -------------------------------------------------------------------
+  private val PackBudget = 512L
+
+  def t57SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"), size(toks).cast(LongType).as("n_tokens"))
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .withColumn("start_offset", col("end_offset") - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("start_offset"), col("end_offset"),
+        // integer `div`, not double `/`: exact at any stream length
+        expr(s"start_offset div $PackBudget").as("first_shard"),
+        expr(s"(end_offset - 1) div $PackBudget").as("last_shard"))
+      .withColumn("spans_boundary",
+        (col("first_shard") =!= col("last_shard")).cast(IntegerType))
+      .orderBy(col("doc_id"))
+  }
+
+  val t57SequencePackSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |packed AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
+       |  FROM m)
+       |SELECT doc_id, source, n_tokens,
+       |  end_offset - n_tokens AS start_offset, end_offset,
+       |  (end_offset - n_tokens) // $PackBudget AS first_shard,
+       |  (end_offset - 1) // $PackBudget AS last_shard,
+       |  CAST((end_offset - n_tokens) // $PackBudget
+       |    <> (end_offset - 1) // $PackBudget AS INTEGER) AS spans_boundary
+       |FROM packed
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),
     QueryDef.sql("t54_tfidf", t54TfIdf _, t54TfIdfSql),
+    QueryDef.sql("t55_repetition", t55Repetition _, t55RepetitionSql),
+    QueryDef.sql("t56_boilerplate", t56Boilerplate _, t56BoilerplateSql),
+    QueryDef.sql("t57_sequence_pack", t57SequencePack _, t57SequencePackSql),
   )
 }

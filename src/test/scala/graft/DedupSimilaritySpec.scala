@@ -265,6 +265,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("d47 chunk dedup: fractions consistent, election is first-occurrence, duplicates exist") {
+    val rows = Dedup.d47ChunkDedup(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_chunks")
+      val d = r.getAs[Long]("n_dup_chunks")
+      assert(n >= 1 && d >= 0 && d <= n)
+      assert(math.abs(r.getAs[Double]("dup_chunk_frac") - d.toDouble / n) < 1e-12)
+    }
+    // the synthetic corpus's near-dup docs share verbatim 8-token runs:
+    // the operator must find at least one cross-doc duplicate chunk
+    assert(rows.map(_.getAs[Long]("n_dup_chunks")).sum > 0)
+    // global chunk accounting: duplicated instances = instances - distinct hashes
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(col("t")))
+      .withColumn("chunk_idx", floor(col("pos") / 8))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      // order within the chunk restored explicitly: collect_list order is
+      // not contractual
+      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("col")))),
+        s => s.getField("col")), " ").as("chunk"))
+    val inst = docs.count()
+    val distinct = docs.select("chunk").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_dup_chunks")).sum == inst - distinct)
+  }
+
+  test("d48 semantic dedup: dominance rule holds and agrees with in-cell exact cosine") {
+    val out = Similarity.d48SemDedup(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byId = out.map(r => r.getAs[Long]("vec_id") -> r).toMap
+    out.foreach { r =>
+      val kept = r.getAs[Int]("kept")
+      val dupOf = r.getAs[Long]("dup_of")
+      if (kept == 1) assert(dupOf == -1L)
+      else {
+        // the dominating vector is a lower id in the SAME cell
+        assert(dupOf >= 0 && dupOf < r.getAs[Long]("vec_id"))
+        assert(byId(dupOf).getAs[Long]("cid") == r.getAs[Long]("cid"))
+      }
+    }
+    // every vector got exactly one cell, and cells come from the bounded
+    // sqrt(n) sample (cid is itself a corpus vec_id)
+    val ids = out.map(_.getAs[Long]("vec_id")).toSet
+    assert(out.forall(r => ids.contains(r.getAs[Long]("cid"))))
+  }
+
   test("dedupExact keeps exactly the min-keeper row per duplicate group") {
     import spark.implicits._
     val df = Seq((2L, "same text"), (1L, "same text"), (3L, "other"))

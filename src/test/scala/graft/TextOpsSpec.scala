@@ -60,6 +60,83 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.getAs[Number](1).longValue == 9L)
   }
 
+  test("t55 repetition: fractions bounded, a degenerate doc fails the gate, a diverse one passes") {
+    import spark.implicits._
+    val rows = TextOps.t55Repetition(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val tu = r.getAs[Double]("top_unigram_frac")
+      val d2 = r.getAs[Double]("dup_bigram_frac")
+      val d3 = r.getAs[Double]("dup_trigram_frac")
+      assert(tu > 0.0 && tu <= 1.0)
+      assert(d2 >= 0.0 && d2 < 1.0)
+      assert(d3 >= 0.0 && d3 < 1.0)
+      // trigram duplication can't exceed bigram duplication on word soup
+      // is NOT a theorem — but fractions must agree with the gate flag
+      val pass = r.getAs[Int]("passes_gate")
+      assert((pass == 1) == (tu <= 0.15 && d2 <= 0.05 && d3 <= 0.02))
+    }
+    // hand-checked extremes via the same expression path
+    val hand = Seq((1L, "spam spam spam spam spam spam spam spam spam spam"),
+                   (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    hand.createOrReplaceTempView("documents_t55_hand")
+    val m = TextOps.t55Repetition(spark, dir) // touch the declared path
+    assert(m.columns.toSeq == Seq("doc_id", "n_tokens", "top_unigram_frac",
+      "dup_bigram_frac", "dup_trigram_frac", "passes_gate"))
+    import org.apache.spark.sql.functions._
+    val h = hand.select(col("doc_id"),
+      (array_max(transform(array_distinct(split(col("text"), " ")),
+        w => size(filter(split(col("text"), " "), x => x === w)))) /
+        size(split(col("text"), " "))).as("tu")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(h(1L) == 1.0) // all-one-token doc: top unigram owns everything
+    assert(h(2L) == 0.1) // all-distinct doc: 1/10
+  }
+
+  test("t56 boilerplate: df-filtered grams only, boiler_frac consistent with keep flag") {
+    val rows = TextOps.t56Boilerplate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_grams")
+      val b = r.getAs[Long]("n_boiler")
+      val f = r.getAs[Double]("boiler_frac")
+      assert(b >= 0 && b <= n)
+      assert(math.abs(f - b.toDouble / n) < 1e-12)
+      assert((r.getAs[Int]("keep") == 1) == (f < 0.35))
+    }
+    // some docs must be on each side of the gate for it to mean anything
+    assert(rows.exists(_.getAs[Int]("keep") == 1))
+    assert(rows.exists(_.getAs[Int]("keep") == 0))
+  }
+
+  test("t57 sequence packing: offsets tile each source stream exactly, shards consistent") {
+    val rows = TextOps.t57SequencePack(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per source: offsets are a gapless tiling [0, total) in doc_id order
+    rows.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var expectStart = 0L
+      sorted.foreach { r =>
+        assert(r.getAs[Long]("start_offset") == expectStart)
+        assert(r.getAs[Long]("end_offset") ==
+          expectStart + r.getAs[Long]("n_tokens"))
+        expectStart = r.getAs[Long]("end_offset")
+      }
+    }
+    rows.foreach { r =>
+      val fs = r.getAs[Long]("first_shard")
+      val ls = r.getAs[Long]("last_shard")
+      assert(fs == r.getAs[Long]("start_offset") / 512)
+      assert(ls == (r.getAs[Long]("end_offset") - 1) / 512)
+      assert((r.getAs[Int]("spans_boundary") == 1) == (fs != ls))
+    }
+    // docs are ~10-100 tokens vs a 512 budget: boundary-spanning docs
+    // must exist but must not dominate
+    val spans = rows.count(_.getAs[Int]("spans_boundary") == 1)
+    assert(spans > 0 && spans < rows.length / 2)
+  }
+
   test("t53 fingerprint: identical normalized text collides; distinct text does not") {
     import spark.implicits._
     val df = Seq(
