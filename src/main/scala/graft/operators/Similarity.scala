@@ -706,6 +706,226 @@ object Similarity {
        |ORDER BY query_id, rn""".stripMargin
 
   // -------------------------------------------------------------------
+  // q49: product-quantization ANN (PQ with asymmetric distance, the
+  // FAISS "IVF-free PQ/ADC" baseline): the 64-dim vector space is split
+  // into PqM=8 subspaces of 8 dims; each subspace gets a ≈PqK-entry
+  // codebook (the md5-threshold sample gadget again — fixed EXPECTED
+  // size PqK, not a corpus fraction, so the codebook broadcast is O(1)
+  // in the corpus); every corpus vector is encoded as its per-subspace
+  // nearest codeword (8 small ids ≈ 8 BYTES a production layout stores
+  // per vector — the most compressed representation in the ANN family:
+  // float 256 B → SQ8 64 B → PQ 8 B). Queries stay raw (asymmetric):
+  // per query, an L2² distance TABLE to every codeword is built
+  // (PqM × |book| entries), and a candidate's approximate distance is
+  // the sum of 8 table lookups — no per-pair float math at all.
+  //
+  // Determinism discipline: the per-subspace L2² runs in a fixed-order
+  // array fold (identical IEEE doubles in both engines); table entries
+  // are snapped to integer nanos (the t54 fixed-point recipe) BEFORE the
+  // lookup-sum, so the 8-term sum is exact integer arithmetic in any
+  // aggregation order and the ranking (asc distance, id tiebreak) can
+  // never be flipped by summation order. Encoding ties break by
+  // codeword id. The whole operator — codebook, encoding, tables,
+  // ranking — is one deterministic function of the input, so it is
+  // oracle-checked end-to-end like q34/q48.
+  //
+  // Scale shape: codebook ≈ PqM·PqK subvectors is the ONLY broadcast;
+  // encoding is one corpus scan × PqK codewords per subspace; the
+  // distance tables are queries × PqM·PqK (tiny, broadcast); the
+  // scoring join never shuffles the corpus. Recall at a given budget is
+  // below IVF-SQ8's (8 B/vector is the aggressive end of the
+  // memory/recall trade) — DedupSimilaritySpec pins the floor.
+  // -------------------------------------------------------------------
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 16L
+
+  /** Codebook-sample threshold: floor(2^60 · PqK / n) — expected PqK
+    * codewords independent of n (vs centroidThreshold's ceil(√n)).
+    */
+  private[graft] def pqThreshold(n: Long): Long = {
+    require(n > 0, "empty corpus has no codebook")
+    (PortableHash.HashSpace * PqK / n).toLong
+  }
+
+  /** Fixed-order L2² fold over two float subvectors, in double. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+        (x.cast(org.apache.spark.sql.types.DoubleType) -
+         y.cast(org.apache.spark.sql.types.DoubleType)) *
+        (x.cast(org.apache.spark.sql.types.DoubleType) -
+         y.cast(org.apache.spark.sql.types.DoubleType))),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def l2sqSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
+
+  def q49AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    // (m, cid, sub): the per-subspace codebook, one broadcast object
+    val book = raw.filter(PortableHash.h60(col("vec_id")) < pqThreshold(raw.count()))
+      .select(col("vec_id").as("cid"), posexplode(array((0 until PqM).map(m =>
+        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
+      .select(col("cid"), col("pos").as("m"), col("col").as("sub"))
+    // corpus → (vec_id, m, subvec) → nearest codeword per subspace
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d").asc, col("cid").asc)
+    val encoded = e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+      .join(broadcast(book), Seq("m"))
+      .withColumn("d", l2sq(col("sv"), col("sub")))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cid").as("code"))
+    // per-query ADC table in integer nanos
+    val dtab = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), posexplode(array((0 until PqM).map(m =>
+        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
+      .select(col("query_id"), col("pos").as("m"), col("col").as("qv"))
+      .join(broadcast(book), Seq("m"))
+      .select(col("query_id"), col("m"), col("cid"),
+        floor(l2sq(col("qv"), col("sub")) * lit(1e9) + lit(0.5)).cast(LongType).as("dn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_n").asc, col("neighbor_id").asc)
+    encoded.join(broadcast(dtab),
+        encoded("m") === dtab("m") && encoded("code") === dtab("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("dn")).as("adist_n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        (col("adist_n").cast(DoubleType) / lit(1e9)).as("adist"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val q49AnnPqSql: String = {
+    def subCte(src: String, idAs: String, svAs: String, where: String = "") =
+      s"""SELECT vec_id AS $idAs, m, list_slice(embedding, m * $PqSub + 1, (m + 1) * $PqSub) AS $svAs
+         |  FROM $src CROSS JOIN range(0, $PqM) r(m)$where""".stripMargin
+    s"""WITH book AS (
+       |  ${subCte("embeddings", "cid", "sub")}
+       |  WHERE ${PortableHash.h60Sql("vec_id")} <
+       |    (SELECT CAST(${PortableHash.HashSpaceSqlHugeInt} * $PqK / COUNT(*) AS BIGINT)
+       |     FROM embeddings)),
+       |corpus_sub AS (
+       |  ${subCte("embeddings", "vec_id", "sv")}),
+       |encoded AS (
+       |  SELECT vec_id, m, cid AS code FROM (
+       |    SELECT c.vec_id, c.m, b.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.m
+       |        ORDER BY ${l2sqSql("c.sv", "b.sub")} ASC, b.cid ASC) AS rn
+       |    FROM corpus_sub c JOIN book b USING (m)) t
+       |  WHERE rn = 1),
+       |dtab AS (
+       |  SELECT q.query_id, q.m, b.cid,
+       |    CAST(floor(${l2sqSql("q.sv", "b.sub")} * 1000000000.0 + 0.5) AS BIGINT) AS dn
+       |  FROM (${subCte("embeddings", "query_id", "sv")}
+       |        WHERE vec_id < $NumQueries) q
+       |  JOIN book b USING (m)),
+       |scored AS (
+       |  SELECT d.query_id, e.vec_id AS neighbor_id,
+       |    CAST(SUM(d.dn) AS BIGINT) AS adist_n
+       |  FROM encoded e JOIN dtab d ON e.m = d.m AND e.code = d.cid
+       |  WHERE e.vec_id <> d.query_id
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist_n,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist_n ASC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id,
+       |  CAST(adist_n AS DOUBLE) / 1000000000.0 AS adist
+       |FROM ranked WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // q50: hybrid retrieval — the two-stage lexical→semantic search a
+  // RAG/retrieval pipeline runs: stage 1 scores every corpus doc by
+  // DISTINCT-token overlap with the query doc's tokens (the cheap,
+  // inverted-index-shaped signal) and keeps the top HybridCand; stage 2
+  // re-ranks only those candidates by embedding cosine (doc_id joins
+  // vec_id — the testdata keys them identically) and returns the top K.
+  //
+  // Scale shape: the query set is the only broadcast (both its token
+  // arrays and its embeddings); stage 1 is one corpus scan × |queries|
+  // intersect-counts; stage 2 touches HybridCand rows per query — the
+  // expensive float kernel runs on 50 rows/query, not the corpus. At
+  // real scale stage 1 is served by an inverted index (term →
+  // postings); the declarative form here IS that join's semantics, with
+  // the token arrays standing in for postings lists. Lexical ranks tie
+  // by doc id; the cosine re-rank ties by doc id — fully deterministic,
+  // oracle-checked end-to-end.
+  // -------------------------------------------------------------------
+  private val HybridQueries = 5
+  private val HybridCand = 50
+
+  def q50HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val base = Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
+    val qs = base.filter(col("doc_id") < HybridQueries)
+      .select(col("doc_id").as("query_id"), col("ts").as("qts"))
+    val wLex = Window.partitionBy(col("query_id"))
+      .orderBy(col("overlap").desc, col("doc_id").asc)
+    val cand = base.crossJoin(broadcast(qs))
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("overlap", size(array_intersect(col("ts"), col("qts"))))
+      .withColumn("lrn", row_number().over(wLex))
+      .filter(col("lrn") <= HybridCand)
+      .select(col("query_id"), col("doc_id"), col("overlap"))
+    val e = Tables.embeddings(spark, dir)
+    val wSim = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("doc_id").asc)
+    cand
+      .join(e.select(col("vec_id").as("doc_id"), col("embedding").as("ne")), "doc_id")
+      .join(broadcast(e.filter(col("vec_id") < HybridQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))), "query_id")
+      .withColumn("sim", Vectors.vecCosine(col("qe"), col("ne")))
+      .withColumn("rn", row_number().over(wSim))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("rn"), col("doc_id"), col("overlap"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val q50HybridSearchSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
+       |qs AS (
+       |  SELECT doc_id AS query_id, ts AS qts FROM base WHERE doc_id < $HybridQueries),
+       |lex AS (
+       |  SELECT query_id, doc_id, overlap FROM (
+       |    SELECT q.query_id, b.doc_id,
+       |      len(list_intersect(b.ts, q.qts)) AS overlap,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY len(list_intersect(b.ts, q.qts)) DESC, b.doc_id ASC) AS lrn
+       |    FROM base b CROSS JOIN qs q
+       |    WHERE b.doc_id <> q.query_id) t
+       |  WHERE lrn <= $HybridCand),
+       |scored AS (
+       |  SELECT l.query_id, l.doc_id, l.overlap,
+       |    ${cosSql("qe.embedding", "ne.embedding")} AS sim
+       |  FROM lex l
+       |  JOIN embeddings ne ON ne.vec_id = l.doc_id
+       |  JOIN embeddings qe ON qe.vec_id = l.query_id),
+       |ranked AS (
+       |  SELECT query_id, doc_id, overlap, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, doc_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, doc_id, overlap, ROUND(sim, 6) AS sim
+       |FROM ranked WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin
+
+  // -------------------------------------------------------------------
   // d48: semantic dedup (the SemDeDup recipe): cluster the corpus with
   // the bounded ≈sqrt(n) coarse quantizer (q34's md5-threshold sample —
   // the SAME oracle-portable cell assignment), then compare vectors only
@@ -777,6 +997,8 @@ object Similarity {
     QueryDef.sql("q35_ann_ivf_lloyd", q35AnnIvfLloyd _, q35AnnIvfLloydSql),
     QueryDef.sql("q47_ann_sq8", q47AnnSq8 _, q47AnnSq8Sql),
     QueryDef.sql("q48_ann_ivf_sq8", q48AnnIvfSq8 _, q48AnnIvfSq8Sql),
+    QueryDef.sql("q49_ann_pq", q49AnnPq _, q49AnnPqSql),
+    QueryDef.sql("q50_hybrid_search", q50HybridSearch _, q50HybridSearchSql),
     QueryDef.sql("d48_semdedup", d48SemDedup _, d48SemDedupSql),
   )
 }

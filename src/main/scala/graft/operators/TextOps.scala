@@ -315,11 +315,15 @@ object TextOps {
   private val RepDup3Max = 0.02
 
   /** k-gram instance array (instances, NOT distinct — d41's shingles
-    * dedup per doc; repetition signals need the duplicates).
+    * dedup per doc; repetition signals need the duplicates). Takes the
+    * MATERIALIZED token-array column, never the `toks` split expression:
+    * a split() referenced inside the position lambda re-tokenizes the
+    * whole text per gram position (the O(tokens²)-per-doc trap
+    * documented at Dedup.shingledCountedFrom).
     */
-  private[operators] def kgrams(k: Int): Column =
-    transform(sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-      i => concat_ws(" ", (0 until k).map(j => try_element_at(toks, i + lit(j))): _*))
+  private[operators] def kgrams(t: Column, k: Int): Column =
+    transform(sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
+      i => concat_ws(" ", (0 until k).map(j => try_element_at(t, i + lit(j))): _*))
 
   private def kgramsSql(k: Int): String = {
     val parts = (0 until k).map(j => s"t[i + $j]").mkString(" || ' ' || ")
@@ -327,15 +331,17 @@ object TextOps {
   }
 
   def t55Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = col("t")
     def dupFrac(k: Int): Column = {
-      val g = kgrams(k)
+      val g = kgrams(t, k)
       lit(1.0) - size(array_distinct(g)) / greatest(size(g), lit(1))
     }
-    val topCnt = array_max(transform(array_distinct(toks),
-      w => size(filter(toks, x => x === w))))
+    val topCnt = array_max(transform(array_distinct(t),
+      w => size(filter(t, x => x === w))))
     docs(spark, dir)
-      .select(col("doc_id"), size(toks).as("n_tokens"),
-        (topCnt / size(toks)).as("top_unigram_frac"),
+      .withColumn("t", toks) // tokenize ONCE (see kgrams note)
+      .select(col("doc_id"), size(t).as("n_tokens"),
+        (topCnt / size(t)).as("top_unigram_frac"),
         dupFrac(2).as("dup_bigram_frac"),
         dupFrac(3).as("dup_trigram_frac"))
       .withColumn("passes_gate",
@@ -385,7 +391,8 @@ object TextOps {
 
   def t56Boilerplate(spark: SparkSession, dir: String): DataFrame = {
     val grams = docs(spark, dir)
-      .select(col("doc_id"), explode(kgrams(3)).as("gram"))
+      .withColumn("t", toks) // tokenize ONCE (see kgrams note)
+      .select(col("doc_id"), explode(kgrams(col("t"), 3)).as("gram"))
     val boiler = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= BoilerMinDf)
@@ -467,6 +474,57 @@ object TextOps {
        |FROM packed
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t58: tokenizer vocabulary induction — per language, the top-VocabK
+  // tokens by corpus frequency with each rank's CUMULATIVE coverage of
+  // the language's token mass (the Zipf curve a tokenizer-training run
+  // reads to size its vocab). Shape: one explode → one (lang, term)
+  // hash aggregate (map-side combined) → per-lang rank + running-sum
+  // windows over the (small) aggregated term table — the windows run on
+  // post-aggregate rows, never raw tokens, and partition by lang, so
+  // parallelism is the language count (coarser key sets widen it at
+  // scale). Counts are exact longs; the one division per row shares
+  // identical operands across engines.
+  // -------------------------------------------------------------------
+  private val VocabK = 32
+
+  def t58Vocab(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("lang"), explode(toks).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    val wCum = wRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("lang"))
+    counts
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("total", sum(col("cnt")).over(wTot))
+      .filter(col("rank") <= VocabK)
+      .select(col("lang"), col("rank"), col("term"), col("cnt"),
+        (col("cum") / col("total")).as("cum_frac"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  val t58VocabSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+       |agg AS (
+       |  SELECT lang, term, COUNT(*) AS cnt FROM counts GROUP BY lang, term),
+       |ranked AS (
+       |  SELECT lang, term, cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY cnt DESC, term ASC) AS rank,
+       |    CAST(SUM(cnt) OVER (PARTITION BY lang
+       |      ORDER BY cnt DESC, term ASC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+       |  FROM agg)
+       |SELECT lang, rank, term, cnt, cum * 1.0 / total AS cum_frac
+       |FROM ranked
+       |WHERE rank <= $VocabK
+       |ORDER BY lang, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -476,5 +534,6 @@ object TextOps {
     QueryDef.sql("t55_repetition", t55Repetition _, t55RepetitionSql),
     QueryDef.sql("t56_boilerplate", t56Boilerplate _, t56BoilerplateSql),
     QueryDef.sql("t57_sequence_pack", t57SequencePack _, t57SequencePackSql),
+    QueryDef.sql("t58_vocab", t58Vocab _, t58VocabSql),
   )
 }

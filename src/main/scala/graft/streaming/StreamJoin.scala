@@ -44,4 +44,18 @@ object StreamJoin {
         col(s"r_$tsCol") > col(s"l_$tsCol") &&
         col(s"r_$tsCol") <= col(s"l_$tsCol") + expr(s"INTERVAL $boundSeconds SECONDS"))
   }
+
+  /** Stream-static enrichment join: each micro-batch of `stream` joined
+    * against the STATIC `dim` (a dimension table re-read per batch only
+    * if its source changes — no streaming state at all, unlike
+    * [[intervalJoin]]'s two watermark-bounded buffers). The dim side is
+    * broadcast explicitly: at 100 TB of stream the per-batch join must
+    * not shuffle the stream, and a dimension small enough to enrich with
+    * is small enough to broadcast — the same rule as q2's star join.
+    * `how` = "inner" drops unmatched events, "left" keeps them with null
+    * dim columns (the usual enrich-then-route shape).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCol: String,
+             how: String = "inner"): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), how)
 }

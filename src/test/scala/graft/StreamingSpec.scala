@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.streaming.{RunningStats, Sources, WordCount}
+import graft.streaming.{RunningStats, Sources, StreamJoin, WordCount}
 
 /** Streaming-semantics tests (SURVEY.md §5.2.2): per-epoch Update-mode
   * emissions match the reference's once-per-updated-key-per-batch cadence
@@ -43,6 +43,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(a2.getAs[Double]("summer") == 9.0 && a2.getAs[Long]("counter") == 3)
       assert(a2.getAs[Double]("mean") == 3.0 && a2.getAs[Double]("var") == 4.0)
       assert(a2.getAs[Double]("bestmin") == 1.0 && a2.getAs[Double]("bestmax") == 5.0)
+    } finally q.stop()
+  }
+
+  test("stream-static enrich: per-batch broadcast join, left keeps unmatched with nulls") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = Seq(("click", 1), ("purchase", 5)).toDF("event_type", "weight")
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("event_id", "event_type")
+    val q = StreamJoin.enrich(stream, dim, "event_type", "left")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    try {
+      input.addData((1L, "click"), (2L, "view"), (3L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => r.getAs[Long]("event_id") ->
+          Option(r.getAs[Integer]("weight")).map(_.toInt)).toMap
+      assert(rows == Map(1L -> Some(1), 2L -> None, 3L -> Some(5)))
+      // second batch joins against the same static dim — no state carried
+      input.addData((4L, "click"))
+      q.processAllAvailable()
+      assert(spark.table("enriched").count() == 4)
+      // the dim side must be broadcast, never a shuffle of the stream
+      val plan = q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
     } finally q.stop()
   }
 

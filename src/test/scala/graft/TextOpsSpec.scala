@@ -137,6 +137,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(spans > 0 && spans < rows.length / 2)
   }
 
+  test("t58 vocab: per-lang ranks dense, counts non-increasing, coverage monotone to <=1") {
+    val rows = TextOps.t58Vocab(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cnts = sorted.map(_.getAs[Long]("cnt"))
+      assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+      val cov = sorted.map(_.getAs[Double]("cum_frac"))
+      assert(cov.zip(cov.tail).forall { case (a, b) => a < b })
+      assert(cov.last <= 1.0 && cov.head > 0.0)
+    }
+  }
+
   test("t53 fingerprint: identical normalized text collides; distinct text does not") {
     import spark.implicits._
     val df = Seq(
