@@ -221,8 +221,84 @@ object Curation {
     curated(s2)
   }
 
+  // -------------------------------------------------------------------
+  // c72: corpus-prep capstone — the round-6 operators composed into the
+  // pipeline a pretraining data run actually executes:
+  //
+  //   exact-dedup keepers (d40's election)
+  //   ∩ repetition gate (t55)  ∩ boilerplate gate (t56)
+  //   → survivors packed into fixed token-budget shards (t57, per
+  //     source)
+  //
+  // Every stage is itself an oracle-checked query; c72 hash-checks the
+  // COMPOSITION (like c70 does for the near-dup pipeline): the oracle
+  // SQL nests the stage SQLs as subqueries, so a semantic drift in any
+  // stage OR in the join/packing glue flips the hash. Packing runs over
+  // survivors only — offsets differ from t57's whole-corpus run, which
+  // is the point: the shard layout is a function of what survived.
+  //
+  // Scale: the gates are the cheap scan-shaped passes (t55 shuffle-free,
+  // t56 two aggregates), dedup is one hash shuffle, packing windows per
+  // source — no stage is heavier than its standalone form, and the
+  // joins are id-equi-joins on per-doc frames.
+  // -------------------------------------------------------------------
+  def c72PrepPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val docs = Tables.documents(spark, dir)
+    val keepers = Dedup.dedupExact(
+        docs.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
+      .select(col("doc_id"))
+    val rep = TextOps.t55Metrics(spark, dir)
+      .filter(col("passes_gate") === 1).select(col("doc_id"))
+    val boi = TextOps.t56Metrics(spark, dir)
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val survivors = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .join(keepers, Seq("doc_id"))
+      .join(rep, Seq("doc_id"))
+      .join(boi, Seq("doc_id"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    survivors
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("end_offset") - col("n_tokens")).as("start_offset"),
+        expr(s"(end_offset - n_tokens) div ${TextOps.PackBudget}").as("shard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c72PrepPipelineSql: String =
+    s"""WITH rep AS (
+       |  SELECT doc_id FROM (${TextOps.t55RepetitionSql}) t WHERE passes_gate = 1),
+       |boi AS (
+       |  SELECT doc_id FROM (${TextOps.t56BoilerplateSql}) t WHERE keep = 1),
+       |keepers AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |m AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |surv AS (
+       |  SELECT m.* FROM m
+       |  JOIN keepers USING (doc_id)
+       |  JOIN rep USING (doc_id)
+       |  JOIN boi USING (doc_id)),
+       |packed AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_offset
+       |  FROM surv)
+       |SELECT doc_id, source, n_tokens,
+       |  end_offset - n_tokens AS start_offset,
+       |  (end_offset - n_tokens) // ${TextOps.PackBudget} AS shard
+       |FROM packed
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
+    QueryDef.sql("c72_prep_pipeline", c72PrepPipeline _, c72PrepPipelineSql),
   )
 }

@@ -330,7 +330,11 @@ object TextOps {
     s"list_transform(range(1, greatest(len(t) - ${k - 1}, 1) + 1), i -> $parts)"
   }
 
-  def t55Repetition(spark: SparkSession, dir: String): DataFrame = {
+  /** t55's per-doc metric frame WITHOUT the presentation sort — the
+    * composable form (c72 joins it; an inner orderBy would just cost a
+    * useless exchange under the downstream join).
+    */
+  private[operators] def t55Metrics(spark: SparkSession, dir: String): DataFrame = {
     val t = col("t")
     def dupFrac(k: Int): Column = {
       val g = kgrams(t, k)
@@ -348,8 +352,10 @@ object TextOps {
         (col("top_unigram_frac") <= RepTopUnigramMax &&
          col("dup_bigram_frac") <= RepDup2Max &&
          col("dup_trigram_frac") <= RepDup3Max).cast(IntegerType))
-      .orderBy(col("doc_id"))
   }
+
+  def t55Repetition(spark: SparkSession, dir: String): DataFrame =
+    t55Metrics(spark, dir).orderBy(col("doc_id"))
 
   val t55RepetitionSql: String = {
     def dupFracSql(k: Int) =
@@ -375,8 +381,19 @@ object TextOps {
   // t56: corpus-frequent n-gram boilerplate scoring (the C4 rule family:
   // text spans that recur across many documents are boilerplate, and
   // documents dominated by them get dropped). Per doc: total 3-gram
-  // instances, instances whose gram occurs in >= MinDf distinct docs,
+  // instances, instances whose gram occurs in >= minDf distinct docs,
   // their fraction, and a keep flag.
+  //
+  // minDf is RELATIVE to corpus size — max(BoilerMinDf, ceil(n/400)) in
+  // exact integer arithmetic ((n+399) div 400, zero FP) — because an
+  // absolute df threshold inverts its meaning as the corpus grows: at
+  // 10× the docs over the same vocabulary, every 3-gram clears an
+  // absolute bar and the gate drops 100% of the corpus (found when c72
+  // emptied at sf0.1). The fraction keeps the gate discriminative at
+  // every gated SF (sf0.001/0.01: minDf 3, splits unchanged; sf0.1:
+  // minDf 13, keeps 4160/5000) and is the scale-correct reading of the
+  // C4 rule, whose published absolute constant is calibrated to one
+  // fixed corpus size.
   //
   // Shape at 100 TB: one explode to gram instances, one hash aggregate
   // for document frequency (map-side combined, grams partition by
@@ -389,20 +406,28 @@ object TextOps {
   private val BoilerMinDf = 3
   private val BoilerKeepBelow = 0.35
 
-  def t56Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+  /** t56's per-doc frame without the presentation sort (see
+    * [[t55Metrics]]).
+    */
+  private[operators] def t56Metrics(spark: SparkSession, dir: String): DataFrame = {
+    // one metadata-cheap count action → minDf becomes a plan literal
+    val minDf = math.max(BoilerMinDf.toLong,
+      (Tables.documents(spark, dir).count() + 399L) / 400L)
     val grams = docs(spark, dir)
       .withColumn("t", toks) // tokenize ONCE (see kgrams note)
       .select(col("doc_id"), explode(kgrams(col("t"), 3)).as("gram"))
     val boiler = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= BoilerMinDf)
+      .filter(col("df") >= minDf)
     grams.join(boiler, Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("df")).as("n_boiler"))
       .withColumn("boiler_frac", col("n_boiler") / col("n_grams"))
       .withColumn("keep", (col("boiler_frac") < BoilerKeepBelow).cast(IntegerType))
-      .orderBy(col("doc_id"))
   }
+
+  def t56Boilerplate(spark: SparkSession, dir: String): DataFrame =
+    t56Metrics(spark, dir).orderBy(col("doc_id"))
 
   val t56BoilerplateSql: String =
     s"""WITH toks AS (
@@ -411,7 +436,9 @@ object TextOps {
        |  SELECT doc_id, unnest(${kgramsSql(3)}) AS gram FROM toks),
        |boiler AS (
        |  SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams
-       |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= $BoilerMinDf),
+       |  GROUP BY gram HAVING COUNT(DISTINCT doc_id) >=
+       |    (SELECT greatest($BoilerMinDf, (COUNT(*) + 399) // 400)
+       |     FROM documents)),
        |pd AS (
        |  SELECT g.doc_id, COUNT(*) AS n_grams, COUNT(b.df) AS n_boiler
        |  FROM grams g LEFT JOIN boiler b USING (gram)
@@ -436,7 +463,7 @@ object TextOps {
   // knob. All arithmetic is exact integer token counts; the oracle runs
   // the identical window.
   // -------------------------------------------------------------------
-  private val PackBudget = 512L
+  private[operators] val PackBudget = 512L
 
   def t57SequencePack(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))

@@ -44,6 +44,35 @@ class IncrementalCurationSpec extends AnyFunSuite {
     }
   }
 
+  test("c72 prep pipeline: survivors = keepers ∩ both gates; packing tiles survivors only") {
+    import graft.operators.TextOps
+    val out = Curation.c72PrepPipeline(spark, dir).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getAs[Long]("doc_id")).toSet
+    // provenance: every survivor passes each stage, and no passing doc
+    // is missing (set equality against the independently-run stages)
+    val keepers = Dedup.dedupExact(
+        Tables.documents(spark, dir).withColumn("__h", md5(col("text"))),
+        Seq("__h"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rep = TextOps.t55Repetition(spark, dir)
+      .filter(col("passes_gate") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val boi = TextOps.t56Boilerplate(spark, dir)
+      .filter(col("keep") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids == (keepers & rep & boi))
+    // packing: offsets tile the SURVIVOR stream per source, gapless
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rs) =>
+      var expect = 0L
+      rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("start_offset") == expect)
+        assert(r.getAs[Long]("shard") == expect / 512)
+        expect += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
   test("the data actually exercises cross-batch linkage (a cluster spans batches)") {
     val clusters = Dedup.connectedComponents(
         Dedup.minhashNearDupPairsFrom(Tables.documents(spark, dir)),
