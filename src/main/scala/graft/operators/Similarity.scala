@@ -846,6 +846,150 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // q51: IVF-PQ — the remaining cell of the IVF × {flat, SQ8, PQ}
+  // matrix (q34, q48, q49): the bounded ≈√n coarse quantizer prunes the
+  // search to IvfProbe cells, and INSIDE the probed cells candidates are
+  // scored with q49's asymmetric PQ distance tables — the classic FAISS
+  // IVFPQ layout, where the inverted lists store 8-BYTE codes and the
+  // only full-precision reads are the one assignment scan and the query
+  // vectors. Distance tables stay integer nanos (exact sum in any
+  // order); candidate ranking ties by neighbor id; cell assignment and
+  // probing reuse the oracle-proven float-cosine geometry of q34.
+  //
+  // Scale: broadcasts are the √n centroid set, the PqM·PqK codebook,
+  // and the per-query tables — all corpus-independent or sublinear; the
+  // corpus is scanned once for assignment and once for encoding (a real
+  // index build fuses these in one pass; declaratively they are two
+  // scans of the same cached-nothing parquet), and the scoring join
+  // touches only probed-cell members.
+  // -------------------------------------------------------------------
+  def q51AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    Vectors.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    val cents = sampleCentroids(raw)
+    // cell membership (IVF) — q48's assignment, ids only
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.vecCosine(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"))
+    // PQ codes per corpus vector — q49's encoder
+    val book = raw.filter(PortableHash.h60(col("vec_id")) < pqThreshold(raw.count()))
+      .select(col("vec_id").as("bid"), posexplode(array((0 until PqM).map(m =>
+        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
+      .select(col("bid"), col("pos").as("m"), col("col").as("sub"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d").asc, col("bid").asc)
+    val encoded = e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
+        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+      .join(broadcast(book), Seq("m"))
+      .withColumn("d", l2sq(col("sv"), col("sub")))
+      .withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("bid").as("code"))
+    // query side: probed cells + ADC tables
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cid").asc)
+    val probed = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.vecCosine(col("qe"), col("ce")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= IvfProbe)
+      .select(col("query_id"), col("cid"))
+    val dtab = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), posexplode(array((0 until PqM).map(m =>
+        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
+      .select(col("query_id"), col("pos").as("m"), col("col").as("qv"))
+      .join(broadcast(book), Seq("m"))
+      .select(col("query_id"), col("m"), col("bid"),
+        floor(l2sq(col("qv"), col("sub")) * lit(1e9) + lit(0.5)).cast(LongType).as("dn"))
+    // candidates = corpus members of probed cells; score by table lookup
+    val cand = assigned.join(broadcast(probed), Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_n").asc, col("neighbor_id").asc)
+    cand.join(encoded, Seq("vec_id"))
+      .join(broadcast(dtab.withColumnRenamed("bid", "code")),
+        Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("dn")).as("adist_n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        (col("adist_n").cast(DoubleType) / lit(1e9)).as("adist"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val q51AnnIvfPqSql: String = {
+    def subCte(src: String, idAs: String, svAs: String) =
+      s"""SELECT vec_id AS $idAs, m, list_slice(embedding, m * $PqSub + 1, (m + 1) * $PqSub) AS $svAs
+         |  FROM $src CROSS JOIN range(0, $PqM) r(m)""".stripMargin
+    s"""WITH ${centsSqlCte("cents")},
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE crn = 1),
+       |book AS (
+       |  ${subCte("embeddings", "bid", "sub")}
+       |  WHERE ${PortableHash.h60Sql("vec_id")} <
+       |    (SELECT CAST(${PortableHash.HashSpaceSqlHugeInt} * $PqK / COUNT(*) AS BIGINT)
+       |     FROM embeddings)),
+       |corpus_sub AS (
+       |  ${subCte("embeddings", "vec_id", "sv")}),
+       |encoded AS (
+       |  SELECT vec_id, m, bid AS code FROM (
+       |    SELECT c.vec_id, c.m, b.bid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.m
+       |        ORDER BY ${l2sqSql("c.sv", "b.sub")} ASC, b.bid ASC) AS rn
+       |    FROM corpus_sub c JOIN book b USING (m)) t
+       |  WHERE rn = 1),
+       |probed AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT q.vec_id AS query_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings q CROSS JOIN cents c
+       |    WHERE q.vec_id < $NumQueries) t
+       |  WHERE crn <= $IvfProbe),
+       |dtab AS (
+       |  SELECT q.query_id, q.m, b.bid AS code,
+       |    CAST(floor(${l2sqSql("q.sv", "b.sub")} * 1000000000.0 + 0.5) AS BIGINT) AS dn
+       |  FROM (${subCte("embeddings", "query_id", "sv")}
+       |        WHERE vec_id < $NumQueries) q
+       |  JOIN book b USING (m)),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM assigned a JOIN probed p USING (cid)
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id AS neighbor_id,
+       |    CAST(SUM(d.dn) AS BIGINT) AS adist_n
+       |  FROM cand c
+       |  JOIN encoded e ON e.vec_id = c.vec_id
+       |  JOIN dtab d ON d.query_id = c.query_id AND d.m = e.m AND d.code = e.code
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adist_n,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist_n ASC, neighbor_id ASC) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn, neighbor_id,
+       |  CAST(adist_n AS DOUBLE) / 1000000000.0 AS adist
+       |FROM ranked WHERE rn <= $K
+       |ORDER BY query_id, rn""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q50: hybrid retrieval — the two-stage lexical→semantic search a
   // RAG/retrieval pipeline runs: stage 1 scores every corpus doc by
   // DISTINCT-token overlap with the query doc's tokens (the cheap,
@@ -999,6 +1143,7 @@ object Similarity {
     QueryDef.sql("q48_ann_ivf_sq8", q48AnnIvfSq8 _, q48AnnIvfSq8Sql),
     QueryDef.sql("q49_ann_pq", q49AnnPq _, q49AnnPqSql),
     QueryDef.sql("q50_hybrid_search", q50HybridSearch _, q50HybridSearchSql),
+    QueryDef.sql("q51_ann_ivf_pq", q51AnnIvfPq _, q51AnnIvfPqSql),
     QueryDef.sql("d48_semdedup", d48SemDedup _, d48SemDedupSql),
   )
 }
