@@ -330,11 +330,12 @@ object TextOps {
     s"list_transform(range(1, greatest(len(t) - ${k - 1}, 1) + 1), i -> $parts)"
   }
 
-  /** t55's per-doc metric frame WITHOUT the presentation sort — the
-    * composable form (c72 joins it; an inner orderBy would just cost a
-    * useless exchange under the downstream join).
+  /** t55's per-doc metric projection over ANY (doc_id, text, ...) frame —
+    * stateless per-row arithmetic, so the SAME expression tree runs on a
+    * STREAM unchanged (StreamingSpec pins it): quality gates are the
+    * filters an ingest pipeline applies before anything stateful.
     */
-  private[operators] def t55Metrics(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def repetitionMetricsFrom(df: DataFrame): DataFrame = {
     val t = col("t")
     def dupFrac(k: Int): Column = {
       val g = kgrams(t, k)
@@ -342,7 +343,7 @@ object TextOps {
     }
     val topCnt = array_max(transform(array_distinct(t),
       w => size(filter(t, x => x === w))))
-    docs(spark, dir)
+    df
       .withColumn("t", toks) // tokenize ONCE (see kgrams note)
       .select(col("doc_id"), size(t).as("n_tokens"),
         (topCnt / size(t)).as("top_unigram_frac"),
@@ -353,6 +354,12 @@ object TextOps {
          col("dup_bigram_frac") <= RepDup2Max &&
          col("dup_trigram_frac") <= RepDup3Max).cast(IntegerType))
   }
+
+  /** The composable batch form (c72 joins it; an inner orderBy would
+    * just cost a useless exchange under the downstream join).
+    */
+  private[operators] def t55Metrics(spark: SparkSession, dir: String): DataFrame =
+    repetitionMetricsFrom(docs(spark, dir))
 
   def t55Repetition(spark: SparkSession, dir: String): DataFrame =
     t55Metrics(spark, dir).orderBy(col("doc_id"))

@@ -72,6 +72,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("t55 repetition gate runs stateless on a stream, identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "one two three four five six seven eight nine ten"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.repetitionMetricsFrom(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gated").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gated").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("passes_gate")).toMap
+      // identical expression tree over the same rows in batch
+      val batch = graft.operators.TextOps.repetitionMetricsFrom(
+          docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("passes_gate")).toMap
+      assert(streamed == batch)
+      assert(streamed(1L) == 0) // the degenerate doc fails on a stream too
+      assert(streamed(2L) == 1)
+    } finally q.stop()
+  }
+
   test("wire payload has the reference's 10-field JSON shape") {
     import spark.implicits._
     val stats = RunningStats(
