@@ -611,6 +611,57 @@ object Dedup {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d49: benchmark decontamination — the overlap-removal pass every
+  // serious training run applies: any corpus doc sharing a VERBATIM
+  // 8-token window with a held-out benchmark/eval set is flagged (with
+  // its shared-window count as the contamination score). Distinct from
+  // near-dup (d42/d43): the test is asymmetric (huge corpus vs tiny
+  // benchmark), exact (one verbatim window is disqualifying — no
+  // similarity threshold), and sliding (any alignment, not chunk
+  // boundaries).
+  //
+  // Scale shape: the benchmark's window-hash set is tiny and BROADCAST;
+  // the corpus explodes its (per-doc distinct) windows once, hashes each
+  // to md5, and probes the broadcast — one corpus scan, one per-doc
+  // aggregate, the corpus never shuffles against the benchmark. Here the
+  // benchmark set is the first DecontamBench doc ids (the testdata's
+  // stand-in for an eval suite); hits are the planted near-dups of those
+  // docs, so the flag list is small and nonzero at every gated SF.
+  // ---------------------------------------------------------------------
+  private val DecontamBench = 20
+
+  def d49Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .withColumn("t", tokens)
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.kgrams(col("t"), 8))).as("win"))
+      .select(col("doc_id"), md5(col("win")).as("wh"))
+    val bench = wins.filter(col("doc_id") < DecontamBench)
+      .select(col("wh")).distinct()
+    wins.filter(col("doc_id") >= DecontamBench)
+      .join(broadcast(bench), Seq("wh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  val d49DecontaminateSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |w AS (
+       |  SELECT doc_id, md5(win) AS wh FROM (
+       |    SELECT doc_id, unnest(list_distinct(${TextOps.kgramsSql(8)})) AS win
+       |    FROM toks) x),
+       |bench AS (
+       |  SELECT DISTINCT wh FROM w WHERE doc_id < $DecontamBench)
+       |SELECT doc_id, COUNT(*) AS n_shared_windows
+       |FROM w JOIN bench USING (wh)
+       |WHERE doc_id >= $DecontamBench
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d40_dedup_exact", d40ExactGroups _, d40ExactGroupsSql),
     QueryDef.sql("d41_ngram_jaccard", d41NgramJaccard _, d41NgramJaccardSql),
@@ -619,5 +670,6 @@ object Dedup {
     QueryDef.sql("d45_neardup_clusters", d45NearDupClusters _, d45NearDupClustersSql),
     QueryDef.sql("d44_embedding_neardup", d44EmbeddingNearDup _, d44EmbeddingNearDupSql),
     QueryDef.sql("d47_chunk_dedup", d47ChunkDedup _, d47ChunkDedupSql),
+    QueryDef.sql("d49_decontaminate", d49Decontaminate _, d49DecontaminateSql),
   )
 }

@@ -325,7 +325,7 @@ object TextOps {
     transform(sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
       i => concat_ws(" ", (0 until k).map(j => try_element_at(t, i + lit(j))): _*))
 
-  private def kgramsSql(k: Int): String = {
+  private[operators] def kgramsSql(k: Int): String = {
     val parts = (0 until k).map(j => s"t[i + $j]").mkString(" || ' ' || ")
     s"list_transform(range(1, greatest(len(t) - ${k - 1}, 1) + 1), i -> $parts)"
   }

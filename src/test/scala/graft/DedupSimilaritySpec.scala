@@ -413,6 +413,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.forall(r => ids.contains(r.getAs[Long]("cid"))))
   }
 
+  test("d49 decontamination: flags exactly the docs sharing a verbatim 8-token window") {
+    val out = Dedup.d49Decontaminate(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_windows")).toMap
+    assert(out.nonEmpty, "the planted near-dups of benchmark docs must be flagged")
+    assert(out.keys.forall(_ >= 20), "benchmark docs must never flag themselves")
+    assert(out.values.forall(_ > 0))
+    // independent recomputation in plain scala on the raw text
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    def wins(t: Seq[String]): Set[Seq[String]] =
+      if (t.length < 8) Set(t) else t.sliding(8).map(_.toSeq).toSet
+    val benchWins = docs.filter(_._1 < 20).values.flatMap(wins).toSet
+    val expected = docs.filter(_._1 >= 20)
+      .map { case (id, t) => id -> wins(t).count(benchWins.contains).toLong }
+      .filter(_._2 > 0)
+    assert(out == expected)
+  }
+
   test("dedupExact keeps exactly the min-keeper row per duplicate group") {
     import spark.implicits._
     val df = Seq((2L, "same text"), (1L, "same text"), (3L, "other"))
