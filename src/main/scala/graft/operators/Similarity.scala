@@ -762,38 +762,53 @@ object Similarity {
        |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
        |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))""".stripMargin
 
-  def q49AnnPq(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
-    val raw = Tables.embeddings(spark, dir)
-    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
-    // (m, cid, sub): the per-subspace codebook, one broadcast object
-    val book = raw.filter(PortableHash.h60(col("vec_id")) < pqThreshold(raw.count()))
-      .select(col("vec_id").as("cid"), posexplode(array((0 until PqM).map(m =>
+  /** The PQ subspace view of a vector frame: one row per (vector,
+    * subspace), carrying the PqSub-dim subvector. Shared by q49 and q51.
+    */
+  private def pqSubvectors(df: DataFrame, idAs: String, svAs: String): DataFrame =
+    df.select(col("vec_id").as(idAs), posexplode(array((0 until PqM).map(m =>
         slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
-      .select(col("cid"), col("pos").as("m"), col("col").as("sub"))
-    // corpus → (vec_id, m, subvec) → nearest codeword per subspace
+      .select(col(idAs), col("pos").as("m"), col("col").as(svAs))
+
+  /** (m, bid, sub): the md5-threshold-sampled per-subspace codebook —
+    * one broadcast object of ≈PqM·PqK subvectors.
+    */
+  private def pqBook(raw: DataFrame): DataFrame =
+    pqSubvectors(raw.filter(
+      PortableHash.h60(col("vec_id")) < pqThreshold(raw.count())), "bid", "sub")
+
+  /** Nearest-codeword encoding of every vector: (vec_id, m, code). */
+  private def pqEncode(e: DataFrame, book: DataFrame): DataFrame = {
     val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d").asc, col("cid").asc)
-    val encoded = e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
-        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
-      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+      .orderBy(col("d").asc, col("bid").asc)
+    pqSubvectors(e, "vec_id", "sv")
       .join(broadcast(book), Seq("m"))
       .withColumn("d", l2sq(col("sv"), col("sub")))
       .withColumn("rn", row_number().over(wEnc))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("cid").as("code"))
-    // per-query ADC table in integer nanos
-    val dtab = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), posexplode(array((0 until PqM).map(m =>
-        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
-      .select(col("query_id"), col("pos").as("m"), col("col").as("qv"))
+      .select(col("vec_id"), col("m"), col("bid").as("code"))
+  }
+
+  /** Per-query ADC distance tables in integer nanos:
+    * (query_id, m, code, dn).
+    */
+  private def pqDistTables(e: DataFrame, book: DataFrame): DataFrame =
+    pqSubvectors(e.filter(col("vec_id") < NumQueries), "query_id", "qv")
       .join(broadcast(book), Seq("m"))
-      .select(col("query_id"), col("m"), col("cid"),
-        floor(l2sq(col("qv"), col("sub")) * lit(1e9) + lit(0.5)).cast(LongType).as("dn"))
+      .select(col("query_id"), col("m"), col("bid").as("code"),
+        floor(l2sq(col("qv"), col("sub")) * lit(1e9) + lit(0.5))
+          .cast(org.apache.spark.sql.types.LongType).as("dn"))
+
+  def q49AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    val book = pqBook(raw)
+    val encoded = pqEncode(e, book)
+    val dtab = pqDistTables(e, book)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist_n").asc, col("neighbor_id").asc)
-    encoded.join(broadcast(dtab),
-        encoded("m") === dtab("m") && encoded("code") === dtab("cid"))
+    encoded.join(broadcast(dtab), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("dn")).as("adist_n"))
@@ -804,34 +819,47 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  val q49AnnPqSql: String = {
-    def subCte(src: String, idAs: String, svAs: String, where: String = "") =
-      s"""SELECT vec_id AS $idAs, m, list_slice(embedding, m * $PqSub + 1, (m + 1) * $PqSub) AS $svAs
-         |  FROM $src CROSS JOIN range(0, $PqM) r(m)$where""".stripMargin
-    s"""WITH book AS (
-       |  ${subCte("embeddings", "cid", "sub")}
+  /** Shared SQL fragments mirroring [[pqSubvectors]]/[[pqBook]]/
+    * [[pqEncode]]/[[pqDistTables]] — q49 and q51 splice the same CTEs.
+    */
+  private def pqSubCte(src: String, idAs: String, svAs: String): String =
+    s"""SELECT vec_id AS $idAs, m, list_slice(embedding, m * $PqSub + 1, (m + 1) * $PqSub) AS $svAs
+       |  FROM $src CROSS JOIN range(0, $PqM) r(m)""".stripMargin
+
+  private def pqBookCte: String =
+    s"""book AS (
+       |  ${pqSubCte("embeddings", "bid", "sub")}
        |  WHERE ${PortableHash.h60Sql("vec_id")} <
        |    (SELECT CAST(${PortableHash.HashSpaceSqlHugeInt} * $PqK / COUNT(*) AS BIGINT)
-       |     FROM embeddings)),
-       |corpus_sub AS (
-       |  ${subCte("embeddings", "vec_id", "sv")}),
+       |     FROM embeddings))""".stripMargin
+
+  private def pqEncodedCtes: String =
+    s"""corpus_sub AS (
+       |  ${pqSubCte("embeddings", "vec_id", "sv")}),
        |encoded AS (
-       |  SELECT vec_id, m, cid AS code FROM (
-       |    SELECT c.vec_id, c.m, b.cid,
+       |  SELECT vec_id, m, bid AS code FROM (
+       |    SELECT c.vec_id, c.m, b.bid,
        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.m
-       |        ORDER BY ${l2sqSql("c.sv", "b.sub")} ASC, b.cid ASC) AS rn
+       |        ORDER BY ${l2sqSql("c.sv", "b.sub")} ASC, b.bid ASC) AS rn
        |    FROM corpus_sub c JOIN book b USING (m)) t
-       |  WHERE rn = 1),
-       |dtab AS (
-       |  SELECT q.query_id, q.m, b.cid,
+       |  WHERE rn = 1)""".stripMargin
+
+  private def pqDtabCte: String =
+    s"""dtab AS (
+       |  SELECT q.query_id, q.m, b.bid AS code,
        |    CAST(floor(${l2sqSql("q.sv", "b.sub")} * 1000000000.0 + 0.5) AS BIGINT) AS dn
-       |  FROM (${subCte("embeddings", "query_id", "sv")}
+       |  FROM (${pqSubCte("embeddings", "query_id", "sv")}
        |        WHERE vec_id < $NumQueries) q
-       |  JOIN book b USING (m)),
+       |  JOIN book b USING (m))""".stripMargin
+
+  val q49AnnPqSql: String =
+    s"""WITH $pqBookCte,
+       |$pqEncodedCtes,
+       |$pqDtabCte,
        |scored AS (
        |  SELECT d.query_id, e.vec_id AS neighbor_id,
        |    CAST(SUM(d.dn) AS BIGINT) AS adist_n
-       |  FROM encoded e JOIN dtab d ON e.m = d.m AND e.code = d.cid
+       |  FROM encoded e JOIN dtab d ON e.m = d.m AND e.code = d.code
        |  WHERE e.vec_id <> d.query_id
        |  GROUP BY 1, 2),
        |ranked AS (
@@ -843,7 +871,6 @@ object Similarity {
        |  CAST(adist_n AS DOUBLE) / 1000000000.0 AS adist
        |FROM ranked WHERE rn <= $K
        |ORDER BY query_id, rn""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // q51: IVF-PQ — the remaining cell of the IVF × {flat, SQ8, PQ}
@@ -864,51 +891,25 @@ object Similarity {
   // touches only probed-cell members.
   // -------------------------------------------------------------------
   def q51AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import org.apache.spark.sql.types.DoubleType
     Vectors.register(spark)
     val raw = Tables.embeddings(spark, dir)
     val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
     val cents = sampleCentroids(raw)
     // cell membership (IVF) — q48's assignment, ids only
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("csim", Vectors.vecCosine(col("embedding"), col("ce")))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
+    val assigned = nearest(e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cents, 1)
       .select(col("vec_id"), col("cid"))
-    // PQ codes per corpus vector — q49's encoder
-    val book = raw.filter(PortableHash.h60(col("vec_id")) < pqThreshold(raw.count()))
-      .select(col("vec_id").as("bid"), posexplode(array((0 until PqM).map(m =>
-        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
-      .select(col("bid"), col("pos").as("m"), col("col").as("sub"))
-    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d").asc, col("bid").asc)
-    val encoded = e.select(col("vec_id"), posexplode(array((0 until PqM).map(m =>
-        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
-      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
-      .join(broadcast(book), Seq("m"))
-      .withColumn("d", l2sq(col("sv"), col("sub")))
-      .withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("bid").as("code"))
-    // query side: probed cells + ADC tables
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("csim").desc, col("cid").asc)
-    val probed = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(cents))
-      .withColumn("csim", Vectors.vecCosine(col("qe"), col("ce")))
-      .withColumn("crn", row_number().over(wProbe))
-      .filter(col("crn") <= IvfProbe)
+    // PQ codes per corpus vector + per-query ADC tables — q49's machinery
+    val book = pqBook(raw)
+    val encoded = pqEncode(e, book)
+    val dtab = pqDistTables(e, book)
+    // probed cells per query
+    val probed = nearest(
+        e.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+        "query_id", "qe", cents, IvfProbe)
       .select(col("query_id"), col("cid"))
-    val dtab = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("query_id"), posexplode(array((0 until PqM).map(m =>
-        slice(col("embedding"), m * PqSub + 1, PqSub)): _*)))
-      .select(col("query_id"), col("pos").as("m"), col("col").as("qv"))
-      .join(broadcast(book), Seq("m"))
-      .select(col("query_id"), col("m"), col("bid"),
-        floor(l2sq(col("qv"), col("sub")) * lit(1e9) + lit(0.5)).cast(LongType).as("dn"))
     // candidates = corpus members of probed cells; score by table lookup
     val cand = assigned.join(broadcast(probed), Seq("cid"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -916,8 +917,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist_n").asc, col("neighbor_id").asc)
     cand.join(encoded, Seq("vec_id"))
-      .join(broadcast(dtab.withColumnRenamed("bid", "code")),
-        Seq("query_id", "m", "code"))
+      .join(broadcast(dtab), Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
       .agg(sum(col("dn")).as("adist_n"))
       .withColumn("rn", row_number().over(w))
@@ -927,10 +927,7 @@ object Similarity {
       .orderBy(col("query_id"), col("rn"))
   }
 
-  val q51AnnIvfPqSql: String = {
-    def subCte(src: String, idAs: String, svAs: String) =
-      s"""SELECT vec_id AS $idAs, m, list_slice(embedding, m * $PqSub + 1, (m + 1) * $PqSub) AS $svAs
-         |  FROM $src CROSS JOIN range(0, $PqM) r(m)""".stripMargin
+  val q51AnnIvfPqSql: String =
     s"""WITH ${centsSqlCte("cents")},
        |assigned AS (
        |  SELECT vec_id, cid FROM (
@@ -939,20 +936,8 @@ object Similarity {
        |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
        |    FROM embeddings e CROSS JOIN cents c) t
        |  WHERE crn = 1),
-       |book AS (
-       |  ${subCte("embeddings", "bid", "sub")}
-       |  WHERE ${PortableHash.h60Sql("vec_id")} <
-       |    (SELECT CAST(${PortableHash.HashSpaceSqlHugeInt} * $PqK / COUNT(*) AS BIGINT)
-       |     FROM embeddings)),
-       |corpus_sub AS (
-       |  ${subCte("embeddings", "vec_id", "sv")}),
-       |encoded AS (
-       |  SELECT vec_id, m, bid AS code FROM (
-       |    SELECT c.vec_id, c.m, b.bid,
-       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.m
-       |        ORDER BY ${l2sqSql("c.sv", "b.sub")} ASC, b.bid ASC) AS rn
-       |    FROM corpus_sub c JOIN book b USING (m)) t
-       |  WHERE rn = 1),
+       |$pqBookCte,
+       |$pqEncodedCtes,
        |probed AS (
        |  SELECT query_id, cid FROM (
        |    SELECT q.vec_id AS query_id, c.cid,
@@ -961,12 +946,7 @@ object Similarity {
        |    FROM embeddings q CROSS JOIN cents c
        |    WHERE q.vec_id < $NumQueries) t
        |  WHERE crn <= $IvfProbe),
-       |dtab AS (
-       |  SELECT q.query_id, q.m, b.bid AS code,
-       |    CAST(floor(${l2sqSql("q.sv", "b.sub")} * 1000000000.0 + 0.5) AS BIGINT) AS dn
-       |  FROM (${subCte("embeddings", "query_id", "sv")}
-       |        WHERE vec_id < $NumQueries) q
-       |  JOIN book b USING (m)),
+       |$pqDtabCte,
        |cand AS (
        |  SELECT p.query_id, a.vec_id
        |  FROM assigned a JOIN probed p USING (cid)
@@ -987,7 +967,6 @@ object Similarity {
        |  CAST(adist_n AS DOUBLE) / 1000000000.0 AS adist
        |FROM ranked WHERE rn <= $K
        |ORDER BY query_id, rn""".stripMargin
-  }
 
   // -------------------------------------------------------------------
   // q50: hybrid retrieval — the two-stage lexical→semantic search a
