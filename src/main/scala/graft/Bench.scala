@@ -22,9 +22,13 @@ object Bench {
     // regressions on unchanged code (BASELINE.md round-6 table).
     val warmDir = sys.env.getOrElse("GRAFT_BENCH_WARMUP_SF", "/root/testdata/sf0.001")
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // a query that fails only at the warm-up SF reverts to being
+          // measured cold — make that visible instead of silent
+          System.err.println(s"[bench] warm-up MISSED for $name: ${e.getMessage}")
+        }
       }
     // fixed name order: a Map's iteration order would vary with the query
     // set, making per-query numbers incomparable across rounds

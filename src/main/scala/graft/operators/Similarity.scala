@@ -974,7 +974,8 @@ object Similarity {
   // DISTINCT-token overlap with the query doc's tokens (the cheap,
   // inverted-index-shaped signal) and keeps the top HybridCand; stage 2
   // re-ranks only those candidates by embedding cosine (doc_id joins
-  // vec_id — the testdata keys them identically) and returns the top K.
+  // vec_id; the corpus is semi-joined to embeddings up front so every
+  // candidate is rankable by construction) and returns the top K.
   //
   // Scale shape: the query set is the only broadcast (both its token
   // arrays and its embeddings); stage 1 is one corpus scan × |queries|
@@ -991,8 +992,17 @@ object Similarity {
 
   def q50HybridSearch(spark: SparkSession, dir: String): DataFrame = {
     Vectors.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    // Semi-join the corpus against embeddings BEFORE the lexical ranking:
+    // a lexical candidate without an embedding would silently vanish at
+    // the stage-2 re-rank join and shrink the per-query result below K.
+    // At the gated SFs coverage happens to be total over the top-50
+    // (doc-id-ASC ties bias candidates low), but that was an unchecked
+    // accident (ADVICE r06) — this makes "candidate" mean "rankable" by
+    // construction, in both engines.
     val base = Tables.documents(spark, dir)
       .repartition(spark.sessionState.conf.numShufflePartitions)
+      .join(e.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("ts"))
     val qs = base.filter(col("doc_id") < HybridQueries)
       .select(col("doc_id").as("query_id"), col("ts").as("qts"))
@@ -1004,7 +1014,6 @@ object Similarity {
       .withColumn("lrn", row_number().over(wLex))
       .filter(col("lrn") <= HybridCand)
       .select(col("query_id"), col("doc_id"), col("overlap"))
-    val e = Tables.embeddings(spark, dir)
     val wSim = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("doc_id").asc)
     cand
@@ -1021,7 +1030,8 @@ object Similarity {
 
   val q50HybridSearchSql: String =
     s"""WITH base AS (
-       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents),
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+       |  WHERE doc_id IN (SELECT vec_id FROM embeddings)),
        |qs AS (
        |  SELECT doc_id AS query_id, ts AS qts FROM base WHERE doc_id < $HybridQueries),
        |lex AS (

@@ -325,10 +325,16 @@ object TextOps {
     transform(sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
       i => concat_ws(" ", (0 until k).map(j => try_element_at(t, i + lit(j))): _*))
 
-  private[operators] def kgramsSql(k: Int): String = {
-    val parts = (0 until k).map(j => s"t[i + $j]").mkString(" || ' ' || ")
-    s"list_transform(range(1, greatest(len(t) - ${k - 1}, 1) + 1), i -> $parts)"
-  }
+  /** SQL mirror of [[kgrams]]. `list_slice` clamps to the list bounds and
+    * `array_to_string` joins whatever survived — exactly concat_ws's
+    * null-skip on a sub-k-token doc. The earlier `t[i] || ' ' || t[i+1]`
+    * form NULL-propagated out-of-range tails, silently dropping the
+    * partial gram the Scala side emits (latent t55/t56/d49 divergence on
+    * short docs; ADVICE r06).
+    */
+  private[operators] def kgramsSql(k: Int): String =
+    s"list_transform(range(1, greatest(len(t) - ${k - 1}, 1) + 1), " +
+      s"i -> array_to_string(t[i : i + ${k - 1}], ' '))"
 
   /** t55's per-doc metric projection over ANY (doc_id, text, ...) frame —
     * stateless per-row arithmetic, so the SAME expression tree runs on a
