@@ -28,11 +28,36 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("d47 election shuffles the md5 hash, not the chunk text") {
-    val plan = optimized(Dedup.d47ChunkDedup(spark, dir))
-    // the window key is the hash column; the chunk string never becomes
-    // a shuffle key
-    assert(plan.contains("windowspecdefinition(h#"),
-      s"chunk election must partition by the md5 column:\n$plan")
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ConcatWs}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    // Structural pin (ADVICE r06): the earlier string match on
+    // "windowspecdefinition(h#" depended on the column being literally
+    // named `h` and on Catalyst's attr-format — and never checked the
+    // chunk text was absent from the exchange keys.
+    val root = Dedup.d47ChunkDedup(spark, dir).queryExecution.executedPlan
+    val plan = root match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected a keeper-election window in:\n$plan")
+    val winKeys = windows.flatMap(_.partitionSpec)
+    assert(winKeys.nonEmpty && winKeys.forall(_.isInstanceOf[AttributeReference]),
+      s"election must partition on a materialized (hash) column, not an inline expression:\n$plan")
+    val hashKeys = plan.collect { case e: ShuffleExchangeExec => e }
+      .flatMap(_.outputPartitioning match {
+        case h: HashPartitioning => h.expressions
+        case _                   => Seq.empty
+      })
+    // the chunk text (a variable-width concat of token slices) must never
+    // be a shuffle key — only its fixed-width md5 may move
+    assert(hashKeys.forall(k => k.collectFirst { case c: ConcatWs => c }.isEmpty),
+      s"a shuffle key embeds the chunk-text construction:\n$plan")
+    val winIds = winKeys.collect { case a: AttributeReference => a.exprId }.toSet
+    assert(hashKeys.exists {
+      case a: AttributeReference => winIds.contains(a.exprId)
+      case _                     => false
+    }, s"no exchange co-partitions the election key:\n$plan")
   }
 
   test("d49 probes the benchmark set via broadcast — no corpus-vs-benchmark shuffle join") {
