@@ -662,6 +662,50 @@ object Dedup {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d50: edit-distance near-dup verification — the fuzzy-match verifier
+  // the hash-family dedupers (d42/d43) can't express: candidate pairs
+  // come from the SAME sub-quadratic minhash band join as d42, then each
+  // candidate is CONFIRMED by character-level Levenshtein distance
+  // relative to the longer text (the record-linkage "block then verify"
+  // pattern). Cost is O(len²) per candidate but only candidates pay it.
+  //
+  // Scale: the candidate set is orders smaller than the corpus, so
+  // Catalyst broadcasts it for the two text-fetch joins — the corpus is
+  // scanned, never shuffled, for the fetch; the only corpus shuffle is
+  // the band-bucket join already bounded by BucketGuard. levenshtein()
+  // is the classic unit-cost DP in both engines → oracle hash-grade.
+  // ---------------------------------------------------------------------
+  private val EditRelMax = 0.05
+
+  def d50EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    minhashNearDupPairsFrom(Tables.documents(spark, dir))
+      .join(d.as("da"), col("doc_a") === col("da.doc_id"))
+      .join(d.as("db"), col("doc_b") === col("db.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
+        levenshtein(col("da.text"), col("db.text")).as("dist"),
+        greatest(length(col("da.text")), length(col("db.text"))).as("len_max"))
+      .withColumn("rel_dist", round(col("dist") / col("len_max"), 6))
+      .filter(col("rel_dist") <= EditRelMax)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val d50EditDistanceSql: String =
+    s"""$shingleSqlView,
+       |$minhashPairCtes
+       |SELECT doc_a, doc_b, est_jaccard,
+       |  levenshtein(da.text, db.text) AS dist,
+       |  GREATEST(len(da.text), len(db.text)) AS len_max,
+       |  ROUND(levenshtein(da.text, db.text) / GREATEST(len(da.text), len(db.text)), 6)
+       |    AS rel_dist
+       |FROM nd_pairs
+       |JOIN documents da ON da.doc_id = doc_a
+       |JOIN documents db ON db.doc_id = doc_b
+       |WHERE ROUND(levenshtein(da.text, db.text) / GREATEST(len(da.text), len(db.text)), 6)
+       |  <= $EditRelMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d40_dedup_exact", d40ExactGroups _, d40ExactGroupsSql),
     QueryDef.sql("d41_ngram_jaccard", d41NgramJaccard _, d41NgramJaccardSql),
@@ -671,5 +715,6 @@ object Dedup {
     QueryDef.sql("d44_embedding_neardup", d44EmbeddingNearDup _, d44EmbeddingNearDupSql),
     QueryDef.sql("d47_chunk_dedup", d47ChunkDedup _, d47ChunkDedupSql),
     QueryDef.sql("d49_decontaminate", d49Decontaminate _, d49DecontaminateSql),
+    QueryDef.sql("d50_edit_distance", d50EditDistance _, d50EditDistanceSql),
   )
 }

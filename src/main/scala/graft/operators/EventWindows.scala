@@ -261,6 +261,67 @@ object EventWindows {
        |GROUP BY cohort_week, week_offset
        |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q52: time-series gap-fill / resample — the dense-calendar operator
+  // every monitoring/feature pipeline needs and the reference (whose only
+  // time axis is the 2 s micro-batch) cannot express: hourly counts per
+  // event_type on a DENSE hour spine (absent hours materialized with
+  // n=0), plus a forward-filled last-observed hourly sum.
+  //
+  // Shape: (1) aggregate events → (type, hour) partials — the ONLY pass
+  // over the raw table, shrinking it to |types|×|hours| rows; (2) build
+  // the spine distributedly: one 1-row global [min,max] agg broadcast-
+  // joined onto the distinct types, then sequence()+explode per type row
+  // (no driver-side loop, no collect); (3) left-join partials onto the
+  // spine and forward-fill with last(ignoreNulls) windowed by type.
+  // At 100 TB the spine is |types| × timespan-hours — the same order as
+  // the output a gap-fill must produce by definition — so nothing here
+  // scales with the raw event count except the initial partial agg.
+  // All hour arithmetic is integer µs (epoch_us % 3600e6), the same
+  // timezone-free BIGINT convention as q16/q17.
+  // ---------------------------------------------------------------------
+  private val HourUs = 3600L * 1000000
+
+  def q52GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) - unix_micros(col("ts")) % HourUs).as("h"),
+        col("value"))
+      .groupBy(col("event_type"), col("h"))
+      .agg(count(lit(1)).as("n"), Relational.dsum(col("value"), 6).as("sum_value"))
+    val bounds = hourly.agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+    val spine = hourly.select(col("event_type")).distinct()
+      .join(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"), lit(HourUs))).as("h"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").as("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNull.cast("int").as("filled"),
+        last(col("sum_value"), ignoreNulls = true).over(w).as("ff_sum_value"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
+  val q52GapFillSql: String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_us(ts) - epoch_us(ts) % $HourUs AS h,
+       |    COUNT(*) AS n, ${Relational.dsumSql("value", 6)} AS sum_value
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM hourly),
+       |spine AS (
+       |  SELECT t.event_type, unnest(generate_series(lo, hi, $HourUs)) AS h
+       |  FROM (SELECT DISTINCT event_type FROM hourly) t, bounds)
+       |SELECT s.event_type, s.h AS hour_us,
+       |  COALESCE(hh.n, 0) AS n,
+       |  CAST(hh.n IS NULL AS INTEGER) AS filled,
+       |  LAST_VALUE(hh.sum_value IGNORE NULLS) OVER (
+       |    PARTITION BY s.event_type ORDER BY s.h
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ff_sum_value
+       |FROM spine s LEFT JOIN hourly hh ON s.event_type = hh.event_type AND s.h = hh.h
+       |ORDER BY s.event_type, hour_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
@@ -268,5 +329,6 @@ object EventWindows {
     QueryDef.sql("q39_funnel", q39Funnel _, q39FunnelSql),
     QueryDef.sql("q45_transitions", q45Transitions _, q45TransitionsSql),
     QueryDef.sql("q46_retention", q46Retention _, q46RetentionSql),
+    QueryDef.sql("q52_gapfill", q52GapFill _, q52GapFillSql),
   )
 }

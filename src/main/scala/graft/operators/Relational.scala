@@ -832,6 +832,55 @@ object Relational {
        |GROUP BY event_type, bin
        |ORDER BY event_type, bin""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q53: full-outer snapshot reconciliation — year-over-year customer
+  // spend diff, the one join type (§2.7 Joins) not yet exercised: both
+  // sides aggregate orders down to one row per customer BEFORE the
+  // full-outer join, so the join matches |customers|-sized inputs, not
+  // raw orders, and each customer is classified new / churned / kept.
+  //
+  // Scale: two filtered partial aggregates (year predicate pushed to the
+  // scan) then one co-partitioned full-outer shuffle join on o_custkey —
+  // both sides hash-partition on the same key, so AQE can plan a
+  // single-stage SMJ with no extra exchange. Spend stays in dsum's exact
+  // cents arithmetic; the delta is a subtraction of already-rounded
+  // totals, so both engines agree bit-for-bit.
+  // ---------------------------------------------------------------------
+  def q53SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def spend(yr: Int, as: String): DataFrame =
+      Tables.orders(spark, dir)
+        .filter(year(col("o_orderdate")) === yr)
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as(as))
+    spend(1995, "spend_a").join(spend(1996, "spend_b"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        when(col("spend_a").isNull, "new")
+          .when(col("spend_b").isNull, "churned")
+          .otherwise("kept").as("status"),
+        coalesce(col("spend_a"), lit(0.0)).as("spend_a"),
+        coalesce(col("spend_b"), lit(0.0)).as("spend_b"),
+        (coalesce(col("spend_b"), lit(0.0)) - coalesce(col("spend_a"), lit(0.0)))
+          .as("delta"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q53SnapshotDiffSql: String =
+    s"""WITH a AS (
+       |  SELECT o_custkey, ${dsumSql("o_totalprice")} AS spend_a
+       |  FROM orders WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+       |b AS (
+       |  SELECT o_custkey, ${dsumSql("o_totalprice")} AS spend_b
+       |  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+       |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+       |  CASE WHEN a.o_custkey IS NULL THEN 'new'
+       |       WHEN b.o_custkey IS NULL THEN 'churned'
+       |       ELSE 'kept' END AS status,
+       |  COALESCE(spend_a, 0.0) AS spend_a,
+       |  COALESCE(spend_b, 0.0) AS spend_b,
+       |  COALESCE(spend_b, 0.0) - COALESCE(spend_a, 0.0) AS delta
+       |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+       |ORDER BY o_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -857,5 +906,6 @@ object Relational {
     QueryDef.sql("q41_salted_join", q41SaltedJoin _, q41SaltedJoinSql),
     QueryDef.sql("q42_unpivot", q42Unpivot _, q42UnpivotSql),
     QueryDef.sql("q43_histogram", q43Histogram _, q43HistogramSql),
+    QueryDef.sql("q53_snapshot_diff", q53SnapshotDiff _, q53SnapshotDiffSql),
   )
 }

@@ -73,7 +73,73 @@ object Sampling {
        |FROM r WHERE rank <= $K
        |ORDER BY lang, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // d51: weighted systematic sampling — per source stratum, pick
+  // SampleK documents with probability proportional to size (n_chars),
+  // the standard PPS scheme for token-budgeted corpus mixing (a 10k-char
+  // doc should be 10× likelier in the sample than a 1k-char one).
+  //
+  // Systematic PPS: lay every doc of a stratum on a weight line in
+  // doc_id order (exact BIGINT prefix sums), then take the k midpoints
+  // p_j = (2j+1)·W/(2k); a doc is picked once per midpoint inside its
+  // [prev, cum) weight interval. Every quantity is integer — the pick
+  // count per doc is f(cum) − f(prev) with
+  //   f(x) = 0                          if 2k·x ≤ W
+  //        = (2k·x − W + 2W − 1) div 2W  otherwise  (= #{j : p_j < x})
+  // so both engines agree bit-for-bit with NO floating point and no RNG:
+  // the sample is a pure function of the data, like d46.
+  //
+  // Scale: two windows partitioned by source (prefix sum + stratum
+  // total), the t57 shape — no global sort, no collect; a stratum's rows
+  // stream through one partition's sort, and the output is ≤ k rows per
+  // stratum. Unlike d46's uniform hash-threshold sample this one needs
+  // the prefix sum, which is exactly what "weighted without replacement"
+  // costs; k and the stratum count stay fixed as the corpus grows.
+  // -------------------------------------------------------------------
+  private val SampleK = 10
+
+  def d51WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    def f(x: String): String =
+      s"CASE WHEN ${2 * SampleK} * $x <= w THEN 0 " +
+        s"ELSE (${2 * SampleK} * $x - w + 2 * w - 1) div (2 * w) END"
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(wOrd))
+      .withColumn("w", sum(col("n_chars")).over(wAll))
+      .withColumn("prev", col("cum") - col("n_chars"))
+      .withColumn("first_pick", expr(f("prev")))
+      .withColumn("n_picks", expr(f("cum")) - expr(f("prev")))
+      .filter(col("n_picks") > 0)
+      .select(col("source"), col("first_pick"), col("n_picks"),
+        col("doc_id"), col("n_chars"), col("cum"), col("w"))
+      .orderBy(col("source"), col("first_pick"))
+  }
+
+  val d51WeightedSampleSql: String = {
+    def f(x: String): String =
+      s"CASE WHEN ${2 * SampleK} * ($x) <= w THEN 0 " +
+        s"ELSE (${2 * SampleK} * ($x) - w + 2 * w - 1) // (2 * w) END"
+    s"""WITH lined AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CAST(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+       |    CAST(SUM(n_chars) OVER (PARTITION BY source) AS BIGINT) AS w
+       |  FROM documents),
+       |picked AS (
+       |  SELECT source, doc_id, n_chars, cum, w,
+       |    ${f("cum - n_chars")} AS first_pick,
+       |    ${f("cum")} - ${f("cum - n_chars")} AS n_picks
+       |  FROM lined)
+       |SELECT source, first_pick, n_picks, doc_id, n_chars, cum, w
+       |FROM picked WHERE n_picks > 0
+       |ORDER BY source, first_pick""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d46_stratified_sample", d46StratifiedSample _, d46StratifiedSampleSql),
+    QueryDef.sql("d51_weighted_sample", d51WeightedSample _, d51WeightedSampleSql),
   )
 }

@@ -565,6 +565,149 @@ object TextOps {
        |WHERE rank <= $VocabK
        |ORDER BY lang, rank""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t59: BM25 ranking — top-3 terms per document by Okapi BM25, the
+  // doc-length-normalized upgrade of t54's tf-idf and the scoring half
+  // of a lexical retrieval engine (q50's stage 1 uses raw overlap; BM25
+  // is what production rankers use). Same silhouette as t54: one
+  // explode, tf / df hash aggregates, a per-doc top-k window — the df
+  // join is broadcast-able (|vocab| rows) and dl derives from tf, so
+  // the corpus is scanned ONCE.
+  //
+  // Determinism: ln() is snapped to integer nanos exactly as in t54.
+  // The k1=1.2, b=0.75 length normalization reduces to the exact
+  // rational  score = idf_nanos · tf · 44 · S / (20·tf·S + 6·S + 18·dl·N)
+  // (S = corpus token count, N = doc count) — every factor is an
+  // integer, but the product can pass 2^63 at corpus scale, so both
+  // engines evaluate the SAME left-associated double expression over
+  // exactly-representable integer inputs: IEEE ops on identical inputs
+  // in identical order are bit-identical; no transcendental is left
+  // outside the nano-snap.
+  // -------------------------------------------------------------------
+  private val Bm25K = 3
+
+  def t59Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // two corpus scalars (plan literals, one tiny agg action — t54's
+    // nDocs precedent): N docs, S total tokens
+    val Array(nDocs, totToks) = d.agg(count(lit(1)), sum(size(toks)))
+      .collect()(0).toSeq.map(_.toString.toLong).toArray
+    val terms = d.select(col("doc_id"), explode(toks).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // Robertson idf with 0.5 smoothing, nano-snapped (cf. t54)
+    val idfNanos = floor(log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      * lit(1e9) + lit(0.5)).cast(LongType)
+    val score = col("idf_n").cast(DoubleType) * col("tf").cast(DoubleType) *
+      lit(44.0) * lit(totToks.toDouble) /
+      (lit(20.0) * col("tf").cast(DoubleType) * lit(totToks.toDouble) +
+        lit(6.0) * lit(totToks.toDouble) +
+        lit(18.0) * col("dl").cast(DoubleType) * lit(nDocs.toDouble)) / lit(1e9)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq.withColumn("idf_n", idfNanos).select(col("term"), col("idf_n")), "term")
+      .join(dl, "doc_id")
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= Bm25K)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val t59Bm25Sql: String =
+    s"""WITH n AS (SELECT COUNT(*) AS nd, SUM(len(string_split(text, ' '))) AS s
+       |           FROM documents),
+       |terms AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+       |dfreq AS (
+       |  SELECT term, CAST(floor(ln((CAST((SELECT nd FROM n) AS DOUBLE) - COUNT(*) + 0.5)
+       |      / (COUNT(*) + 0.5) + 1.0) * 1000000000.0 + 0.5) AS BIGINT) AS idf_n
+       |  FROM tf GROUP BY term),
+       |dl AS (
+       |  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf,
+       |    CAST(idf_n AS DOUBLE) * CAST(tf AS DOUBLE)
+       |      * 44.0 * CAST((SELECT s FROM n) AS DOUBLE)
+       |      / (20.0 * CAST(tf AS DOUBLE) * CAST((SELECT s FROM n) AS DOUBLE)
+       |         + 6.0 * CAST((SELECT s FROM n) AS DOUBLE)
+       |         + 18.0 * CAST(dl AS DOUBLE) * CAST((SELECT nd FROM n) AS DOUBLE))
+       |      / 1000000000.0 AS score
+       |  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, term ASC) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, tf, score
+       |FROM ranked WHERE rank <= $Bm25K
+       |ORDER BY doc_id, rank""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t60: Count-Min-Sketch heavy hitters — the fixed-memory frequency
+  // sketch (Cormode-Muthukrishnan) next to q11c's KMV cardinality
+  // sketch. A CMS is a d×w grid of counters; every (row, cell) increment
+  // is additive, so the sketch state is ORDER-INDEPENDENT and builds as
+  // one hash aggregate with full map-side combine: at 100 TB each
+  // executor emits at most d·w = 1024 partial cells regardless of input
+  // size — the canonical mergeable-sketch shape. Estimates are
+  // min over rows of the hashed cell, never below the true count.
+  //
+  // The query reports the exact top-20 tokens (the ground truth, its
+  // own global top-k) alongside their CMS estimates, so the oracle
+  // hash-checks both the sketch arithmetic and the overestimate
+  // invariant; hashing is the portable h60 gadget, so DuckDB builds the
+  // bit-identical grid.
+  // -------------------------------------------------------------------
+  private val CmsRows = 4
+  private val CmsWidth = 256
+  private val CmsTopK = 20
+
+  def t60HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val terms = docs(spark, dir).select(explode(toks).as("word"))
+    val exact = terms.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val top = exact.orderBy(col("n").desc, col("word").asc).limit(CmsTopK)
+    def cell(r: Column, word: Column): Column =
+      PortableHash.h60(concat(r.cast(StringType), lit(":"), word)) % CmsWidth
+    val sketch = terms
+      .select(explode(sequence(lit(0), lit(CmsRows - 1))).as("r"), col("word"))
+      .groupBy(col("r"), cell(col("r"), col("word")).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    top
+      .crossJoin(spark.range(CmsRows).select(col("id").cast("int").as("r")))
+      .withColumn("cell", cell(col("r"), col("word")))
+      .join(sketch, Seq("r", "cell"))
+      .groupBy(col("word"), col("n"))
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("word"), col("n"), col("cms_est"),
+        (col("cms_est") - col("n")).as("overcount"))
+      .orderBy(col("n").desc, col("word").asc)
+  }
+
+  val t60HeavyHittersSql: String = {
+    val cellSql = s"${PortableHash.h60Sql("CAST(r AS VARCHAR) || ':' || word")} % $CmsWidth"
+    s"""WITH terms AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+       |exact AS (
+       |  SELECT word, COUNT(*) AS n FROM terms GROUP BY word),
+       |top AS (
+       |  SELECT word, n FROM exact ORDER BY n DESC, word ASC LIMIT $CmsTopK),
+       |sketch AS (
+       |  SELECT r, $cellSql AS cell, COUNT(*) AS cnt
+       |  FROM terms, (SELECT unnest(range($CmsRows)) AS r)
+       |  GROUP BY 1, 2),
+       |probed AS (
+       |  SELECT word, n, $cellSql AS cell, r
+       |  FROM top, (SELECT unnest(range($CmsRows)) AS r))
+       |SELECT p.word, p.n, MIN(s.cnt) AS cms_est, MIN(s.cnt) - p.n AS overcount
+       |FROM probed p JOIN sketch s ON p.r = s.r AND p.cell = s.cell
+       |GROUP BY p.word, p.n
+       |ORDER BY n DESC, word ASC""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -575,5 +718,7 @@ object TextOps {
     QueryDef.sql("t56_boilerplate", t56Boilerplate _, t56BoilerplateSql),
     QueryDef.sql("t57_sequence_pack", t57SequencePack _, t57SequencePackSql),
     QueryDef.sql("t58_vocab", t58Vocab _, t58VocabSql),
+    QueryDef.sql("t59_bm25", t59Bm25 _, t59Bm25Sql),
+    QueryDef.sql("t60_heavy_hitters", t60HeavyHitters _, t60HeavyHittersSql),
   )
 }
