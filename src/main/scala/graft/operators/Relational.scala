@@ -881,6 +881,111 @@ object Relational {
        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
        |ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q54: binned quantile sketch — the BOUNDED-STATE production sibling of
+  // q19's exact rank-based quantiles. q19 is exact but costs a full
+  // distributed sort of every (group, value); this one answers the same
+  // per-group quantile questions from a fixed-grid histogram whose state
+  // is |groups| × |bins| regardless of corpus size — counters are
+  // order-independent and mergeable (full map-side combine), so at 100 TB
+  // the whole "sketch" is one hash aggregate plus a bins-sized window,
+  // and it composes with streaming (counters increment per batch). The
+  // price is a bounded error: the estimate lands inside the bin of the
+  // bracketing order statistic v_⌈t⌉, so |est − v_⌈t⌉| ≤ one bin width
+  // ($655.36); against the interpolated quantile_cont the bound widens
+  // by at most the v_⌈t⌉ − v_⌊t⌋ gap (zero on dense data). Round7bSpec
+  // machine-checks both bounds against the exact order statistics.
+  //
+  // Determinism: values go to integer cents (the house money discipline),
+  // bins are cents div 65536, ranks are exact-integer rationals
+  // (t = num·(n−1)/den + 1 compared cross-multiplied), and the one
+  // interpolation is the SAME left-associated double expression over
+  // exactly-representable integers in both engines.
+  // ---------------------------------------------------------------------
+  private val QBinW = 65536L
+
+  def q54QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast(LongType)
+    val hist = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), (cents - pmod(cents, lit(QBinW))).divide(lit(QBinW))
+        .cast(LongType).as("bin"))
+      .groupBy(col("l_returnflag"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("l_returnflag"))))
+    val qs = spark.createDataFrame(Seq(
+      ("p25", 1L, 4L), ("p50", 1L, 2L), ("p95", 19L, 20L))).toDF("q", "num", "den")
+    val tnum = col("num") * (col("n") - 1) + col("den")
+    val est = (col("bin") * lit(QBinW)).cast(DoubleType) +
+      lit(QBinW.toDouble) * (col("tnum") - (col("cum") - col("cnt")) * col("den")).cast(DoubleType) /
+        (col("den").cast(DoubleType) * col("cnt").cast(DoubleType))
+    cum.crossJoin(broadcast(qs))
+      .withColumn("tnum", tnum)
+      .where((col("cum") - col("cnt")) * col("den") < col("tnum") &&
+        col("cum") * col("den") >= col("tnum"))
+      .select(col("l_returnflag"), col("q"), col("n"),
+        round(est / lit(100.0), 4).as("est"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
+  val q54QuantileSketchSql: String =
+    s"""WITH h AS (
+       |  SELECT l_returnflag,
+       |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) // $QBinW AS bin,
+       |    COUNT(*) AS cnt
+       |  FROM lineitem GROUP BY 1, 2),
+       |c AS (
+       |  SELECT l_returnflag, bin, cnt,
+       |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+       |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM h),
+       |q AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p95', 19, 20))
+       |      AS t(q, num, den)),
+       |b AS (
+       |  SELECT l_returnflag, q, n, bin, cnt, den,
+       |    cum - cnt AS cumprev, cum, num * (n - 1) + den AS tnum
+       |  FROM c CROSS JOIN q)
+       |SELECT l_returnflag, q, CAST(n AS BIGINT) AS n,
+       |  ROUND((CAST(bin * $QBinW AS DOUBLE)
+       |    + ${QBinW.toDouble} * CAST(tnum - cumprev * den AS DOUBLE)
+       |      / (CAST(den AS DOUBLE) * CAST(cnt AS DOUBLE))) / 100.0, 4) AS est
+       |FROM b WHERE cumprev * den < tnum AND cum * den >= tnum
+       |ORDER BY l_returnflag, q""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q55: multiple DISTINCT aggregates + a filtered aggregate in ONE
+  // GROUP BY — the surface that exercises Catalyst's Expand-based
+  // multi-distinct planning. Spark rewrites two different COUNT(DISTINCT)
+  // columns into an Expand (each input row fans out once per distinct
+  // group with the others nulled), then a two-level aggregate — one
+  // shuffle on the grouping key, never a per-distinct-column re-scan of
+  // the corpus. Round7bSpec pins the Expand node in the physical plan.
+  // The filtered sum rides the same aggregate via a CASE projection
+  // (FILTER-clause semantics), in dsum's exact cents arithmetic.
+  // ---------------------------------------------------------------------
+  def q55MultiDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("parts"),
+        countDistinct(col("l_suppkey")).as("supps"),
+        count(lit(1)).as("n"),
+        dsum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+          .otherwise(lit(0.0))).as("disc_rev"))
+      .orderBy(col("l_returnflag"))
+
+  val q55MultiDistinctSql: String =
+    s"""SELECT l_returnflag,
+       |  COUNT(DISTINCT l_partkey) AS parts,
+       |  COUNT(DISTINCT l_suppkey) AS supps,
+       |  COUNT(*) AS n,
+       |  ${dsumSql("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END")} AS disc_rev
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -907,5 +1012,7 @@ object Relational {
     QueryDef.sql("q42_unpivot", q42Unpivot _, q42UnpivotSql),
     QueryDef.sql("q43_histogram", q43Histogram _, q43HistogramSql),
     QueryDef.sql("q53_snapshot_diff", q53SnapshotDiff _, q53SnapshotDiffSql),
+    QueryDef.sql("q54_quantile_sketch", q54QuantileSketch _, q54QuantileSketchSql),
+    QueryDef.sql("q55_multi_distinct", q55MultiDistinct _, q55MultiDistinctSql),
   )
 }

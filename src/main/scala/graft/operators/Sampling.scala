@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.{QueryDef, Tables}
 
@@ -138,8 +139,96 @@ object Sampling {
        |ORDER BY source, first_pick""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // d52: mixture resampling — allocate a GLOBAL document budget across
+  // source domains by target weight, then deterministically sample each
+  // domain's quota. This is the data-mixing step of corpus assembly
+  // ("webtext 40%, code 30%, …"): d46 fixes a per-stratum K; here the
+  // per-stratum quota is itself computed, by exact integer largest-
+  // remainder apportionment (floor allocation + the leftover seats to
+  // the largest remainders, ties by source name), so quotas always sum
+  // to the budget and both engines agree bit-for-bit — no floating-
+  // point shares anywhere.
+  //
+  // Scale shape: the allocation runs on the |sources|-row count
+  // aggregate (unpartitioned windows over a handful of rows — the
+  // corpus never passes through them); selection reuses d46's two-phase
+  // hash-threshold prefilter so the per-stratum rank window sorts only
+  // ~Over·quota survivors, never the stratum. The threshold compare is
+  // cross-multiplied (h·n < 2^60·Over·quota) in DECIMAL(38)/HUGEINT, so
+  // no overflow and no division-order ambiguity. If the prefilter ever
+  // left fewer than quota survivors, BOTH engines would see the same
+  // deficit (the sample is a pure function of the data) — the oracle
+  // still matches; MixtureSpec pins exact-quota output on the testdata.
+  //
+  // Target weights derive deterministically from the source name
+  // (w = 1 + srcnum mod 4) — standing in for the config a real mixing
+  // job reads; the budget 203 is deliberately not a multiple of the
+  // weight total so the remainder distribution is actually exercised.
+  // -------------------------------------------------------------------
+  private val MixBudget = 203L
+
+  def d52MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    // |sources|-row allocation table; unpartitioned windows are fine here
+    val wN = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRem = Window.orderBy(col("rem").desc, col("source").asc)
+    val alloc = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("tw", lit(1L) + expr("CAST(substring(source, 4) AS BIGINT) % 4"))
+      .withColumn("wsum", sum(col("tw")).over(wN))
+      .withColumn("base", expr(s"($MixBudget * tw) div wsum"))
+      .withColumn("rem", expr(s"($MixBudget * tw) % wsum"))
+      .withColumn("leftover", lit(MixBudget) - sum(col("base")).over(wN))
+      .withColumn("seat", row_number().over(wRem))
+      .withColumn("quota", least(col("base") +
+        when(col("seat") <= col("leftover"), 1L).otherwise(0L), col("n")))
+      .select(col("source"), col("n"), col("quota"))
+    // d46's two-phase selection, with the threshold compare cross-
+    // multiplied so it stays exact at any n: keep h·n < 2^60·Over·quota
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    d.join(broadcast(alloc), "source")
+      .withColumn("h", PortableHash.h60(col("doc_id")))
+      .filter(col("h").cast(dec) * col("n").cast(dec) <
+        lit(PortableHash.HashSpace.toLong).cast(dec) * (lit(Over.toLong) * col("quota")).cast(dec))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= col("quota"))
+      .select(col("source"), col("quota"), col("rank"), col("doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val d52MixtureSampleSql: String =
+    s"""WITH n AS (
+       |  SELECT source, COUNT(*) AS n,
+       |    1 + CAST(substr(source, 4) AS BIGINT) % 4 AS tw
+       |  FROM documents GROUP BY source),
+       |a AS (
+       |  SELECT source, n, tw,
+       |    SUM(tw) OVER () AS wsum,
+       |    ($MixBudget * tw) // SUM(tw) OVER () AS base,
+       |    ($MixBudget * tw) % SUM(tw) OVER () AS rem
+       |  FROM n),
+       |q AS (
+       |  SELECT source, n,
+       |    LEAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+       |      <= $MixBudget - SUM(base) OVER () THEN 1 ELSE 0 END, n) AS quota
+       |  FROM a),
+       |f AS (
+       |  SELECT d.source, q.quota, d.doc_id, ${PortableHash.h60Sql("d.doc_id")} AS h
+       |  FROM documents d JOIN q USING (source)
+       |  WHERE CAST(${PortableHash.h60Sql("d.doc_id")} AS HUGEINT) * q.n
+       |    < ${PortableHash.HashSpaceSqlHugeInt} * ($Over * q.quota)),
+       |r AS (
+       |  SELECT source, quota, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+       |  FROM f)
+       |SELECT source, CAST(quota AS BIGINT) AS quota, rank, doc_id
+       |FROM r WHERE rank <= quota
+       |ORDER BY source, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d46_stratified_sample", d46StratifiedSample _, d46StratifiedSampleSql),
     QueryDef.sql("d51_weighted_sample", d51WeightedSample _, d51WeightedSampleSql),
+    QueryDef.sql("d52_mixture_sample", d52MixtureSample _, d52MixtureSampleSql),
   )
 }

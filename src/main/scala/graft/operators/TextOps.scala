@@ -708,6 +708,177 @@ object TextOps {
        |ORDER BY n DESC, word ASC""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t61: bigram language-model scoring — the CCNet/Gopher-style
+  // "perplexity filter" reduced to its Spark shape: train an add-one-
+  // smoothed bigram LM on the corpus itself (two hash aggregates), then
+  // score every document by its mean bigram log-probability and gate on
+  // a threshold. This is the quality filter real pipelines run with a
+  // KenLM model; here the model IS a DataFrame, so train + score are
+  // plan stages instead of a sidecar binary.
+  //
+  // Scale shape: the model tables are vocabulary-bounded (|bigrams| ≤
+  // V², orders of magnitude below corpus scale), so the scoring join
+  // hashes corpus pairs against a small build side — AQE broadcasts it
+  // when it fits. Train and score are two passes over the exploded
+  // pairs; that is inherent to "score against corpus statistics", same
+  // as t54's df pass. No window functions, no sort: three hash
+  // aggregates and one equi-join.
+  //
+  // Determinism: each distinct bigram's log-prob is nano-snapped ONCE
+  // (t54's fixed-point ln discipline) from exact-integer counts; per-doc
+  // sums then run in pure BIGINT, and the final mean is the same
+  // left-associated double expression in both engines.
+  // -------------------------------------------------------------------
+  private val LmThresholdNanos = -4_000_000_000L // mean logprob ≥ −4.0 keeps
+
+  def t61LmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    // adjacent-pair grams; total on sub-2-token docs (w2 null → filtered),
+    // the kgrams discipline
+    val grams = filter(
+      transform(sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+        i => struct(try_element_at(toks, i).as("w1"),
+          try_element_at(toks, i + lit(1)).as("w2"))),
+      s => s.getField("w2").isNotNull)
+    val pairs = d.select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    // vocab size for smoothing — one corpus scalar (t59's nDocs precedent)
+    val vocab = d.select(explode(toks).as("w")).agg(countDistinct(col("w")))
+      .collect()(0).getLong(0)
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    // P(w2|w1) = (c2+1)/(c1+V), ln nano-snapped per DISTINCT bigram
+    val model = c2.join(c1, "w1").withColumn("lp_n",
+      floor(log((col("c2") + 1).cast(DoubleType) / (col("c1") + lit(vocab)).cast(DoubleType))
+        * lit(1e9) + lit(0.5)).cast(LongType))
+      .select(col("w1"), col("w2"), col("lp_n"))
+    val scored = pairs.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_n")).as("sum_n"))
+    // left join keeps bigram-less docs total (null score, keep=false)
+    d.select(col("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("sum_n").cast(DoubleType) / col("n_bigrams").cast(DoubleType) / lit(1e9), 6)
+          .as("avg_logprob"),
+        coalesce(col("sum_n") >= lit(LmThresholdNanos) * col("n_bigrams"), lit(false))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t61LmScoreSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pr AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS g
+       |  FROM tk),
+       |pairs AS (
+       |  SELECT doc_id, struct_extract(g, 'w1') AS w1, struct_extract(g, 'w2') AS w2
+       |  FROM pr),
+       |vocab AS (
+       |  SELECT COUNT(DISTINCT w) AS v FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+       |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+       |model AS (
+       |  SELECT c2.w1, c2.w2,
+       |    CAST(floor(ln(CAST(c2 + 1 AS DOUBLE)
+       |      / CAST(c1 + (SELECT v FROM vocab) AS DOUBLE)) * 1000000000.0 + 0.5)
+       |      AS BIGINT) AS lp_n
+       |  FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+       |scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp_n) AS sum_n
+       |  FROM pairs JOIN model USING (w1, w2) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  ROUND(CAST(sum_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000000.0, 6)
+       |    AS avg_logprob,
+       |  COALESCE(sum_n >= $LmThresholdNanos * n_bigrams, false) AS keep
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN scored USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t62: PII detection + redaction — the scrub pass every training
+  // corpus runs before anything else ships: count and mask emails,
+  // IPv4 addresses, and phone numbers. Pure per-row regex map work —
+  // scan-bound, zero shuffle, the t50/t51 silhouette — with literal
+  // patterns, so Spark compiles each regex once per task inside the
+  // codegen'd RegExpReplace/RegExpCount kernels (never a UDF).
+  //
+  // The synthetic corpus is PII-free word salad by construction, so the
+  // kernel runs over a deterministic PII-bearing projection of `events`
+  // (both engines materialize the identical text from the same integer
+  // columns — no synthesized inputs, no RNG). PiiSpec additionally
+  // plants adversarial strings: multiple PII per line, PII at string
+  // edges, '@' without a domain, and asserts redaction idempotence.
+  //
+  // Pattern discipline: RE2-compatible regexes only (no backrefs, no
+  // lookaround) so Java regex (Spark) and RE2 (DuckDB) agree; redaction
+  // order is email → IP → phone so the email pass consumes '@host.com'
+  // before the IP pass can see dotted digits inside it.
+  // -------------------------------------------------------------------
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhonePat = "\\+1-555-\\d{4}"
+
+  /** The redaction kernel over a text column — email → IP → phone. */
+  private[graft] def redact(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPat, "<EMAIL>"),
+        Ipv4Pat, "<IP>"),
+      PhonePat, "<PHONE>")
+
+  def t62PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val line = concat(
+      lit("user"), col("user_id").cast(StringType),
+      lit(" logged in from 10."), (col("user_id") % 256).cast(StringType),
+      lit("."), (col("event_id") % 256).cast(StringType),
+      lit("."), ((col("event_id") * 7) % 256).cast(StringType),
+      lit(" contact user"), col("user_id").cast(StringType),
+      lit("@mail"), (col("event_id") % 10).cast(StringType),
+      lit(".com or +1-555-"), lpad((col("event_id") % 10000).cast(StringType), 4, "0"),
+      lit(" re "), col("event_type"))
+    Tables.events(spark, dir)
+      .filter(col("event_id") < 200)
+      .withColumn("line", line)
+      .select(col("event_id"),
+        regexp_count(col("line"), lit(EmailPat)).as("n_email"),
+        regexp_count(col("line"), lit(Ipv4Pat)).as("n_ip"),
+        regexp_count(col("line"), lit(PhonePat)).as("n_phone"),
+        redact(col("line")).as("redacted"))
+      .orderBy(col("event_id"))
+  }
+
+  val t62PiiRedactSql: String = {
+    // the patterns interpolate into single-quoted SQL literals, where
+    // DuckDB keeps backslashes literal — no re-escaping needed
+    s"""WITH l AS (
+       |  SELECT event_id,
+       |    concat('user', CAST(user_id AS VARCHAR),
+       |      ' logged in from 10.', CAST(user_id % 256 AS VARCHAR),
+       |      '.', CAST(event_id % 256 AS VARCHAR),
+       |      '.', CAST((event_id * 7) % 256 AS VARCHAR),
+       |      ' contact user', CAST(user_id AS VARCHAR),
+       |      '@mail', CAST(event_id % 10 AS VARCHAR),
+       |      '.com or +1-555-', lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0'),
+       |      ' re ', event_type) AS line
+       |  FROM events WHERE event_id < 200)
+       |SELECT event_id,
+       |  CAST(len(regexp_extract_all(line, '$EmailPat')) AS INT) AS n_email,
+       |  CAST(len(regexp_extract_all(line, '$Ipv4Pat')) AS INT) AS n_ip,
+       |  CAST(len(regexp_extract_all(line, '$PhonePat')) AS INT) AS n_phone,
+       |  regexp_replace(regexp_replace(regexp_replace(line,
+       |    '$EmailPat', '<EMAIL>', 'g'),
+       |    '$Ipv4Pat', '<IP>', 'g'),
+       |    '$PhonePat', '<PHONE>', 'g') AS redacted
+       |FROM l
+       |ORDER BY event_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -720,5 +891,7 @@ object TextOps {
     QueryDef.sql("t58_vocab", t58Vocab _, t58VocabSql),
     QueryDef.sql("t59_bm25", t59Bm25 _, t59Bm25Sql),
     QueryDef.sql("t60_heavy_hitters", t60HeavyHitters _, t60HeavyHittersSql),
+    QueryDef.sql("t61_lm_score", t61LmScore _, t61LmScoreSql),
+    QueryDef.sql("t62_pii_redact", t62PiiRedact _, t62PiiRedactSql),
   )
 }
