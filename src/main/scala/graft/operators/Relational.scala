@@ -986,6 +986,252 @@ object Relational {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q56: group-wise OLS regression — per-brand least-squares fit of
+  // line-item price on quantity, the "does this feature predict that
+  // one" primitive an analytics engine owes its users. One broadcast
+  // join (part is dimension-sized at any SF) + ONE hash aggregate
+  // collecting the five moment sums {Σx, Σy, Σxy, Σx², Σy²} as exact
+  // integers on the cents grid — slope, intercept and R² are then pure
+  // algebra over the already-reduced |brands| rows. No per-group re-scan,
+  // no ML-library dependency, full map-side combine.
+  //
+  // Determinism: every sum is an exact BIGINT (snap to cents, integer
+  // products), and both engines derive the fit from the SAME
+  // left-associated double expression over those integers, so results
+  // are bit-identical. Bound: the largest sum (Σy², price cents squared)
+  // is ~1.1e18 at sf0.1 — inside int64, and the oracle's CAST(... AS
+  // BIGINT) errors loudly rather than wrapping if a larger corpus
+  // crosses 2^63 (DuckDB sums in HUGEINT). Past that, flip the Spark
+  // side to DECIMAL(38,0) sums and move the derived columns onto the
+  // measured rounding-margin discipline q20b uses — same escape hatch as
+  // dsum's decimal mode.
+  // ---------------------------------------------------------------------
+  def q56Regression(spark: SparkSession, dir: String): DataFrame = {
+    val xc = floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast(LongType)
+    val yc = floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast(LongType)
+    val s = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), xc.as("xc"), yc.as("yc"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+        sum(col("xc") * col("yc")).as("sxy"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("yc") * col("yc")).as("syy"))
+    val dn = col("n").cast(DoubleType)
+    val Seq(dsx, dsy, dsxy, dsxx, dsyy) =
+      Seq("sx", "sy", "sxy", "sxx", "syy").map(c => col(c).cast(DoubleType))
+    val num = dn * dsxy - dsx * dsy
+    val slope = num / (dn * dsxx - dsx * dsx)
+    s.select(col("p_brand"), col("n"),
+        slope.as("slope"),
+        ((dsy - slope * dsx) / dn / lit(100.0)).as("intercept"),
+        (num * num / ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy))).as("r2"))
+      .orderBy(col("p_brand"))
+  }
+
+  val q56RegressionSql: String =
+    """WITH j AS (
+      |  SELECT p.p_brand,
+      |    CAST(floor(l.l_quantity * 100.0 + 0.5) AS BIGINT) AS xc,
+      |    CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yc
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |s AS (
+      |  SELECT p_brand, COUNT(*) AS n,
+      |    CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+      |    CAST(SUM(xc * yc) AS BIGINT) AS sxy,
+      |    CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+      |    CAST(SUM(yc * yc) AS BIGINT) AS syy
+      |  FROM j GROUP BY p_brand),
+      |d AS (
+      |  SELECT p_brand, n, CAST(n AS DOUBLE) AS dn,
+      |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+      |    CAST(sxy AS DOUBLE) AS dsxy, CAST(sxx AS DOUBLE) AS dsxx,
+      |    CAST(syy AS DOUBLE) AS dsyy
+      |  FROM s)
+      |SELECT p_brand, n,
+      |  (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) AS slope,
+      |  (dsy - (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) * dsx) / dn / 100.0 AS intercept,
+      |  (dn * dsxy - dsx * dsy) * (dn * dsxy - dsx * dsy)
+      |    / ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)) AS r2
+      |FROM d ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q57: correlation matrix — pairwise Pearson correlation between a
+  // measure and two derived time features (hour-of-day, day-of-week),
+  // per event type, from ONE aggregate pass collecting the 3×3 moment
+  // sums. Same exact-integer-sums + identical-double-algebra discipline
+  // as q56; sqrt is a correctly-rounded IEEE op on identical operands.
+  // Feature encodings are mirrored explicitly: Spark's dayofweek is
+  // 1-based Sunday=1, DuckDB's 0-based Sunday=0, so the Spark side
+  // subtracts 1 — correlation is affine-invariant, but bit-exactness
+  // wants the SAME integers, not equivalent ones. Scale: sums of
+  // cents×small-int products stay < 4e14 at sf0.1 (~2^63 at a million
+  // times that), and the state is 11 counters per group.
+  // ---------------------------------------------------------------------
+  def q57CorrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.events(spark, dir)
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("v"),
+        hour(col("ts")).cast(LongType).as("h"),
+        (dayofweek(col("ts")) - lit(1)).cast(LongType).as("d"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).as("sv"), sum(col("h")).as("sh"), sum(col("d")).as("sd"),
+        sum(col("v") * col("v")).as("svv"), sum(col("h") * col("h")).as("shh"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("v") * col("h")).as("svh"), sum(col("v") * col("d")).as("svd"),
+        sum(col("h") * col("d")).as("shd"))
+    def corr(sa: String, sb: String, sab: String, saa: String, sbb: String): Column = {
+      val dn = col("n").cast(DoubleType)
+      val (da, db, dab, daa, dbb) = (col(sa).cast(DoubleType), col(sb).cast(DoubleType),
+        col(sab).cast(DoubleType), col(saa).cast(DoubleType), col(sbb).cast(DoubleType))
+      (dn * dab - da * db) / sqrt((dn * daa - da * da) * (dn * dbb - db * db))
+    }
+    s.select(col("event_type"), col("n"),
+        corr("sv", "sh", "svh", "svv", "shh").as("corr_value_hour"),
+        corr("sv", "sd", "svd", "svv", "sdd").as("corr_value_dow"),
+        corr("sh", "sd", "shd", "shh", "sdd").as("corr_hour_dow"))
+      .orderBy(col("event_type"))
+  }
+
+  val q57CorrMatrixSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+      |    CAST(hour(ts) AS BIGINT) AS h,
+      |    CAST(dayofweek(ts) AS BIGINT) AS d
+      |  FROM events),
+      |s AS (
+      |  SELECT event_type, COUNT(*) AS n,
+      |    CAST(SUM(v) AS BIGINT) AS sv, CAST(SUM(h) AS BIGINT) AS sh,
+      |    CAST(SUM(d) AS BIGINT) AS sd,
+      |    CAST(SUM(v*v) AS BIGINT) AS svv, CAST(SUM(h*h) AS BIGINT) AS shh,
+      |    CAST(SUM(d*d) AS BIGINT) AS sdd,
+      |    CAST(SUM(v*h) AS BIGINT) AS svh, CAST(SUM(v*d) AS BIGINT) AS svd,
+      |    CAST(SUM(h*d) AS BIGINT) AS shd
+      |  FROM b GROUP BY event_type),
+      |d AS (
+      |  SELECT event_type, n, CAST(n AS DOUBLE) AS dn,
+      |    CAST(sv AS DOUBLE) AS dv, CAST(sh AS DOUBLE) AS dh, CAST(sd AS DOUBLE) AS dd,
+      |    CAST(svv AS DOUBLE) AS dvv, CAST(shh AS DOUBLE) AS dhh, CAST(sdd AS DOUBLE) AS ddd,
+      |    CAST(svh AS DOUBLE) AS dvh, CAST(svd AS DOUBLE) AS dvd, CAST(shd AS DOUBLE) AS dhd
+      |  FROM s)
+      |SELECT event_type, n,
+      |  (dn * dvh - dv * dh) / sqrt((dn * dvv - dv * dv) * (dn * dhh - dh * dh)) AS corr_value_hour,
+      |  (dn * dvd - dv * dd) / sqrt((dn * dvv - dv * dv) * (dn * ddd - dd * dd)) AS corr_value_dow,
+      |  (dn * dhd - dh * dd) / sqrt((dn * dhh - dh * dh) * (dn * ddd - dd * dd)) AS corr_hour_dow
+      |FROM d ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q58: robust outlier detection — per-group median / MAD (median
+  // absolute deviation) with a 3×MAD outlier fence, the
+  // mean/σ-free anomaly screen that survives heavy tails. Medians are
+  // EXACT lower order statistics (rank (n+1) div 2 over the cents grid):
+  // two windowed rank passes — values, then absolute deviations from the
+  // group median — and a final integer-only fence count, so every
+  // compared number is an integer or a single division of integers.
+  //
+  // Scale: exact medians need per-group sorts (two shuffles on the group
+  // key; the second pass reuses the first's partitioning). That is the
+  // honest cost of exact order statistics — q54's binned sketch is the
+  // bounded-state sibling when estimates suffice, same trade q19
+  // documents for percentiles.
+  // ---------------------------------------------------------------------
+  def q58MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type").as("et"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("vc"))
+    def lowerMedian(df: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("et")).orderBy(col(valueCol))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("et"))))
+        .where(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("et"), col(valueCol).as(out), col("cnt").as(s"${out}_n"))
+    }
+    val med = lowerMedian(base, "vc", "med")
+    val dev = base.join(broadcast(med), Seq("et"))
+      .withColumn("dv", abs(col("vc") - col("med")))
+    val mad = lowerMedian(dev.select(col("et"), col("dv")), "dv", "mad")
+    dev.join(broadcast(mad), Seq("et"))
+      .groupBy(col("et").as("event_type"))
+      .agg(first(col("med_n")).as("n"),
+        (first(col("med")).cast(DoubleType) / lit(100.0)).as("median"),
+        (first(col("mad")).cast(DoubleType) / lit(100.0)).as("mad"),
+        sum(when(col("dv") > lit(3) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
+  val q58MadOutliersSql: String =
+    """WITH b AS (
+      |  SELECT event_type AS et, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+      |  FROM events),
+      |r1 AS (
+      |  SELECT et, vc, row_number() OVER (PARTITION BY et ORDER BY vc) AS rn,
+      |    COUNT(*) OVER (PARTITION BY et) AS cnt FROM b),
+      |med AS (SELECT et, vc AS med, cnt AS n FROM r1 WHERE rn = (cnt + 1) // 2),
+      |dev AS (
+      |  SELECT b.et, abs(b.vc - m.med) AS dv, m.med, m.n
+      |  FROM b JOIN med m ON b.et = m.et),
+      |r2 AS (
+      |  SELECT et, dv, row_number() OVER (PARTITION BY et ORDER BY dv) AS rn,
+      |    COUNT(*) OVER (PARTITION BY et) AS cnt FROM dev),
+      |mad AS (SELECT et, dv AS mad FROM r2 WHERE rn = (cnt + 1) // 2)
+      |SELECT d.et AS event_type, CAST(d.n AS BIGINT) AS n,
+      |  CAST(d.med AS DOUBLE) / 100.0 AS median,
+      |  CAST(m.mad AS DOUBLE) / 100.0 AS mad,
+      |  CAST(SUM(CASE WHEN d.dv > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m ON d.et = m.et
+      |GROUP BY d.et, d.n, d.med, m.mad
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q59: SCD Type-2 dimension build — collapse each customer's
+  // order-priority history into validity intervals [valid_from,
+  // valid_to) with a current-row flag and a version counter: the
+  // slowly-changing-dimension primitive every warehouse load needs.
+  // Change points come from lag() over (customer, order date, order key
+  // — the key breaks date ties deterministically); interval ends and
+  // versions from lead()/row_number() over the SAME partitioning and
+  // ordering, so Catalyst plans ONE exchange + one sort shared by both
+  // window passes (the filter between them preserves ordering).
+  // ---------------------------------------------------------------------
+  def q59Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+      .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
+      .where(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast(LongType))
+      .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"),
+        col("version"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  val q59Scd2Sql: String =
+    """WITH marked AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+      |    lag(o_orderpriority) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders),
+      |chg AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority FROM marked
+      |  WHERE prev IS NULL OR prev <> o_orderpriority)
+      |SELECT o_custkey, o_orderpriority AS priority, o_orderdate AS valid_from,
+      |  lead(o_orderdate) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to,
+      |  CAST(CASE WHEN lead(o_orderdate) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_current,
+      |  CAST(row_number() OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
+      |FROM chg ORDER BY o_custkey, version""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -1014,5 +1260,9 @@ object Relational {
     QueryDef.sql("q53_snapshot_diff", q53SnapshotDiff _, q53SnapshotDiffSql),
     QueryDef.sql("q54_quantile_sketch", q54QuantileSketch _, q54QuantileSketchSql),
     QueryDef.sql("q55_multi_distinct", q55MultiDistinct _, q55MultiDistinctSql),
+    QueryDef.sql("q56_regression", q56Regression _, q56RegressionSql),
+    QueryDef.sql("q57_corr_matrix", q57CorrMatrix _, q57CorrMatrixSql),
+    QueryDef.sql("q58_mad_outliers", q58MadOutliers _, q58MadOutliersSql),
+    QueryDef.sql("q59_scd2", q59Scd2 _, q59Scd2Sql),
   )
 }

@@ -879,6 +879,54 @@ object TextOps {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // t63: text normalization — the canonicalization pass that runs before
+  // every dedup/quality stage in a curation pipeline: Unicode NFC (a
+  // custom codegen'd Catalyst expression, [[graft.functions.NfcNormalize]]
+  // — Spark has no built-in), lowercasing, and whitespace collapsing.
+  //
+  // The synthetic corpus is ALREADY canonical (lowercase, single-spaced
+  // ASCII), so running the normalizer on it directly would oracle-check
+  // an identity. Instead the query first derives a deterministic "messy"
+  // projection — per token, an md5-keyed choice of uppercasing and
+  // double-spacing, the same planted-input trick t62 uses for PII — and
+  // then normalizes it back. The oracle recomputes both directions in
+  // DuckDB (nfc_normalize/lower/regexp_replace), and NormalizeSpec pins
+  // the round-trip property norm(dirty(text)) == text on every doc plus
+  // the NFC non-identity cases on planted decomposed Unicode.
+  //
+  // Scale: per-row string work, no shuffle beyond the input-spreading
+  // repartition — scan-bound like the rest of the t5x family, and the
+  // NFC expression stays inside whole-stage codegen.
+  // ---------------------------------------------------------------------
+  def t63Normalize(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFns.register(spark)
+    val dirty = concat_ws("", transform(toks, t => concat(
+      when(ascii(substring(md5(t), 1, 1)) % 2 === 0, upper(t)).otherwise(t),
+      when(ascii(substring(md5(t), 2, 1)) % 2 === 0, lit("  ")).otherwise(lit(" ")))))
+    docs(spark, dir)
+      .withColumn("dirty", dirty)
+      .select(col("doc_id"),
+        length(col("dirty")).cast(LongType).as("n_dirty"),
+        graft.functions.TextFns.nfc(
+          trim(regexp_replace(lower(col("dirty")), " +", " "))).as("norm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t63NormalizeSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_aggregate(list_transform(string_split(text, ' '),
+      |      t -> (CASE WHEN ascii(substr(md5(t), 1, 1)) % 2 = 0
+      |              THEN upper(t) ELSE t END ||
+      |            CASE WHEN ascii(substr(md5(t), 2, 1)) % 2 = 0
+      |              THEN '  ' ELSE ' ' END)),
+      |      'string_agg', '') AS dirty
+      |  FROM documents)
+      |SELECT doc_id, CAST(length(dirty) AS BIGINT) AS n_dirty,
+      |  nfc_normalize(trim(regexp_replace(lower(dirty), ' +', ' ', 'g'))) AS norm
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -893,5 +941,6 @@ object TextOps {
     QueryDef.sql("t60_heavy_hitters", t60HeavyHitters _, t60HeavyHittersSql),
     QueryDef.sql("t61_lm_score", t61LmScore _, t61LmScoreSql),
     QueryDef.sql("t62_pii_redact", t62PiiRedact _, t62PiiRedactSql),
+    QueryDef.sql("t63_normalize", t63Normalize _, t63NormalizeSql),
   )
 }
