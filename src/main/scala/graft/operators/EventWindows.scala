@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
 
@@ -322,6 +323,97 @@ object EventWindows {
        |FROM spine s LEFT JOIN hourly hh ON s.event_type = hh.event_type AND s.h = hh.h
        |ORDER BY s.event_type, hour_us""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q60: OHLC resample bars — the time-series downsampling primitive
+  // (finance bars / dashboard rollups): per (event_type, day), first
+  // (open) / max (high) / min (low) / last (close) of the value plus the
+  // tick count. Open/close are positional order statistics: two
+  // row_number passes over the SAME (type, day) partitioning — one
+  // ascending, one descending on (ts, event_id) — share ONE exchange
+  // (Catalyst plans two sorts over the same shuffle), then a single hash
+  // aggregate folds all five outputs. Values ride the cents grid; the
+  // day-level output is O(|types| × |days|), corpus-independent.
+  //
+  // The (ts, event_id) tiebreak makes the order total in both engines;
+  // the oracle orders by epoch_us(ts) to mirror Spark's µs timestamps
+  // exactly (events.parquet carries ns — see Tables.events).
+  // ---------------------------------------------------------------------
+  def q60OhlcBars(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("d"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("v"),
+        col("ts"), col("event_id"))
+    val wAsc = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wDesc = Window.partitionBy(col("event_type"), col("d"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    base
+      .withColumn("rn_a", row_number().over(wAsc))
+      .withColumn("rn_d", row_number().over(wDesc))
+      .groupBy(col("event_type"), col("d"))
+      .agg(
+        (sum(when(col("rn_a") === 1, col("v")).otherwise(0L)).cast(DoubleType) / lit(100.0)).as("open"),
+        (max(col("v")).cast(DoubleType) / lit(100.0)).as("high"),
+        (min(col("v")).cast(DoubleType) / lit(100.0)).as("low"),
+        (sum(when(col("rn_d") === 1, col("v")).otherwise(0L)).cast(DoubleType) / lit(100.0)).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  val q60OhlcBarsSql: String =
+    """WITH r AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS d,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+      |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                       ORDER BY epoch_us(ts), event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+      |                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+      |  FROM events)
+      |SELECT event_type, d,
+      |  CAST(SUM(CASE WHEN rn_a = 1 THEN v ELSE 0 END) AS DOUBLE) / 100.0 AS open,
+      |  CAST(MAX(v) AS DOUBLE) / 100.0 AS high,
+      |  CAST(MIN(v) AS DOUBLE) / 100.0 AS low,
+      |  CAST(SUM(CASE WHEN rn_d = 1 THEN v ELSE 0 END) AS DOUBLE) / 100.0 AS close,
+      |  COUNT(*) AS n
+      |FROM r GROUP BY event_type, d
+      |ORDER BY event_type, d""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q61: path mining — each user's first-3-event journey as a path
+  // string, counted across users (the "what do people do after signup"
+  // query). The scale discipline is CAP BEFORE COLLECT: a windowed
+  // row_number keeps only each user's first 3 events (one shuffle on
+  // user_id), so the per-user array build touches ≤3 rows regardless of
+  // how active a user is — no unbounded collect_list. Path frequency is
+  // then a hash aggregate over strings whose cardinality is bounded by
+  // |types|³, corpus-independent. sort_array over (rn, type) structs
+  // makes the in-array order explicit rather than partition-dependent.
+  // ---------------------------------------------------------------------
+  def q61PathMining(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_type")))).as("steps"))
+      .select(concat_ws(">", transform(col("steps"), s => s.getField("event_type"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_users"))
+      .where(col("n_users") >= 2)
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
+  val q61PathMiningSql: String =
+    """WITH p AS (
+      |  SELECT user_id,
+      |    array_to_string(list_slice(
+      |      list(event_type ORDER BY epoch_us(ts), event_id), 1, 3), '>') AS path
+      |  FROM events GROUP BY user_id)
+      |SELECT path, COUNT(*) AS n_users
+      |FROM p GROUP BY path HAVING COUNT(*) >= 2
+      |ORDER BY n_users DESC, path""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
@@ -330,5 +422,7 @@ object EventWindows {
     QueryDef.sql("q45_transitions", q45Transitions _, q45TransitionsSql),
     QueryDef.sql("q46_retention", q46Retention _, q46RetentionSql),
     QueryDef.sql("q52_gapfill", q52GapFill _, q52GapFillSql),
+    QueryDef.sql("q60_ohlc_bars", q60OhlcBars _, q60OhlcBarsSql),
+    QueryDef.sql("q61_path_mining", q61PathMining _, q61PathMiningSql),
   )
 }

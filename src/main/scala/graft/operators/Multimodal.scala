@@ -243,9 +243,65 @@ object Multimodal {
        |WHERE frame_no % $SampleEvery = 0
        |ORDER BY media_id, frame_no""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m63: audio frame energy + voice-activity gate — the audio-side
+  // sibling of m62's video frame sampling: window the waveform into
+  // fixed 160-sample frames (10 ms at the catalog's 16 kHz), compute
+  // per-frame energy, and gate frames against a threshold (the classic
+  // energy VAD front-end before any ASR/codec stage). The decode step
+  // rides the same deterministic FakeCodec stand-in as m61 (payload
+  // bytes AS samples, centered at 'm' = 109); energy is an exact
+  // integer sum of squares, so the oracle mirrors it bit-for-bit from
+  // the text payload. Plumbing is the real thing: posexplode fans the
+  // payload into (sample index, sample), two hash aggregates fold
+  // frames then media — sample fan-out shuffles once on (media_id,
+  // frame), and the per-media output is O(catalog size).
+  // -------------------------------------------------------------------
+  private val VadFrameLen = 160
+  private val VadThreshold = 160000L
+
+  def m63AudioVad(spark: SparkSession, dir: String): DataFrame = {
+    val frames = mediaTable(spark, dir)
+      .where(col("meta.format") === "wav")
+      .select(col("media_id"), posexplode(split(decode(col("media"), "UTF-8"), "")))
+      // Java's split(regex, -1) can emit a trailing "" element that
+      // DuckDB's string_split(text, '') never produces — drop it before
+      // the frame math so both engines see the same sample stream.
+      .where(col("col") =!= "")
+      .select(col("media_id"), expr(s"pos div $VadFrameLen").cast(LongType).as("frame"),
+        (ascii(col("col")) - lit(109)).as("s"))
+      .groupBy(col("media_id"), col("frame"))
+      .agg(sum((col("s") * col("s")).cast(LongType)).as("energy"))
+    frames
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("energy") > VadThreshold, 1L).otherwise(0L)).as("n_voiced"),
+        min(when(col("energy") > VadThreshold, col("frame"))).as("first_voiced"),
+        max(col("energy")).as("max_energy"))
+      .orderBy(col("media_id"))
+  }
+
+  val m63AudioVadSql: String =
+    s"""WITH wav AS (
+       |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 4 = 2),
+       |ch AS (
+       |  SELECT media_id, unnest(string_split(text, '')) AS c,
+       |    generate_subscripts(string_split(text, ''), 1) AS i
+       |  FROM wav),
+       |fr AS (
+       |  SELECT media_id, (i - 1) // $VadFrameLen AS frame,
+       |    CAST(SUM((ascii(c) - 109) * (ascii(c) - 109)) AS BIGINT) AS energy
+       |  FROM ch GROUP BY media_id, (i - 1) // $VadFrameLen)
+       |SELECT media_id, COUNT(*) AS n_frames,
+       |  CAST(SUM(CASE WHEN energy > $VadThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_voiced,
+       |  CAST(MIN(CASE WHEN energy > $VadThreshold THEN frame END) AS BIGINT) AS first_voiced,
+       |  MAX(energy) AS max_energy
+       |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("m60_media_catalog", m60MediaCatalog _, m60MediaCatalogSql),
     QueryDef.sql("m61_decode_features", m61DecodeFeatures _, m61DecodeFeaturesSql),
     QueryDef.sql("m62_frame_sample", m62FrameSample _, m62FrameSampleSql),
+    QueryDef.sql("m63_audio_vad", m63AudioVad _, m63AudioVadSql),
   )
 }
