@@ -296,9 +296,146 @@ object Curation {
        |FROM packed
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c73: data-quality audit — the constraint-validation report a
+  // production pipeline runs before (and after) every load: null rates,
+  // range and domain violations, primary-key uniqueness, and referential
+  // integrity, one row per named check. The Deequ-shaped surface, built
+  // from the engine's own primitives.
+  //
+  // Scale discipline: the ROW-LEVEL checks on a table are fused into ONE
+  // scan each — the aggregate computes every violation counter as a
+  // sum(when(...)) in a single pass, then a generator (explode over an
+  // array of check structs) fans the one result row out to per-check
+  // rows; three row-level checks never cost three scans. Uniqueness is
+  // one shuffle on the key; referential integrity is one left
+  // join whose single pass carries both the orphan count and the child
+  // row count (AQE picks broadcast vs shuffle by dimension size). Every counter is
+  // an exact integer.
+  //
+  // The check set is deliberately non-vacuous on this corpus: the
+  // composite-key check documents the synthetic lineitem's known
+  // (l_orderkey, l_linenumber) duplicate groups (118k at sf0.1 —
+  // SURVEY §8 round 4), and the value-range fence fires at sf≥0.01 —
+  // so the report exercises both pass and fail paths at every gated SF.
+  // -------------------------------------------------------------------
+  def c73QualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    def chk(name: String, viol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      struct(lit(name).as("check_name"), viol.cast("long").as("n_violations"))
+
+    // one scan: all row-level lineitem checks
+    val liRow = Tables.lineitem(spark, dir)
+      .agg(
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("v_disc"),
+        sum(when(col("l_quantity") <= 0.0, 1L).otherwise(0L)).as("v_qty"),
+        count(lit(1)).as("n"))
+      .select(explode(array(
+        chk("lineitem.l_discount_range", col("v_disc")),
+        chk("lineitem.l_quantity_positive", col("v_qty")))).as("c"), col("n"))
+
+    // one scan: all row-level events checks
+    val evRow = Tables.events(spark, dir)
+      .agg(
+        sum(when(col("value").isNull, 1L).otherwise(0L)).as("v_null"),
+        sum(when(col("value") < 0.0 || col("value") > 400.0, 1L).otherwise(0L)).as("v_range"),
+        sum(when(!col("event_type").isin("click", "view", "purchase", "signup", "error"), 1L)
+          .otherwise(0L)).as("v_dom"),
+        count(lit(1)).as("n"))
+      .select(explode(array(
+        chk("events.value_nonnull", col("v_null")),
+        chk("events.value_range_0_400", col("v_range")),
+        chk("events.event_type_domain", col("v_dom")))).as("c"), col("n"))
+
+    // uniqueness: one shuffle on the key; the SAME grouped pass yields
+    // both the violation count (extra rows per duplicated key) and the
+    // table row count (sum of group sizes) — no second scan, no
+    // driver-side count() action.
+    def unique(df: DataFrame, name: String, keys: Seq[String]): DataFrame =
+      df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c") - 1).otherwise(0L)), lit(0L)).as("v"),
+          coalesce(sum(col("c")), lit(0L)).as("n"))
+        .select(chk(name, col("v")).as("c"), col("n"))
+
+    // referential integrity: one left join carries both the orphan count
+    // (parent side null) and the child row count out of a single pass.
+    def fk(child: DataFrame, childKey: String, parent: DataFrame, parentKey: String,
+           name: String): DataFrame =
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey)).distinct(), col(childKey) === col(parentKey),
+          "left_outer")
+        .agg(sum(when(col(parentKey).isNull, 1L).otherwise(0L)).as("v"),
+          count(lit(1)).as("n"))
+        .select(chk(name, col("v")).as("c"), col("n"))
+
+    val orders = Tables.orders(spark, dir)
+    val all = liRow
+      .unionAll(evRow)
+      .unionAll(unique(orders, "orders.o_orderkey_unique", Seq("o_orderkey")))
+      .unionAll(unique(Tables.lineitem(spark, dir), "lineitem.pk_unique",
+        Seq("l_orderkey", "l_linenumber")))
+      .unionAll(fk(orders, "o_custkey", Tables.customer(spark, dir), "c_custkey",
+        "orders.o_custkey_fk_customer"))
+      .unionAll(fk(Tables.lineitem(spark, dir), "l_orderkey", orders, "o_orderkey",
+        "lineitem.l_orderkey_fk_orders"))
+    all.select(col("c.check_name").as("check_name"),
+        col("c.n_violations").as("n_violations"),
+        col("n").cast("long").as("n_rows"),
+        when(col("c.n_violations") === 0L, 1L).otherwise(0L).as("passed"))
+      .orderBy(col("check_name"))
+  }
+
+  val c73QualityAuditSql: String =
+    """WITH checks AS (
+      |  SELECT 'lineitem.l_discount_range' AS check_name,
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.1) AS n_violations,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_rows
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity_positive',
+      |    (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0.0),
+      |    (SELECT COUNT(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'events.value_nonnull',
+      |    (SELECT COUNT(*) FROM events WHERE value IS NULL),
+      |    (SELECT COUNT(*) FROM events)
+      |  UNION ALL
+      |  SELECT 'events.value_range_0_400',
+      |    (SELECT COUNT(*) FROM events WHERE value < 0.0 OR value > 400.0),
+      |    (SELECT COUNT(*) FROM events)
+      |  UNION ALL
+      |  SELECT 'events.event_type_domain',
+      |    (SELECT COUNT(*) FROM events
+      |     WHERE event_type NOT IN ('click','view','purchase','signup','error')),
+      |    (SELECT COUNT(*) FROM events)
+      |  UNION ALL
+      |  SELECT 'orders.o_orderkey_unique',
+      |    (SELECT COALESCE(SUM(c - 1), 0) FROM
+      |      (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey) t WHERE c > 1),
+      |    (SELECT COUNT(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem.pk_unique',
+      |    (SELECT COALESCE(SUM(c - 1), 0) FROM
+      |      (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber) t
+      |     WHERE c > 1),
+      |    (SELECT COUNT(*) FROM lineitem)
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey_fk_customer',
+      |    (SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |     WHERE c.c_custkey IS NULL),
+      |    (SELECT COUNT(*) FROM orders)
+      |  UNION ALL
+      |  SELECT 'lineitem.l_orderkey_fk_orders',
+      |    (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |     WHERE o.o_orderkey IS NULL),
+      |    (SELECT COUNT(*) FROM lineitem))
+      |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+      |  CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+      |FROM checks ORDER BY check_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
     QueryDef.sql("c72_prep_pipeline", c72PrepPipeline _, c72PrepPipelineSql),
+    QueryDef.sql("c73_quality_audit", c73QualityAudit _, c73QualityAuditSql),
   )
 }

@@ -21,6 +21,19 @@ class PlanShapeSpec extends AnyFunSuite {
   private def physical(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Hash-partitioned shuffles in the (pre-execution) physical plan —
+    * range exchanges from a final ORDER BY are excluded on purpose.
+    */
+  private def hashExchanges(df: DataFrame): Int = {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val root = df.queryExecution.executedPlan
+    val plan = root match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+    plan.collect { case e: ShuffleExchangeExec
+      if e.outputPartitioning.isInstanceOf[HashPartitioning] => e }.size
+  }
+
   test("t57 prefix sum windows by source — never a single-task global sort") {
     val plan = optimized(TextOps.t57SequencePack(spark, dir))
     assert(plan.contains("windowspecdefinition(source"),
@@ -74,5 +87,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"codebook/dtab must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"PQ scoring must not shuffle the corpus against the tables:\n$plan")
+  }
+
+  test("q56 joins the part dimension by broadcast — no fact-side shuffle join") {
+    val plan = physical(graft.operators.Relational.q56Regression(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"lineitem must not shuffle against the part dimension:\n$plan")
+  }
+
+  test("q59 plans ONE hash exchange shared by lag, lead and row_number") {
+    val n = hashExchanges(graft.operators.Relational.q59Scd2(spark, dir))
+    assert(n == 1, s"SCD2 windows must share a single customer-key exchange, got $n")
+  }
+
+  test("q60 plans ONE hash exchange for both the asc and desc windows") {
+    val n = hashExchanges(graft.operators.EventWindows.q60OhlcBars(spark, dir))
+    assert(n == 1, s"OHLC windows + aggregate must share one (type, day) exchange, got $n")
+  }
+
+  test("q61 plans two hash exchanges: user window reused by the user fold, then path fold") {
+    val n = hashExchanges(graft.operators.EventWindows.q61PathMining(spark, dir))
+    assert(n == 2, s"rank+collect must reuse the user_id exchange; path count adds one, got $n")
+  }
+
+  test("c73 fuses row-level checks: lineitem scanned 3x (row/unique/fk), events once") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = graft.operators.Curation.c73QualityAudit(spark, dir).queryExecution.executedPlan
+    val plan = root match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+    def scansOf(table: String): Int = plan.collect {
+      case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains(table)) => f
+    }.size
+    assert(scansOf("lineitem.parquet") == 3,
+      s"two row-level lineitem checks must share ONE scan (plus unique + fk passes):\n$plan")
+    assert(scansOf("events.parquet") == 1,
+      s"three row-level events checks must share ONE scan:\n$plan")
   }
 }
