@@ -432,10 +432,59 @@ object Curation {
       |  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
       |FROM checks ORDER BY check_name""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c74: incremental SCD-2 merge — fold a new slice of orders into an
+  // already-built dimension WITHOUT recomputing history: the CDC-merge
+  // step a daily warehouse load runs, and q59's incremental sibling
+  // (the same pairing as c71 vs c70).
+  //
+  // Algorithm: the base dimension (orders before the split date) is
+  // frozen except its OPEN rows. Each customer's open row becomes a
+  // SEED event (its priority + valid_from, a sentinel order key that
+  // sorts before every delta order), unioned with the delta orders and
+  // re-folded through the SAME scd2Build the from-scratch path uses —
+  // the seed reproduces the open interval when nothing changed, or gets
+  // closed by the first differing delta priority. Closed base rows pass
+  // through untouched; tail versions are shifted by each customer's
+  // closed-row count. Correctness rests on an SCD-2 invariant: every
+  // trailing base order of a customer carries the open interval's
+  // priority (a differing one would have opened a new interval), so
+  // seeding with the open row is equivalent to replaying the full base
+  // history across the boundary.
+  //
+  // THE ORACLE IS THE FROM-SCRATCH QUERY (q59's SQL verbatim): the
+  // driver's hash gate proves incremental ≡ recompute AND cross-engine
+  // equality in one check. Scale: history never re-shuffles — only open
+  // rows (≤ one per customer) and the delta move; the fold's window
+  // runs on seed+delta, not on all time.
+  // -------------------------------------------------------------------
+  private val Scd2SplitDate = "1999-01-01"
+
+  def c74Scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+    val split = lit(Scd2SplitDate).cast("timestamp")
+    val baseDim = Relational.scd2Build(ev.where(col("o_orderdate") < split))
+    val delta = ev.where(col("o_orderdate") >= split)
+    val closed = baseDim.where(col("is_current") === 0L)
+    val seed = baseDim.where(col("is_current") === 1L)
+      .select(col("o_custkey"), col("valid_from").as("o_orderdate"),
+        lit(-1L).as("o_orderkey"), col("priority").as("o_orderpriority"))
+    val offsets = closed.groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("voff"))
+    val tail = Relational.scd2Build(seed.unionByName(delta))
+      .join(offsets, Seq("o_custkey"), "left")
+      .withColumn("version", col("version") + coalesce(col("voff"), lit(0L)))
+      .drop("voff")
+    closed.unionByName(tail)
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
     QueryDef.sql("c72_prep_pipeline", c72PrepPipeline _, c72PrepPipelineSql),
     QueryDef.sql("c73_quality_audit", c73QualityAudit _, c73QualityAuditSql),
+    QueryDef.sql("c74_scd2_merge", c74Scd2Merge _, Relational.q59Scd2Sql),
   )
 }

@@ -1198,10 +1198,13 @@ object Relational {
   // ordering, so Catalyst plans ONE exchange + one sort shared by both
   // window passes (the filter between them preserves ordering).
   // ---------------------------------------------------------------------
-  def q59Scd2(spark: SparkSession, dir: String): DataFrame = {
+  /** The SCD-2 fold shared by q59 (from scratch) and c74 (incremental):
+    * input is an (o_custkey, o_orderdate, o_orderkey, o_orderpriority)
+    * event stream; output is the unordered dimension rows.
+    */
+  private[operators] def scd2Build(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
-    Tables.orders(spark, dir)
-      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority"))
+    events
       .withColumn("prev", lag(col("o_orderpriority"), 1).over(w))
       .where(col("prev").isNull || col("prev") =!= col("o_orderpriority"))
       .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
@@ -1210,8 +1213,12 @@ object Relational {
         col("o_orderdate").as("valid_from"), col("valid_to"),
         when(col("valid_to").isNull, 1L).otherwise(0L).as("is_current"),
         col("version"))
-      .orderBy(col("o_custkey"), col("version"))
   }
+
+  def q59Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Build(Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderpriority")))
+      .orderBy(col("o_custkey"), col("version"))
 
   val q59Scd2Sql: String =
     """WITH marked AS (
@@ -1231,6 +1238,49 @@ object Relational {
       |  CAST(row_number() OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS version
       |FROM chg ORDER BY o_custkey, version""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q62: ranking-function suite — the window surface q5/q6/q45 do not
+  // touch: ntile (equi-depth bucketing), rank / dense_rank (gap vs
+  // gapless tie semantics), percent_rank and cume_dist (relative
+  // positions). One partition key, two sort orders: the analytic
+  // functions rank on the cents balance alone (ties keep their
+  // standards-defined semantics and identical values either way), while
+  // ntile — whose assignment is POSITIONAL, undefined under ties — runs
+  // on the (balance, custkey) total order. Same single-exchange shape as
+  // q60's asc/desc pair. percent_rank = (rank−1)/(n−1) and cume_dist =
+  // peers≤/n are single divisions of identical exact integers, so both
+  // engines agree bitwise.
+  // ---------------------------------------------------------------------
+  def q62RankingSuite(spark: SparkSession, dir: String): DataFrame = {
+    val bal = floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast(LongType)
+    val wTies = Window.partitionBy(col("c_mktsegment")).orderBy(col("bal_c"))
+    val wTotal = Window.partitionBy(col("c_mktsegment")).orderBy(col("bal_c"), col("c_custkey"))
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment"), col("c_custkey"), bal.as("bal_c"))
+      .withColumn("quartile", ntile(4).over(wTotal).cast(LongType))
+      .withColumn("rnk", rank().over(wTies).cast(LongType))
+      .withColumn("drnk", dense_rank().over(wTies).cast(LongType))
+      .withColumn("pct_rank", percent_rank().over(wTies))
+      .withColumn("cume", cume_dist().over(wTies))
+      .orderBy(col("c_mktsegment"), col("bal_c"), col("c_custkey"))
+  }
+
+  val q62RankingSuiteSql: String =
+    """SELECT c_mktsegment, c_custkey,
+      |  CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_c,
+      |  CAST(ntile(4) OVER wt AS BIGINT) AS quartile,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW
+      |  w AS (PARTITION BY c_mktsegment
+      |        ORDER BY CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)),
+      |  wt AS (PARTITION BY c_mktsegment
+      |         ORDER BY CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT), c_custkey)
+      |ORDER BY c_mktsegment, bal_c, c_custkey""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
@@ -1264,5 +1314,6 @@ object Relational {
     QueryDef.sql("q57_corr_matrix", q57CorrMatrix _, q57CorrMatrixSql),
     QueryDef.sql("q58_mad_outliers", q58MadOutliers _, q58MadOutliersSql),
     QueryDef.sql("q59_scd2", q59Scd2 _, q59Scd2Sql),
+    QueryDef.sql("q62_ranking_suite", q62RankingSuite _, q62RankingSuiteSql),
   )
 }
