@@ -298,10 +298,108 @@ object Multimodal {
        |  MAX(energy) AS max_energy
        |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m64: perceptual-hash (aHash) near-dup candidates over the image
+  // rows — the visual-dedup front-end: average-hash the decoded luma
+  // into a 64-bit signature (8×8 mean grid), generate candidate pairs
+  // by 4×16-bit band collision (the SimHash/pigeonhole trick from d43 —
+  // a pair within hamming ≤ 3 per band MUST share a band), and report
+  // each candidate's exact hamming distance.
+  //
+  // Everything is exact integer arithmetic: cell/global mean comparison
+  // is cross-multiplied (cs·tl > ts·cl — no division), band values are
+  // bit sums < 2^16, and hamming is bit_count(xor) over the four bands
+  // in both engines. The luma "decode" rides FakeCodec's byte
+  // interpretation, same as m61/m63.
+  //
+  // No accept threshold is applied: this corpus's fake images are text
+  // payloads with near-uniform 64-cell profiles, so banding yields
+  // candidates whose hamming sits well above a strict visual-dup bar —
+  // MultimodalSpec asserts that (the report is honest, not vacuously
+  // passing) and pins the pigeonhole guarantee on planted twins.
+  // Scale: band join is an equi-join on (band, value) — never all
+  // pairs; signatures are 4 longs per image.
+  // -------------------------------------------------------------------
+  def m64PhashCandidates(spark: SparkSession, dir: String): DataFrame =
+    phashCandidatesFrom(mediaTable(spark, dir)
+      .where(col("meta.format").isin("png", "jpeg"))
+      .select(col("media_id"), decode(col("media"), "UTF-8").as("text")))
+
+  /** The banding pipeline over an (media_id, text) luma table — split out
+    * so specs can plant byte-identical twins and assert the pigeonhole
+    * guarantee directly.
+    */
+  private[graft] def phashCandidatesFrom(img: DataFrame): DataFrame = {
+    val ch = img
+      .select(col("media_id"), length(col("text")).as("len"),
+        posexplode(split(col("text"), "")))
+      .where(col("col") =!= "")
+      .select(col("media_id"), col("len"),
+        expr("(pos * 64) div len").as("cell"), ascii(col("col")).cast("long").as("v"))
+    val cells = ch.groupBy(col("media_id"), col("cell"))
+      .agg(sum(col("v")).as("cs"), count(lit(1)).as("cl"))
+    val tot = cells.groupBy(col("media_id"))
+      .agg(sum(col("cs")).as("ts"), sum(col("cl")).as("tl"))
+    val bits = cells.join(tot, "media_id")
+      .select(col("media_id"), col("cell"),
+        when(col("cs") * col("tl") > col("ts") * col("cl"), 1L).otherwise(0L).as("bit"))
+    val bands = bits.groupBy(col("media_id"), expr("cell div 16").as("band"))
+      .agg(sum(expr("shiftleft(bit, CAST(cell % 16 AS INT))")).as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .distinct()
+    val ba = bands.select(col("media_id").as("ia"), col("band").as("band_a"),
+      col("bv").as("bv_a"))
+    val bb = bands.select(col("media_id").as("ib"), col("band").as("band_b"),
+      col("bv").as("bv_b"))
+    cand
+      .join(ba, col("id_a") === col("ia"))
+      .join(bb, col("id_b") === col("ib") && col("band_b") === col("band_a"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(expr("bit_count(bv_a ^ bv_b)")).cast("long").as("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val m64PhashCandidatesSql: String =
+    """WITH img AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 4 < 2),
+      |ch AS (
+      |  SELECT media_id, ascii(unnest(string_split(text, ''))) AS v,
+      |    generate_subscripts(string_split(text, ''), 1) - 1 AS i,
+      |    length(text) AS len
+      |  FROM img),
+      |cells AS (
+      |  SELECT media_id, (i * 64) // len AS cell,
+      |    CAST(SUM(v) AS BIGINT) AS cs, COUNT(*) AS cl
+      |  FROM ch GROUP BY media_id, (i * 64) // len),
+      |tot AS (SELECT media_id, SUM(cs) AS ts, SUM(cl) AS tl FROM cells GROUP BY media_id),
+      |bits AS (
+      |  SELECT c.media_id, c.cell,
+      |    CAST(CASE WHEN c.cs * t.tl > t.ts * c.cl THEN 1 ELSE 0 END AS BIGINT) AS bit
+      |  FROM cells c JOIN tot t ON c.media_id = t.media_id),
+      |bands AS (
+      |  SELECT media_id, cell // 16 AS band,
+      |    CAST(SUM(bit << (cell % 16)) AS BIGINT) AS bv
+      |  FROM bits GROUP BY media_id, cell // 16),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+      |FROM cand c
+      |JOIN bands ba ON ba.media_id = c.id_a
+      |JOIN bands bb ON bb.media_id = c.id_b AND bb.band = ba.band
+      |GROUP BY c.id_a, c.id_b
+      |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("m60_media_catalog", m60MediaCatalog _, m60MediaCatalogSql),
     QueryDef.sql("m61_decode_features", m61DecodeFeatures _, m61DecodeFeaturesSql),
     QueryDef.sql("m62_frame_sample", m62FrameSample _, m62FrameSampleSql),
     QueryDef.sql("m63_audio_vad", m63AudioVad _, m63AudioVadSql),
+    QueryDef.sql("m64_phash_candidates", m64PhashCandidates _, m64PhashCandidatesSql),
   )
 }
