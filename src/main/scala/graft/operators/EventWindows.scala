@@ -414,6 +414,61 @@ object EventWindows {
       |FROM p GROUP BY path HAVING COUNT(*) >= 2
       |ORDER BY n_users DESC, path""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q64: rolling-frame anomaly detection — flag events whose value sits
+  // outside a 3σ fence over the TRAILING 24 events of their type: the
+  // streaming-monitor shape (bounded look-back, no global statistics),
+  // and the one window-frame form the suite didn't exercise yet — a
+  // bounded ROWS frame (q6 is cumulative/unbounded). One exchange on the
+  // type key; two frame sums (Σv, Σv²) feed the fence.
+  //
+  // Determinism: the fence comparison is exact integer algebra on the
+  // cents grid — (n·v − S)² > 9·(n·Σv² − S²) is z² > 3² cross-multiplied
+  // (population σ), so no division or sqrt ever happens. Every term is
+  // bounded by the FRAME (n ≤ 24), not the corpus: the arithmetic is
+  // int64-safe at any scale factor. A 12-row warm-up guard keeps the
+  // fence honest at partition starts. The frame orders on
+  // (µs timestamp, event_id) — total, and mirrored via epoch_us in the
+  // oracle (ns-precision parquet would otherwise reorder ties).
+  // ---------------------------------------------------------------------
+  def q64RollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .rowsBetween(-23, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("vc"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("vc")).over(w))
+      .withColumn("sxx", sum(col("vc") * col("vc")).over(w))
+      .where(col("n") >= 12 &&
+        (col("n") * col("vc") - col("s")) * (col("n") * col("vc") - col("s")) >
+          lit(9L) * (col("n") * col("sxx") - col("s") * col("s")))
+      .select(col("event_type"), col("event_id"),
+        (col("vc").cast(DoubleType) / lit(100.0)).as("value"), col("n"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val q64RollingAnomalySql: String =
+    """WITH b AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS tus,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, event_id, vc,
+      |    COUNT(*) OVER w AS n,
+      |    CAST(SUM(vc) OVER w AS BIGINT) AS s,
+      |    CAST(SUM(vc * vc) OVER w AS BIGINT) AS sxx
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
+      |               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+      |SELECT event_type, event_id, CAST(vc AS DOUBLE) / 100.0 AS value,
+      |  CAST(n AS BIGINT) AS n
+      |FROM r
+      |WHERE n >= 12
+      |  AND (n * vc - s) * (n * vc - s) > 9 * (n * sxx - s * s)
+      |ORDER BY event_type, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
@@ -424,5 +479,6 @@ object EventWindows {
     QueryDef.sql("q52_gapfill", q52GapFill _, q52GapFillSql),
     QueryDef.sql("q60_ohlc_bars", q60OhlcBars _, q60OhlcBarsSql),
     QueryDef.sql("q61_path_mining", q61PathMining _, q61PathMiningSql),
+    QueryDef.sql("q64_rolling_anomaly", q64RollingAnomaly _, q64RollingAnomalySql),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -395,11 +396,68 @@ object Multimodal {
       |GROUP BY c.id_a, c.id_b
       |ORDER BY id_a, id_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m65: scene-change detection — the temporal sibling of m62's frame
+  // sampling: window the video payload into 64-byte frames, compute
+  // per-frame mean luma, and flag frames whose mean shifts more than
+  // 10% against the previous frame (the shot-boundary heuristic every
+  // video curation pipeline starts from). The mean comparison is
+  // cross-multiplied so short trailing frames normalize correctly and
+  // no division happens: 10·|luma·prevlen − prev·flen| > prev·flen is
+  // |mean − prev_mean| > prev_mean/10 in exact integers. One fan-out,
+  // two hash aggregates, one lag window per media — all partition-local
+  // after the (media, frame) shuffle.
+  // -------------------------------------------------------------------
+  def m65SceneChanges(spark: SparkSession, dir: String): DataFrame = {
+    val frames = mediaTable(spark, dir)
+      .where(col("meta.format") === "mp4")
+      .select(col("media_id"), posexplode(split(decode(col("media"), "UTF-8"), "")))
+      .where(col("col") =!= "")
+      .select(col("media_id"), expr("pos div 64").as("frame"),
+        ascii(col("col")).cast("long").as("v"))
+      .groupBy(col("media_id"), col("frame"))
+      .agg(sum(col("v")).as("luma"), count(lit(1)).as("flen"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+    frames
+      .withColumn("prev", lag(col("luma"), 1).over(w))
+      .withColumn("prevlen", lag(col("flen"), 1).over(w))
+      .where(col("prev").isNotNull &&
+        abs(col("luma") * col("prevlen") - col("prev") * col("flen")) * lit(10L) >
+          col("prev") * col("flen"))
+      .select(col("media_id"), col("frame"),
+        abs(col("luma") * col("prevlen") - col("prev") * col("flen")).as("delta_x"))
+      .orderBy(col("media_id"), col("frame"))
+  }
+
+  val m65SceneChangesSql: String =
+    """WITH vid AS (
+      |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 4 = 3),
+      |ch AS (
+      |  SELECT media_id, ascii(unnest(string_split(text, ''))) AS v,
+      |    generate_subscripts(string_split(text, ''), 1) - 1 AS i
+      |  FROM vid),
+      |fr AS (
+      |  SELECT media_id, i // 64 AS frame,
+      |    CAST(SUM(v) AS BIGINT) AS luma, COUNT(*) AS flen
+      |  FROM ch GROUP BY media_id, i // 64),
+      |d AS (
+      |  SELECT media_id, frame, luma, flen,
+      |    lag(luma) OVER (PARTITION BY media_id ORDER BY frame) AS prev,
+      |    lag(flen) OVER (PARTITION BY media_id ORDER BY frame) AS prevlen
+      |  FROM fr)
+      |SELECT media_id, frame,
+      |  CAST(abs(luma * prevlen - prev * flen) AS BIGINT) AS delta_x
+      |FROM d
+      |WHERE prev IS NOT NULL
+      |  AND abs(luma * prevlen - prev * flen) * 10 > prev * flen
+      |ORDER BY media_id, frame""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("m60_media_catalog", m60MediaCatalog _, m60MediaCatalogSql),
     QueryDef.sql("m61_decode_features", m61DecodeFeatures _, m61DecodeFeaturesSql),
     QueryDef.sql("m62_frame_sample", m62FrameSample _, m62FrameSampleSql),
     QueryDef.sql("m63_audio_vad", m63AudioVad _, m63AudioVadSql),
     QueryDef.sql("m64_phash_candidates", m64PhashCandidates _, m64PhashCandidatesSql),
+    QueryDef.sql("m65_scene_changes", m65SceneChanges _, m65SceneChangesSql),
   )
 }

@@ -126,4 +126,9 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scansOf("events.parquet") == 1,
       s"three row-level events checks must share ONE scan:\n$plan")
   }
+
+  test("q64 plans ONE hash exchange: frame sums and fence share the type window") {
+    val n = hashExchanges(graft.operators.EventWindows.q64RollingAnomaly(spark, dir))
+    assert(n == 1, s"rolling fence must reuse the single event_type exchange, got $n")
+  }
 }
