@@ -469,6 +469,79 @@ object EventWindows {
       |  AND (n * vc - s) * (n * vc - s) > 9 * (n * sxx - s * s)
       |ORDER BY event_type, event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q65: EWMA smoothing — the exponentially-weighted moving average every
+  // monitoring stack pairs with q64's fence, in EXACT dyadic arithmetic.
+  // A true infinite-history EWMA is a linear recurrence (not expressible
+  // as a frame aggregate, and float-recursive in any engine); the
+  // production form here is the 16-tap truncated EWMA with α = 1/2:
+  // weight of the value j rows back is 2^(15−j), so the tail beyond the
+  // frame carries < 2^-16 of the mass — below the output grid. Weighted
+  // num/den are exact int64 (cents · 2^15 · 16 taps ≪ 2^63); the smoothed
+  // value is emitted as a single floor division onto a micro-cent grid,
+  // bit-identical in DuckDB.
+  //
+  // Plan shape: the 16 lag() taps all share ONE Window operator over one
+  // exchange on event_type (PlanShapeSpec pins the single exchange) —
+  // per-row cost is 16 adds inside whole-stage codegen, no self-joins,
+  // no array building. At any scale this is a single sort-based window
+  // pass; state is the 16-row frame, independent of history length.
+  // Output is thinned on event_id % 37 (deterministic, corpus-relative)
+  // purely to bound the dump size; the EWMA itself is computed over
+  // EVERY event, and thinning AFTER the window keeps the pinned values'
+  // frames full.
+  // ---------------------------------------------------------------------
+  private val EwmaTaps = 16
+
+  def q65Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(unix_micros(col("ts")), col("event_id"))
+    val base = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("vc"))
+    val lagged = (0 until EwmaTaps).foldLeft(base) { (df, j) =>
+      df.withColumn(s"v$j", lag(col("vc"), j).over(w))
+    }
+    val weight = (j: Int) => 1L << (EwmaTaps - 1 - j)
+    val num = (0 until EwmaTaps).map(j =>
+      coalesce(col(s"v$j"), lit(0L)) * lit(weight(j))).reduce(_ + _)
+    val den = (0 until EwmaTaps).map(j =>
+      when(col(s"v$j").isNotNull, lit(weight(j))).otherwise(lit(0L))).reduce(_ + _)
+    lagged
+      // vc ≥ 0 on this corpus (and den > 0 always: tap 0 is the current
+      // row), so `div` floor ≡ DuckDB `//` with no negative-truncation
+      // divergence — the q63 positive-operand discipline.
+      .withColumn("num", num).withColumn("den", den)
+      .withColumn("ewma_uc", expr("(num * 1000000) div den"))
+      .where(col("event_id") % 37 === 0)
+      .select(col("event_type"), col("event_id"), col("vc"), col("ewma_uc"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val q65EwmaSql: String = {
+    val lags = (0 until EwmaTaps).map(j =>
+      s"lag(vc, $j) OVER w AS v$j").mkString(",\n      |    ")
+    val num = (0 until EwmaTaps).map(j =>
+      s"COALESCE(v$j, 0) * ${1L << (EwmaTaps - 1 - j)}").mkString(" + ")
+    val den = (0 until EwmaTaps).map(j =>
+      s"(CASE WHEN v$j IS NOT NULL THEN ${1L << (EwmaTaps - 1 - j)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS tus,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+      |  FROM events),
+      |l AS (
+      |  SELECT event_type, event_id, vc,
+      |    $lags
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id))
+      |SELECT event_type, event_id, vc,
+      |  (($num) * 1000000) // ($den) AS ewma_uc
+      |FROM l
+      |WHERE event_id % 37 = 0
+      |ORDER BY event_type, event_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
@@ -480,5 +553,6 @@ object EventWindows {
     QueryDef.sql("q60_ohlc_bars", q60OhlcBars _, q60OhlcBarsSql),
     QueryDef.sql("q61_path_mining", q61PathMining _, q61PathMiningSql),
     QueryDef.sql("q64_rolling_anomaly", q64RollingAnomaly _, q64RollingAnomalySql),
+    QueryDef.sql("q65_ewma", q65Ewma _, q65EwmaSql),
   )
 }

@@ -109,7 +109,149 @@ object Graph {
     base + iters + s"\nSELECT node, r FROM r$PrIters ORDER BY r DESC, node"
   }
 
+  // ---------------------------------------------------------------------
+  // q66: triangle counting over the undirected co-purchase graph — the
+  // motif-counting surface (clustering-coefficient numerator, community
+  // density). The naive 3-way self-join touches every triangle SIX times
+  // and, worse, enumerates each hub's full 2-path fan-out; the engine
+  // uses the degree-ordered orientation (Latapy's compact-forward /
+  // GraphX's approach): orient each undirected edge from its
+  // lexicographically-(degree, id)-smaller endpoint, then count directed
+  // wedges u→v→w closed by u→w. Every triangle is counted EXACTLY once,
+  // and out-degrees are bounded by O(√m) regardless of hub size — the
+  // property that makes the wedge join survive power-law graphs at
+  // 100 TB scale (an unoriented hub of degree d contributes d² wedges;
+  // oriented, at most m wedges total).
+  //
+  // Determinism: pure integer joins and counts — nothing to snap. The
+  // (deg, id) order is total, so the orientation is identical in DuckDB.
+  // ---------------------------------------------------------------------
+  /** Undirected distinct co-purchase edges (src < dst) and their
+    * degree-ordered orientation — exposed for GraphPhashSpec's
+    * out-degree-bound pin.
+    */
+  private[graft] def orientedCoPurchase(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val (e, _, _) = projection(spark, dir)
+    // undirected edge set, one row per unordered pair
+    val und = e.where(col("src") < col("dst")).distinct().localCheckpoint(true)
+    // undirected degree (each endpoint sees the edge once)
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // orient small-(deg, id) endpoint → large
+    val or = und
+      .join(deg.withColumnsRenamed(Map("node" -> "src", "d" -> "ds")), "src")
+      .join(deg.withColumnsRenamed(Map("node" -> "dst", "d" -> "dd")), "dst")
+      .select(
+        when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
+          col("src")).otherwise(col("dst")).as("u"),
+        when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
+          col("dst")).otherwise(col("src")).as("v"))
+      .localCheckpoint(true)
+    (und, or)
+  }
+
+  def q66Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val (und, or) = orientedCoPurchase(spark, dir)
+    val tri = or.as("e1")
+      .join(or.as("e2"), col("e1.v") === col("e2.u"))
+      .join(or.as("e3"),
+        col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodes = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .agg(countDistinct(col("node")).as("n_nodes"))
+    val stats = und.agg(count(lit(1)).as("n_edges")).crossJoin(nodes)
+    stats.crossJoin(tri).select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  val q66TrianglesSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS d FROM (
+      |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+      |  GROUP BY node),
+      |ored AS (
+      |  SELECT
+      |    CASE WHEN (ds.d, und.src) < (dd.d, und.dst) THEN und.src ELSE und.dst END AS u,
+      |    CASE WHEN (ds.d, und.src) < (dd.d, und.dst) THEN und.dst ELSE und.src END AS v
+      |  FROM und
+      |  JOIN deg ds ON ds.node = und.src
+      |  JOIN deg dd ON dd.node = und.dst)
+      |SELECT
+      |  (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |  (SELECT COUNT(*) FROM und) AS n_edges,
+      |  (SELECT COUNT(*) FROM ored e1
+      |     JOIN ored e2 ON e1.v = e2.u
+      |     JOIN ored e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q67: multi-hop reachability (BFS frontier expansion) — "what does a
+  // seed set touch within k hops", the blast-radius / lineage query.
+  // Three unrolled frontier rounds: each is one join (frontier → edges)
+  // + distinct + anti-join against the visited set; per-round cost is
+  // O(|frontier-adjacent edges|), and state is node-sized (visited set),
+  // never edge-sized. Frontiers and the visited set are
+  // localCheckpoint-ed per round — same iteration idiom as q63/d45
+  // (reliable `checkpoint` swaps in on a cluster).
+  //
+  // Seeds are corpus-relative (part keys ≡ 0 mod 500), so the query
+  // scales with SF instead of pinning literal ids. Output is the exact
+  // per-hop newly-reached count — integer, order total by hop.
+  // ---------------------------------------------------------------------
+  private val KhopRounds = 3
+
+  def q67KHopReach(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val (e, _, nodes) = projection(spark, dir)
+    val seeds = nodes.where(col("node") % 500 === 0).localCheckpoint(true)
+    var visited = seeds
+    var frontier = seeds
+    val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)](
+      (0, seeds.count()))
+    for (h <- 1 to KhopRounds) {
+      frontier = e.join(frontier.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      counts += ((h, frontier.count()))
+      visited = visited.union(frontier).localCheckpoint(true)
+    }
+    counts.toSeq.toDF("hop", "n_new").orderBy(col("hop"))
+  }
+
+  val q67KHopReachSql: String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+        |f0 AS (SELECT node FROM nodes WHERE node % 500 = 0),
+        |v0 AS (SELECT node FROM f0)""".stripMargin
+    val rounds = (1 to KhopRounds).map { h =>
+      s""",
+         |f$h AS (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM e JOIN f${h - 1} ON e.src = f${h - 1}.node
+         |  EXCEPT SELECT node FROM v${h - 1}),
+         |v$h AS (SELECT node FROM v${h - 1} UNION SELECT node FROM f$h)""".stripMargin
+    }.mkString
+    val sel = (0 to KhopRounds).map(h =>
+      s"SELECT $h AS hop, (SELECT COUNT(*) FROM f$h) AS n_new").mkString("\n|UNION ALL\n|")
+    (base + rounds + "\n|" + sel + "\n|ORDER BY hop").stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
+    QueryDef.sql("q66_triangles", q66Triangles _, q66TrianglesSql),
+    QueryDef.sql("q67_khop_reach", q67KHopReach _, q67KHopReachSql),
   )
 }

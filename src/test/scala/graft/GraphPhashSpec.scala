@@ -27,6 +27,35 @@ class GraphPhashSpec extends AnyFunSuite {
     assert(ranks.map(_._2).distinct.length > 1)
   }
 
+  test("q66 degree-ordered orientation: exact edge bijection and √(2m) out-degree cap") {
+    val (und, or) = Graph.orientedCoPurchase(spark, dir)
+    val m = und.count()
+    // orientation is a bijection on edges — nothing dropped or duplicated
+    assert(or.count() == m)
+    val maxOut = or.groupBy("u").count().agg(max("count")).head().getLong(0)
+    val cap = math.ceil(math.sqrt(2.0 * m)).toLong
+    // the hub-taming property the 100 TB wedge join relies on: if a node
+    // had out-degree k, its k out-neighbors each have degree ≥ k, so
+    // k(k+1)/2 ≤ m ⇒ k ≤ √(2m)
+    assert(maxOut <= cap, s"max oriented out-degree $maxOut exceeds √(2m)=$cap")
+    val maxUndirected = und.select(col("src").as("n"))
+      .union(und.select(col("dst").as("n")))
+      .groupBy("n").count().agg(max("count")).head().getLong(0)
+    assert(maxOut < maxUndirected,
+      s"orientation should tame hubs: out $maxOut !< undirected $maxUndirected")
+  }
+
+  test("q67 frontiers partition the reachable set: disjoint, and sum ≤ |V|") {
+    val rows = Graph.q67KHopReach(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(0 to 3))
+    val nParts = Tables.lineitem(spark, dir).select("l_partkey").distinct().count()
+    // new-node counts are an anti-joined partition of reachable nodes —
+    // their sum can never exceed the vertex count
+    assert(rows.map(_._2).sum <= nParts)
+    assert(rows.head._2 > 0, "seed set must be non-empty at every SF")
+  }
+
   test("q63 rank order is stable across thread counts") {
     val a = Graph.q63PageRank(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = Graph.q63PageRank(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -131,4 +131,9 @@ class PlanShapeSpec extends AnyFunSuite {
     val n = hashExchanges(graft.operators.EventWindows.q64RollingAnomaly(spark, dir))
     assert(n == 1, s"rolling fence must reuse the single event_type exchange, got $n")
   }
+
+  test("q65 plans ONE hash exchange: all 16 EWMA taps share the type window") {
+    val n = hashExchanges(graft.operators.EventWindows.q65Ewma(spark, dir))
+    assert(n == 1, s"16 lag taps must fuse into one event_type window pass, got $n")
+  }
 }
