@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.{QueryDef, Tables}
 
@@ -480,11 +481,77 @@ object Curation {
       .orderBy(col("o_custkey"), col("version"))
   }
 
+  // -------------------------------------------------------------------
+  // c75: domain-mixture KL diagnostic — the data-mixing health check
+  // behind d52's resampler: how far each source domain's unigram
+  // distribution sits from the corpus mixture, KL(p_source ‖ p_corpus)
+  // = Σ_w p(w|s)·ln(p(w|s)/p(w)). Drives mixture reweighting and flags
+  // domain drift between crawl snapshots.
+  //
+  // Shape: one corpus-sized explode feeding three hash aggregates; the
+  // per-(source, term) table is |domains| × |vocab| — VOCABULARY-
+  // bounded, orders of magnitude below corpus scale (t61's model-table
+  // argument) — so the ratio join is a small-table join AQE broadcasts.
+  // No windows, no sort until the |domains|-row output.
+  //
+  // Determinism: the single transcendental ln is nano-snapped per
+  // DISTINCT (source, term) from the same left-associated double ratio
+  // in both engines (t54's discipline). Per-source numerators then sum
+  // exactly in DECIMAL(38,0)/HUGEINT — c_sw·lr_n reaches 2^63 around
+  // 10^12 tokens/source, so int64 is NOT the production sum type — and
+  // one floor division lands on the nano grid. Truncate-vs-floor on a
+  // negative numerator cannot diverge: KL ≥ 0 with margin ≫ the snap
+  // error bound (Σ c_sw·½ nano = n_s/2 ⇒ |error| ≤ ½ nano on the
+  // quotient, while the smallest observed KL is ~10^7 nanos).
+  // -------------------------------------------------------------------
+  def c75DomainKl(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val nTot = tok.agg(count(lit(1)).as("n_tot"))
+    val cs = tok.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val ns = cs.groupBy("source").agg(sum(col("c_sw")).as("n_s"))
+    val cw = cs.groupBy("w").agg(sum(col("c_sw")).as("c_w"))
+    val terms = cs.join(ns, "source").join(cw, "w").crossJoin(nTot)
+      .withColumn("lr_n",
+        floor(log((col("c_sw").cast(DoubleType) * col("n_tot").cast(DoubleType))
+            / (col("n_s").cast(DoubleType) * col("c_w").cast(DoubleType)))
+          * lit(1e9) + lit(0.5)).cast(LongType))
+    terms.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        sum((col("c_sw") * col("lr_n")).cast(DecimalType(38, 0))).as("num"))
+      .withColumn("kl_nanos", expr("CAST(num div n_tokens AS BIGINT)"))
+      .select(col("source"), col("n_tokens"), col("kl_nanos"),
+        round(col("kl_nanos").cast(DoubleType) / lit(1e9), 6).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  val c75DomainKlSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |nt AS (SELECT COUNT(*) AS n_tot FROM tok),
+      |cs AS (SELECT source, w, COUNT(*) AS c_sw FROM tok GROUP BY source, w),
+      |ns AS (SELECT source, SUM(c_sw) AS n_s FROM cs GROUP BY source),
+      |cw AS (SELECT w, SUM(c_sw) AS c_w FROM cs GROUP BY w),
+      |terms AS (
+      |  SELECT cs.source, cs.c_sw, ns.n_s,
+      |    CAST(floor(ln((CAST(c_sw AS DOUBLE) * CAST(n_tot AS DOUBLE))
+      |        / (CAST(n_s AS DOUBLE) * CAST(c_w AS DOUBLE)))
+      |      * 1000000000.0 + 0.5) AS BIGINT) AS lr_n
+      |  FROM cs JOIN ns USING (source) JOIN cw USING (w) CROSS JOIN nt),
+      |k AS (
+      |  SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(c_sw * lr_n) // MAX(n_s) AS BIGINT) AS kl_nanos
+      |  FROM terms GROUP BY source)
+      |SELECT source, n_tokens, kl_nanos,
+      |  ROUND(CAST(kl_nanos AS DOUBLE) / 1000000000.0, 6) AS kl
+      |FROM k ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
     QueryDef.sql("c72_prep_pipeline", c72PrepPipeline _, c72PrepPipelineSql),
     QueryDef.sql("c73_quality_audit", c73QualityAudit _, c73QualityAuditSql),
     QueryDef.sql("c74_scd2_merge", c74Scd2Merge _, Relational.q59Scd2Sql),
+    QueryDef.sql("c75_domain_kl", c75DomainKl _, c75DomainKlSql),
   )
 }

@@ -758,6 +758,89 @@ object Dedup {
       |WHERE levenshtein(a.p_name, b.p_name) <= 4
       |ORDER BY p_size, name_a, name_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // d54: bloom-prefiltered semi-join — the engine's runtime-filter
+  // pattern as a USER-LEVEL operator (RuntimeFilterSpec pins Spark's
+  // injected version; this one is explicit, so it composes with any
+  // membership source). Three stages:
+  //   1. build: the dim keys are folded into a fixed 65536-bit bloom
+  //      bitmap (1024 int64 words, k=3 portable-hash probes) by one
+  //      bit_or aggregate; the WORD-sized result (8 KiB, constant in the
+  //      data) comes to the driver — the d46 bounded-aggregate idiom,
+  //      and exactly how Spark's own runtime filters merge at the
+  //      driver before re-broadcast;
+  //   2. prefilter: facts probe the bitmap as a plan literal — three
+  //      codegen'd shift/mask tests per row, NO join, no shuffle; false
+  //      positives pass, false negatives are impossible (spec-pinned);
+  //   3. verify: survivors take the EXACT semi-join. The oracle IS the
+  //      plain semi-join — the bloom must be a pure no-op on results.
+  //
+  // Why it matters at 100 TB: a broadcast hash SET of a 10^9-key build
+  // side is tens of GB (dead), while its bloom at 10 bits/key is ~1 GB
+  // streamed once — and the prefilter drops the 96%+ of fact rows that
+  // would otherwise carry through the shuffle to a join that rejects
+  // them. Here the dim is small (one brand) so stage 3 broadcasts; the
+  // STRUCTURE is what scales.
+  // -------------------------------------------------------------------
+  private val BloomWords = 1024 // 64 Ki bits
+  private val BloomHashes = 3
+  private val BloomBits = BloomWords * 64L
+
+  /** Fold the `k` column of `keys` into a BloomWords-long word array. */
+  private def bloomBitmap(keys: DataFrame): Seq[Long] = {
+    val posCols = (0 until BloomHashes).map { i =>
+      pmod(PortableHash.h60(concat(col("k").cast(StringType), lit("#" + i))),
+        lit(BloomBits))
+    }
+    val rows = keys.select(explode(array(posCols: _*)).as("pos"))
+      .select(expr("CAST(pos div 64 AS INT) AS w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)) AS b"))
+      .groupBy("w").agg(expr("bit_or(b) AS bits"))
+      .collect()
+    val arr = new Array[Long](BloomWords)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr.toSeq
+  }
+
+  /** The brand-dim build side and the bloom-prefiltered (not yet exactly
+    * verified) lineitem rows — split out so DedupSimilaritySpec can pin
+    * zero false negatives and the prefilter's selectivity.
+    */
+  private[graft] def bloomPrefiltered(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val dim = Tables.part(spark, dir).where(col("p_brand") === lit("Brand#12"))
+      .select(col("p_partkey").as("k"))
+    val bm = bloomBitmap(dim)
+    val fact = (0 until BloomHashes).foldLeft(
+      Tables.lineitem(spark, dir).withColumn("bm", typedLit(bm))) { (df, i) =>
+      df.withColumn(s"p$i",
+        pmod(PortableHash.h60(concat(col("l_partkey").cast(StringType), lit("#" + i))),
+          lit(BloomBits)))
+    }
+    val pass = (0 until BloomHashes).map(i => expr(
+      s"(shiftright(element_at(bm, CAST(p$i div 64 AS INT) + 1), CAST(p$i % 64 AS INT)) & 1) = 1"))
+      .reduce(_ && _)
+    (dim, fact.where(pass))
+  }
+
+  def d54BloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (dim, pre) = bloomPrefiltered(spark, dir)
+    pre.join(broadcast(dim), col("l_partkey") === col("k"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        Relational.dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val d54BloomSemiJoinSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n_rows,
+       |  ${Relational.dsumSql("l_extendedprice")} AS sum_price
+       |FROM lineitem
+       |WHERE l_partkey IN
+       |  (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d40_dedup_exact", d40ExactGroups _, d40ExactGroupsSql),
     QueryDef.sql("d41_ngram_jaccard", d41NgramJaccard _, d41NgramJaccardSql),
@@ -769,5 +852,6 @@ object Dedup {
     QueryDef.sql("d49_decontaminate", d49Decontaminate _, d49DecontaminateSql),
     QueryDef.sql("d50_edit_distance", d50EditDistance _, d50EditDistanceSql),
     QueryDef.sql("d53_record_linkage", d53RecordLinkage _, d53RecordLinkageSql),
+    QueryDef.sql("d54_bloom_semijoin", d54BloomSemiJoin _, d54BloomSemiJoinSql),
   )
 }

@@ -927,6 +927,59 @@ object TextOps {
       |  nfc_normalize(trim(regexp_replace(lower(dirty), ' +', ' ', 'g'))) AS norm
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t64: positional inverted-index build — the index-construction step
+  // under t59's BM25 ranking: one posting per (term, doc, position).
+  // The postings stream is corpus-sized (one row per token — posexplode,
+  // the same explode discipline as t54/t59), but the AGGREGATED index
+  // row set is vocabulary-bounded: per term it carries document
+  // frequency, collection frequency, the doc-id posting range, and an
+  // exact positional checksum (Σ doc_id·131 + pos) that pins every
+  // position without materializing posting lists into the output. At
+  // scale the real index would write the per-term posting lists as
+  // sorted parquet partitions (the Storage bucketing machinery); the
+  // checksum keeps THIS query's output bounded while still
+  // hash-verifying position extraction end-to-end.
+  //
+  // Int64 headroom: checksum terms are ≤ doc_id·131 + |doc| — at 10^9
+  // docs × 10^4 tokens that sum needs ~2^77, so the production form
+  // sums in DECIMAL(38,0) (c75's discipline); at the gated SFs int64 is
+  // exact and both engines agree.
+  // ---------------------------------------------------------------------
+  def t64InvertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val postings = docs(spark, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos0", "term")))
+      .select(col("doc_id"), (col("pos0") + lit(1L)).as("pos"), col("term"))
+    postings.groupBy(col("term"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("cf"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("doc_id") * lit(131L) + col("pos")).as("pos_checksum"))
+      .orderBy(col("cf").desc, col("term"))
+  }
+
+  val t64InvertedIndexSql: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |pr AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+      |    i -> struct_pack(pos := i, term := t[i]))) AS g
+      |  FROM tk),
+      |posting AS (
+      |  SELECT doc_id, struct_extract(g, 'pos') AS pos,
+      |    struct_extract(g, 'term') AS term
+      |  FROM pr)
+      |SELECT term,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+      |  COUNT(*) AS cf,
+      |  MIN(doc_id) AS first_doc,
+      |  MAX(doc_id) AS last_doc,
+      |  CAST(SUM(doc_id * 131 + pos) AS BIGINT) AS pos_checksum
+      |FROM posting
+      |GROUP BY term
+      |ORDER BY cf DESC, term""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -942,5 +995,6 @@ object TextOps {
     QueryDef.sql("t61_lm_score", t61LmScore _, t61LmScoreSql),
     QueryDef.sql("t62_pii_redact", t62PiiRedact _, t62PiiRedactSql),
     QueryDef.sql("t63_normalize", t63Normalize _, t63NormalizeSql),
+    QueryDef.sql("t64_inverted_index", t64InvertedIndex _, t64InvertedIndexSql),
   )
 }

@@ -440,4 +440,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L), s"keeper election must pick min doc_id, got $kept")
   }
+
+  test("d54 bloom prefilter: zero false negatives, near-exact selectivity") {
+    import org.apache.spark.sql.functions.col
+    val (dim, pre) = Dedup.bloomPrefiltered(spark, dir)
+    val dimKeys = dim.collect().map(_.getLong(0)).toSet
+    val exact = Tables.lineitem(spark, dir)
+      .where(col("l_partkey").isInCollection(dimKeys))
+    val exactCount = exact.count()
+    val preCount = pre.count()
+    // no false negatives: every true member must survive the bloom
+    assert(preCount >= exactCount)
+    val preKeys = pre.select("l_partkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val exactKeys = exact.select("l_partkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(exactKeys.subsetOf(preKeys), "bloom dropped a true member")
+    // near-exact selectivity: 65536 bits over ~|dim|·3 set bits gives a
+    // per-probe FP rate ≪ 1e-3; the prefilter must not wave rows through
+    assert(preCount <= exactCount * 3 / 2 + 10,
+      s"bloom passed $preCount rows vs $exactCount exact — FP rate off the design")
+  }
 }
