@@ -841,6 +841,78 @@ object Dedup {
        |GROUP BY l_returnflag
        |ORDER BY l_returnflag""".stripMargin
 
+  // -------------------------------------------------------------------
+  // d55: EXACT sub-quadratic set-similarity join via prefix filtering
+  // (SSJoin / ppjoin family) — the third point on the near-dup design
+  // space: d41 is exact-but-join-on-every-shared-shingle, d42/d43 are
+  // sub-quadratic-but-approximate; this is exact AND sub-quadratic.
+  // Same contract as d41 (3-gram shingle Jaccard ≥ 0.5 pairs), and the
+  // registered oracle IS d41's quadratic SQL — the hash gate proves the
+  // pruning is lossless, not just plausible.
+  //
+  // How: order every doc's shingle set by GLOBAL rarity (document
+  // frequency asc, then hash — one total order, no global rank
+  // assignment, no single-partition window: the (df, k) PAIR is the sort
+  // key). For Jaccard ≥ θ, two sets must share an element within their
+  // first |x| − ⌈θ|x|⌉ + 1 rarest shingles (if all prefix elements
+  // differ, the overlap is too small to reach θ) — so candidates come
+  // from a PREFIX×PREFIX equi-join instead of d41's full shingle join,
+  // and the rarity order makes those prefixes the least-shared shingles
+  // in the corpus. Survivors are verified exactly (two id-joins back to
+  // the full sets + a count). At θ=0.5 the prefix is ~half of each set;
+  // at the θ≥0.8 of production dedup it is a small constant slice, and
+  // candidate volume collapses accordingly (DedupSimilaritySpec pins
+  // candidates strictly below d41's shared-shingle pair volume).
+  // -------------------------------------------------------------------
+  def d55PrefixFilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingledCounted(spark, dir)
+      .select(col("doc_id"), col("n_shingles"),
+        PortableHash.h60(col("shingle")).as("k"))
+    val dfreq = sh.groupBy(col("k")).agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("k"))
+    val prefix = sh.join(dfreq, "k")
+      .withColumn("rn", row_number().over(w))
+      // prefix length for Jaccard θ=0.5: n − ⌈n/2⌉ + 1 (integer div)
+      .where(col("rn") <= expr("n_shingles - ((n_shingles + 1) div 2) + 1"))
+      .select(col("doc_id"), col("k"))
+    val cand = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("doc_a"), col("n_shingles").as("na"), col("k"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb"), col("k"))
+    cand.join(a, "doc_a").join(b, Seq("doc_b", "k"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_common"))
+      .withColumn("jaccard", round(col("n_common") /
+        (col("na") + col("nb") - col("n_common")), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Candidate pairs surviving d55's prefix filter — exposed so the spec
+    * can pin the pruning ratio against d41's shared-shingle pair volume.
+    */
+  private[graft] def d55CandidateCount(spark: SparkSession, dir: String): (Long, Long) = {
+    val sh = shingledCounted(spark, dir)
+      .select(col("doc_id"), col("n_shingles"),
+        PortableHash.h60(col("shingle")).as("k"))
+    val dfreq = sh.groupBy(col("k")).agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("k"))
+    val prefix = sh.join(dfreq, "k")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= expr("n_shingles - ((n_shingles + 1) div 2) + 1"))
+      .select(col("doc_id"), col("k"))
+    val candPrefix = prefix.as("a").join(prefix.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val candFull = sh.as("a").join(sh.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    (candPrefix, candFull)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d40_dedup_exact", d40ExactGroups _, d40ExactGroupsSql),
     QueryDef.sql("d41_ngram_jaccard", d41NgramJaccard _, d41NgramJaccardSql),
@@ -853,5 +925,6 @@ object Dedup {
     QueryDef.sql("d50_edit_distance", d50EditDistance _, d50EditDistanceSql),
     QueryDef.sql("d53_record_linkage", d53RecordLinkage _, d53RecordLinkageSql),
     QueryDef.sql("d54_bloom_semijoin", d54BloomSemiJoin _, d54BloomSemiJoinSql),
+    QueryDef.sql("d55_prefix_filter_join", d55PrefixFilterJoin _, d41NgramJaccardSql),
   )
 }

@@ -1282,6 +1282,69 @@ object Relational {
       |         ORDER BY CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT), c_custkey)
       |ORDER BY c_mktsegment, bal_c, c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q68: multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL, the
+  // duplicate-preserving siblings q8's distinct forms don't reach.
+  // Catalyst rewrites these to a count-based form (sum of ±1 tags per
+  // value, then generate-replicated rows), so the whole operator is two
+  // hash aggregates + a generator — one shuffle on the value, no joins,
+  // no distinct. The row-count semantics (min of multiplicities for
+  // INTERSECT ALL, max(0, m_a − m_b) for EXCEPT ALL) are exactly what
+  // the oracle's EXCEPT ALL / INTERSECT ALL compute.
+  // ---------------------------------------------------------------------
+  def q68MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val a = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    a.intersectAll(b).withColumn("tag", lit("both_bag"))
+      .unionByName(a.exceptAll(b).withColumn("tag", lit("open_surplus")))
+      .select(col("tag"), col("o_custkey"))
+      .groupBy(col("tag"), col("o_custkey"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
+  val q68MultisetOpsSql: String =
+    """SELECT tag, o_custkey, COUNT(*) AS multiplicity FROM (
+      |  SELECT 'both_bag' AS tag, o_custkey FROM
+      |    ((SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |     INTERSECT ALL
+      |     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+      |  UNION ALL
+      |  SELECT 'open_surplus' AS tag, o_custkey FROM
+      |    ((SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |     EXCEPT ALL
+      |     (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')))
+      |GROUP BY tag, o_custkey
+      |ORDER BY tag, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q69: null-aware anti join — NOT IN (subquery) under SQL's three-
+  // valued logic, the one anti-join variant q3's left_anti doesn't
+  // exercise: a NULL probe key makes `NOT IN` UNKNOWN, so the row is
+  // DROPPED (here: custkey 13 is masked to NULL and its orders vanish
+  // from every group), and a NULL in the build side would empty the
+  // whole result. Catalyst plans this as BroadcastNestedLoopJoin in
+  // null-aware anti mode when the build side fits (it does: one
+  // market segment of the customer dimension); the build side is
+  // broadcast ONCE and each probe is a hash lookup + null check — at
+  // scale the pattern holds as long as the NOT IN list is
+  // dimension-sized, which is the only scale NOT IN is sane at anyway.
+  // ---------------------------------------------------------------------
+  private val q69Text: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders
+      |FROM orders
+      |WHERE nullif(o_custkey, 13) NOT IN
+      |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  def q69NullAwareAnti(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("customer")
+    spark.sql(q69Text)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -1315,5 +1378,7 @@ object Relational {
     QueryDef.sql("q58_mad_outliers", q58MadOutliers _, q58MadOutliersSql),
     QueryDef.sql("q59_scd2", q59Scd2 _, q59Scd2Sql),
     QueryDef.sql("q62_ranking_suite", q62RankingSuite _, q62RankingSuiteSql),
+    QueryDef.sql("q68_multiset_ops", q68MultisetOps _, q68MultisetOpsSql),
+    QueryDef.sql("q69_null_aware_anti", q69NullAwareAnti _, q69Text),
   )
 }

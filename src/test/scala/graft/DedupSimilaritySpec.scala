@@ -461,4 +461,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(preCount <= exactCount * 3 / 2 + 10,
       s"bloom passed $preCount rows vs $exactCount exact — FP rate off the design")
   }
+
+  test("d55 prefix filter prunes candidates strictly below d41's shared-shingle volume") {
+    val (candPrefix, candFull) = Dedup.d55CandidateCount(spark, dir)
+    assert(candPrefix > 0 && candFull > 0)
+    assert(candPrefix < candFull,
+      s"prefix join must generate fewer candidates than the full shingle join " +
+        s"($candPrefix !< $candFull)")
+    // the oracle gate proves losslessness; this pins that the filter
+    // actually filters (at θ=0.5 the prefix is ~half of each set, so the
+    // candidate pair space should drop well below the all-shared volume)
+    assert(candPrefix <= candFull * 9 / 10,
+      s"pruning ratio too weak: $candPrefix of $candFull")
+  }
 }

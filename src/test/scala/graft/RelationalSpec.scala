@@ -192,4 +192,42 @@ class RelationalSpec extends AnyFunSuite {
       .filter(col("n_shipped_30d") > col("count"))
     assert(bad.count() == 0)
   }
+
+  test("q69 plans a null-aware anti join and honors 3-valued NOT IN semantics") {
+    val df = Relational.q69NullAwareAnti(spark, dir)
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val executed = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val naaj = executed.collect {
+      case j: BroadcastHashJoinExec if j.isNullAwareAntiJoin => j
+    }
+    assert(naaj.nonEmpty, s"expected a null-aware anti join in:\n$executed")
+    // probe-side NULL rows (custkey 13 masked) must be DROPPED, not kept:
+    // total q69 orders < plain left_anti count whenever custkey 13 ordered
+    val nullAware = df.agg(sum("n_orders")).head().getLong(0)
+    val building = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val plainAnti = Tables.orders(spark, dir)
+      .join(building, col("o_custkey") === col("c_custkey"), "left_anti").count()
+    val cust13Orders = Tables.orders(spark, dir).where(col("o_custkey") === 13).count()
+    val cust13IsBuilding = building.where(col("c_custkey") === 13).count() > 0
+    // NOT IN drops the masked rows; left_anti keeps custkey-13 rows unless
+    // 13 itself is in the build set
+    val expected = if (cust13IsBuilding) plainAnti else plainAnti - cust13Orders
+    assert(nullAware == expected,
+      s"null-aware total $nullAware vs expected $expected (left_anti $plainAnti)")
+  }
+
+  test("q69: a NULL in the build side empties the result entirely") {
+    import spark.implicits._
+    Tables.orders(spark, dir).createOrReplaceTempView("orders")
+    Seq(Some(1L), None).toDF("c_custkey").createOrReplaceTempView("nullish")
+    val n = spark.sql(
+      "SELECT COUNT(*) AS n FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM nullish)")
+      .head().getLong(0)
+    assert(n == 0, s"NOT IN over a null-bearing set must be empty, got $n")
+  }
 }
