@@ -546,6 +546,62 @@ object Curation {
       |  ROUND(CAST(kl_nanos AS DOUBLE) / 1000000000.0, 6) AS kl
       |FROM k ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c76: CDC apply (changelog → final table state) — the upsert/delete
+  // compaction a lakehouse MERGE performs, and the stateless sibling of
+  // c74's history-keeping SCD-2 merge: replay a keyed change stream and
+  // keep only each key's LAST state, honoring delete tombstones. The
+  // events table stands in as the changelog: per user, 'signup' is the
+  // insert, 'error' a delete tombstone, everything else an upsert;
+  // sequence order is the total (µs timestamp, event_id).
+  //
+  // Shape: ONE hash exchange on the key; row_number DESC elects the
+  // final change, tombstones drop the key entirely, and n_changes
+  // audits the applied depth. At 100 TB this is the standard
+  // compact-on-read plan: no join against the base table is needed
+  // because the changelog is self-contained — with a base table, union
+  // base-as-oldest-change and the same election applies (c74's
+  // incremental pattern). Values ride the exact cents grid (q64's
+  // discipline), so the state is hash-identical cross-engine.
+  // -------------------------------------------------------------------
+  def c76CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+        when(col("event_type") === "error", lit("D"))
+          .when(col("event_type") === "signup", lit("I"))
+          .otherwise(lit("U")).as("op"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("vc"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .where(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("op").as("last_op"),
+        (col("vc").cast(DoubleType) / lit(100.0)).as("last_value"),
+        col("n_changes"))
+      .orderBy(col("user_id"))
+  }
+
+  val c76CdcApplySql: String =
+    """WITH ch AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    CASE WHEN event_type = 'error' THEN 'D'
+      |         WHEN event_type = 'signup' THEN 'I'
+      |         ELSE 'U' END AS op,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, op, vc,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY tus DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM ch)
+      |SELECT user_id, op AS last_op, CAST(vc AS DOUBLE) / 100.0 AS last_value,
+      |  CAST(n_changes AS BIGINT) AS n_changes
+      |FROM r
+      |WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
@@ -553,5 +609,6 @@ object Curation {
     QueryDef.sql("c73_quality_audit", c73QualityAudit _, c73QualityAuditSql),
     QueryDef.sql("c74_scd2_merge", c74Scd2Merge _, Relational.q59Scd2Sql),
     QueryDef.sql("c75_domain_kl", c75DomainKl _, c75DomainKlSql),
+    QueryDef.sql("c76_cdc_apply", c76CdcApply _, c76CdcApplySql),
   )
 }

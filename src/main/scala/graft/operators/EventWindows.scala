@@ -542,6 +542,60 @@ object EventWindows {
       |ORDER BY event_type, event_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q70: running DISTINCT count over an ordered stream — "distinct users
+  // seen to date" per event type, the cumulative-cardinality curve every
+  // growth dashboard draws. Neither Spark nor a sane engine supports
+  // COUNT(DISTINCT) OVER a running frame directly at scale (it implies a
+  // per-row distinct SET in window state); the scalable form is the
+  // first-seen decomposition: flag each (type, user)'s first event via
+  // row_number = 1, then a running SUM of flags over the type's time
+  // order. State per window is one counter, not a set — O(1) instead of
+  // O(|users|) per frame. Two exchanges, inherently: one on (type, user)
+  // for the first-seen election, one on type for the running sum.
+  // Output thinned on event_id % 37 AFTER the windows (q65's dump
+  // discipline); the curve is computed over every event.
+  // ---------------------------------------------------------------------
+  def q70RunningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val wFirst = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("tus"), col("event_id"))
+    val wRun = Window.partitionBy(col("event_type"))
+      .orderBy(col("tus"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("first_seen",
+        when(row_number().over(wFirst) === 1, lit(1L)).otherwise(lit(0L)))
+      .withColumn("users_to_date", sum(col("first_seen")).over(wRun))
+      .where(col("event_id") % 37 === 0)
+      .select(col("event_type"), col("event_id"), col("users_to_date"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  val q70RunningDistinctSql: String =
+    """WITH b AS (
+      |  SELECT event_type, event_id, user_id, epoch_us(ts) AS tus FROM events),
+      |f AS (
+      |  SELECT event_type, event_id, tus,
+      |    CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+      |                                 ORDER BY tus, event_id) = 1
+      |         THEN 1 ELSE 0 END AS first_seen
+      |  FROM b)
+      |,run AS (
+      |  -- the running sum must see EVERY row; the dump thinning applies
+      |  -- outside this block (WHERE in the same block would filter the
+      |  -- window's input, unlike Spark's post-window .where)
+      |  SELECT event_type, event_id,
+      |    CAST(SUM(first_seen) OVER (PARTITION BY event_type ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS users_to_date
+      |  FROM f)
+      |SELECT event_type, event_id, users_to_date
+      |FROM run
+      |WHERE event_id % 37 = 0
+      |ORDER BY event_type, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
@@ -554,5 +608,6 @@ object EventWindows {
     QueryDef.sql("q61_path_mining", q61PathMining _, q61PathMiningSql),
     QueryDef.sql("q64_rolling_anomaly", q64RollingAnomaly _, q64RollingAnomalySql),
     QueryDef.sql("q65_ewma", q65Ewma _, q65EwmaSql),
+    QueryDef.sql("q70_running_distinct", q70RunningDistinct _, q70RunningDistinctSql),
   )
 }

@@ -1121,6 +1121,70 @@ object Similarity {
        |FROM assigned s LEFT JOIN dup d USING (vec_id)
        |ORDER BY s.vec_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q71: per-dimension embedding standardization (z-score feature
+  // scaling) — the feature-prep pass in front of clustering/ANN when
+  // dimensions carry different scales. One posexplode + one hash agg on
+  // dim computes each dimension's moments; the standardized values then
+  // need only a map-side join of 64 constants — at scale this is a
+  // broadcast of the per-dim stats, never a second shuffle of vectors.
+  //
+  // Determinism: q33's discipline — moments sum in exact DECIMAL over
+  // round(x, 7) (partition order cannot perturb them), then double
+  // arithmetic mirrored expression-for-expression. sqrt() is CORRECTLY
+  // ROUNDED under IEEE 754 (unlike ln, it needs no nano-snap), so
+  // std, z, and the |z| > 2 outlier comparison are bit-identical in
+  // DuckDB. Output: per-dim n/mean/std plus the outlier count — the
+  // count pins every z value through the comparison without dumping
+  // |vectors|×dims rows.
+  // -------------------------------------------------------------------
+  def q71Standardize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val vals = Tables.embeddings(spark, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("dim"), round(col("x").cast(DoubleType), 7).as("xd"))
+    val stats = vals.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("xd").cast(DecimalType(30, 7))).as("s"),
+        sum((col("xd") * col("xd")).cast(DecimalType(30, 14))).as("s2"))
+      .select(col("dim"), col("n_vecs"),
+        (col("s").cast(DoubleType) / col("n_vecs")).as("mean"),
+        sqrt((col("s2").cast(DoubleType)
+          - col("s").cast(DoubleType) * col("s").cast(DoubleType) / col("n_vecs"))
+          / col("n_vecs")).as("std"))
+    vals.join(broadcast(stats), "dim")
+      .groupBy(col("dim"))
+      .agg(max(col("n_vecs")).as("n_vecs"),
+        round(max(col("mean")), 6).as("mean"),
+        round(max(col("std")), 6).as("std"),
+        sum(when(abs((col("xd") - col("mean")) / col("std")) > 2.0, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("dim"))
+  }
+
+  val q71StandardizeSql: String =
+    s"""WITH vals AS (
+      |  SELECT j - 1 AS dim, round(CAST(embedding[j] AS DOUBLE), 7) AS xd
+      |  FROM embeddings CROSS JOIN range(1, ${Dim + 1}) r(j)),
+      |stats AS (
+      |  SELECT dim, COUNT(*) AS n_vecs,
+      |    SUM(CAST(xd AS DECIMAL(30,7))) AS s,
+      |    SUM(CAST(xd * xd AS DECIMAL(30,14))) AS s2
+      |  FROM vals GROUP BY dim),
+      |st AS (
+      |  SELECT dim, n_vecs,
+      |    CAST(s AS DOUBLE) / n_vecs AS mean,
+      |    sqrt((CAST(s2 AS DOUBLE)
+      |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n_vecs) / n_vecs) AS std
+      |  FROM stats)
+      |SELECT vals.dim, CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
+      |  ROUND(MAX(mean), 6) AS mean, ROUND(MAX(std), 6) AS std,
+      |  CAST(SUM(CASE WHEN abs((xd - mean) / std) > 2.0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM vals JOIN st ON vals.dim = st.dim
+      |GROUP BY vals.dim
+      |ORDER BY vals.dim""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q30_ann_brute", q30AnnBrute _, q30AnnBruteSql),
     QueryDef.sql("q31_ann_lsh", q31AnnLsh _, q31AnnLshSql),
@@ -1134,5 +1198,6 @@ object Similarity {
     QueryDef.sql("q50_hybrid_search", q50HybridSearch _, q50HybridSearchSql),
     QueryDef.sql("q51_ann_ivf_pq", q51AnnIvfPq _, q51AnnIvfPqSql),
     QueryDef.sql("d48_semdedup", d48SemDedup _, d48SemDedupSql),
+    QueryDef.sql("q71_standardize", q71Standardize _, q71StandardizeSql),
   )
 }
