@@ -432,15 +432,19 @@ object EventWindows {
   // oracle (ns-precision parquet would otherwise reorder ties).
   // ---------------------------------------------------------------------
   def q64RollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    // materialized sort key + all three frame aggregates in one
+    // projection → ONE Sort + ONE Window node (q65's lesson: stacked
+    // withColumn windows over a computed sort key re-sort per aggregate)
     val w = Window.partitionBy(col("event_type"))
-      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .orderBy(col("tus"), col("event_id"))
       .rowsBetween(-23, Window.currentRow)
     Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"), col("ts"),
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("tus"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("vc"))
-      .withColumn("n", count(lit(1)).over(w))
-      .withColumn("s", sum(col("vc")).over(w))
-      .withColumn("sxx", sum(col("vc") * col("vc")).over(w))
+      .select(col("*"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("vc")).over(w).as("s"),
+        sum(col("vc") * col("vc")).over(w).as("sxx"))
       .where(col("n") >= 12 &&
         (col("n") * col("vc") - col("s")) * (col("n") * col("vc") - col("s")) >
           lit(9L) * (col("n") * col("sxx") - col("s") * col("s")))
@@ -494,14 +498,18 @@ object EventWindows {
   private val EwmaTaps = 16
 
   def q65Ewma(spark: SparkSession, dir: String): DataFrame = {
+    // The sort key must be a MATERIALIZED column and all 16 taps must
+    // live in ONE projection: ordering a window by the raw expression
+    // unix_micros(ts), or adding taps via successive withColumns, plans
+    // 16 stacked Window nodes each with its own (unsatisfiable-ordering)
+    // Sort — measured 7.0 s; this shape is one Sort + one Window, 0.6 s.
     val w = Window.partitionBy(col("event_type"))
-      .orderBy(unix_micros(col("ts")), col("event_id"))
+      .orderBy(col("tus"), col("event_id"))
     val base = Tables.events(spark, dir)
-      .select(col("event_type"), col("event_id"), col("ts"),
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("tus"),
         floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("vc"))
-    val lagged = (0 until EwmaTaps).foldLeft(base) { (df, j) =>
-      df.withColumn(s"v$j", lag(col("vc"), j).over(w))
-    }
+    val lagged = base.select(col("*") +:
+      (0 until EwmaTaps).map(j => lag(col("vc"), j).over(w).as(s"v$j")): _*)
     val weight = (j: Int) => 1L << (EwmaTaps - 1 - j)
     val num = (0 until EwmaTaps).map(j =>
       coalesce(col(s"v$j"), lit(0L)) * lit(weight(j))).reduce(_ + _)
