@@ -1345,6 +1345,176 @@ object Relational {
     spark.sql(q69Text)
   }
 
+  // ---------------------------------------------------------------------
+  // q72: interval merge (gaps-and-islands union) — collapse each
+  // customer's overlapping 30-day order-activity intervals into maximal
+  // disjoint spans: the classic coverage/union-of-intervals operator
+  // (SLA windows, ad-flight coverage, sessionized validity ranges).
+  // Technique: one window per customer ordered by (start, end, orderkey)
+  // computes the running max of interval ends over STRICTLY PRECEDING
+  // rows; an island opens exactly where the current start clears that
+  // max. A second running sum turns the open-flags into island ids, and
+  // one hash aggregate per (customer, island) emits the merged span.
+  //
+  // Scale: everything after the scan rides ONE hash exchange on
+  // o_custkey — both windows and the final aggregates are
+  // partition-local to it (the q59/q60 shared-exchange discipline).
+  // State per window is one integer (the cummax / the cumsum), never a
+  // buffered interval list. Pure integer epoch-day arithmetic.
+  // ---------------------------------------------------------------------
+  private val IntervalDays = 30L
+
+  def q72IntervalMerge(spark: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP_NTZ (no unix_micros); midnight-aligned, so
+    // the calendar-day diff from the epoch IS the exact integer day index
+    val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+      .cast(LongType).as("start_day")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("start_day"), col("end_day"), col("o_orderkey"))
+    val prevMax = max(col("end_day")).over(
+      w.rowsBetween(Window.unboundedPreceding, -1))
+    val isles = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), day)
+      .withColumn("end_day", col("start_day") + lit(IntervalDays))
+      .withColumn("open_flag",
+        when(prevMax.isNull || col("start_day") > prevMax, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("open_flag")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    isles.groupBy(col("o_custkey"), col("island"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("start_day")).as("s"), max(col("end_day")).as("e"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+        count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).as("covered_days"),
+        max(col("e") - col("s")).as("longest_span_days"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val q72IntervalMergeSql: String =
+    s"""WITH iv AS (
+       |  SELECT o_custkey, o_orderkey,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+       |      AS start_day,
+       |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+       |      + $IntervalDays AS end_day
+       |  FROM orders),
+       |flagged AS (
+       |  SELECT *,
+       |    CASE WHEN prev_max IS NULL OR start_day > prev_max
+       |         THEN 1 ELSE 0 END AS open_flag
+       |  FROM (
+       |    SELECT *,
+       |      MAX(end_day) OVER (PARTITION BY o_custkey
+       |        ORDER BY start_day, end_day, o_orderkey
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |    FROM iv)),
+       |isl AS (
+       |  SELECT *,
+       |    SUM(open_flag) OVER (PARTITION BY o_custkey
+       |      ORDER BY start_day, end_day, o_orderkey
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM flagged),
+       |spans AS (
+       |  SELECT o_custkey, island, COUNT(*) AS n_orders,
+       |    MIN(start_day) AS s, MAX(end_day) AS e
+       |  FROM isl GROUP BY o_custkey, island)
+       |SELECT o_custkey, SUM(n_orders) AS n_orders, COUNT(*) AS n_spans,
+       |  SUM(e - s) AS covered_days, MAX(e - s) AS longest_span_days
+       |FROM spans GROUP BY o_custkey
+       |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q73: exact weighted median — the ordered statistic q19/q58 don't
+  // reach: each value carries a weight (here price weighted by quantity
+  // — "the price at which half the shipped units are cheaper").
+  // Technique: collapse the corpus to the (group, value) vocabulary
+  // with summed weights FIRST (one hash aggregate, full map-side
+  // combine), then a per-group cumulative-weight window over the
+  // distinct values picks the smallest value whose doubled cumulative
+  // weight reaches the total. The window runs over |distinct values|
+  // rows, not corpus rows — the same corpus→vocabulary collapse that
+  // makes d53/t61 scale.
+  //
+  // Determinism: prices on the exact cents grid, quantities integral
+  // (snapped the same way) — the 2·cum ≥ total comparison is pure
+  // BIGINT in both engines.
+  // ---------------------------------------------------------------------
+  def q73WeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val byValue = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast(LongType).as("price_c"),
+        floor(col("l_quantity") + 0.5).cast(LongType).as("qty"))
+      .groupBy(col("l_returnflag"), col("price_c"))
+      .agg(sum(col("qty")).as("w"))
+    val wOrd = Window.partitionBy(col("l_returnflag")).orderBy(col("price_c"))
+    val cum = byValue
+      .withColumn("cum_w",
+        sum(col("w")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total_w",
+        sum(col("w")).over(Window.partitionBy(col("l_returnflag"))))
+    cum.filter(col("cum_w") * 2 >= col("total_w"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("price_c")).as("w_median_cents"),
+        max(col("total_w")).as("total_weight"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q73WeightedMedianSql: String =
+    """WITH by_value AS (
+      |  SELECT l_returnflag,
+      |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+      |    SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, price_c,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS total_w
+      |  FROM by_value)
+      |SELECT l_returnflag, MIN(price_c) AS w_median_cents,
+      |  MAX(total_w) AS total_weight
+      |FROM cum WHERE cum_w * 2 >= total_w
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q74: mode (most frequent value) per group, with a deterministic
+  // (count DESC, value ASC) tie-break — the last classical ordered
+  // statistic the inventory lacked (q19 quantiles, q58 median/MAD, q73
+  // weighted median). Same corpus→vocabulary collapse as q73: the rank
+  // window runs over distinct (group, value) rows only; ties are real
+  // on this data (integral quantities, 50-value vocabulary), so the
+  // tie-break is load-bearing, not decorative.
+  // ---------------------------------------------------------------------
+  def q74Mode(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_quantity") + 0.5).cast(LongType).as("qty"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"), col("qty"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"), col("l_linestatus"))
+      .orderBy(col("n").desc, col("qty").asc)
+    counts.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("qty").as("mode_qty"), col("n").as("mode_count"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q74ModeSql: String =
+    """WITH counts AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty, COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1, 2, 3)
+      |SELECT l_returnflag, l_linestatus, qty AS mode_qty, n AS mode_count
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, l_linestatus
+      |    ORDER BY n DESC, qty ASC) AS rn
+      |  FROM counts)
+      |WHERE rn = 1
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -1380,5 +1550,8 @@ object Relational {
     QueryDef.sql("q62_ranking_suite", q62RankingSuite _, q62RankingSuiteSql),
     QueryDef.sql("q68_multiset_ops", q68MultisetOps _, q68MultisetOpsSql),
     QueryDef.sql("q69_null_aware_anti", q69NullAwareAnti _, q69Text),
+    QueryDef.sql("q72_interval_merge", q72IntervalMerge _, q72IntervalMergeSql),
+    QueryDef.sql("q73_weighted_median", q73WeightedMedian _, q73WeightedMedianSql),
+    QueryDef.sql("q74_mode", q74Mode _, q74ModeSql),
   )
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+/** Semantics of the round-7 fifth batch: interval merge (q72), weighted
+  * median (q73), mode (q74) — each checked against an independent naive
+  * recomputation, not just the shared oracle SQL.
+  */
+class Round7eSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  test("q72 merged spans equal a naive per-customer interval union") {
+    val got = Relational.q72IntervalMerge(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val iv = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(1) + 30L))
+    assert(got.nonEmpty)
+    for ((cust, rows) <- iv.groupBy(_._1)) {
+      // naive sweep: sort by start and fold into disjoint spans
+      val sorted = rows.map(r => (r._2, r._3)).sorted
+      val spans = sorted.drop(1).foldLeft(List(sorted.head)) {
+        case ((s, e) :: acc, (s2, e2)) =>
+          if (s2 > e) (s2, e2) :: (s, e) :: acc
+          else (s, math.max(e, e2)) :: acc
+        case (acc, x) => x :: acc
+      }
+      val (nOrders, nSpans, covered, longest) = got(cust)
+      assert(nOrders == rows.length, s"cust $cust n_orders")
+      assert(nSpans == spans.length, s"cust $cust n_spans")
+      assert(covered == spans.map(s => s._2 - s._1).sum, s"cust $cust covered")
+      assert(longest == spans.map(s => s._2 - s._1).max, s"cust $cust longest")
+    }
+  }
+
+  test("q72 spans are genuinely merged (some customer has overlapping orders)") {
+    // non-vacuity: with 30-day intervals and ~10 orders/customer over a
+    // few years, merges must occur — n_spans < n_orders for someone
+    val rows = Relational.q72IntervalMerge(spark, dir).collect()
+    assert(rows.exists(r => r.getLong(2) < r.getLong(1)))
+    // and coverage never exceeds n_spans * interval upper bound
+    assert(rows.forall(r => r.getLong(3) >= 30L && r.getLong(3) <= r.getLong(1) * 30L))
+  }
+
+  test("q73 weighted median halves the weight mass on each side") {
+    val rows = Relational.q73WeightedMedian(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 3)
+    val raw = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"),
+        floor(col("l_quantity") + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((flag, med, total) <- rows) {
+      val grp = raw.filter(_._1 == flag)
+      assert(total == grp.map(_._3).sum)
+      val below = grp.filter(_._2 < med).map(_._3).sum
+      val upTo = grp.filter(_._2 <= med).map(_._3).sum
+      // defining property of the lower weighted median
+      assert(2 * upTo >= total, s"$flag: mass up to median")
+      assert(2 * below < total, s"$flag: mass strictly below")
+    }
+  }
+
+  test("q74 mode is the max-count value with (count desc, value asc) ties") {
+    val rows = Relational.q74Mode(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val raw = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_quantity") + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    for ((flag, status, modeQty, modeCount) <- rows) {
+      val counts = raw.filter(r => r._1 == flag && r._2 == status)
+        .groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val best = counts.toSeq.sortBy { case (v, n) => (-n, v) }.head
+      assert((modeQty, modeCount) == best, s"$flag/$status")
+    }
+  }
+}
