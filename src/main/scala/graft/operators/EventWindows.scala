@@ -604,6 +604,152 @@ object EventWindows {
       |WHERE event_id % 37 = 0
       |ORDER BY event_type, event_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q75: autocorrelation function (ACF at lags 1..3) of the daily value
+  // series per event type — the seasonality/trend diagnostic a
+  // forecasting pipeline runs before choosing a model. Two stages, both
+  // vocabulary-sized after the first: (1) one hash aggregate collapses
+  // the corpus to the per-(type, day) daily series in exact cents;
+  // (2) ONE window with three lag taps (q65's single-projection
+  // discipline — stacked withColumns would plan three Window nodes)
+  // emits the lagged pairs, which unpivot via a 3-arm stack and feed a
+  // per-(type, lag) moment aggregate. Windows and moments run over
+  // |types|×|days| rows, never corpus rows.
+  //
+  // Determinism: q57's discipline exactly — moment sums are exact int64
+  // (daily cents ≈ 1e7, squared products ×1e3 days ≈ 1e17 < 2^63; at
+  // 1e4× the volume, swap the sums to DECIMAL(38,0)/HUGEINT), and the
+  // Pearson formula runs the identical left-associated double algebra
+  // in both engines on identical integers.
+  // ---------------------------------------------------------------------
+  private val AcfMaxLag = 3
+
+  def q75Autocorr(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("vc"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vc")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    // all lag taps in one projection → one Window node, one exchange
+    val tapped = daily.select(
+      col("event_type") +: col("v") +:
+        (1 to AcfMaxLag).map(k => lag(col("v"), k).over(w).as(s"l$k")): _*)
+    val arms = (1 to AcfMaxLag)
+      .map(k => s"struct(${k}L as lag, v, l$k as vl)").mkString(", ")
+    val pairs = tapped
+      .select(col("event_type"), explode(expr(s"array($arms)")).as("p"))
+      .select(col("event_type"), col("p.lag"), col("p.v"), col("p.vl"))
+      .filter(col("vl").isNotNull)
+    val m = pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("v")).as("sx"), sum(col("vl")).as("sy"),
+        sum(col("v") * col("vl")).as("sxy"),
+        sum(col("v") * col("v")).as("sxx"),
+        sum(col("vl") * col("vl")).as("syy"))
+    val dn = col("n_pairs").cast(DoubleType)
+    def d(c: String) = col(c).cast(DoubleType)
+    m.select(col("event_type"), col("lag"), col("n_pairs"),
+        ((dn * d("sxy") - d("sx") * d("sy")) /
+          sqrt((dn * d("sxx") - d("sx") * d("sx")) *
+               (dn * d("syy") - d("sy") * d("sy")))).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  val q75AutocorrSql: String = {
+    val arms = (1 to AcfMaxLag).map(k =>
+      s"SELECT event_type, $k AS lag, v, l$k AS vl FROM tapped").mkString("\n|  UNION ALL\n|  ")
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+       |    SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS v
+       |  FROM events GROUP BY 1, 2),
+       |tapped AS (
+       |  SELECT event_type, v,
+       |    ${(1 to AcfMaxLag).map(k =>
+              s"lag(v, $k) OVER (PARTITION BY event_type ORDER BY day) AS l$k")
+              .mkString(",\n|    ")}
+       |  FROM daily),
+       |pairs AS (
+       |  $arms),
+       |m AS (
+       |  SELECT event_type, lag, COUNT(*) AS n_pairs,
+       |    SUM(v) AS sx, SUM(vl) AS sy, SUM(v * vl) AS sxy,
+       |    SUM(v * v) AS sxx, SUM(vl * vl) AS syy
+       |  FROM pairs WHERE vl IS NOT NULL GROUP BY 1, 2)
+       |SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+       |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |  / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+       |FROM m
+       |ORDER BY event_type, lag""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q76: per-user session summary via the WINDOW-FUNCTION sessionization
+  // path — the gaps-and-islands formulation as a first-class Spark plan
+  // (q16 exercises the native session_window operator; its ORACLE is
+  // already this formulation, so the two queries pin both engine paths
+  // onto the same semantics). A session opens at the first event or
+  // after a >= 6 h silence; the summary is per-user lifetime session
+  // behavior — the LTV/engagement shape.
+  //
+  // Scale: ONE hash exchange on user_id carries both windows (flag +
+  // running island id) AND both aggregates; everything after the scan
+  // is partition-local to it. All outputs exact integers (no mean —
+  // sums and counts, so no division leaves the integer grid).
+  // ---------------------------------------------------------------------
+  def q76SessionSummary(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val flagged = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"), col("event_id"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("new_s",
+        when(col("prev").isNull || col("tus") - col("prev") >= SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tus")) - min(col("tus"))).as("dur_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"),
+        max(col("dur_us")).as("max_session_dur_us"),
+        sum(col("dur_us")).as("active_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q76SessionSummarySql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tus, event_id FROM events),
+       |flagged AS (
+       |  SELECT user_id, tus, event_id,
+       |    CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+       |              IS NULL
+       |           OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+       |              >= $SessionGapUs
+       |         THEN 1 ELSE 0 END AS new_s
+       |  FROM e),
+       |isl AS (
+       |  SELECT user_id, tus,
+       |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged),
+       |sess AS (
+       |  SELECT user_id, sid, COUNT(*) AS n_events,
+       |    MAX(tus) - MIN(tus) AS dur_us
+       |  FROM isl GROUP BY user_id, sid)
+       |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       |  MAX(n_events) AS max_session_events,
+       |  MAX(dur_us) AS max_session_dur_us, SUM(dur_us) AS active_us
+       |FROM sess GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
@@ -617,5 +763,7 @@ object EventWindows {
     QueryDef.sql("q64_rolling_anomaly", q64RollingAnomaly _, q64RollingAnomalySql),
     QueryDef.sql("q65_ewma", q65Ewma _, q65EwmaSql),
     QueryDef.sql("q70_running_distinct", q70RunningDistinct _, q70RunningDistinctSql),
+    QueryDef.sql("q75_autocorr", q75Autocorr _, q75AutocorrSql),
+    QueryDef.sql("q76_session_summary", q76SessionSummary _, q76SessionSummarySql),
   )
 }

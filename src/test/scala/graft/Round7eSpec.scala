@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Relational
+import graft.operators.{EventWindows, Relational}
 
 /** Semantics of the round-7 fifth batch: interval merge (q72), weighted
   * median (q73), mode (q74) — each checked against an independent naive
@@ -66,6 +66,49 @@ class Round7eSpec extends AnyFunSuite {
       // defining property of the lower weighted median
       assert(2 * upTo >= total, s"$flag: mass up to median")
       assert(2 * below < total, s"$flag: mass strictly below")
+    }
+  }
+
+  test("q75 ACF matches a naive per-series Pearson over lagged pairs") {
+    val got = EventWindows.q75Autocorr(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.nonEmpty)
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"),
+        floor(col("value") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toSeq
+      .map { case ((et, day), v) => (et, day, v) }
+    for ((et, series) <- daily.groupBy(_._1); k <- 1 to 3) {
+      val s = series.sortBy(_._2).map(_._3)
+      val pairs = s.drop(k).zip(s.dropRight(k)) // (v, v_lagged_k)
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum.toDouble, pairs.map(_._2).sum.toDouble)
+      val sxy = pairs.map(p => p._1.toDouble * p._2).sum
+      val sxx = pairs.map(p => p._1.toDouble * p._1).sum
+      val syy = pairs.map(p => p._2.toDouble * p._2).sum
+      val r = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val (nGot, rGot) = got((et, k.toLong))
+      assert(nGot == pairs.length, s"$et lag $k n")
+      assert(math.abs(rGot - r) < 1e-9, s"$et lag $k acf $rGot vs $r")
+      assert(rGot >= -1.0 && rGot <= 1.0)
+    }
+  }
+
+  test("q76 session summary agrees with q16's native session_window sessions") {
+    // same 6h gap semantics through two different engine paths: the
+    // native session_window operator (q16) and the window-function
+    // islands formulation (q76) must partition events identically
+    val native = EventWindows.q16SessionWindow(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3))) // (user, n_events per session)
+      .groupBy(_._1).view.mapValues(v => (v.size.toLong, v.map(_._2).sum,
+        v.map(_._2).max)).toMap
+    val got = EventWindows.q76SessionSummary(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == native.keySet)
+    for ((u, (ns, ne, mx)) <- got) {
+      assert(native(u) == ((ns, ne, mx)), s"user $u sessions")
     }
   }
 
