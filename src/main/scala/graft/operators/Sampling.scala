@@ -226,9 +226,47 @@ object Sampling {
        |FROM r WHERE rank <= quota
        |ORDER BY source, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d56: deterministic train/val/test split assignment — the dataset-
+  // versioning primitive every training run starts from. Each doc's
+  // split is a pure function of its id (h60 threshold cut at 80%/90% of
+  // the 2^60 hash space — exact integer constants, no floats, no RNG),
+  // so the assignment is reproducible across engines, re-runs, and
+  // repartitions, and any two pipelines that agree on doc_id agree on
+  // the split. Output is the per-(source, split) audit table: one scan,
+  // one hash aggregate, no shuffle beyond it — the corpus itself never
+  // moves. The leakage check (a doc in exactly one split) is free: the
+  // thresholds partition the hash space by construction, and the spec
+  // re-derives membership independently.
+  // ---------------------------------------------------------------------
+  private[operators] val TrainBound: Long = (PortableHash.HashSpace * 8 / 10).toLong
+  private[operators] val ValBound: Long = (PortableHash.HashSpace * 9 / 10).toLong
+
+  def d56SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("h", PortableHash.h60(col("doc_id")))
+      .withColumn("split",
+        when(col("h") < TrainBound, "train")
+          .when(col("h") < ValBound, "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("source"), col("split"))
+
+  val d56SplitAssignSql: String =
+    s"""SELECT source,
+       |  CASE WHEN ${PortableHash.h60Sql("doc_id")} < $TrainBound THEN 'train'
+       |       WHEN ${PortableHash.h60Sql("doc_id")} < $ValBound THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+       |FROM documents
+       |GROUP BY 1, 2
+       |ORDER BY source, split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d46_stratified_sample", d46StratifiedSample _, d46StratifiedSampleSql),
     QueryDef.sql("d51_weighted_sample", d51WeightedSample _, d51WeightedSampleSql),
     QueryDef.sql("d52_mixture_sample", d52MixtureSample _, d52MixtureSampleSql),
+    QueryDef.sql("d56_split_assign", d56SplitAssign _, d56SplitAssignSql),
   )
 }

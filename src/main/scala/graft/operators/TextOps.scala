@@ -980,6 +980,91 @@ object TextOps {
       |GROUP BY term
       |ORDER BY cf DESC, term""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t65: PMI collocation mining — "which adjacent word pairs co-occur
+  // far above chance", the phrase-detection pass (word2vec-style
+  // phrase merging, terminology extraction) that runs after t63
+  // normalization and before tokenizer training (t58).
+  //   PMI(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) )
+  //              = ln( c12 · T · T / (P · c1 · c2) )
+  // with c12 = adjacent-pair count, c1/c2 = unigram counts, P = total
+  // pairs, T = total tokens. Everything before the single ln is exact
+  // integer counts from two hash aggregates (pairs, unigrams) — both
+  // vocabulary-bounded after the map-side combine; the ratio is
+  // assembled with the identical left-associated double expression in
+  // both engines and the ln is nano-snapped ONCE per surviving pair
+  // (t54's discipline). Min-count ≥ 5 prunes the noise floor BEFORE the
+  // join back to unigram counts, and the output is the global top-20 on
+  // the (pmi_n DESC, w1, w2) total order — a bounded result regardless
+  // of corpus size, ranked without any window (orderBy + limit →
+  // TakeOrderedAndProject, no single-partition sort of the vocabulary).
+  // -------------------------------------------------------------------
+  private val PmiMinCount = 5L
+  private val PmiTopK = 20
+
+  def t65PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val grams = filter(
+      transform(sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+        i => struct(try_element_at(toks, i).as("w1"),
+          try_element_at(toks, i + lit(1)).as("w2"))),
+      s => s.getField("w2").isNotNull)
+    val pairs = d.select(explode(grams).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val uni = d.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val totals = d.select(
+        (size(toks) - 1).cast(LongType).as("np"),
+        size(toks).cast(LongType).as("nt"))
+      .agg(sum(col("np")).as("p_total"), sum(col("nt")).as("t_total"))
+    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= PmiMinCount)
+    c12
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_n",
+        floor(log(col("c12").cast(DoubleType) * col("t_total").cast(DoubleType)
+            * col("t_total").cast(DoubleType)
+          / (col("p_total").cast(DoubleType) * col("c1").cast(DoubleType)
+            * col("c2").cast(DoubleType)))
+          * lit(1e9) + lit(0.5)).cast(LongType))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"), col("pmi_n"))
+      .orderBy(col("pmi_n").desc, col("w1"), col("w2"))
+      .limit(PmiTopK)
+  }
+
+  val t65PmiCollocationsSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pr AS (
+       |  SELECT unnest(list_transform(range(1, len(t)),
+       |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS g
+       |  FROM tk),
+       |pairs AS (
+       |  SELECT struct_extract(g, 'w1') AS w1, struct_extract(g, 'w2') AS w2
+       |  FROM pr WHERE struct_extract(g, 'w2') IS NOT NULL),
+       |uni AS (
+       |  SELECT w, COUNT(*) AS c FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY w),
+       |totals AS (
+       |  SELECT SUM(len(t) - 1) AS p_total, SUM(len(t)) AS t_total FROM tk),
+       |c12 AS (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+       |  HAVING COUNT(*) >= $PmiMinCount)
+       |SELECT c12.w1, c12.w2, c12, c1.c AS c1, c2.c AS c2,
+       |  CAST(floor(ln(CAST(c12 AS DOUBLE) * CAST(t_total AS DOUBLE)
+       |      * CAST(t_total AS DOUBLE)
+       |    / (CAST(p_total AS DOUBLE) * CAST(c1.c AS DOUBLE)
+       |      * CAST(c2.c AS DOUBLE)))
+       |    * 1000000000.0 + 0.5) AS BIGINT) AS pmi_n
+       |FROM c12
+       |JOIN uni c1 ON c1.w = c12.w1
+       |JOIN uni c2 ON c2.w = c12.w2
+       |CROSS JOIN totals
+       |ORDER BY pmi_n DESC, w1, w2
+       |LIMIT $PmiTopK""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -996,5 +1081,6 @@ object TextOps {
     QueryDef.sql("t62_pii_redact", t62PiiRedact _, t62PiiRedactSql),
     QueryDef.sql("t63_normalize", t63Normalize _, t63NormalizeSql),
     QueryDef.sql("t64_inverted_index", t64InvertedIndex _, t64InvertedIndexSql),
+    QueryDef.sql("t65_pmi_collocations", t65PmiCollocations _, t65PmiCollocationsSql),
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventWindows, Relational}
+import graft.operators.{EventWindows, Relational, Sampling, TextOps}
 
 /** Semantics of the round-7 fifth batch: interval merge (q72), weighted
   * median (q73), mode (q74) — each checked against an independent naive
@@ -110,6 +110,65 @@ class Round7eSpec extends AnyFunSuite {
     for ((u, (ns, ne, mx)) <- got) {
       assert(native(u) == ((ns, ne, mx)), s"user $u sessions")
     }
+  }
+
+  test("t65 PMI matches a naive count-based recomputation; floor respected") {
+    val rows = TextOps.t65PmiCollocations(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.length == 20)
+    assert(rows.forall(_._3 >= 5L), "min-count floor")
+    val docs = Tables.documents(spark, dir).select(col("text")).collect()
+      .map(_.getString(0).split(" ").toSeq)
+    val uni = docs.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pairCounts = docs.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tTotal = docs.map(_.length.toLong).sum
+    val pTotal = docs.map(t => (t.length - 1).toLong).sum
+    for ((w1, w2, c12, c1, c2, pmiN) <- rows) {
+      assert(pairCounts((w1, w2)) == c12 && uni(w1) == c1 && uni(w2) == c2)
+      val want = math.floor(math.log(
+        c12.toDouble * tTotal.toDouble * tTotal.toDouble
+          / (pTotal.toDouble * c1.toDouble * c2.toDouble)) * 1e9 + 0.5).toLong
+      assert(pmiN == want, s"($w1,$w2)")
+    }
+    // ordering is the declared total order
+    assert(rows.zip(rows.drop(1)).forall { case (a, b) =>
+      a._6 > b._6 || (a._6 == b._6 && (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)))
+    })
+    // and nothing outside the top-20 beats the last row (completeness)
+    val minShown = rows.last._6
+    val all = pairCounts.filter(_._2 >= 5).map { case ((w1, w2), c12) =>
+      math.floor(math.log(c12.toDouble * tTotal.toDouble * tTotal.toDouble
+        / (pTotal.toDouble * uni(w1).toDouble * uni(w2).toDouble)) * 1e9 + 0.5).toLong
+    }
+    assert(all.count(_ > minShown) < 20)
+  }
+
+  test("d56 split is a disjoint exhaustive hash partition with stable counts") {
+    val got = Sampling.d56SplitAssign(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    val total = got.map(_._3).sum
+    assert(total == Tables.documents(spark, dir).count())
+    // per-doc independent re-derivation: every doc lands in exactly one
+    // split and per-(source, split) counts agree
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val space = BigInt(1) << 60
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      val h = BigInt(hex, 16)
+      if (h < space * 8 / 10) "train" else if (h < space * 9 / 10) "val" else "test"
+    }
+    val want = docs.groupBy(d => (d._2, splitOf(d._1))).view.mapValues(_.length.toLong)
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want.toMap)
+    // rough proportions hold globally (hash uniformity at n=500)
+    val bySplit = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit("train") > total * 7 / 10 && bySplit("train") < total * 9 / 10)
+    assert(bySplit("val") + bySplit("test") < total * 3 / 10)
   }
 
   test("q74 mode is the max-count value with (count desc, value asc) ties") {
