@@ -363,8 +363,11 @@ object Multimodal {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  val m64PhashCandidatesSql: String =
-    """WITH img AS (
+  /** The aHash → banding → exact-hamming pipeline as reusable CTEs (m64
+    * emits it directly; m66 builds the transitive closure on top).
+    */
+  private val phashCtesSql: String =
+    """img AS (
       |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 4 < 2),
       |ch AS (
       |  SELECT media_id, ascii(unnest(string_split(text, ''))) AS v,
@@ -387,14 +390,19 @@ object Multimodal {
       |cand AS (
       |  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
       |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id)
-      |SELECT c.id_a, c.id_b,
-      |  CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
-      |FROM cand c
-      |JOIN bands ba ON ba.media_id = c.id_a
-      |JOIN bands bb ON bb.media_id = c.id_b AND bb.band = ba.band
-      |GROUP BY c.id_a, c.id_b
-      |ORDER BY id_a, id_b""".stripMargin
+      |    ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id),
+      |ph AS (
+      |  SELECT c.id_a, c.id_b,
+      |    CAST(SUM(bit_count(xor(ba.bv, bb.bv))) AS BIGINT) AS hamming
+      |  FROM cand c
+      |  JOIN bands ba ON ba.media_id = c.id_a
+      |  JOIN bands bb ON bb.media_id = c.id_b AND bb.band = ba.band
+      |  GROUP BY c.id_a, c.id_b)""".stripMargin
+
+  val m64PhashCandidatesSql: String =
+    s"""WITH $phashCtesSql
+       |SELECT id_a, id_b, hamming FROM ph
+       |ORDER BY id_a, id_b""".stripMargin
 
   // -------------------------------------------------------------------
   // m65: scene-change detection — the temporal sibling of m62's frame
@@ -452,6 +460,54 @@ object Multimodal {
       |  AND abs(luma * prevlen - prev * flen) * 10 > prev * flen
       |ORDER BY media_id, frame""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m66: visual near-dup CLUSTERS — the composition that turns m64's
+  // candidate pairs into dedup-actionable groups: filter candidates to
+  // hamming ≤ 20 (this corpus's fake-luma profiles put true twins well
+  // under it and unrelated images well over — MultimodalSpec documents
+  // the honest bar), resolve the transitive closure with the SAME
+  // min-label-propagation component resolver d45/c70 use, and elect
+  // the min-id keeper per cluster. Output is the cluster membership
+  // audit: (media_id, cluster_id, n_members, is_keeper).
+  //
+  // Scale: everything rides m64's band-join candidate generation (never
+  // all pairs) + the O(log n)-round pointer-jump closure; the keeper
+  // election and sizes are one aggregate over the node-sized membership
+  // table. Pure integers end-to-end.
+  // -------------------------------------------------------------------
+  private val PhashClusterBar = 20L
+
+  def m66PhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = m64PhashCandidates(spark, dir)
+      .filter(col("hamming") <= PhashClusterBar)
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, "cluster_id")
+      .select(col("media_id"), col("cluster_id"), col("n_members"),
+        when(col("media_id") === col("cluster_id"), 1L).otherwise(0L).as("is_keeper"))
+      .orderBy(col("media_id"))
+  }
+
+  val m66PhashClustersSql: String =
+    s"""WITH RECURSIVE $phashCtesSql,
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM ph WHERE hamming <= $PhashClusterBar
+       |  UNION SELECT id_b, id_a FROM ph WHERE hamming <= $PhashClusterBar),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+       |memb AS (
+       |  SELECT id AS media_id, LEAST(id, MIN(r)) AS cluster_id
+       |  FROM reach GROUP BY id),
+       |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM memb GROUP BY cluster_id)
+       |SELECT m.media_id, m.cluster_id, sz.n_members,
+       |  CAST(CASE WHEN m.media_id = m.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+       |    AS is_keeper
+       |FROM memb m JOIN sz USING (cluster_id)
+       |ORDER BY media_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("m60_media_catalog", m60MediaCatalog _, m60MediaCatalogSql),
     QueryDef.sql("m61_decode_features", m61DecodeFeatures _, m61DecodeFeaturesSql),
@@ -459,5 +515,6 @@ object Multimodal {
     QueryDef.sql("m63_audio_vad", m63AudioVad _, m63AudioVadSql),
     QueryDef.sql("m64_phash_candidates", m64PhashCandidates _, m64PhashCandidatesSql),
     QueryDef.sql("m65_scene_changes", m65SceneChanges _, m65SceneChangesSql),
+    QueryDef.sql("m66_phash_clusters", m66PhashClusters _, m66PhashClustersSql),
   )
 }

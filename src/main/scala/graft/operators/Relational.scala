@@ -1515,6 +1515,70 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q77: sketch-space set operations — estimated |A|, |B|, |A∪B|, |A∩B|
+  // and Jaccard between two key sets (open-order vs finalized-order
+  // customers) from KMV sketches alone: the "how much do these two
+  // billion-key audiences overlap" query answered WITHOUT ever
+  // shuffling the key sets into one exact distinct. Union is sketched
+  // directly (KMV of the concatenated streams — the sketch union), and
+  // intersection falls out by inclusion–exclusion; q68 computes the
+  // same sets exactly, which is what the error spec measures against.
+  //
+  // Scale: three bounded-state kmv_distinct aggregates (O(k) buffers,
+  // full map-side combine — the q11c argument) over one scan of the
+  // orders fact; no windows, no distinct, no joins. Determinism: the
+  // estimator is a pure function of integer md5 order statistics; the
+  // double algebra is mirrored expression-for-expression.
+  // ---------------------------------------------------------------------
+  def q77KmvSetOps(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Vectors.register(spark)
+    val h = PortableHash.h60(col("o_custkey"))
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderstatus").as("st"), h.as("h"))
+    // one scan, three bounded-state sketches; per-set membership is a
+    // null-gated input (the aggregate skips nulls) — FILTER syntax is
+    // not available on custom TypedImperativeAggregates
+    val s = keys.agg(
+      call_function("kmv_distinct",
+        when(col("st") === "O", col("h")), lit(KmvK)).as("sa"),
+      call_function("kmv_distinct",
+        when(col("st") === "F", col("h")), lit(KmvK)).as("sb"),
+      call_function("kmv_distinct", col("h"), lit(KmvK)).as("su"))
+    s.select(lit(KmvK).cast(LongType).as("k"),
+        round(col("sa.est"), 4).as("est_a"),
+        round(col("sb.est"), 4).as("est_b"),
+        round(col("su.est"), 4).as("est_union"),
+        round(col("sa.est") + col("sb.est") - col("su.est"), 4).as("est_intersect"),
+        round((col("sa.est") + col("sb.est") - col("su.est")) / col("su.est"), 4)
+          .as("est_jaccard"))
+  }
+
+  val q77KmvSetOpsSql: String = {
+    def sketch(name: String, pred: String): String =
+      s"""$name AS (
+         |  SELECT COUNT(*) AS n_mins, MAX(h) AS hk FROM (
+         |    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM (
+         |      SELECT DISTINCT ${PortableHash.h60Sql("o_custkey")} AS h
+         |      FROM orders WHERE $pred))
+         |  WHERE rn <= $KmvK)""".stripMargin
+    def est(name: String): String =
+      s"""(SELECT CASE WHEN n_mins < $KmvK THEN CAST(n_mins AS DOUBLE)
+         |  ELSE ${(KmvK - 1).toDouble} / (CAST(hk AS DOUBLE) / $KmvSpace) END
+         |  FROM $name)""".stripMargin
+    s"""WITH ${sketch("ska", "o_orderstatus = 'O'")},
+       |${sketch("skb", "o_orderstatus = 'F'")},
+       |${sketch("sku", "o_orderstatus IN ('O', 'F')")}
+       |SELECT CAST($KmvK AS BIGINT) AS k,
+       |  ROUND(${est("ska")}, 4) AS est_a,
+       |  ROUND(${est("skb")}, 4) AS est_b,
+       |  ROUND(${est("sku")}, 4) AS est_union,
+       |  ROUND(${est("ska")} + ${est("skb")} - ${est("sku")}, 4) AS est_intersect,
+       |  ROUND((${est("ska")} + ${est("skb")} - ${est("sku")}) / ${est("sku")}, 4)
+       |    AS est_jaccard""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -1553,5 +1617,6 @@ object Relational {
     QueryDef.sql("q72_interval_merge", q72IntervalMerge _, q72IntervalMergeSql),
     QueryDef.sql("q73_weighted_median", q73WeightedMedian _, q73WeightedMedianSql),
     QueryDef.sql("q74_mode", q74Mode _, q74ModeSql),
+    QueryDef.sql("q77_kmv_setops", q77KmvSetOps _, q77KmvSetOpsSql),
   )
 }

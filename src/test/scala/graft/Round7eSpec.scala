@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventWindows, Relational, Sampling, TextOps}
+import graft.operators.{EventWindows, Multimodal, Relational, Sampling, TextOps}
 
 /** Semantics of the round-7 fifth batch: interval merge (q72), weighted
   * median (q73), mode (q74) — each checked against an independent naive
@@ -169,6 +169,55 @@ class Round7eSpec extends AnyFunSuite {
     val bySplit = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
     assert(bySplit("train") > total * 7 / 10 && bySplit("train") < total * 9 / 10)
     assert(bySplit("val") + bySplit("test") < total * 3 / 10)
+  }
+
+  test("m66 clusters are the union-find closure of the hamming-filtered pairs") {
+    val pairs = Multimodal.m64PhashCandidates(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val kept = pairs.filter(_._3 <= 20L).map(p => (p._1, p._2))
+    val dropped = pairs.filter(_._3 > 20L)
+    assert(kept.nonEmpty && dropped.nonEmpty, "bar must split the candidates")
+    // naive union-find
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- kept) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = Multimodal.m66PhashClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == want.keySet)
+    for ((id, cl, n, keep) <- got) {
+      assert(cl == want(id), s"cluster of $id")
+      assert(n == want.values.count(_ == cl), s"size of cluster $cl")
+      assert(keep == (if (id == cl) 1L else 0L))
+    }
+    // exactly one keeper per cluster
+    assert(got.filter(_._4 == 1L).map(_._2).toSet == got.map(_._2).toSet)
+  }
+
+  test("q77 sketch estimates sit within KMV error bounds of the exact sets") {
+    val r = Relational.q77KmvSetOps(spark, dir).collect()(0)
+    val (estA, estB, estU, estI, estJ) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    val keys = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderstatus"), col("o_custkey")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    val a = keys.filter(_._1 == "O").map(_._2).toSet
+    val b = keys.filter(_._1 == "F").map(_._2).toSet
+    // k=64 → σ ≈ 1/√62 ≈ 12.7%; 0.4 is > 3σ — a deterministic pass on
+    // this fixed corpus, checked as a real accuracy claim
+    def close(est: Double, exact: Int): Unit =
+      assert(math.abs(est - exact) <= 0.4 * exact, s"$est vs $exact")
+    close(estA, a.size); close(estB, b.size); close(estU, (a ++ b).size)
+    // inclusion–exclusion intersection compounds three errors
+    assert(math.abs(estI - a.intersect(b).size) <= 0.6 * a.intersect(b).size)
+    assert(estJ >= 0.0 && estJ <= 1.3)
   }
 
   test("q74 mode is the max-count value with (count desc, value asc) ties") {
