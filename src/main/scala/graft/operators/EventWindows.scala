@@ -750,6 +750,74 @@ object EventWindows {
        |FROM sess GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q78: temporal-proximity attribution join — "count the clicks each
+  // purchase saw from the same user in the 24 h before it", a band
+  // predicate on TIME with no shared equi-timestamp. The naive plan is a
+  // per-user cross join filtered by the interval (quadratic in per-user
+  // activity); the engine's plan buckets both sides by ⌊ts/W⌋ with W =
+  // the window width, probes exactly TWO buckets per purchase (its own
+  // and the previous — any click within W sits in one of them), and
+  // applies the exact interval filter after the equi-join on
+  // (user, bucket). Candidate fan-out is bounded by per-(user, day)
+  // activity — never all per-user pairs — and the probe arms cannot
+  // double-count (distinct bucket values). This is d55's design point on
+  // the time axis: exact result, sub-quadratic candidates, and the
+  // registered ORACLE IS the naive range join, so the pruning is
+  // hash-proven lossless. (q37's stream-stream interval join is the
+  // same semantics in Structured Streaming; this is the batch/offline
+  // attribution shape with the bucket trick made explicit.)
+  // ---------------------------------------------------------------------
+  private val AttrWindowUs = 86400000000L // 24 h
+
+  def q78AttributionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus").as("c_tus"),
+        expr(s"tus div ${AttrWindowUs}L").as("bucket"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus").as("p_tus"), col("event_id").as("p_id"))
+    val probes = purchases.withColumn("bucket",
+      explode(array(expr(s"p_tus div ${AttrWindowUs}L"),
+        expr(s"p_tus div ${AttrWindowUs}L - 1"))))
+    val pairs = probes.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_tus") >= col("p_tus") - AttrWindowUs &&
+        col("c_tus") <= col("p_tus"))
+    val attributed = pairs.groupBy(col("user_id"))
+      .agg(countDistinct(col("p_id")).as("n_attributed"),
+        count(lit(1)).as("n_pairs"))
+    purchases.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .join(attributed, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_purchases"),
+        coalesce(col("n_attributed"), lit(0L)).as("n_attributed"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  val q78AttributionJoinSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+       |pairs AS (
+       |  SELECT p.user_id, p.event_id AS p_id
+       |  FROM e p JOIN e c
+       |    ON p.user_id = c.user_id
+       |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+       |   AND c.tus >= p.tus - $AttrWindowUs AND c.tus <= p.tus),
+       |attr AS (
+       |  SELECT user_id, COUNT(DISTINCT p_id) AS n_attributed,
+       |    COUNT(*) AS n_pairs
+       |  FROM pairs GROUP BY user_id)
+       |SELECT p.user_id AS user_id, COUNT(*) AS n_purchases,
+       |  COALESCE(MAX(a.n_attributed), 0) AS n_attributed,
+       |  COALESCE(MAX(a.n_pairs), 0) AS n_pairs
+       |FROM e p LEFT JOIN attr a ON a.user_id = p.user_id
+       |WHERE p.event_type = 'purchase'
+       |GROUP BY p.user_id
+       |ORDER BY p.user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
@@ -765,5 +833,6 @@ object EventWindows {
     QueryDef.sql("q70_running_distinct", q70RunningDistinct _, q70RunningDistinctSql),
     QueryDef.sql("q75_autocorr", q75Autocorr _, q75AutocorrSql),
     QueryDef.sql("q76_session_summary", q76SessionSummary _, q76SessionSummarySql),
+    QueryDef.sql("q78_attribution_join", q78AttributionJoin _, q78AttributionJoinSql),
   )
 }

@@ -220,6 +220,36 @@ class Round7eSpec extends AnyFunSuite {
     assert(estJ >= 0.0 && estJ <= 1.3)
   }
 
+  test("q78 bucketed attribution equals the naive per-user interval join") {
+    val got = EventWindows.q78AttributionJoin(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byUser = e.groupBy(_._1)
+    val purchasers = byUser.filter(_._2.exists(_._2 == "purchase"))
+    assert(got.keySet == purchasers.keySet)
+    var anyPair = false
+    for ((u, evs) <- purchasers) {
+      val ps = evs.filter(_._2 == "purchase")
+      val cs = evs.filter(_._2 == "click")
+      val pairs = for {
+        p <- ps; c <- cs
+        if c._3 >= p._3 - 86400000000L && c._3 <= p._3
+      } yield (p._4, c._4)
+      val (np, na, npair) = got(u)
+      assert(np == ps.length)
+      assert(na == pairs.map(_._1).distinct.length, s"user $u attributed")
+      assert(npair == pairs.length, s"user $u pairs")
+      anyPair ||= pairs.nonEmpty
+    }
+    assert(anyPair, "window must attribute something on this corpus")
+    // the plan is the bucketed equi-join — never a cartesian/nested-loop
+    val plan = EventWindows.q78AttributionJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+  }
+
   test("q74 mode is the max-count value with (count desc, value asc) ties") {
     val rows = Relational.q74Mode(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
