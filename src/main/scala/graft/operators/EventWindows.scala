@@ -818,6 +818,159 @@ object EventWindows {
        |GROUP BY p.user_id
        |ORDER BY p.user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q80: lead-lag CROSS-correlation — does today's click volume predict
+  // purchase volume k days later? q75's ACF measures a series against
+  // itself; this is the two-series sibling (the marketing-attribution /
+  // leading-indicator diagnostic). One hash aggregate collapses the
+  // corpus to a per-day (click, purchase) pair table in exact cents —
+  // conditional sums, so ONE pass and one tiny table — then a
+  // lag-exploded self-join aligns day t clicks with day t+k purchases
+  // (|days|×|lags| rows; the join is vocabulary-sized, never corpus-
+  // sized) and a per-lag moment aggregate feeds q75's mirrored-double
+  // Pearson. Days where either series is absent drop from that lag's
+  // pairs (inner-join semantics, deterministic).
+  // ---------------------------------------------------------------------
+  private val XcorrMaxLag = 3
+
+  def q80CrossCorr(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("vc"))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_type") === "click", col("vc"))).as("x"),
+        sum(when(col("event_type") === "purchase", col("vc"))).as("y"))
+    val a = byDay.filter(col("x").isNotNull).select(col("day"), col("x"))
+      .withColumn("lag", explode(expr(s"sequence(0L, ${XcorrMaxLag}L)")))
+    val b = byDay.filter(col("y").isNotNull)
+      .select(col("day").as("bday"), col("y"))
+    val m = a.join(b, col("day") + col("lag") === col("bday"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val dn = col("n_pairs").cast(DoubleType)
+    def d(c: String) = col(c).cast(DoubleType)
+    m.select(col("lag"), col("n_pairs"),
+        ((dn * d("sxy") - d("sx") * d("sy")) /
+          sqrt((dn * d("sxx") - d("sx") * d("sx")) *
+               (dn * d("syy") - d("sy") * d("sy")))).as("xcorr"))
+      .orderBy(col("lag"))
+  }
+
+  val q80CrossCorrSql: String =
+    s"""WITH byday AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |    CAST(SUM(CASE WHEN event_type = 'click'
+       |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS x,
+       |    CAST(SUM(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS y
+       |  FROM events WHERE event_type IN ('click', 'purchase')
+       |  GROUP BY 1),
+       |pairs AS (
+       |  SELECT l.lag, a.x, b.y
+       |  FROM byday a
+       |  CROSS JOIN (SELECT unnest(range(0, ${XcorrMaxLag + 1})) AS lag) l
+       |  JOIN byday b ON a.day + l.lag = b.day
+       |  WHERE a.x IS NOT NULL AND b.y IS NOT NULL),
+       |m AS (
+       |  SELECT lag, COUNT(*) AS n_pairs,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+       |    CAST(SUM(y * y) AS BIGINT) AS syy
+       |  FROM pairs GROUP BY lag)
+       |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+       |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |  / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS xcorr
+       |FROM m
+       |ORDER BY lag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q81: changepoint detection (AMOC — at-most-one-change, the max
+  // mean-shift split): for every split point of each event type's daily
+  // series, compare the prefix mean against the suffix mean and report
+  // the split maximizing the absolute shift — the level-shift detector a
+  // monitoring pipeline runs before alerting on a metric's regime change.
+  //
+  // Scale/determinism: the corpus collapses to the per-(type, day) daily
+  // series first (one hash aggregate); every candidate split is then ONE
+  // row of a window pass over that vocabulary-sized series — prefix sums
+  // and totals ride a single exchange on event_type, never a per-split
+  // rescan (the naive formulation is O(days²) per type). Prefix/suffix
+  // sums and counts are exact int64; each mean is a single IEEE division
+  // of those integers and the argmax orders by (shift DESC, day ASC) on
+  // doubles that are bit-identical across engines (q57's discipline).
+  // ---------------------------------------------------------------------
+  def q81Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("vc"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vc")).as("v"))
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = daily
+      .withColumn("n1", row_number().over(wOrd).cast(LongType))
+      .withColumn("cum", sum(col("v")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("v")).over(wAll))
+      .filter(col("n1") < col("n"))
+      .withColumn("mean_pre",
+        col("cum").cast(DoubleType) / col("n1").cast(DoubleType))
+      .withColumn("mean_post",
+        (col("tot") - col("cum")).cast(DoubleType) /
+          (col("n") - col("n1")).cast(DoubleType))
+      .withColumn("shift", abs(col("mean_pre") - col("mean_post")))
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(col("shift").desc, col("day").asc)
+    scored
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("n1").as("n_pre"), (col("n") - col("n1")).as("n_post"),
+        col("mean_pre"), col("mean_post"), col("shift"))
+      .orderBy(col("event_type"))
+  }
+
+  val q81ChangepointSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT event_type, day,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS n1,
+      |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      |  FROM daily),
+      |sc AS (
+      |  SELECT event_type, day, n1, n,
+      |    CAST(cum AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_pre,
+      |    CAST(tot - cum AS DOUBLE) / CAST(n - n1 AS DOUBLE) AS mean_post
+      |  FROM s WHERE n1 < n),
+      |pick AS (
+      |  SELECT event_type, day, n1, n, mean_pre, mean_post,
+      |    abs(mean_pre - mean_post) AS shift,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY abs(mean_pre - mean_post) DESC, day ASC) AS rn
+      |  FROM sc)
+      |SELECT event_type, day AS split_day, n1 AS n_pre, n - n1 AS n_post,
+      |  mean_pre, mean_post, shift
+      |FROM pick WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
@@ -834,5 +987,7 @@ object EventWindows {
     QueryDef.sql("q75_autocorr", q75Autocorr _, q75AutocorrSql),
     QueryDef.sql("q76_session_summary", q76SessionSummary _, q76SessionSummarySql),
     QueryDef.sql("q78_attribution_join", q78AttributionJoin _, q78AttributionJoinSql),
+    QueryDef.sql("q80_crosscorr", q80CrossCorr _, q80CrossCorrSql),
+    QueryDef.sql("q81_changepoint", q81Changepoint _, q81ChangepointSql),
   )
 }

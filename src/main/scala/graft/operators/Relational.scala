@@ -1579,6 +1579,74 @@ object Relational {
        |    AS est_jaccard""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q79: higher-moment descriptive statistics — group-wise skewness and
+  // excess kurtosis, the distribution-shape diagnostics q1/q57 stop short
+  // of (Spark's builtin `skewness`/`kurtosis` are Welford-merged doubles,
+  // non-portable across engines). One hash aggregate collects the exact
+  // integer power sums Σx..Σx⁴ — l_quantity is grid-valued (1..50), so
+  // x⁴ ≤ 6.25e6 and the sf0.1 sums stay < 4e12, int64-safe at 1e6× that
+  // volume — and the central-moment algebra runs as the identical
+  // left-associated double expression in both engines (q56/q57's
+  // discipline): IEEE ops on identical integer-derived operands are
+  // bit-identical, sqrt is correctly rounded.
+  //
+  // Scale: one map-side-combined aggregate, |groups| = 6 rows of state;
+  // nothing else. The moment-sum shape is exactly what a distributed
+  // engine wants at 100 TB — no second pass, no value buffers.
+  // ---------------------------------------------------------------------
+  def q79Moments(spark: SparkSession, dir: String): DataFrame = {
+    val q = col("q")
+    val s = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(LongType).as("q"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(q).as("s1"), sum(q * q).as("s2"),
+        sum(q * q * q).as("s3"), sum(q * q * q * q).as("s4"))
+    val dn = col("n").cast(DoubleType)
+    // raw moments a_k = s_k / n; every derived expression below is built
+    // from these once so Spark and DuckDB evaluate the same tree
+    val a1 = col("s1").cast(DoubleType) / dn
+    val a2 = col("s2").cast(DoubleType) / dn
+    val a3 = col("s3").cast(DoubleType) / dn
+    val a4 = col("s4").cast(DoubleType) / dn
+    val m2 = a2 - a1 * a1
+    val m3 = a3 - lit(3.0) * a1 * a2 + lit(2.0) * a1 * a1 * a1
+    val m4 = a4 - lit(4.0) * a1 * a3 + lit(6.0) * a1 * a1 * a2 -
+      lit(3.0) * a1 * a1 * a1 * a1
+    s.select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        a1.as("mean_qty"),
+        (m3 / (sqrt(m2) * m2)).as("skewness"),
+        (m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q79MomentsSql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS q
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |    CAST(SUM(q) AS BIGINT) AS s1, CAST(SUM(q*q) AS BIGINT) AS s2,
+      |    CAST(SUM(q*q*q) AS BIGINT) AS s3, CAST(SUM(q*q*q*q) AS BIGINT) AS s4
+      |  FROM b GROUP BY 1, 2),
+      |d AS (
+      |  SELECT l_returnflag, l_linestatus, n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS a1,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS a2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS a3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS a4
+      |  FROM s)
+      |SELECT l_returnflag, l_linestatus, n,
+      |  a1 AS mean_qty,
+      |  (a3 - 3.0 * a1 * a2 + 2.0 * a1 * a1 * a1)
+      |    / (sqrt(a2 - a1 * a1) * (a2 - a1 * a1)) AS skewness,
+      |  (a4 - 4.0 * a1 * a3 + 6.0 * a1 * a1 * a2 - 3.0 * a1 * a1 * a1 * a1)
+      |    / ((a2 - a1 * a1) * (a2 - a1 * a1)) - 3.0 AS kurtosis
+      |FROM d
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -1618,5 +1686,6 @@ object Relational {
     QueryDef.sql("q73_weighted_median", q73WeightedMedian _, q73WeightedMedianSql),
     QueryDef.sql("q74_mode", q74Mode _, q74ModeSql),
     QueryDef.sql("q77_kmv_setops", q77KmvSetOps _, q77KmvSetOpsSql),
+    QueryDef.sql("q79_moments", q79Moments _, q79MomentsSql),
   )
 }

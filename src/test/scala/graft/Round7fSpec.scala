@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{EventWindows, Relational}
+
+/** Semantics of the round-7 sixth batch: higher-moment stats (q79),
+  * lead-lag cross-correlation (q80), AMOC changepoint (q81) — each
+  * checked against an independent naive recomputation, not just the
+  * shared oracle SQL.
+  */
+class Round7fSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  private def dailyCents(): Seq[(String, Long, Long)] =
+    Tables.events(spark, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000"),
+        floor(col("value") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).sum).toSeq
+      .map { case ((et, day), v) => (et, day, v) }
+
+  test("q79 skewness/kurtosis match a naive central-moment recomputation") {
+    val got = Relational.q79Moments(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.size == 6)
+    val raw = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    for ((key, vals) <- raw.groupBy(r => (r._1, r._2))) {
+      val xs = vals.map(_._3.toDouble)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      // direct central sums — an INDEPENDENT formulation of the same
+      // moments (the query derives them from raw power sums)
+      val m2 = xs.map(x => (x - mean) * (x - mean)).sum / n
+      val m3 = xs.map(x => math.pow(x - mean, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - mean, 4)).sum / n
+      val (nGot, meanGot, skewGot, kurtGot) = got(key)
+      assert(nGot == xs.length)
+      assert(math.abs(meanGot - mean) < 1e-9, s"$key mean")
+      assert(math.abs(skewGot - m3 / (math.sqrt(m2) * m2)) < 1e-6, s"$key skew")
+      assert(math.abs(kurtGot - (m4 / (m2 * m2) - 3.0)) < 1e-6, s"$key kurt")
+      // l_quantity is near-uniform on [1,50]: shape must read flat-topped
+      assert(math.abs(skewGot) < 0.3, s"$key skew magnitude")
+      assert(kurtGot < 0.0, s"$key platykurtic")
+    }
+  }
+
+  test("q80 cross-correlation matches a naive lag-aligned Pearson") {
+    val got = EventWindows.q80CrossCorr(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L))
+    val daily = dailyCents()
+    val clicks = daily.filter(_._1 == "click").map(r => r._2 -> r._3).toMap
+    val buys = daily.filter(_._1 == "purchase").map(r => r._2 -> r._3).toMap
+    for (k <- 0L to 3L) {
+      val pairs = clicks.toSeq.flatMap { case (d, x) =>
+        buys.get(d + k).map(y => (x.toDouble, y.toDouble))
+      }
+      val n = pairs.length.toDouble
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val r = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val (nGot, rGot) = got(k)
+      assert(nGot == pairs.length, s"lag $k n")
+      assert(math.abs(rGot - r) < 1e-9, s"lag $k xcorr $rGot vs $r")
+      assert(rGot >= -1.0 && rGot <= 1.0)
+    }
+  }
+
+  test("q81 picks the split maximizing the prefix/suffix mean shift") {
+    val got = EventWindows.q81Changepoint(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+    assert(got.size == 5)
+    val daily = dailyCents()
+    for ((et, series) <- daily.groupBy(_._1)) {
+      val s = series.sortBy(_._2).map(r => (r._2, r._3))
+      val tot = s.map(_._2).sum
+      val n = s.length
+      // naive scan over every candidate split
+      val cands = (1 until n).map { i =>
+        val cum = s.take(i).map(_._2).sum
+        val pre = cum.toDouble / i
+        val post = (tot - cum).toDouble / (n - i)
+        (s(i - 1)._1, i.toLong, (n - i).toLong, pre, post, math.abs(pre - post))
+      }
+      val best = cands.sortBy(c => (-c._6, c._1)).head
+      val (day, nPre, nPost, pre, post, shift) = got(et)
+      assert((day, nPre, nPost) == ((best._1, best._2, best._3)), s"$et split")
+      assert(math.abs(pre - best._4) < 1e-9 && math.abs(post - best._5) < 1e-9)
+      assert(math.abs(shift - best._6) < 1e-9)
+      assert(shift > 0.0, s"$et non-vacuous shift")
+      // the reported split really dominates every other candidate
+      assert(cands.forall(c => c._6 <= shift), s"$et argmax")
+    }
+  }
+}
