@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.{QueryDef, Tables}
 
@@ -163,6 +163,13 @@ object Graph {
     (und, or)
   }
 
+  /** Sorted out-neighborhood per oriented source — node-sized (Σ outdeg =
+    * m longs total); shared by q66 (triangle total) and q82 (per-node
+    * counts / clustering coefficients).
+    */
+  private def orientedAdjacency(or: DataFrame): DataFrame =
+    or.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs"))
+
   def q66Triangles(spark: SparkSession, dir: String): DataFrame = {
     val (und, or) = orientedCoPurchase(spark, dir)
     // Count via per-edge out-neighborhood intersection, NOT the explicit
@@ -175,8 +182,7 @@ object Graph {
     // adj is node-sized (Σ outdeg = m longs total) and broadcasts here;
     // on a graph where it doesn't fit, drop the hints and the same plan
     // degrades to two edge-linear shuffle joins — still never wedges.
-    val adj = or.groupBy(col("u"))
-      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val adj = orientedAdjacency(or)
     val tri = or
       .join(broadcast(adj.select(col("u").as("ju"), col("nbrs").as("nu"))),
         col("u") === col("ju"))
@@ -191,8 +197,11 @@ object Graph {
     stats.crossJoin(tri).select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
-  val q66TrianglesSql: String =
-    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+  /** The li/und/deg/ored CTE block shared by q66 and q82 — the oriented
+    * co-purchase graph in DuckDB terms, mirroring [[orientedCoPurchase]].
+    */
+  private val orientedCtesSql: String =
+    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |und AS (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM li a JOIN li b
@@ -207,13 +216,75 @@ object Graph {
       |    CASE WHEN (ds.d, und.src) < (dd.d, und.dst) THEN und.dst ELSE und.src END AS v
       |  FROM und
       |  JOIN deg ds ON ds.node = und.src
-      |  JOIN deg dd ON dd.node = und.dst)
+      |  JOIN deg dd ON dd.node = und.dst)""".stripMargin
+
+  val q66TrianglesSql: String =
+    s"""WITH $orientedCtesSql
       |SELECT
       |  (SELECT COUNT(*) FROM deg) AS n_nodes,
       |  (SELECT COUNT(*) FROM und) AS n_edges,
       |  (SELECT COUNT(*) FROM ored e1
       |     JOIN ored e2 ON e1.v = e2.u
       |     JOIN ored e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q82: local clustering coefficient — per-node triangle participation
+  // over the same oriented co-purchase graph, the node-level sibling of
+  // q66's global count (community-density / ego-net cohesion feature for
+  // recommender and fraud pipelines). Each triangle is found ONCE at its
+  // oriented (u, v) edge by the q66 adjacency intersection, then exploded
+  // to its three corners — rows are triangle-sized, never wedge-sized —
+  // and a hash aggregate counts per node. lcc = 2·tri / (d·(d−1)) over
+  // the UNDIRECTED degree; both factors are exact integers and the one
+  // double expression is evaluated identically in both engines.
+  //
+  // Scale: inherits q66's compact-forward bound (per-edge work
+  // O(outdeg(u)+outdeg(v)), out-degrees ≤ O(√m)); the corner fan-out is
+  // 3 rows per triangle; degree and corner tables are node-sized.
+  // ---------------------------------------------------------------------
+  def q82ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val (und, or) = orientedCoPurchase(spark, dir)
+    val adj = orientedAdjacency(or)
+    val corners = or
+      .join(broadcast(adj.select(col("u").as("ju"), col("nbrs").as("nu"))),
+        col("u") === col("ju"))
+      .join(broadcast(adj.select(col("u").as("jv"), col("nbrs").as("nv"))),
+        col("v") === col("jv"))
+      .select(col("u"), col("v"), explode(array_intersect(col("nu"), col("nv"))).as("w"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+    val tri = corners.groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val dd = col("d").cast(DoubleType)
+    deg.filter(col("d") >= 2)
+      .join(tri, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_tri"),
+        (lit(2.0) * coalesce(col("tri"), lit(0L)).cast(DoubleType) /
+          (dd * (dd - lit(1.0)))).as("lcc"))
+      .orderBy(col("node"))
+  }
+
+  val q82ClusteringCoeffSql: String =
+    s"""WITH $orientedCtesSql,
+       |tris AS (
+       |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |  FROM ored e1
+       |  JOIN ored e2 ON e2.u = e1.v
+       |  JOIN ored e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |corners AS (
+       |  SELECT a AS node FROM tris
+       |  UNION ALL SELECT b FROM tris
+       |  UNION ALL SELECT c FROM tris),
+       |tric AS (SELECT node, COUNT(*) AS tri FROM corners GROUP BY node)
+       |SELECT dg.node, dg.d AS degree,
+       |  CAST(COALESCE(t.tri, 0) AS BIGINT) AS n_tri,
+       |  2.0 * CAST(COALESCE(t.tri, 0) AS DOUBLE)
+       |    / (CAST(dg.d AS DOUBLE) * (CAST(dg.d AS DOUBLE) - 1.0)) AS lcc
+       |FROM deg dg LEFT JOIN tric t ON t.node = dg.node
+       |WHERE dg.d >= 2
+       |ORDER BY dg.node""".stripMargin
 
   // ---------------------------------------------------------------------
   // q67: multi-hop reachability (BFS frontier expansion) — "what does a
@@ -278,5 +349,6 @@ object Graph {
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
     QueryDef.sql("q66_triangles", q66Triangles _, q66TrianglesSql),
     QueryDef.sql("q67_khop_reach", q67KHopReach _, q67KHopReachSql),
+    QueryDef.sql("q82_clustering_coeff", q82ClusteringCoeff _, q82ClusteringCoeffSql),
   )
 }

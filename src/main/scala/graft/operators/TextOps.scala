@@ -1065,6 +1065,85 @@ object TextOps {
        |ORDER BY pmi_n DESC, w1, w2
        |LIMIT $PmiTopK""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t66: Zipf-law fit — per language, the OLS slope of ln(freq) against
+  // ln(rank) over the top-ZipfTopR tokens (a natural corpus should sit
+  // near slope ≈ −1; a deviation flags templated/synthetic text — the
+  // corpus-health diagnostic next to t58's coverage curve). Shape: t58's
+  // exact (lang, term) count aggregate → per-lang rank window over the
+  // vocabulary-sized table → q56's moment-sum regression over ≤ ZipfTopR
+  // points per language.
+  //
+  // Determinism: both ln() applications are snapped to integer MICRO
+  // units (not t54's nanos: x·y products of two ~1.2e7-micro lns must
+  // stay < 2^63 across the moment sums — nano-units would overflow at
+  // ~100 points; micros leave 1e5 headroom) and the slope/intercept
+  // algebra is the identical left-associated double expression over
+  // those exact integers in both engines.
+  // -------------------------------------------------------------------
+  private val ZipfTopR = 100
+
+  def t66ZipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val counts = docs(spark, dir)
+      .select(col("lang"), explode(toks).as("term"))
+      .groupBy(col("lang"), col("term")).agg(count(lit(1)).as("cnt"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("term").asc)
+    val pts = counts
+      .withColumn("rank", row_number().over(wRank).cast(LongType))
+      .filter(col("rank") <= ZipfTopR)
+      .select(col("lang"),
+        floor(log(col("rank").cast(DoubleType)) * lit(1000000.0) + lit(0.5))
+          .cast(LongType).as("x"),
+        floor(log(col("cnt").cast(DoubleType)) * lit(1000000.0) + lit(0.5))
+          .cast(LongType).as("y"))
+    val m = pts.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val dn = col("n_terms").cast(DoubleType)
+    def d(c: String) = col(c).cast(DoubleType)
+    val slope = (dn * d("sxy") - d("sx") * d("sy")) /
+      (dn * d("sxx") - d("sx") * d("sx"))
+    m.select(col("lang"), col("n_terms"),
+        slope.as("slope"),
+        ((d("sy") - slope * d("sx")) / dn / lit(1000000.0)).as("intercept_ln"))
+      .orderBy(col("lang"))
+  }
+
+  val t66ZipfSlopeSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
+       |agg AS (
+       |  SELECT lang, term, COUNT(*) AS cnt FROM counts GROUP BY lang, term),
+       |pts AS (
+       |  SELECT lang,
+       |    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+       |  FROM (
+       |    SELECT lang, cnt,
+       |      ROW_NUMBER() OVER (PARTITION BY lang
+       |        ORDER BY cnt DESC, term ASC) AS rank
+       |    FROM agg)
+       |  WHERE rank <= $ZipfTopR),
+       |m AS (
+       |  SELECT lang, COUNT(*) AS n_terms,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM pts GROUP BY lang),
+       |d AS (
+       |  SELECT lang, n_terms, CAST(n_terms AS DOUBLE) AS dn,
+       |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+       |    CAST(sxy AS DOUBLE) AS dsxy, CAST(sxx AS DOUBLE) AS dsxx
+       |  FROM m)
+       |SELECT lang, n_terms,
+       |  (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) AS slope,
+       |  (dsy - (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) * dsx)
+       |    / dn / 1000000.0 AS intercept_ln
+       |FROM d ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -1082,5 +1161,6 @@ object TextOps {
     QueryDef.sql("t63_normalize", t63Normalize _, t63NormalizeSql),
     QueryDef.sql("t64_inverted_index", t64InvertedIndex _, t64InvertedIndexSql),
     QueryDef.sql("t65_pmi_collocations", t65PmiCollocations _, t65PmiCollocationsSql),
+    QueryDef.sql("t66_zipf_slope", t66ZipfSlope _, t66ZipfSlopeSql),
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventWindows, Relational}
+import graft.operators.{EventWindows, Graph, Relational, TextOps}
 
 /** Semantics of the round-7 sixth batch: higher-moment stats (q79),
   * lead-lag cross-correlation (q80), AMOC changepoint (q81) — each
@@ -101,6 +101,66 @@ class Round7fSpec extends AnyFunSuite {
       assert(shift > 0.0, s"$et non-vacuous shift")
       // the reported split really dominates every other candidate
       assert(cands.forall(c => c._6 <= shift), s"$et argmax")
+    }
+  }
+
+  test("q82 per-node triangles match a naive enumeration; sum ties to q66") {
+    val got = Graph.q82ClusteringCoeff(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // naive undirected graph from the same co-purchase projection
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val nbrs = (edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var triTotal = 0L
+    for ((node, (deg, tri, lcc)) <- got) {
+      val nb = nbrs(node)
+      assert(deg == nb.size, s"node $node degree")
+      val naive = nb.toSeq.combinations(2)
+        .count(p => edges.contains((math.min(p(0), p(1)), math.max(p(0), p(1)))))
+      assert(tri == naive, s"node $node triangles")
+      val want = 2.0 * naive / (nb.size.toDouble * (nb.size.toDouble - 1.0))
+      assert(math.abs(lcc - want) < 1e-12 && lcc >= 0.0 && lcc <= 1.0)
+      triTotal += tri
+    }
+    // only degree-1 nodes are excluded, and they carry no triangles
+    assert(got.keySet == nbrs.filter(_._2.size >= 2).keySet)
+    // each triangle contributes one count at each of its three corners
+    val global = Graph.q66Triangles(spark, dir).collect()(0).getLong(2)
+    assert(triTotal == 3 * global, s"corner sum $triTotal vs 3x$global")
+    assert(global > 0, "non-vacuous")
+  }
+
+  test("t66 Zipf slope matches a naive OLS over snapped ln points") {
+    val got = TextOps.t66ZipfSlope(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set("de", "en", "es", "fr", "zh"))
+    val terms = Tables.documents(spark, dir)
+      .select(col("lang"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ").map(t => (r.getString(0), t)))
+    for ((lang, all) <- terms.groupBy(_._1)) {
+      val ranked = all.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+        .sortBy { case (t, c) => (-c, t) }.take(100)
+      val pts = ranked.zipWithIndex.map { case ((_, c), i) =>
+        (math.floor(math.log((i + 1).toDouble) * 1e6 + 0.5),
+          math.floor(math.log(c.toDouble) * 1e6 + 0.5))
+      }
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val (nGot, slopeGot, interceptGot) = got(lang)
+      assert(nGot == pts.length, s"$lang n_terms")
+      assert(math.abs(slopeGot - slope) < 1e-9, s"$lang slope $slopeGot vs $slope")
+      assert(math.abs(interceptGot - (sy - slope * sx) / n / 1e6) < 1e-9)
+      // a token corpus must slope DOWN rank-frequency-wise
+      assert(slopeGot < 0.0, s"$lang Zipf direction")
     }
   }
 }
