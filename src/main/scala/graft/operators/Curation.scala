@@ -602,6 +602,94 @@ object Curation {
       |WHERE rn = 1 AND op <> 'D'
       |ORDER BY user_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c77: per-source dataset datasheet — the "data card" table a corpus
+  // release ships: per source, document and token volume, language mix
+  // (count + modal language), duplicate exposure at BOTH granularities
+  // (whole-document md5 groups per d40 — honestly zero on this corpus —
+  // and docs carrying non-first 8-token chunks per d47, the signal that
+  // actually fires here) and the t55 repetition-gate pass count.
+  // Composes d40, d47 and t55 (each verified on its own elsewhere) into
+  // one audit — the oracle nests the stage SQLs, hash-checking the
+  // composition.
+  //
+  // Scale: three corpus scans (base projection, d47 chunks, t55
+  // metrics) — the dup joins are on |distinct-hash| / doc-sized tables,
+  // the language mode and final rollup are |sources|×|langs|-sized. All
+  // outputs are exact integers; the modal language ties
+  // deterministically (count DESC, lang ASC).
+  // -------------------------------------------------------------------
+  def c77SourceDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+        md5(col("text")).as("h"))
+    val dup = base.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+    val chunkDup = Dedup.d47ChunkDedup(spark, dir)
+      .select(col("doc_id"),
+        when(col("n_dup_chunks") > 0, 1L).otherwise(0L).as("cdup"))
+    val gate = TextOps.t55Metrics(spark, dir)
+      .select(col("doc_id"), col("passes_gate").cast(LongType).as("pg"))
+    val perDoc = base.join(dup, "h").join(chunkDup, "doc_id").join(gate, "doc_id")
+      .withColumn("is_dup", when(col("cnt") > 1, 1L).otherwise(0L))
+    val wl = Window.partitionBy(col("source"))
+      .orderBy(col("lc").desc, col("lang").asc)
+    val ls = base.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("lc"))
+      .withColumn("lrn", row_number().over(wl))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        max(when(col("lrn") === 1, col("lang"))).as("top_lang"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+        sum(col("is_dup")).as("dup_docs"), sum(col("cdup")).as("chunk_dup_docs"),
+        sum(col("pg")).as("gate_pass_docs"))
+      .join(ls, "source")
+      .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+        col("total_tokens"), col("dup_docs"), col("chunk_dup_docs"),
+        col("gate_pass_docs"))
+      .orderBy(col("source"))
+  }
+
+  val c77SourceDatasheetSql: String =
+    s"""WITH base AS (
+       |  SELECT source, lang, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    md5(text) AS h
+       |  FROM documents),
+       |dup AS (SELECT h, COUNT(*) AS cnt FROM base GROUP BY h),
+       |chunkdup AS (
+       |  SELECT doc_id, CASE WHEN n_dup_chunks > 0 THEN 1 ELSE 0 END AS cdup
+       |  FROM (${Dedup.d47ChunkDedupSql})),
+       |gate AS (SELECT doc_id, passes_gate FROM (${TextOps.t55RepetitionSql})),
+       |perdoc AS (
+       |  SELECT b.source, b.n_tokens,
+       |    CASE WHEN d.cnt > 1 THEN 1 ELSE 0 END AS is_dup,
+       |    c.cdup, g.passes_gate AS pg
+       |  FROM base b JOIN dup d USING (h) JOIN chunkdup c USING (doc_id)
+       |  JOIN gate g USING (doc_id)),
+       |lmode AS (SELECT source, lang, COUNT(*) AS lc FROM base GROUP BY 1, 2),
+       |lr AS (
+       |  SELECT source, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY lc DESC, lang ASC) AS lrn
+       |  FROM lmode),
+       |ls AS (
+       |  SELECT source, COUNT(*) AS n_langs,
+       |    MAX(CASE WHEN lrn = 1 THEN lang END) AS top_lang
+       |  FROM lr GROUP BY source),
+       |agg AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(is_dup) AS BIGINT) AS dup_docs,
+       |    CAST(SUM(cdup) AS BIGINT) AS chunk_dup_docs,
+       |    CAST(SUM(pg) AS BIGINT) AS gate_pass_docs
+       |  FROM perdoc GROUP BY source)
+       |SELECT a.source, a.n_docs, ls.n_langs, ls.top_lang,
+       |  a.total_tokens, a.dup_docs, a.chunk_dup_docs, a.gate_pass_docs
+       |FROM agg a JOIN ls USING (source)
+       |ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
@@ -610,5 +698,6 @@ object Curation {
     QueryDef.sql("c74_scd2_merge", c74Scd2Merge _, Relational.q59Scd2Sql),
     QueryDef.sql("c75_domain_kl", c75DomainKl _, c75DomainKlSql),
     QueryDef.sql("c76_cdc_apply", c76CdcApply _, c76CdcApplySql),
+    QueryDef.sql("c77_source_datasheet", c77SourceDatasheet _, c77SourceDatasheetSql),
   )
 }

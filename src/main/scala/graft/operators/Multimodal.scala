@@ -416,8 +416,11 @@ object Multimodal {
   // two hash aggregates, one lag window per media — all partition-local
   // after the (media, frame) shuffle.
   // -------------------------------------------------------------------
-  def m65SceneChanges(spark: SparkSession, dir: String): DataFrame = {
-    val frames = mediaTable(spark, dir)
+  /** Per-(video, 64-byte frame) luma sums — the frame table m65 (scene
+    * changes) and m67 (keyframe election) both window over.
+    */
+  private def videoLumaFrames(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
       .where(col("meta.format") === "mp4")
       .select(col("media_id"), posexplode(split(decode(col("media"), "UTF-8"), "")))
       .where(col("col") =!= "")
@@ -425,6 +428,9 @@ object Multimodal {
         ascii(col("col")).cast("long").as("v"))
       .groupBy(col("media_id"), col("frame"))
       .agg(sum(col("v")).as("luma"), count(lit(1)).as("flen"))
+
+  def m65SceneChanges(spark: SparkSession, dir: String): DataFrame = {
+    val frames = videoLumaFrames(spark, dir)
     val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
     frames
       .withColumn("prev", lag(col("luma"), 1).over(w))
@@ -437,8 +443,11 @@ object Multimodal {
       .orderBy(col("media_id"), col("frame"))
   }
 
-  val m65SceneChangesSql: String =
-    """WITH vid AS (
+  /** vid/ch/fr CTE block shared by m65 and m67 — DuckDB mirror of
+    * [[videoLumaFrames]].
+    */
+  private val videoFramesCtesSql: String =
+    """vid AS (
       |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 4 = 3),
       |ch AS (
       |  SELECT media_id, ascii(unnest(string_split(text, ''))) AS v,
@@ -447,7 +456,10 @@ object Multimodal {
       |fr AS (
       |  SELECT media_id, i // 64 AS frame,
       |    CAST(SUM(v) AS BIGINT) AS luma, COUNT(*) AS flen
-      |  FROM ch GROUP BY media_id, i // 64),
+      |  FROM ch GROUP BY media_id, i // 64)""".stripMargin
+
+  val m65SceneChangesSql: String =
+    s"""WITH $videoFramesCtesSql,
       |d AS (
       |  SELECT media_id, frame, luma, flen,
       |    lag(luma) OVER (PARTITION BY media_id ORDER BY frame) AS prev,
@@ -459,6 +471,81 @@ object Multimodal {
       |WHERE prev IS NOT NULL
       |  AND abs(luma * prevlen - prev * flen) * 10 > prev * flen
       |ORDER BY media_id, frame""".stripMargin
+
+  // -------------------------------------------------------------------
+  // m67: scene segmentation + keyframe election — the step after m65's
+  // shot boundaries: number scenes by a running sum of the cut flags
+  // (first frame opens scene 1), then elect each scene's keyframe as its
+  // brightest frame (max mean luma, earliest frame on ties) — the
+  // thumbnail/representative-frame pick a video curation pipeline stores
+  // per shot. Cut detection is m65's exact cross-multiplied integer
+  // compare; mean luma is ONE IEEE division of exact integers, so the
+  // (mean_luma DESC, frame ASC) election is a total order identical in
+  // both engines.
+  //
+  // Scale: the per-media lag/scan windows ride one (media_id) exchange;
+  // the per-(media, scene) windows add a second, narrower one — all over
+  // the frame table, which is 1/64th of payload bytes, never the corpus.
+  // -------------------------------------------------------------------
+  def m67Keyframes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame"))
+    val flagged = videoLumaFrames(spark, dir)
+      .withColumn("prev", lag(col("luma"), 1).over(w))
+      .withColumn("prevlen", lag(col("flen"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull ||
+          abs(col("luma") * col("prevlen") - col("prev") * col("flen")) * lit(10L) >
+            col("prev") * col("flen"), 1L).otherwise(0L))
+      .withColumn("scene",
+        sum(col("cut")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("mean_luma",
+        col("luma").cast("double") / col("flen").cast("double"))
+    val wScene = Window.partitionBy(col("media_id"), col("scene"))
+    val wKey = Window.partitionBy(col("media_id"), col("scene"))
+      .orderBy(col("mean_luma").desc, col("frame").asc)
+    flagged
+      .withColumn("start_frame", min(col("frame")).over(wScene))
+      .withColumn("end_frame", max(col("frame")).over(wScene))
+      .withColumn("n_frames", count(lit(1)).over(wScene))
+      .withColumn("krn", row_number().over(wKey))
+      .filter(col("krn") === 1)
+      .select(col("media_id"), col("scene").as("scene_id"), col("start_frame"),
+        col("end_frame"), col("n_frames"), col("frame").as("key_frame"),
+        col("mean_luma").as("key_mean_luma"))
+      .orderBy(col("media_id"), col("scene_id"))
+  }
+
+  val m67KeyframesSql: String =
+    s"""WITH $videoFramesCtesSql,
+       |d AS (
+       |  SELECT media_id, frame, luma, flen,
+       |    lag(luma) OVER (PARTITION BY media_id ORDER BY frame) AS prev,
+       |    lag(flen) OVER (PARTITION BY media_id ORDER BY frame) AS prevlen
+       |  FROM fr),
+       |f AS (
+       |  SELECT media_id, frame, luma, flen,
+       |    CASE WHEN prev IS NULL
+       |      OR abs(luma * prevlen - prev * flen) * 10 > prev * flen
+       |      THEN 1 ELSE 0 END AS cut
+       |  FROM d),
+       |s AS (
+       |  SELECT media_id, frame,
+       |    CAST(SUM(cut) OVER (PARTITION BY media_id ORDER BY frame
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene,
+       |    CAST(luma AS DOUBLE) / CAST(flen AS DOUBLE) AS mean_luma
+       |  FROM f),
+       |k AS (
+       |  SELECT media_id, frame, scene, mean_luma,
+       |    ROW_NUMBER() OVER (PARTITION BY media_id, scene
+       |      ORDER BY mean_luma DESC, frame ASC) AS krn,
+       |    MIN(frame) OVER (PARTITION BY media_id, scene) AS start_frame,
+       |    MAX(frame) OVER (PARTITION BY media_id, scene) AS end_frame,
+       |    CAST(COUNT(*) OVER (PARTITION BY media_id, scene) AS BIGINT) AS n_frames
+       |  FROM s)
+       |SELECT media_id, scene AS scene_id, start_frame, end_frame, n_frames,
+       |  frame AS key_frame, mean_luma AS key_mean_luma
+       |FROM k WHERE krn = 1
+       |ORDER BY media_id, scene_id""".stripMargin
 
   // -------------------------------------------------------------------
   // m66: visual near-dup CLUSTERS — the composition that turns m64's
@@ -516,5 +603,6 @@ object Multimodal {
     QueryDef.sql("m64_phash_candidates", m64PhashCandidates _, m64PhashCandidatesSql),
     QueryDef.sql("m65_scene_changes", m65SceneChanges _, m65SceneChangesSql),
     QueryDef.sql("m66_phash_clusters", m66PhashClusters _, m66PhashClustersSql),
+    QueryDef.sql("m67_keyframes", m67Keyframes _, m67KeyframesSql),
   )
 }

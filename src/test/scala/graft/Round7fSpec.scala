@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{EventWindows, Graph, Relational, TextOps}
+import graft.operators.{Curation, EventWindows, Graph, Multimodal, Relational, TextOps}
 
 /** Semantics of the round-7 sixth batch: higher-moment stats (q79),
   * lead-lag cross-correlation (q80), AMOC changepoint (q81) — each
@@ -162,5 +162,68 @@ class Round7fSpec extends AnyFunSuite {
       // a token corpus must slope DOWN rank-frequency-wise
       assert(slopeGot < 0.0, s"$lang Zipf direction")
     }
+  }
+
+  test("m67 scenes tile each video; cuts align with m65; keyframe is brightest") {
+    val scenes = Multimodal.m67Keyframes(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(scenes.nonEmpty)
+    val cuts = Multimodal.m65SceneChanges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((media, ss) <- scenes.groupBy(_._1)) {
+      val ordered = ss.sortBy(_._2)
+      // scene ids are 1..k and consecutive scenes tile the frame range
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq, s"media $media ids")
+      assert(ordered.head._3 == 0L, s"media $media starts at frame 0")
+      for (Array(a, b) <- ordered.sliding(2).map(_.toArray)) {
+        assert(b._3 == a._4 + 1, s"media $media gapless at scene ${b._2}")
+      }
+      for (s <- ordered) {
+        assert(s._5 == s._4 - s._3 + 1, s"media $media scene ${s._2} n_frames")
+        assert(s._6 >= s._3 && s._6 <= s._4, s"keyframe inside scene")
+        // every scene after the first opens exactly at an m65 cut frame
+        if (s._2 > 1) assert(cuts.contains((media, s._3)), s"media $media cut ${s._3}")
+      }
+      // total scene count = 1 + number of detected cuts for this media
+      assert(ordered.length == 1 + cuts.count(_._1 == media), s"media $media k")
+    }
+  }
+
+  test("c77 datasheet matches a naive per-source recomputation") {
+    val got = Curation.c77SourceDatasheet(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val dupTexts = docs.groupBy(_._4).filter(_._2.length > 1).keySet
+    // chunk-dup docs: non-first instances of any 8-token chunk hash in
+    // the (doc_id, chunk_idx) total order — d47 semantics, independently
+    val chunks = docs.flatMap { case (id, _, _, text) =>
+      text.split(" ").grouped(8).zipWithIndex
+        .map { case (c, i) => (c.mkString(" "), id, i) }
+    }
+    val chunkDupIds = chunks.groupBy(_._1).values
+      .flatMap(_.sortBy(c => (c._2, c._3)).drop(1).map(_._2)).toSet
+    val gate = graft.operators.TextOps.t55Repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    assert(got.keySet == docs.map(_._2).toSet)
+    for ((src, (nDocs, nLangs, topLang, totTok, dupDocs, cdupDocs, passDocs)) <- got) {
+      val mine = docs.filter(_._2 == src)
+      assert(nDocs == mine.length, s"$src n_docs")
+      val langCounts = mine.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(nLangs == langCounts.size, s"$src n_langs")
+      assert(topLang == langCounts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1)
+      assert(totTok == mine.map(_._4.split(" ").length.toLong).sum, s"$src tokens")
+      assert(dupDocs == mine.count(d => dupTexts.contains(d._4)), s"$src dups")
+      assert(cdupDocs == mine.count(d => chunkDupIds.contains(d._1)), s"$src cdups")
+      assert(passDocs == mine.map(d => gate(d._1).toLong).sum, s"$src gate")
+    }
+    // global accounting ties to the corpus-level recomputation (whole-doc
+    // dups are honestly zero on this corpus; the chunk granularity fires
+    // at the gated SFs — 47 docs at sf0.01)
+    assert(got.values.map(_._5).sum == docs.count(d => dupTexts.contains(d._4)))
+    assert(got.values.map(_._6).sum == docs.count(d => chunkDupIds.contains(d._1)))
   }
 }
