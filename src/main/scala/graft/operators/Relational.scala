@@ -1647,6 +1647,58 @@ object Relational {
       |FROM d
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q83: decile / ratio-to-report analysis — bucket customers into spend
+  // deciles (ntile over the exact-cents spend total order) and report
+  // each decile's share of total revenue: the concentration table every
+  // revenue review starts from ("the top decile is 40% of revenue").
+  // ntile's bucket assignment is positional, defined only on a TOTAL
+  // order — the (spend DESC, custkey ASC) tie-break is load-bearing,
+  // same as q62's discipline. Spend and decile sums are exact cents;
+  // the share is ONE IEEE division of exact integers.
+  //
+  // Scale: customer-sized aggregate, then a single global sort for the
+  // ntile — the honest cost of exact global ranking (q62's note applies:
+  // at extreme cardinality use range partitioning; Spark plans a single
+  // ordered partition here). The decile rollup and total are 10-row.
+  // ---------------------------------------------------------------------
+  def q83DecileReport(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("o_custkey")).agg(sum(col("pc")).as("spend"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+    val tot = spend.agg(sum(col("spend")).as("t"))
+    spend
+      .withColumn("decile", ntile(10).over(w).cast(LongType))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("decile_spend_c"))
+      .crossJoin(tot)
+      .select(col("decile"), col("n_customers"), col("decile_spend_c"),
+        (col("decile_spend_c").cast(DoubleType) / col("t").cast(DoubleType))
+          .as("spend_share"))
+      .orderBy(col("decile"))
+  }
+
+  val q83DecileReportSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS spend
+      |  FROM orders GROUP BY o_custkey),
+      |decd AS (
+      |  SELECT o_custkey, spend,
+      |    CAST(NTILE(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS BIGINT)
+      |      AS decile
+      |  FROM spend),
+      |tot AS (SELECT CAST(SUM(spend) AS BIGINT) AS t FROM spend)
+      |SELECT decile, COUNT(*) AS n_customers,
+      |  CAST(SUM(spend) AS BIGINT) AS decile_spend_c,
+      |  CAST(CAST(SUM(spend) AS BIGINT) AS DOUBLE)
+      |    / CAST((SELECT t FROM tot) AS DOUBLE) AS spend_share
+      |FROM decd GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -1687,5 +1739,6 @@ object Relational {
     QueryDef.sql("q74_mode", q74Mode _, q74ModeSql),
     QueryDef.sql("q77_kmv_setops", q77KmvSetOps _, q77KmvSetOpsSql),
     QueryDef.sql("q79_moments", q79Moments _, q79MomentsSql),
+    QueryDef.sql("q83_decile_report", q83DecileReport _, q83DecileReportSql),
   )
 }

@@ -1185,6 +1185,81 @@ object Similarity {
       |GROUP BY vals.dim
       |ORDER BY vals.dim""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c78: embedding-space class audit — the label-separation matrix an
+  // embedding QA pass reads before training on labeled vectors: per
+  // label pair, the cosine between class centroids (well-separated
+  // classes ⇒ low off-diagonal cosines). Cosine is scale-invariant, so
+  // the centroids' 1/n never has to be computed: snap each float to
+  // q47's integer grid, sum per (label, dim) — exact int64 — and take
+  // cosines of the integer SUM vectors directly. The only FP op in the
+  // whole query is the final division/sqrt over exact-integer operands,
+  // identical in both engines (q57's discipline); everything upstream
+  // is integer arithmetic.
+  //
+  // Scale: one corpus fan-out (|vecs|×Dim rows) into a map-side-
+  // combined hash aggregate; everything after is |labels|×Dim-sized
+  // (pairs join, norms). Int64 headroom: |q| ≤ 116, so per-dim sums
+  // reach 2^63 only past ~8e16 vectors per label; DECIMAL(38,0) is the
+  // escape hatch beyond.
+  // -------------------------------------------------------------------
+  def c78EmbeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val snapped = Tables.embeddings(spark, dir)
+      .select(col("label").cast(LongType).as("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos").as("dim"),
+        floor(col("col").cast(DoubleType) * lit(SqScale) + lit(0.5))
+          .cast(LongType).as("q"))
+    val sums = snapped.groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("sq"))
+    val nrm = sums.groupBy(col("label")).agg(sum(col("sq") * col("sq")).as("nrm"))
+    val nvec = Tables.embeddings(spark, dir)
+      .groupBy(col("label").cast(LongType).as("label"))
+      .agg(count(lit(1)).as("n"))
+    val dots = sums.as("a").join(sums.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.sq") * col("b.sq")).as("dot"))
+    dots
+      .join(nvec.select(col("label").as("label_a"), col("n").as("n_a")), "label_a")
+      .join(nvec.select(col("label").as("label_b"), col("n").as("n_b")), "label_b")
+      .join(nrm.select(col("label").as("label_a"), col("nrm").as("na")), "label_a")
+      .join(nrm.select(col("label").as("label_b"), col("nrm").as("nb")), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        (col("dot").cast(DoubleType) /
+          sqrt(col("na").cast(DoubleType) * col("nb").cast(DoubleType)))
+          .as("centroid_cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
+  val c78EmbeddingAuditSql: String =
+    s"""WITH snapped AS (
+       |  SELECT CAST(label AS BIGINT) AS label, j - 1 AS dim,
+       |    CAST(floor(CAST(embedding[j] AS DOUBLE) * $SqScale + 0.5) AS BIGINT) AS q
+       |  FROM embeddings CROSS JOIN range(1, ${Dim + 1}) r(j)),
+       |sums AS (
+       |  SELECT label, dim, CAST(SUM(q) AS BIGINT) AS sq
+       |  FROM snapped GROUP BY 1, 2),
+       |nrm AS (
+       |  SELECT label, CAST(SUM(sq * sq) AS BIGINT) AS nrm FROM sums GROUP BY label),
+       |nvec AS (
+       |  SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n
+       |  FROM embeddings GROUP BY 1),
+       |dots AS (
+       |  SELECT a.label AS label_a, b.label AS label_b,
+       |    CAST(SUM(a.sq * b.sq) AS BIGINT) AS dot
+       |  FROM sums a JOIN sums b ON a.dim = b.dim AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT d.label_a, d.label_b, va.n AS n_a, vb.n AS n_b,
+       |  CAST(d.dot AS DOUBLE)
+       |    / sqrt(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS centroid_cos
+       |FROM dots d
+       |JOIN nvec va ON va.label = d.label_a
+       |JOIN nvec vb ON vb.label = d.label_b
+       |JOIN nrm na ON na.label = d.label_a
+       |JOIN nrm nb ON nb.label = d.label_b
+       |ORDER BY label_a, label_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q30_ann_brute", q30AnnBrute _, q30AnnBruteSql),
     QueryDef.sql("q31_ann_lsh", q31AnnLsh _, q31AnnLshSql),
@@ -1199,5 +1274,6 @@ object Similarity {
     QueryDef.sql("q51_ann_ivf_pq", q51AnnIvfPq _, q51AnnIvfPqSql),
     QueryDef.sql("d48_semdedup", d48SemDedup _, d48SemDedupSql),
     QueryDef.sql("q71_standardize", q71Standardize _, q71StandardizeSql),
+    QueryDef.sql("c78_embedding_audit", c78EmbeddingAudit _, c78EmbeddingAuditSql),
   )
 }

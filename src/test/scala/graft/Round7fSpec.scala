@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, EventWindows, Graph, Multimodal, Relational, TextOps}
+import graft.operators.{Curation, EventWindows, Graph, Multimodal, Relational, Similarity, TextOps}
 
 /** Semantics of the round-7 sixth batch: higher-moment stats (q79),
   * lead-lag cross-correlation (q80), AMOC changepoint (q81) — each
@@ -225,5 +225,61 @@ class Round7fSpec extends AnyFunSuite {
     // at the gated SFs — 47 docs at sf0.01)
     assert(got.values.map(_._5).sum == docs.count(d => dupTexts.contains(d._4)))
     assert(got.values.map(_._6).sum == docs.count(d => chunkDupIds.contains(d._1)))
+  }
+
+  test("q83 deciles tile customers; shares match a naive recomputation") {
+    val got = Relational.q83DecileReport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq == (1L to 10L).toSeq)
+    val spend = Tables.orders(spark, dir)
+      .select(col("o_custkey"), floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val ordered = spend.sortBy { case (c, s) => (-s, c) }
+    val total = spend.map(_._2).sum
+    // ntile semantics: earlier buckets absorb the remainder
+    val base = ordered.length / 10
+    val rem = ordered.length % 10
+    var idx = 0
+    for ((decile, nCust, dSpend, share) <- got) {
+      val width = base + (if (decile <= rem) 1 else 0)
+      val mine = ordered.slice(idx, idx + width)
+      idx += width
+      assert(nCust == width, s"decile $decile size")
+      assert(dSpend == mine.map(_._2).sum, s"decile $decile spend")
+      assert(math.abs(share - dSpend.toDouble / total) < 1e-12)
+    }
+    assert(idx == ordered.length, "deciles tile all customers")
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-9, "shares sum to 1")
+    // spend concentration: deciles are ordered richest-first
+    assert(got.map(_._3).toSeq == got.map(_._3).sortBy(-_).toSeq)
+  }
+
+  test("c78 centroid cosines match a naive float recomputation") {
+    val got = Similarity.c78EmbeddingAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val labels = vecs.map(_._1).distinct.sorted
+    assert(got.keySet == (for (a <- labels; b <- labels if a < b) yield (a, b)).toSet)
+    // naive: snap to the same integer grid, sum, cosine
+    val sums = vecs.groupBy(_._1).view.mapValues { vs =>
+      val s = Array.fill(64)(0L)
+      for ((_, v) <- vs; i <- v.indices)
+        s(i) += math.floor(v(i).toDouble * 200.0 + 0.5).toLong
+      (vs.length.toLong, s)
+    }.toMap
+    for (((a, b), (na, nb, cos)) <- got) {
+      val (ca, sa) = sums(a)
+      val (cb, sb) = sums(b)
+      assert(na == ca && nb == cb, s"($a,$b) counts")
+      val dot = sa.zip(sb).map { case (x, y) => x * y }.sum.toDouble
+      val want = dot / math.sqrt(
+        sa.map(x => x * x).sum.toDouble * sb.map(x => x * x).sum.toDouble)
+      assert(math.abs(cos - want) < 1e-12, s"($a,$b) cos $cos vs $want")
+      assert(cos >= -1.0 && cos <= 1.0)
+    }
   }
 }
