@@ -152,4 +152,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows(graft.operators.EventWindows.q65Ewma(spark, dir)) == 1)
     assert(windows(graft.operators.EventWindows.q64RollingAnomaly(spark, dir)) == 1)
   }
+
+  test("q79 is ONE map-side-combined hash aggregate — a single exchange") {
+    val n = hashExchanges(graft.operators.Relational.q79Moments(spark, dir))
+    assert(n == 1, s"power sums must ride one partial+final aggregate, got $n")
+  }
+
+  test("q81 plans two hash exchanges: daily collapse, then the type windows") {
+    // windows (prefix scan, totals, argmax pick) all partition by
+    // event_type — they must share the post-aggregate exchange, never add
+    // a third (a per-split rescan shape would)
+    val n = hashExchanges(graft.operators.EventWindows.q81Changepoint(spark, dir))
+    assert(n == 2, s"changepoint scan must reuse the event_type exchange, got $n")
+  }
+
+  test("q82 adjacency joins broadcast — corner counting never plans a cartesian") {
+    val plan = physical(graft.operators.Graph.q82ClusteringCoeff(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"sorted adjacency must broadcast onto the edge set:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"per-node triangles must come from the oriented intersection:\n$plan")
+  }
 }
