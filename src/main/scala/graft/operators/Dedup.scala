@@ -913,6 +913,75 @@ object Dedup {
     (candPrefix, candFull)
   }
 
+  // -------------------------------------------------------------------
+  // d57: EXACT containment join (asymmetric set overlap) — find ordered
+  // pairs where ≥ θ of src's shingles appear in dst: the quote/clone/
+  // near-superset detector (d55 finds mutually-similar pairs; a long doc
+  // that swallowed a short one has low Jaccard but high containment —
+  // THE case symmetric dedup misses). Same prefix-filter discipline as
+  // d55, adapted to the one-sided threshold: order src's shingles by
+  // global rarity (dfreq, hash); if C(src→dst) ≥ θ then one of src's
+  // first n − ⌈θn⌉ + 1 rarest shingles must hit dst (pigeonhole), so
+  // candidates come from src-PREFIX × dst-FULL — the dst side cannot be
+  // prefix-pruned (containment says nothing about dst's size), which is
+  // exactly why the filter is still worth it: candidate volume scales
+  // with |prefix|, a constant slice at production θ. Survivors verify
+  // exactly; the θ gate is the pure-integer cross-multiplication
+  // n_common·10 ≥ n_src·8. ORACLE is the naive full shingle join — the
+  // pruning is hash-proven lossless (d55's design point, one-sided).
+  // -------------------------------------------------------------------
+  /** The containment join over ANY (doc_id, text) frame — split out so
+    * the spec can plant a true one-directional case (a short doc
+    * swallowed by a long one), which this corpus's same-length near-dup
+    * edits never produce (every corpus pair ≥ θ is mutual).
+    */
+  private[graft] def containmentJoinFrom(docs: DataFrame): DataFrame = {
+    val sh = shingledCountedFrom(docs)
+      .select(col("doc_id"), col("n_shingles"),
+        PortableHash.h60(col("shingle")).as("k"))
+    val dfreq = sh.groupBy(col("k")).agg(count(lit(1)).as("dfreq"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("k"))
+    val prefix = sh.join(dfreq, "k")
+      .withColumn("rn", row_number().over(w))
+      // prefix length for containment θ=0.8: n − ⌈8n/10⌉ + 1
+      .where(col("rn") <= expr("n_shingles - ((8 * n_shingles + 9) div 10) + 1"))
+      .select(col("doc_id"), col("k"))
+    val cand = prefix.as("a")
+      .join(sh.select(col("doc_id"), col("k")).as("b").hint("shuffle_hash"),
+        col("a.k") === col("b.k") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("src_id"), col("b.doc_id").as("dst_id"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("src_id"), col("n_shingles").as("n_src"), col("k"))
+    val b = sh.select(col("doc_id").as("dst_id"), col("k"))
+    cand.join(a, "src_id").join(b, Seq("dst_id", "k"))
+      .groupBy(col("src_id"), col("dst_id"), col("n_src"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") * 10 >= col("n_src") * 8)
+      .select(col("src_id"), col("dst_id"), col("n_src"), col("n_common"),
+        round(col("n_common") / col("n_src"), 6).as("containment"))
+      .orderBy(col("src_id"), col("dst_id"))
+  }
+
+  def d57ContainmentJoin(spark: SparkSession, dir: String): DataFrame =
+    containmentJoinFrom(Tables.documents(spark, dir))
+
+  val d57ContainmentJoinSql: String =
+    s"""$shingleSqlView,
+       |hashed AS (
+       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS k FROM shingles),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM hashed GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS src_id, b.doc_id AS dst_id, COUNT(*) AS n_common
+       |  FROM hashed a JOIN hashed b
+       |    ON a.k = b.k AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT src_id, dst_id, s.n_shingles AS n_src, n_common,
+       |  ROUND(n_common / s.n_shingles, 6) AS containment
+       |FROM inter
+       |JOIN sizes s ON s.doc_id = src_id
+       |WHERE n_common * 10 >= s.n_shingles * 8
+       |ORDER BY src_id, dst_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d40_dedup_exact", d40ExactGroups _, d40ExactGroupsSql),
     QueryDef.sql("d41_ngram_jaccard", d41NgramJaccard _, d41NgramJaccardSql),
@@ -926,5 +995,6 @@ object Dedup {
     QueryDef.sql("d53_record_linkage", d53RecordLinkage _, d53RecordLinkageSql),
     QueryDef.sql("d54_bloom_semijoin", d54BloomSemiJoin _, d54BloomSemiJoinSql),
     QueryDef.sql("d55_prefix_filter_join", d55PrefixFilterJoin _, d41NgramJaccardSql),
+    QueryDef.sql("d57_containment_join", d57ContainmentJoin _, d57ContainmentJoinSql),
   )
 }

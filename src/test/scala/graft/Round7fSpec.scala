@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Curation, EventWindows, Graph, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, EventWindows, Graph, Multimodal, Relational, Similarity, TextOps}
 
 /** Semantics of the round-7 sixth batch: higher-moment stats (q79),
   * lead-lag cross-correlation (q80), AMOC changepoint (q81) — each
@@ -225,6 +225,42 @@ class Round7fSpec extends AnyFunSuite {
     // at the gated SFs — 47 docs at sf0.01)
     assert(got.values.map(_._5).sum == docs.count(d => dupTexts.contains(d._4)))
     assert(got.values.map(_._6).sum == docs.count(d => chunkDupIds.contains(d._1)))
+  }
+
+  test("d57 containment is asymmetric and matches a naive set recomputation") {
+    val got = Dedup.d57ContainmentJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Number]("n_src").longValue, r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.nonEmpty, "containment pairs exist at sf0.001")
+    // naive: distinct 3-gram shingle sets per doc, all ordered pairs
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+      .filter(_._2.length >= 3)
+      .map { case (id, t) => id -> t.sliding(3).map(_.mkString(" ")).toSet }
+    val want = (for {
+      (ia, sa) <- docs; (ib, sb) <- docs if ia != ib
+      common = (sa intersect sb).size
+      if common * 10 >= sa.size * 8
+    } yield (ia, ib) -> ((sa.size.toLong, common.toLong))).toMap
+    assert(got.keySet == want.keySet)
+    for (((a, b), (nSrc, nCommon, c)) <- got) {
+      assert((nSrc, nCommon) == want((a, b)), s"($a,$b)")
+      assert(c >= 0.8 && c <= 1.0)
+    }
+    // this corpus's near-dups are same-length edits, so every pair ≥ θ is
+    // mutual — asymmetry is pinned on a PLANTED swallow case instead: a
+    // short doc fully inside a long one qualifies one way only
+    val sk = spark
+    import sk.implicits._
+    val short = (1 to 12).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (100 to 160).map(i => s"x$i").mkString(" ")
+    val other = (200 to 230).map(i => s"y$i").mkString(" ")
+    val planted = Seq((1L, short), (2L, long), (3L, other)).toDF("doc_id", "text")
+    val p = Dedup.containmentJoinFrom(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p.contains((1L, 2L)), "short doc must be contained in its superset")
+    assert(!p.contains((2L, 1L)), "the superset must NOT be contained back")
   }
 
   test("q83 deciles tile customers; shares match a naive recomputation") {
