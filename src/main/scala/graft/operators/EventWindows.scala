@@ -971,6 +971,59 @@ object EventWindows {
       |FROM pick WHERE rn = 1
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q84: sliding-window approximate distinct — trailing-6h distinct
+  // users at every hour, the always-on dashboard counter, served by the
+  // KMV sketch instead of exact per-window sets: q17's sliding-window
+  // fan-out (each event lands in the 6 trailing windows that contain
+  // it) feeding q11c's bounded-state kmv_distinct aggregate. Per-window
+  // state is O(k) REGARDLESS of user cardinality — the 100 TB shape;
+  // exact windowed distinct carries O(users) per window and q70's
+  // first-seen trick only serves cumulative (non-sliding) curves.
+  // Windows where the sketch isn't full (n_mins < k) report the EXACT
+  // count by construction; beyond that the (k−1)/frac estimator applies
+  // — deterministic md5 hashing, so oracle-checkable like q11c/q77.
+  // ---------------------------------------------------------------------
+  private val WkmvK = 64
+  private val WkmvSpanH = 6
+  private val WkmvSpace = (1L << 60).toDouble
+
+  def q84WindowedKmv(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Vectors.register(spark)
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        PortableHash.h60(col("user_id")).as("hu"))
+    ev.withColumn("wend", explode(expr(s"sequence(h, h + ${WkmvSpanH - 1}L)")))
+      .groupBy(col("wend"))
+      .agg(call_function("kmv_distinct", col("hu"), lit(WkmvK)).as("s"))
+      .select(col("wend").as("window_end_h"), col("s.n_mins").as("n_mins"),
+        round(col("s.est"), 4).as("est_users"))
+      .orderBy(col("window_end_h"))
+  }
+
+  val q84WindowedKmvSql: String =
+    s"""WITH ev AS (
+       |  SELECT epoch_us(ts) // 3600000000 AS h,
+       |    ${PortableHash.h60Sql("user_id")} AS hu
+       |  FROM events),
+       |fan AS (
+       |  SELECT h + o AS wend, hu
+       |  FROM ev CROSS JOIN (SELECT unnest(range(0, $WkmvSpanH)) AS o)),
+       |hashed AS (SELECT DISTINCT wend, hu FROM fan),
+       |ranked AS (
+       |  SELECT wend, hu,
+       |    ROW_NUMBER() OVER (PARTITION BY wend ORDER BY hu) AS rn
+       |  FROM hashed),
+       |tops AS (
+       |  SELECT wend, COUNT(*) AS n_mins, MAX(hu) AS hk
+       |  FROM ranked WHERE rn <= $WkmvK GROUP BY 1)
+       |SELECT wend AS window_end_h, n_mins,
+       |  ROUND(CASE WHEN n_mins < $WkmvK THEN CAST(n_mins AS DOUBLE)
+       |             ELSE ${(WkmvK - 1).toDouble} / (CAST(hk AS DOUBLE) / $WkmvSpace)
+       |        END, 4) AS est_users
+       |FROM tops
+       |ORDER BY window_end_h""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
@@ -989,5 +1042,6 @@ object EventWindows {
     QueryDef.sql("q78_attribution_join", q78AttributionJoin _, q78AttributionJoinSql),
     QueryDef.sql("q80_crosscorr", q80CrossCorr _, q80CrossCorrSql),
     QueryDef.sql("q81_changepoint", q81Changepoint _, q81ChangepointSql),
+    QueryDef.sql("q84_windowed_kmv", q84WindowedKmv _, q84WindowedKmvSql),
   )
 }

@@ -227,6 +227,27 @@ class Round7fSpec extends AnyFunSuite {
     assert(got.values.map(_._6).sum == docs.count(d => chunkDupIds.contains(d._1)))
   }
 
+  test("q84 windowed KMV: exact below k, inside error bounds when saturated") {
+    val got = EventWindows.q84WindowedKmv(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    val ev = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 3600000000"), col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val exact = ev.flatMap { case (h, u) => (h to h + 5L).map(w => (w, u)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    assert(got.map(_._1).toSet == exact.keySet, "every trailing window reported")
+    for ((w, nMins, est) <- got) {
+      val ex = exact(w)
+      if (nMins < 64) assert(est == ex.toDouble, s"window $w must be exact below k")
+      else assert(math.abs(est - ex) <= 0.4 * ex, s"window $w est $est vs $ex")
+    }
+    // windows are consecutive hours (the fan-out leaves no holes inside
+    // the observed range)
+    val ws = got.map(_._1).sorted
+    assert(ws.zip(ws.drop(1)).forall { case (a, b) => b == a + 1 })
+  }
+
   test("d57 containment is asymmetric and matches a naive set recomputation") {
     val got = Dedup.d57ContainmentJoin(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
