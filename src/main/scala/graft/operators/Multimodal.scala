@@ -300,6 +300,59 @@ object Multimodal {
        |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // m68: audio loudness / clipping audit — the waveform-quality gate a
+  // speech-data pipeline applies before transcription: per clip, sample
+  // count, duration, peak amplitude, clipped-sample count (|s| ≥ 70 on
+  // the FakeCodec scale — spaces decode to −77, the corpus's genuine
+  // spike class) and RMS level. Everything upstream of RMS is exact
+  // integer arithmetic off ONE sample fan-out + one hash aggregate; RMS
+  // is division-then-sqrt on exact-integer operands, both correctly
+  // rounded IEEE ops, identical in both engines.
+  // -------------------------------------------------------------------
+  private val ClipBar = 70L
+  private val SampleRate = 16000.0
+
+  def m68LoudnessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val s = mediaTable(spark, dir)
+      .where(col("meta.format") === "wav")
+      .select(col("media_id"), posexplode(split(decode(col("media"), "UTF-8"), "")))
+      .where(col("col") =!= "")
+      .select(col("media_id"), (ascii(col("col")) - lit(109)).cast(LongType).as("s"))
+    s.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        max(abs(col("s"))).as("peak"),
+        sum(when(abs(col("s")) >= ClipBar, 1L).otherwise(0L)).as("n_clipped"),
+        sum(col("s") * col("s")).as("energy"))
+      .select(col("media_id"), col("n_samples"),
+        (col("n_samples").cast(DoubleType) / lit(SampleRate)).as("duration_s"),
+        col("peak"), col("n_clipped"),
+        sqrt(col("energy").cast(DoubleType) / col("n_samples").cast(DoubleType))
+          .as("rms"))
+      .orderBy(col("media_id"))
+  }
+
+  val m68LoudnessAuditSql: String =
+    s"""WITH wav AS (
+       |  SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 4 = 2),
+       |ch AS (
+       |  SELECT media_id,
+       |    CAST(ascii(unnest(string_split(text, ''))) - 109 AS BIGINT) AS s
+       |  FROM wav),
+       |agg AS (
+       |  SELECT media_id, COUNT(*) AS n_samples,
+       |    MAX(abs(s)) AS peak,
+       |    CAST(SUM(CASE WHEN abs(s) >= $ClipBar THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_clipped,
+       |    CAST(SUM(s * s) AS BIGINT) AS energy
+       |  FROM ch GROUP BY media_id)
+       |SELECT media_id, n_samples,
+       |  CAST(n_samples AS DOUBLE) / $SampleRate AS duration_s,
+       |  peak, n_clipped,
+       |  sqrt(CAST(energy AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms
+       |FROM agg
+       |ORDER BY media_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // m64: perceptual-hash (aHash) near-dup candidates over the image
   // rows — the visual-dedup front-end: average-hash the decoded luma
   // into a 64-bit signature (8×8 mean grid), generate candidate pairs
@@ -604,5 +657,6 @@ object Multimodal {
     QueryDef.sql("m65_scene_changes", m65SceneChanges _, m65SceneChangesSql),
     QueryDef.sql("m66_phash_clusters", m66PhashClusters _, m66PhashClustersSql),
     QueryDef.sql("m67_keyframes", m67Keyframes _, m67KeyframesSql),
+    QueryDef.sql("m68_loudness_audit", m68LoudnessAudit _, m68LoudnessAuditSql),
   )
 }

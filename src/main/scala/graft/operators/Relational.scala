@@ -1699,6 +1699,52 @@ object Relational {
       |FROM decd GROUP BY decile
       |ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q85: RANGE-frame trailing window — per order, the customer's
+  // trailing-90-DAY order count and spend (the rolling-exposure feature
+  // a credit/limit model reads at decision time). This is the one window
+  // FRAME MODE the inventory still lacked: q6/q64/q65 run ROWS frames
+  // (positional), but "last 90 days" is a VALUE offset over an irregular
+  // order-date axis — RANGE BETWEEN 89 PRECEDING AND CURRENT ROW on the
+  // epoch-day sort key, where frame membership follows the key's VALUE
+  // (all same-day peers included regardless of tie order, which is what
+  // makes the aggregate deterministic with no tie-break at all).
+  //
+  // Scale: one exchange on o_custkey carries the sort and both frame
+  // aggregates; spend is exact cents. Output order needs the usual total
+  // order (cust, day, orderkey) only for the COMPARE, not the frame.
+  // ---------------------------------------------------------------------
+  def q85RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast(LongType).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-89, Window.currentRow)
+    base
+      .withColumn("n_90d", count(lit(1)).over(w))
+      .withColumn("spend_90d_c", sum(col("pc")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        col("n_90d"), col("spend_90d_c"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
+  val q85RangeFrameSql: String =
+    """WITH base AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS pc
+      |  FROM orders)
+      |SELECT o_custkey, o_orderkey, day,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_90d,
+      |  CAST(SUM(pc) OVER w AS BIGINT) AS spend_90d_c
+      |FROM base
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+      |  RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, day, o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -1740,5 +1786,6 @@ object Relational {
     QueryDef.sql("q77_kmv_setops", q77KmvSetOps _, q77KmvSetOpsSql),
     QueryDef.sql("q79_moments", q79Moments _, q79MomentsSql),
     QueryDef.sql("q83_decile_report", q83DecileReport _, q83DecileReportSql),
+    QueryDef.sql("q85_range_frame", q85RangeFrame _, q85RangeFrameSql),
   )
 }

@@ -227,6 +227,52 @@ class Round7fSpec extends AnyFunSuite {
     assert(got.values.map(_._6).sum == docs.count(d => chunkDupIds.contains(d._1)))
   }
 
+  test("q85 RANGE frame matches a naive value-offset recomputation incl. day ties") {
+    val got = Relational.q85RangeFrame(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast("long"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.size == orders.length)
+    var tieSeen = false
+    for ((cust, grp) <- orders.groupBy(_._1); o <- grp) {
+      // RANGE frame = ALL orders of the customer with day in [d-89, d] —
+      // including same-day peers that sort after this row
+      val frame = grp.filter(g => g._3 >= o._3 - 89 && g._3 <= o._3)
+      val (day, n, spend) = got((cust, o._2))
+      assert(day == o._3)
+      assert(n == frame.length, s"cust $cust order ${o._2} count")
+      assert(spend == frame.map(_._4).sum, s"cust $cust order ${o._2} spend")
+      tieSeen ||= grp.count(_._3 == o._3) > 1
+    }
+    // the tie-insensitivity claim must actually be exercised
+    assert(tieSeen, "corpus must contain same-day orders per customer")
+  }
+
+  test("m68 loudness audit matches a naive per-sample recomputation") {
+    val got = Multimodal.m68LoudnessAudit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    val wavs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).where(col("doc_id") % 4 === 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.keySet == wavs.map(_._1).toSet && got.nonEmpty)
+    for ((id, text) <- wavs) {
+      val s = text.map(c => (c.toInt - 109).toLong)
+      val (n, dur, peak, clipped, rms) = got(id)
+      assert(n == s.length)
+      assert(math.abs(dur - s.length / 16000.0) < 1e-12)
+      assert(peak == s.map(math.abs).max)
+      assert(clipped == s.count(x => math.abs(x) >= 70))
+      assert(math.abs(rms - math.sqrt(s.map(x => x * x).sum.toDouble / s.length)) < 1e-12)
+    }
+    // the clip bar discriminates: some samples clip, most don't
+    assert(got.values.exists(_._4 > 0) && got.values.forall(v => v._4 < v._1))
+  }
+
   test("q84 windowed KMV: exact below k, inside error bounds when saturated") {
     val got = EventWindows.q84WindowedKmv(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
