@@ -690,6 +690,78 @@ object Curation {
        |FROM agg a JOIN ls USING (source)
        |ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c79: train/eval split-leakage audit — d49 pointed at the pipeline's
+  // OWN split boundary instead of an external benchmark: after d56's
+  // hash split, do val/test docs share verbatim 8-token windows with any
+  // train doc? (The leakage an eval suite silently inflates on; near-dup
+  // pairs that straddle the split boundary are exactly how it happens.)
+  // Composes d56's threshold assignment (re-derived per doc, bounds
+  // shared via [[Sampling.TrainBound]]) with d49's window-hash gadget.
+  //
+  // Scale: one corpus fan-out into distinct per-doc windows; the
+  // train-vs-eval probe joins ON THE 32-hex WINDOW HASH ONLY (d47's
+  // payload discipline — the window text never shuffles). Unlike d49's
+  // broadcast-able benchmark, the train side IS most of the corpus, so
+  // this is an honest shuffle join on wh; output is |splits|-sized.
+  // -------------------------------------------------------------------
+  def c79SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .withColumn("h", PortableHash.h60(col("doc_id")))
+      .withColumn("split",
+        when(col("h") < Sampling.TrainBound, "train")
+          .when(col("h") < Sampling.ValBound, "val")
+          .otherwise("test"))
+    val wins = sp
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(TextOps.kgrams(col("t"), 8))).as("win"))
+      .select(col("doc_id"), col("split"), md5(col("win")).as("wh"))
+    val trainW = wins.filter(col("split") === "train").select(col("wh")).distinct()
+    val hits = wins.filter(col("split") =!= "train")
+      .join(trainW, Seq("wh"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_leaky_docs"),
+        count(lit(1)).as("n_shared_windows"))
+    sp.filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(hits, Seq("split"), "left")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_leaky_docs"), lit(0L)).as("n_leaky_docs"),
+        coalesce(col("n_shared_windows"), lit(0L)).as("n_shared_windows"))
+      .orderBy(col("split"))
+  }
+
+  val c79SplitLeakageSql: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN ${PortableHash.h60Sql("doc_id")} < ${Sampling.TrainBound}
+       |           THEN 'train'
+       |         WHEN ${PortableHash.h60Sql("doc_id")} < ${Sampling.ValBound}
+       |           THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |toks AS (SELECT doc_id, split, string_split(text, ' ') AS t FROM sp),
+       |w AS (
+       |  SELECT doc_id, split, md5(win) AS wh FROM (
+       |    SELECT doc_id, split, unnest(list_distinct(${TextOps.kgramsSql(8)})) AS win
+       |    FROM toks) x),
+       |trainw AS (SELECT DISTINCT wh FROM w WHERE split = 'train'),
+       |hits AS (
+       |  SELECT split, COUNT(DISTINCT doc_id) AS n_leaky_docs,
+       |    COUNT(*) AS n_shared_windows
+       |  FROM w JOIN trainw USING (wh)
+       |  WHERE split <> 'train' GROUP BY split),
+       |tot AS (
+       |  SELECT split, COUNT(*) AS n_docs FROM sp WHERE split <> 'train'
+       |  GROUP BY split)
+       |SELECT t.split, t.n_docs,
+       |  CAST(COALESCE(h.n_leaky_docs, 0) AS BIGINT) AS n_leaky_docs,
+       |  CAST(COALESCE(h.n_shared_windows, 0) AS BIGINT) AS n_shared_windows
+       |FROM tot t LEFT JOIN hits h USING (split)
+       |ORDER BY split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
@@ -699,5 +771,6 @@ object Curation {
     QueryDef.sql("c75_domain_kl", c75DomainKl _, c75DomainKlSql),
     QueryDef.sql("c76_cdc_apply", c76CdcApply _, c76CdcApplySql),
     QueryDef.sql("c77_source_datasheet", c77SourceDatasheet _, c77SourceDatasheetSql),
+    QueryDef.sql("c79_split_leakage", c79SplitLeakage _, c79SplitLeakageSql),
   )
 }

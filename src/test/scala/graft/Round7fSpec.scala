@@ -294,6 +294,74 @@ class Round7fSpec extends AnyFunSuite {
     assert(ws.zip(ws.drop(1)).forall { case (a, b) => b == a + 1 })
   }
 
+  test("c79 split leakage matches an independent window recomputation") {
+    val got = Curation.c79SplitLeakage(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == Set("test", "val"))
+    // independent: split by the h60 threshold, overlapping 8-token
+    // windows (concat_ws null-skip ≡ partial tail window on short docs)
+    val space = BigInt(1) << 60
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = BigInt(md.map("%02x".format(_)).mkString.take(15), 16)
+      if (h < space * 8 / 10) "train" else if (h < space * 9 / 10) "val" else "test"
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), splitOf(r.getLong(0)),
+        r.getString(1).split(" ").toSeq))
+    def windows(t: Seq[String]): Set[String] =
+      (1 to math.max(t.length - 7, 1)).map(i => t.slice(i - 1, i + 7).mkString(" ")).toSet
+    val trainW = docs.filter(_._2 == "train").flatMap(d => windows(d._3)).toSet
+    for (s <- Seq("test", "val")) {
+      val mine = docs.filter(_._2 == s)
+      val leaky = mine.count(d => windows(d._3).exists(trainW.contains))
+      val shared = mine.map(d => windows(d._3).count(trainW.contains)).sum
+      val (nDocs, nLeaky, nShared) = got(s)
+      assert(nDocs == mine.length, s"$s docs")
+      assert(nLeaky == leaky, s"$s leaky")
+      assert(nShared == shared, s"$s shared windows")
+    }
+  }
+
+  test("kmv sketch merges correctly under incremental streaming updates") {
+    // q84's scale story rests on the sketch being MERGEABLE state: the
+    // same aggregate fed incrementally (partial buffers merged across
+    // micro-batches in Complete mode) must equal the one-shot batch
+    // answer on identical data
+    val sk = spark
+    import sk.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.Vectors.register(spark)
+    val events = Tables.events(spark, dir)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"),
+        graft.operators.PortableHash.h60(col("user_id")).as("hu"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batch = events.toSeq.toDF("h", "hu")
+      .groupBy(col("h"))
+      .agg(call_function("kmv_distinct", col("hu"), lit(64)).as("s"))
+      .select(col("h"), col("s.n_mins"), col("s.est")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = input.toDF().toDF("h", "hu")
+      .groupBy(col("h"))
+      .agg(call_function("kmv_distinct", col("hu"), lit(64)).as("s"))
+      .select(col("h"), col("s.n_mins"), col("s.est"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first.toSeq)
+      q.processAllAvailable()
+      input.addData(second.toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, "incremental merge must equal one-shot batch")
+    } finally q.stop()
+  }
+
   test("d57 containment is asymmetric and matches a naive set recomputation") {
     val got = Dedup.d57ContainmentJoin(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) ->
