@@ -1745,6 +1745,54 @@ object Relational {
       |  RANGE BETWEEN 89 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, day, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q86: skyline (Pareto frontier) — per brand, the parts no other part
+  // dominates on (price ↓, size ↑): the multi-criteria shortlist query
+  // (cheapest-for-the-size / biggest-for-the-price). The textbook form
+  // is a quadratic NOT EXISTS self-join — that is the ORACLE here; the
+  // engine plans the O(n log n) sweep instead: sort each brand by price,
+  // then a part is dominated iff a strictly-cheaper part has size ≥ its
+  // own (RANGE frame ending at price−1) or an equal-priced part has size
+  // strictly greater (RANGE peer frame). Two value-frame window maxes,
+  // ONE exchange on brand — no self-join at all, q85's frame mode doing
+  // dominance work. All compares are exact integers; equal (price, size)
+  // twins both survive (dominance needs one strict inequality), which
+  // the oracle's NOT EXISTS mirrors by construction.
+  // ---------------------------------------------------------------------
+  def q86Skyline(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"),
+        floor(col("p_retailprice") * lit(100.0) + lit(0.5)).cast(LongType).as("price_c"),
+        col("p_size").cast(LongType).as("size"))
+    val wCheaper = Window.partitionBy(col("p_brand")).orderBy(col("price_c"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wPeers = Window.partitionBy(col("p_brand")).orderBy(col("price_c"))
+      .rangeBetween(Window.currentRow, Window.currentRow)
+    base
+      .withColumn("max_size_cheaper", max(col("size")).over(wCheaper))
+      .withColumn("max_size_peer", max(col("size")).over(wPeers))
+      .filter((col("max_size_cheaper").isNull ||
+          col("max_size_cheaper") < col("size")) &&
+        col("max_size_peer") <= col("size"))
+      .select(col("p_brand"), col("p_partkey"), col("price_c"), col("size"))
+      .orderBy(col("p_brand"), col("p_partkey"))
+  }
+
+  val q86SkylineSql: String =
+    """WITH base AS (
+      |  SELECT p_brand, p_partkey,
+      |    CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+      |    CAST(p_size AS BIGINT) AS size
+      |  FROM part)
+      |SELECT p_brand, p_partkey, price_c, size
+      |FROM base a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM base b
+      |  WHERE b.p_brand = a.p_brand
+      |    AND b.price_c <= a.price_c AND b.size >= a.size
+      |    AND (b.price_c < a.price_c OR b.size > a.size))
+      |ORDER BY p_brand, p_partkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -1787,5 +1835,6 @@ object Relational {
     QueryDef.sql("q79_moments", q79Moments _, q79MomentsSql),
     QueryDef.sql("q83_decile_report", q83DecileReport _, q83DecileReportSql),
     QueryDef.sql("q85_range_frame", q85RangeFrame _, q85RangeFrameSql),
+    QueryDef.sql("q86_skyline", q86Skyline _, q86SkylineSql),
   )
 }

@@ -1144,6 +1144,75 @@ object TextOps {
        |    / dn / 1000000.0 AS intercept_ln
        |FROM d ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t67: OOV-rate audit — per val/test doc, the fraction of token
+  // INSTANCES outside a FIXED-BUDGET vocabulary induced from the train
+  // split (top-OovVocabV tokens by train frequency, (cnt DESC, term
+  // ASC) — t58's ranking): the eval-readiness check before tokenizer/LM
+  // training. The budget is what makes the audit real — every real
+  // tokenizer vocab is size-capped, and this corpus's generator shares
+  // one 31-token vocabulary across all docs, so a coverage-only OOV
+  // definition is structurally zero at every SF.
+  //
+  // Scale: one corpus fan-out; the vocabulary is budget-sized and the
+  // miss test is a LEFT ANTI join against it (semi-join shape — at
+  // 100 TB this is the bloom/broadcast-able side, d54's territory);
+  // per-doc rollups are doc-sized. The one division is exact-integer
+  // operands.
+  // -------------------------------------------------------------------
+  private val OovVocabV = 16
+
+  def t67OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val sp = docs(spark, dir)
+      .withColumn("h", PortableHash.h60(col("doc_id")))
+      .withColumn("split",
+        when(col("h") < Sampling.TrainBound, "train")
+          .when(col("h") < Sampling.ValBound, "val")
+          .otherwise("test"))
+    val tok = sp.select(col("doc_id"), col("split"), explode(toks).as("term"))
+    val wV = Window.orderBy(col("cnt").desc, col("term").asc)
+    val vocab = tok.filter(col("split") === "train")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("vrn", row_number().over(wV))
+      .filter(col("vrn") <= OovVocabV)
+      .select(col("term"))
+    val ev = tok.filter(col("split") =!= "train")
+    val oov = ev.join(vocab, Seq("term"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+    ev.groupBy(col("doc_id"), col("split")).agg(count(lit(1)).as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"), col("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(coalesce(col("n_oov"), lit(0L)) / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t67OovRateSql: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN ${PortableHash.h60Sql("doc_id")} < ${Sampling.TrainBound}
+       |           THEN 'train'
+       |         WHEN ${PortableHash.h60Sql("doc_id")} < ${Sampling.ValBound}
+       |           THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents),
+       |tok AS (SELECT doc_id, split, unnest(string_split(text, ' ')) AS term FROM sp),
+       |vocab AS (
+       |  SELECT term FROM (
+       |    SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term ASC) AS vrn
+       |    FROM tok WHERE split = 'train' GROUP BY term)
+       |  WHERE vrn <= $OovVocabV),
+       |ev AS (SELECT doc_id, split, term FROM tok WHERE split <> 'train'),
+       |oov AS (
+       |  SELECT doc_id, COUNT(*) AS n_oov FROM ev
+       |  WHERE term NOT IN (SELECT term FROM vocab) GROUP BY doc_id),
+       |tot AS (SELECT doc_id, split, COUNT(*) AS n_tokens FROM ev GROUP BY 1, 2)
+       |SELECT t.doc_id, t.split, t.n_tokens,
+       |  CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+       |  ROUND(COALESCE(o.n_oov, 0) / t.n_tokens, 6) AS oov_rate
+       |FROM tot t LEFT JOIN oov o USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -1162,5 +1231,6 @@ object TextOps {
     QueryDef.sql("t64_inverted_index", t64InvertedIndex _, t64InvertedIndexSql),
     QueryDef.sql("t65_pmi_collocations", t65PmiCollocations _, t65PmiCollocationsSql),
     QueryDef.sql("t66_zipf_slope", t66ZipfSlope _, t66ZipfSlopeSql),
+    QueryDef.sql("t67_oov_rate", t67OovRate _, t67OovRateSql),
   )
 }

@@ -294,6 +294,58 @@ class Round7fSpec extends AnyFunSuite {
     assert(ws.zip(ws.drop(1)).forall { case (a, b) => b == a + 1 })
   }
 
+  test("q86 skyline equals naive dominance; every drop is dominated by a keeper") {
+    val got = Relational.q86Skyline(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val parts = Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"),
+        floor(col("p_retailprice") * 100.0 + 0.5).cast("long"), col("p_size").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def dominates(b: (String, Long, Long, Long), a: (String, Long, Long, Long)) =
+      b._3 <= a._3 && b._4 >= a._4 && (b._3 < a._3 || b._4 > a._4)
+    val want = parts.filter { a =>
+      !parts.exists(b => b._1 == a._1 && b._2 != a._2 && dominates(b, a))
+    }.map(p => (p._1, p._2)).toSet
+    assert(got.map(p => (p._1, p._2)).toSet == want)
+    assert(got.length < parts.length, "some parts must be dominated")
+    // completeness the other way: every dropped part has a skyline dominator
+    val sky = got.groupBy(_._1)
+    for (a <- parts if !want.contains((a._1, a._2))) {
+      assert(sky(a._1).exists(b => dominates((b._1, b._2, b._3, b._4), a)),
+        s"dropped part ${a._2} lacks a skyline dominator")
+    }
+  }
+
+  test("t67 OOV rates match a naive vocabulary recomputation") {
+    val got = TextOps.t67OovRate(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val space = BigInt(1) << 60
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val h = BigInt(md.map("%02x".format(_)).mkString.take(15), 16)
+      if (h < space * 8 / 10) "train" else if (h < space * 9 / 10) "val" else "test"
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), splitOf(r.getLong(0)), r.getString(1).split(" ").toSeq))
+    // budgeted vocab: top-16 train tokens by (count desc, term asc)
+    val vocab = docs.filter(_._2 == "train").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(16).map(_._1).toSet
+    val evalDocs = docs.filter(_._2 != "train")
+    assert(got.keySet == evalDocs.map(_._1).toSet)
+    for ((id, sp, t) <- evalDocs) {
+      val oov = t.count(!vocab.contains(_))
+      val (gSp, gTok, gOov, gRate) = got(id)
+      assert(gSp == sp && gTok == t.length && gOov == oov, s"doc $id")
+      assert(math.abs(gRate - math.round(oov.toDouble / t.length * 1e6) / 1e6) < 1e-9)
+    }
+    // the audit discriminates on this corpus: OOV exists but is not total
+    assert(got.values.exists(_._3 > 0) && got.values.forall(v => v._3 < v._2))
+  }
+
   test("c79 split leakage matches an independent window recomputation") {
     val got = Curation.c79SplitLeakage(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
