@@ -166,6 +166,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 2, s"changepoint scan must reuse the event_type exchange, got $n")
   }
 
+  test("q86 skyline plans NO join at all — dominance rides two window frames") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val root = graft.operators.Relational.q86Skyline(spark, dir)
+      .queryExecution.executedPlan
+    val plan = root match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+    assert(plan.collect { case j: BaseJoinExec => j }.isEmpty,
+      s"the NOT-EXISTS shape must be rewritten to window frames:\n$plan")
+    val n = hashExchanges(graft.operators.Relational.q86Skyline(spark, dir))
+    assert(n == 1, s"both dominance frames must share the brand exchange, got $n")
+  }
+
+  test("q85 RANGE frames share one customer exchange") {
+    val n = hashExchanges(graft.operators.Relational.q85RangeFrame(spark, dir))
+    assert(n == 1, s"count+sum value frames must ride one o_custkey exchange, got $n")
+  }
+
   test("q82 adjacency joins broadcast — corner counting never plans a cartesian") {
     val plan = physical(graft.operators.Graph.q82ClusteringCoeff(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),
