@@ -49,6 +49,47 @@ object Storage {
       .format("parquet")
       .saveAsTable(table)
 
+  /** 2-D Morton (Z-order) key: interleave the low `bits` bits of two
+    * non-negative integer columns — pure shift/mask/add expressions, so
+    * the key is codegen'd and engine-portable. Disjoint bit positions
+    * make `+` equivalent to bitwise OR.
+    */
+  def zorderKey(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+                bits: Int = 16): org.apache.spark.sql.Column =
+    (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1),
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ + _)
+
+  /** Write `df` Z-order-clustered on two integer key columns: normalize
+    * each key to an equal-width 8-bit grid (raw-bit interleaving is
+    * cardinality-skewed — a 16-bit key zipped with a 4-bit key degrades
+    * to a linear sort on the wide one; production Z-order bucketizes
+    * first, exactly as Delta/Iceberg OPTIMIZE ZORDER does), interleave,
+    * then range-partition + sort by the Morton key. Every output file
+    * covers a small RECTANGLE in (a, b) space, so parquet footer min/max
+    * stats prune row groups for selective predicates on EITHER column —
+    * a linear sort clusters only its leading column, leaving the
+    * trailing column's per-file ranges corpus-wide. The grid bounds come
+    * from a 1-row stats aggregate cross-joined in (broadcast, no driver
+    * collect). StorageSpec pins the per-file range-width property
+    * directly from the written files.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    files: Int = 16): Unit = {
+    val stats = df.agg(
+      min(col(colA).cast("long")).as("__amin"), max(col(colA).cast("long")).as("__amax"),
+      min(col(colB).cast("long")).as("__bmin"), max(col(colB).cast("long")).as("__bmax"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__z", zorderKey(
+        expr(s"(($colA - __amin) * 256) div (__amax - __amin + 1)"),
+        expr(s"(($colB - __bmin) * 256) div (__bmax - __bmin + 1)"), bits = 8))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** orders ⋈ lineitem through bucketed tables: revenue per order
     * priority. With both sides bucketed by the join key into the same
     * bucket count, the sort-merge join plans WITHOUT a shuffle on

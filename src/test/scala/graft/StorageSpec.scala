@@ -65,4 +65,64 @@ class StorageSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("zorder key interleaves bits correctly") {
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(Storage.zorderKey(col("a"), col("b")).as("z")).collect()
+      .map(_.getLong(0))
+    def morton(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i)))
+        .reduce(_ | _)
+    assert(rows.toSeq == Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .map { case (a, b) => morton(a, b) })
+    // the key is monotone in the rectangle sense: (0,0) < everything else
+    assert(rows(0) == 0L && rows(4) == (1L << 32) - 1)
+  }
+
+  test("zorder layout bounds BOTH key ranges per file; linear sort only one") {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val zPath = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val linPath = java.nio.file.Files.createTempDirectory("graft_linear").toString
+    Storage.writeZOrdered(li, zPath, "l_partkey", "l_suppkey", files = 16)
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(linPath)
+    def fileWidths(path: String, key: String): Seq[Long] =
+      new java.io.File(path).listFiles.filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min(col(key)), max(col(key))).collect()(0)
+          r.getLong(1) - r.getLong(0)
+        }
+    val (gMin, gMax) = {
+      val r = li.agg(min(col("l_suppkey")), max(col("l_suppkey"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val zSupp = fileWidths(zPath, "l_suppkey")
+    val linSupp = fileWidths(linPath, "l_suppkey")
+    assert(zSupp.size == 16 && linSupp.size == 16)
+    // a partkey-sorted layout leaves suppkey unclustered: every file
+    // spans ~the whole suppkey range
+    assert(linSupp.forall(_ > (gMax - gMin) * 9 / 10),
+      s"linear layout should NOT cluster suppkey: $linSupp")
+    // the z-order layout bounds the same dimension: average per-file
+    // width is a fraction of the global range (each file is a rectangle
+    // — 16 files fix the top 2 grid bits of EACH dim, ~1/4 range)
+    assert(zSupp.sum / zSupp.size < (gMax - gMin) / 2,
+      s"zorder files must cover narrow suppkey rectangles: $zSupp vs range ${gMax - gMin}")
+    // ...while still bounding partkey too (what linear sorting gives up
+    // on the trailing dim, z-order keeps on BOTH)
+    val zPart = fileWidths(zPath, "l_partkey")
+    val (pMin, pMax) = {
+      val r = li.agg(min(col("l_partkey")), max(col("l_partkey"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(zPart.sum / zPart.size < (pMax - pMin) / 2,
+      s"zorder files must bound partkey as well: $zPart vs range ${pMax - pMin}")
+    // and both layouts hold the full row set
+    assert(spark.read.parquet(zPath).count() == li.count())
+  }
 }
