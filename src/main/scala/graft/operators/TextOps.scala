@@ -1213,6 +1213,68 @@ object TextOps {
        |FROM tot t LEFT JOIN oov o USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t68: one BPE merge round — the inner loop of byte-pair-encoding
+  // tokenizer training, run as a distributed op: count adjacent symbol
+  // pairs weighted by corpus word frequency, elect the most frequent
+  // pair ((count DESC, pair ASC) — the deterministic tie-break real BPE
+  // trainers fix by insertion order), and apply the merge to every word
+  // spelling. The scale insight this query IS: after one corpus scan
+  // collapses text to (word, count), everything — pair stats, election,
+  // re-spelling — lives on the VOCABULARY, so a 100 TB corpus trains
+  // each round on kilobytes of state. The merge itself is left-to-right
+  // non-overlapping literal replace on the space-joined spelling —
+  // `replace()` has identical greedy semantics in both engines, which
+  // is exactly BPE's application order.
+  // -------------------------------------------------------------------
+  def t68BpeMergeRound(spark: SparkSession, dir: String): DataFrame = {
+    val words = docs(spark, dir)
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val chars = words.withColumn("cs", filter(split(col("w"), ""), x => x =!= ""))
+    // zip_with over shifted slices: a 1-symbol word yields empty slices
+    // (sequence(1, size-1) would DESCEND to [1, 0] there and fault
+    // element_at)
+    val pairs = chars
+      .select(col("cnt"), explode(expr(
+        "zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).as("pc"))
+    val top = pairs.orderBy(col("pc").desc, col("p").asc).limit(1)
+      .select(col("p").as("pair"), col("pc").as("pair_count"))
+    chars.crossJoin(broadcast(top))
+      .withColumn("spaced", array_join(col("cs"), " "))
+      .withColumn("merged", expr("replace(spaced, pair, replace(pair, ' ', ''))"))
+      .select(col("w").as("word"), col("cnt"), col("pair"), col("pair_count"),
+        size(col("cs")).cast(LongType).as("n_symbols_before"),
+        size(split(col("merged"), " ")).cast(LongType).as("n_symbols_after"),
+        col("merged").as("spelling_after"))
+      .orderBy(col("word"))
+  }
+
+  val t68BpeMergeRoundSql: String =
+    """WITH words AS (
+      |  SELECT term AS w, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY 1),
+      |chars AS (SELECT w, cnt, string_split(w, '') AS cs FROM words),
+      |pairs AS (
+      |  SELECT cs[i] || ' ' || cs[i+1] AS p, CAST(SUM(cnt) AS BIGINT) AS pc
+      |  FROM chars, unnest(range(1, len(cs))) r(i)
+      |  GROUP BY 1),
+      |top AS (
+      |  SELECT p AS pair, pc AS pair_count FROM pairs
+      |  ORDER BY pc DESC, p ASC LIMIT 1)
+      |SELECT w AS word, cnt, pair, pair_count,
+      |  CAST(len(cs) AS BIGINT) AS n_symbols_before,
+      |  CAST(len(string_split(
+      |    replace(array_to_string(cs, ' '), pair, replace(pair, ' ', '')), ' '))
+      |    AS BIGINT) AS n_symbols_after,
+      |  replace(array_to_string(cs, ' '), pair, replace(pair, ' ', ''))
+      |    AS spelling_after
+      |FROM chars CROSS JOIN top
+      |ORDER BY word""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -1232,5 +1294,6 @@ object TextOps {
     QueryDef.sql("t65_pmi_collocations", t65PmiCollocations _, t65PmiCollocationsSql),
     QueryDef.sql("t66_zipf_slope", t66ZipfSlope _, t66ZipfSlopeSql),
     QueryDef.sql("t67_oov_rate", t67OovRate _, t67OovRateSql),
+    QueryDef.sql("t68_bpe_merge", t68BpeMergeRound _, t68BpeMergeRoundSql),
   )
 }

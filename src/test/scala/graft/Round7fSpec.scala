@@ -346,6 +346,39 @@ class Round7fSpec extends AnyFunSuite {
     assert(got.values.exists(_._3 > 0) && got.values.forall(v => v._3 < v._2))
   }
 
+  test("t68 BPE round elects the max pair and applies a greedy left merge") {
+    val got = TextOps.t68BpeMergeRound(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    assert(got.nonEmpty)
+    val words = Tables.documents(spark, dir)
+      .select(col("text")).collect().flatMap(_.getString(0).split(" "))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // naive weighted pair counts
+    val pairCounts = words.toSeq.flatMap { case (w, c) =>
+      w.toSeq.zip(w.toSeq.drop(1)).map(p => (s"${p._1} ${p._2}", c))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val bestPair = pairCounts.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    assert(got.forall(_._3 == bestPair._1), "elected pair")
+    assert(got.forall(_._4 == bestPair._2), "elected pair count")
+    // greedy left-to-right non-overlapping merge per word
+    val Array(pa, pb) = bestPair._1.split(" ")
+    for ((word, cnt, _, _, nBefore, nAfter, spelling) <- got) {
+      assert(cnt == words(word))
+      assert(nBefore == word.length)
+      val merged = scala.collection.mutable.ArrayBuffer[String]()
+      for (ch <- word.map(_.toString)) {
+        if (merged.nonEmpty && merged.last == pa && ch == pb)
+          merged(merged.length - 1) = pa + pb
+        else merged += ch
+      }
+      assert(spelling == merged.mkString(" "), s"word $word")
+      assert(nAfter == merged.length, s"word $word symbol count")
+    }
+    // the round actually compresses something
+    assert(got.exists(r => r._6 < r._5), "some word must merge")
+  }
+
   test("c79 split leakage matches an independent window recomputation") {
     val got = Curation.c79SplitLeakage(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
