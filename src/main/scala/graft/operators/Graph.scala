@@ -345,10 +345,69 @@ object Graph {
     (base + rounds + "\n|" + sel + "\n|ORDER BY hop").stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q87: weighted shortest paths (bounded Bellman-Ford) — min-COST
+  // distance from the seed set within 3 edges, where an edge costs
+  // 1e6 div multiplicity (strongly co-purchased pairs are "closer"):
+  // the weighted companion to q67's hop-count reachability, and the
+  // min-plus-semiring iteration shape (relax = join + min-aggregate)
+  // that generalizes to any path algebra. Per round: one edge join +
+  // one node-sized min fold, O(|E|) work, node-sized state,
+  // localCheckpoint per round — the q63/q67/d45 iteration idiom. Pure
+  // integer costs; the output is thinned to a deterministic node slice
+  // so result size stays bounded at any SF.
+  // ---------------------------------------------------------------------
+  private val SsspRounds = 3
+
+  def q87WeightedPath(spark: SparkSession, dir: String): DataFrame = {
+    val (e, _, nodes) = projection(spark, dir)
+    val we = e.groupBy(col("src"), col("dst"))
+      .agg(expr("1000000L div count(1)").as("cost"))
+      .localCheckpoint(true)
+    var dist = nodes.where(col("node") % 500 === 0)
+      .select(col("node"), lit(0L).as("d")).localCheckpoint(true)
+    for (_ <- 1 to SsspRounds) {
+      val relaxed = we
+        .join(dist.select(col("node").as("src"), col("d").as("ds")), "src")
+        .select(col("dst").as("node"), (col("ds") + col("cost")).as("d"))
+      dist = dist.union(relaxed).groupBy(col("node")).agg(min(col("d")).as("d"))
+        .localCheckpoint(true)
+    }
+    dist.filter(col("node") % 23 === 0).orderBy(col("node"))
+  }
+
+  val q87WeightedPathSql: String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM li a JOIN li b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+        |nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+        |we AS (
+        |  SELECT src, dst, CAST(1000000 // COUNT(*) AS BIGINT) AS cost
+        |  FROM e GROUP BY src, dst),
+        |d0 AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS d FROM nodes WHERE node % 500 = 0)""".stripMargin
+    val rounds = (1 to SsspRounds).map { k =>
+      s""",
+         |d$k AS (
+         |  SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+         |    SELECT node, d FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT we.dst AS node, p.d + we.cost AS d
+         |    FROM we JOIN d${k - 1} p ON p.node = we.src)
+         |  GROUP BY node)""".stripMargin
+    }.mkString
+    base + rounds +
+      s"\nSELECT node, d FROM d$SsspRounds WHERE node % 23 = 0 ORDER BY node"
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
     QueryDef.sql("q66_triangles", q66Triangles _, q66TrianglesSql),
     QueryDef.sql("q67_khop_reach", q67KHopReach _, q67KHopReachSql),
     QueryDef.sql("q82_clustering_coeff", q82ClusteringCoeff _, q82ClusteringCoeffSql),
+    QueryDef.sql("q87_weighted_path", q87WeightedPath _, q87WeightedPathSql),
   )
 }

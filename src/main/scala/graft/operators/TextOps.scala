@@ -1275,6 +1275,41 @@ object TextOps {
       |FROM chars CROSS JOIN top
       |ORDER BY word""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t69: classifier confusion matrix — t50's language predictions
+  // cross-tabulated against the gold labels, with per-true-class recall:
+  // the eval table every labeling/classification stage ships with. The
+  // oracle NESTS t50's full SQL, so the composition (classifier →
+  // evaluation) is hash-checked end-to-end, c74/c77's discipline.
+  // Shape: t50's per-doc scan collapses straight into a
+  // |langs|²-bounded aggregate; recall is one division of exact counts
+  // over a langs-sized window.
+  // -------------------------------------------------------------------
+  def t69LangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val wTot = Window.partitionBy(col("labeled_lang"))
+    t50LangId(spark, dir)
+      .select(col("labeled_lang"), col("pred_lang"))
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_true", sum(col("n_docs")).over(wTot))
+      .select(col("labeled_lang"), col("pred_lang"), col("n_docs"), col("n_true"),
+        round(col("n_docs") / col("n_true"), 6).as("frac"))
+      .orderBy(col("labeled_lang"), col("pred_lang"))
+  }
+
+  val t69LangConfusionSql: String =
+    s"""WITH preds AS (
+       |  SELECT labeled_lang, pred_lang FROM ($t50LangIdSql)),
+       |cm AS (
+       |  SELECT labeled_lang, pred_lang, COUNT(*) AS n_docs
+       |  FROM preds GROUP BY 1, 2)
+       |SELECT labeled_lang, pred_lang, n_docs,
+       |  CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT) AS n_true,
+       |  ROUND(n_docs / CAST(SUM(n_docs) OVER (PARTITION BY labeled_lang) AS BIGINT), 6)
+       |    AS frac
+       |FROM cm
+       |ORDER BY labeled_lang, pred_lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -1295,5 +1330,6 @@ object TextOps {
     QueryDef.sql("t66_zipf_slope", t66ZipfSlope _, t66ZipfSlopeSql),
     QueryDef.sql("t67_oov_rate", t67OovRate _, t67OovRateSql),
     QueryDef.sql("t68_bpe_merge", t68BpeMergeRound _, t68BpeMergeRoundSql),
+    QueryDef.sql("t69_lang_confusion", t69LangConfusion _, t69LangConfusionSql),
   )
 }

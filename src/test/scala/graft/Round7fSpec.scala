@@ -379,6 +379,56 @@ class Round7fSpec extends AnyFunSuite {
     assert(got.exists(r => r._6 < r._5), "some word must merge")
   }
 
+  test("t69 confusion matrix recomputes from t50's per-doc predictions") {
+    val got = TextOps.t69LangConfusion(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val preds = TextOps.t50LangId(spark, dir)
+      .select(col("labeled_lang"), col("pred_lang")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val want = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+    for ((label, rows) <- got.groupBy(_._1)) {
+      val trueTotal = preds.count(_._1 == label).toLong
+      assert(rows.forall(_._4 == trueTotal), s"$label n_true")
+      assert(rows.map(_._3).sum == trueTotal, s"$label row sum")
+      rows.foreach(r => assert(math.abs(r._5 - math.round(
+        r._3.toDouble / trueTotal * 1e6) / 1e6) < 1e-9))
+    }
+    // the heuristic classifier is good but not perfect on this corpus —
+    // both the diagonal and at least one off-diagonal cell must exist
+    assert(got.exists(r => r._1 == r._2) && got.exists(r => r._1 != r._2))
+  }
+
+  test("q87 bounded Bellman-Ford matches a naive weighted relaxation") {
+    val got = Graph.q87WeightedPath(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.toSeq.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }
+    val costs = edges.groupBy(identity).view
+      .mapValues(m => 1000000L / m.length).toMap
+    val nodes = li.map(_._2).distinct
+    var dist = nodes.filter(_ % 500 == 0).map(n => n -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = costs.toSeq.flatMap { case ((s, t), c) =>
+        dist.get(s).map(ds => t -> (ds + c))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    val want = dist.filter(_._1 % 23 == 0)
+    assert(got == want)
+    // weights matter: some reached node must cost less than a full-price
+    // single hop would suggest via a cheaper multi-edge path existing
+    assert(got.values.exists(d => d > 0 && d < 1000000L),
+      "some node must be reached through a multiplicity-discounted edge")
+  }
+
   test("c79 split leakage matches an independent window recomputation") {
     val got = Curation.c79SplitLeakage(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
