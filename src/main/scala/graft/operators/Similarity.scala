@@ -1260,6 +1260,87 @@ object Similarity {
        |JOIN nrm nb ON nb.label = d.label_b
        |ORDER BY label_a, label_b""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q88: k-NN classification eval — the end of the embedding pipeline
+  // this module builds (index → search → classify → audit): split the
+  // vectors with d56's hash thresholds, predict each eval vector's
+  // label by majority vote of its 5 nearest TRAIN vectors (exact cosine,
+  // q30's kernel; vote ties break (count DESC, label ASC) — the same
+  // deterministic argmax as t50/q74), and emit the confusion matrix
+  // against gold labels. On this corpus the labels are synthetic, so
+  // the matrix reads near-uniform — the SEMANTICS are the point, and
+  // they are oracle-checked end-to-end including the vote.
+  //
+  // Scale: eval queries broadcast (the small side by construction);
+  // the train corpus is scanned once, never shuffled; per-eval state is
+  // the k-row window + a |labels|-bounded vote. At larger eval sets the
+  // brute kernel swaps for q34/q48's IVF probes unchanged downstream.
+  // -------------------------------------------------------------------
+  private val KnnK = 5
+
+  def q88KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    Vectors.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("h", PortableHash.h60(col("vec_id")))
+    val train = e.filter(col("h") < Sampling.TrainBound)
+      .select(col("vec_id").as("train_id"), col("embedding").as("te"),
+        col("label").cast(LongType).as("train_label"))
+    val ev = e.filter(col("h") >= Sampling.TrainBound)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("qe"),
+        col("label").cast(LongType).as("true_label"))
+    val scored = train
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .crossJoin(broadcast(ev))
+      .withColumn("sim", Vectors.vecCosine(col("qe"), col("te")))
+    val wN = Window.partitionBy(col("eval_id"))
+      .orderBy(col("sim").desc, col("train_id").asc)
+    val votes = scored.withColumn("rn", row_number().over(wN))
+      .filter(col("rn") <= KnnK)
+      .groupBy(col("eval_id"), col("true_label"), col("train_label"))
+      .agg(count(lit(1)).as("v"))
+    val wV = Window.partitionBy(col("eval_id"))
+      .orderBy(col("v").desc, col("train_label").asc)
+    votes.withColumn("vr", row_number().over(wV)).filter(col("vr") === 1)
+      .select(col("true_label"), col("train_label").as("pred_label"))
+      .groupBy(col("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("true_label"), col("pred_label"))
+  }
+
+  val q88KnnClassifySql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS label,
+       |    ${PortableHash.h60Sql("vec_id")} AS h
+       |  FROM embeddings),
+       |train AS (
+       |  SELECT vec_id AS train_id, embedding AS te, label AS train_label
+       |  FROM e WHERE h < ${Sampling.TrainBound}),
+       |ev AS (
+       |  SELECT vec_id AS eval_id, embedding AS qe, label AS true_label
+       |  FROM e WHERE h >= ${Sampling.TrainBound}),
+       |scored AS (
+       |  SELECT eval_id, true_label, train_id, train_label,
+       |    ${cosSql("qe", "te")} AS sim
+       |  FROM ev CROSS JOIN train),
+       |knn AS (
+       |  SELECT eval_id, true_label, train_label,
+       |    ROW_NUMBER() OVER (PARTITION BY eval_id
+       |      ORDER BY sim DESC, train_id ASC) AS rn
+       |  FROM scored),
+       |votes AS (
+       |  SELECT eval_id, true_label, train_label, COUNT(*) AS v
+       |  FROM knn WHERE rn <= $KnnK GROUP BY 1, 2, 3),
+       |pick AS (
+       |  SELECT eval_id, true_label, train_label AS pred_label,
+       |    ROW_NUMBER() OVER (PARTITION BY eval_id
+       |      ORDER BY v DESC, train_label ASC) AS vr
+       |  FROM votes)
+       |SELECT true_label, pred_label, COUNT(*) AS n_vecs
+       |FROM pick WHERE vr = 1
+       |GROUP BY 1, 2
+       |ORDER BY true_label, pred_label""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q30_ann_brute", q30AnnBrute _, q30AnnBruteSql),
     QueryDef.sql("q31_ann_lsh", q31AnnLsh _, q31AnnLshSql),
@@ -1275,5 +1356,6 @@ object Similarity {
     QueryDef.sql("d48_semdedup", d48SemDedup _, d48SemDedupSql),
     QueryDef.sql("q71_standardize", q71Standardize _, q71StandardizeSql),
     QueryDef.sql("c78_embedding_audit", c78EmbeddingAudit _, c78EmbeddingAuditSql),
+    QueryDef.sql("q88_knn_classify", q88KnnClassify _, q88KnnClassifySql),
   )
 }

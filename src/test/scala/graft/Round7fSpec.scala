@@ -429,6 +429,42 @@ class Round7fSpec extends AnyFunSuite {
       "some node must be reached through a multiplicity-discounted edge")
   }
 
+  test("q88 kNN vote matches a naive exact-cosine recomputation") {
+    val got = Similarity.q88KnnClassify(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val space = BigInt(1) << 60
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      BigInt(md.map("%02x".format(_)).mkString.take(15), 16) < space * 8 / 10
+    }
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    val train = vecs.filter(v => isTrain(v._1))
+    val ev = vecs.filter(v => !isTrain(v._1))
+    assert(train.nonEmpty && ev.nonEmpty)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val preds = ev.map { case (eid, qe, trueLabel) =>
+      val top = train.map(t => (t._1, t._3, cos(qe, t._2)))
+        .sortBy(t => (-t._3, t._1)).take(5)
+      val vote = top.groupBy(_._2).view.mapValues(_.length).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head._1
+      (trueLabel, vote)
+    }
+    val want = preds.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == want)
+    assert(got.values.sum == ev.length, "every eval vector classified once")
+  }
+
   test("c79 split leakage matches an independent window recomputation") {
     val got = Curation.c79SplitLeakage(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
