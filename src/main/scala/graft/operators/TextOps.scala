@@ -1310,6 +1310,37 @@ object TextOps {
        |FROM cm
        |ORDER BY labeled_lang, pred_lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t70: feature hashing (the hashing-trick vectorizer) — each token
+  // instance lands in bucket h60(term) mod FeatureDim, yielding the
+  // fixed-width sparse count vector classic ML pipelines feed linear
+  // models; no vocabulary pass, no fit state, which is precisely why
+  // the trick scales (a 100 TB corpus vectorizes in ONE scan + one
+  // (doc, bucket) hash aggregate, map-side combined). FeatureDim=16 is
+  // deliberately below the corpus's 31-term vocabulary so bucket
+  // COLLISIONS — the trick's defining trade-off — actually occur and
+  // are exercised by the spec.
+  // -------------------------------------------------------------------
+  private val FeatureDim = 16
+
+  def t70FeatureHash(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("term"))
+      .select(col("doc_id"),
+        (PortableHash.h60(col("term")) % FeatureDim).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  val t70FeatureHashSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+       |SELECT doc_id, ${PortableHash.h60Sql("term")} % $FeatureDim AS bucket,
+       |  COUNT(*) AS cnt
+       |FROM tok
+       |GROUP BY 1, 2
+       |ORDER BY doc_id, bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -1331,5 +1362,6 @@ object TextOps {
     QueryDef.sql("t67_oov_rate", t67OovRate _, t67OovRateSql),
     QueryDef.sql("t68_bpe_merge", t68BpeMergeRound _, t68BpeMergeRoundSql),
     QueryDef.sql("t69_lang_confusion", t69LangConfusion _, t69LangConfusionSql),
+    QueryDef.sql("t70_feature_hash", t70FeatureHash _, t70FeatureHashSql),
   )
 }

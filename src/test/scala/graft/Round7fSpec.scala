@@ -465,6 +465,30 @@ class Round7fSpec extends AnyFunSuite {
     assert(got.values.sum == ev.length, "every eval vector classified once")
   }
 
+  test("t70 feature hashing matches a naive recomputation and collides") {
+    val got = TextOps.t70FeatureHash(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq))
+    val want = docs.flatMap { case (id, ts) => ts.map(t => (id, h60(t) % 16)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got == want)
+    // per-doc totals conserve token instances
+    for ((id, ts) <- docs)
+      assert(got.collect { case ((d, _), c) if d == id => c }.sum == ts.length)
+    // the defining trade-off must be exercised: more distinct terms than
+    // buckets forces at least one collision
+    val termBuckets = docs.flatMap(_._2).distinct.map(t => (h60(t) % 16, t))
+    assert(termBuckets.groupBy(_._1).exists(_._2.map(_._2).distinct.length > 1),
+      "distinct terms must share a bucket at FeatureDim=16")
+  }
+
   test("c79 split leakage matches an independent window recomputation") {
     val got = Curation.c79SplitLeakage(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
