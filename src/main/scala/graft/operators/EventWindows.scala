@@ -1024,6 +1024,60 @@ object EventWindows {
        |FROM tops
        |ORDER BY window_end_h""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q89: time-to-convert distribution — exact p25/p50/p95 of the
+  // last-touch click→purchase latency, the funnel-health metric next to
+  // q78's attribution counts: per attributed purchase the delta to its
+  // MOST RECENT qualifying click (min over pairs of p_tus − c_tus =
+  // p_tus − max(c_tus), exact integer µs; ONE division to seconds), then
+  // q19's scale-safe rank-based interpolated quantiles over the
+  // conversion-sized delta set — no whole-group value buffer anywhere.
+  // Candidate pairs ride q78's two-arm bucket join; the oracle computes
+  // the naive interval join + quantile_cont, so both the bucketing AND
+  // the rank interpolation are hash-proven against the textbook form.
+  // ---------------------------------------------------------------------
+  def q89TimeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("tus").as("c_tus"),
+        expr(s"tus div ${AttrWindowUs}L").as("bucket"))
+    val probes = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("tus").as("p_tus"), col("event_id").as("p_id"))
+      .withColumn("bucket",
+        explode(array(expr(s"p_tus div ${AttrWindowUs}L"),
+          expr(s"p_tus div ${AttrWindowUs}L - 1"))))
+    val deltas = probes.join(clicks, Seq("user_id", "bucket"))
+      .filter(col("c_tus") >= col("p_tus") - AttrWindowUs &&
+        col("c_tus") <= col("p_tus"))
+      .groupBy(col("p_id"))
+      .agg((min(col("p_tus") - col("c_tus")).cast(DoubleType) / lit(1000000.0))
+        .as("delta_s"))
+      .withColumn("__g", lit("all"))
+    Relational.rankQuantiles(deltas, "__g", "delta_s",
+        Seq("p25_s" -> 0.25, "p50_s" -> 0.5, "p95_s" -> 0.95))
+      .select(col("__n").as("n_conversions"),
+        col("p25_s"), col("p50_s"), col("p95_s"))
+  }
+
+  val q89TimeToConvertSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+       |deltas AS (
+       |  SELECT p.event_id AS p_id,
+       |    CAST(MIN(p.tus - c.tus) AS BIGINT) AS delta_us
+       |  FROM e p JOIN e c
+       |    ON p.user_id = c.user_id
+       |   AND p.event_type = 'purchase' AND c.event_type = 'click'
+       |   AND c.tus >= p.tus - $AttrWindowUs AND c.tus <= p.tus
+       |  GROUP BY 1)
+       |SELECT COUNT(*) AS n_conversions,
+       |  ROUND(quantile_cont(CAST(delta_us AS DOUBLE) / 1000000.0, 0.25), 6) AS p25_s,
+       |  ROUND(quantile_cont(CAST(delta_us AS DOUBLE) / 1000000.0, 0.5), 6) AS p50_s,
+       |  ROUND(quantile_cont(CAST(delta_us AS DOUBLE) / 1000000.0, 0.95), 6) AS p95_s
+       |FROM deltas""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
@@ -1043,5 +1097,6 @@ object EventWindows {
     QueryDef.sql("q80_crosscorr", q80CrossCorr _, q80CrossCorrSql),
     QueryDef.sql("q81_changepoint", q81Changepoint _, q81ChangepointSql),
     QueryDef.sql("q84_windowed_kmv", q84WindowedKmv _, q84WindowedKmvSql),
+    QueryDef.sql("q89_time_to_convert", q89TimeToConvert _, q89TimeToConvertSql),
   )
 }

@@ -489,6 +489,34 @@ class Round7fSpec extends AnyFunSuite {
       "distinct terms must share a bucket at FeatureDim=16")
   }
 
+  test("q89 time-to-convert quantiles match a naive interval recomputation") {
+    val r = EventWindows.q89TimeToConvert(spark, dir).collect()(0)
+    val (n, p25, p50, p95) = (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")), col("event_id"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+    val byUser = e.groupBy(_._1)
+    val deltas = byUser.values.toSeq.flatMap { evs =>
+      val cs = evs.filter(_._2 == "click").map(_._3)
+      evs.filter(_._2 == "purchase").flatMap { p =>
+        val qual = cs.filter(c => c >= p._3 - 86400000000L && c <= p._3)
+        if (qual.isEmpty) None else Some((p._3 - qual.max).toDouble / 1000000.0)
+      }
+    }.sorted
+    assert(n == deltas.length && n > 0)
+    def quant(q: Double): Double = {
+      val pos = q * (deltas.length - 1)
+      val lo = deltas(pos.toInt)
+      val hi = deltas(math.min(pos.toInt + 1, deltas.length - 1))
+      math.round((lo + (pos - math.floor(pos)) * (hi - lo)) * 1e6) / 1e6
+    }
+    assert(math.abs(p25 - quant(0.25)) < 1e-9, s"p25 $p25 vs ${quant(0.25)}")
+    assert(math.abs(p50 - quant(0.5)) < 1e-9)
+    assert(math.abs(p95 - quant(0.95)) < 1e-9)
+    // monotone and inside the attribution window
+    assert(p25 <= p50 && p50 <= p95 && p95 <= 86400.0 && p25 >= 0.0)
+  }
+
   test("c79 split leakage matches an independent window recomputation") {
     val got = Curation.c79SplitLeakage(spark, dir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
