@@ -183,6 +183,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 1, s"count+sum value frames must ride one o_custkey exchange, got $n")
   }
 
+  test("q84 fan-out feeds ONE bounded-state aggregate exchange") {
+    // the sliding-window sketch must stay (fan-out → partial agg →
+    // final agg): a per-window sort/rank plan would defeat the O(k)
+    // state claim
+    val df = graft.operators.EventWindows.q84WindowedKmv(spark, dir)
+    val n = hashExchanges(df)
+    assert(n == 1, s"windowed kmv must plan one aggregate exchange, got $n")
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p
+    }
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"no rank window may appear in the sketch path:\n$plan")
+  }
+
+  test("q88 broadcasts the eval side — the train corpus is never shuffle-joined") {
+    val plan = physical(graft.operators.Similarity.q88KnnClassify(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"kNN scoring must scan the train corpus against a broadcast eval set:\n$plan")
+    assert(plan.contains("Broadcast"), s"eval queries must broadcast:\n$plan")
+  }
+
+  test("q89 pairs come from the bucketed equi-join — never a cartesian") {
+    val plan = physical(graft.operators.EventWindows.q89TimeToConvert(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"attribution pairs must ride the (user, bucket) equi-join:\n$plan")
+  }
+
   test("q82 adjacency joins broadcast — corner counting never plans a cartesian") {
     val plan = physical(graft.operators.Graph.q82ClusteringCoeff(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),

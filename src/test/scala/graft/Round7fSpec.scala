@@ -515,6 +515,11 @@ class Round7fSpec extends AnyFunSuite {
     assert(math.abs(p95 - quant(0.95)) < 1e-9)
     // monotone and inside the attribution window
     assert(p25 <= p50 && p50 <= p95 && p95 <= 86400.0 && p25 >= 0.0)
+    // cross-pin to q78: one delta per ATTRIBUTED purchase, so the
+    // conversion count must equal q78's total attributed purchases
+    val attributed = EventWindows.q78AttributionJoin(spark, dir).collect()
+      .map(_.getLong(2)).sum
+    assert(n == attributed, s"q89 n=$n vs q78 attributed=$attributed")
   }
 
   test("c79 split leakage matches an independent window recomputation") {
