@@ -15,11 +15,15 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Builder-side iteration aid: GRAFT_VERIFY_ONLY=q65,q66 dumps (and
     // lists oracle SQL for) just the named queries. The driver never sets
-    // it, so the gate always runs the full suite.
+    // it, so the gate always runs the full suite. Names match exactly; a
+    // trailing '*' opts into prefix matching ("q6" no longer silently
+    // selects q60–q69).
     val only = sys.env.get("GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def selected(name: String): Boolean =
-      only.forall(_.exists(p => name == p || name.startsWith(p)))
+      only.forall(_.exists { p =>
+        if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p
+      })
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

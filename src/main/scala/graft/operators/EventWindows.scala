@@ -744,9 +744,11 @@ object EventWindows {
        |  SELECT user_id, sid, COUNT(*) AS n_events,
        |    MAX(tus) - MIN(tus) AS dur_us
        |  FROM isl GROUP BY user_id, sid)
-       |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+       |SELECT user_id, COUNT(*) AS n_sessions,
+       |  CAST(SUM(n_events) AS BIGINT) AS n_events,
        |  MAX(n_events) AS max_session_events,
-       |  MAX(dur_us) AS max_session_dur_us, SUM(dur_us) AS active_us
+       |  MAX(dur_us) AS max_session_dur_us,
+       |  CAST(SUM(dur_us) AS BIGINT) AS active_us
        |FROM sess GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 

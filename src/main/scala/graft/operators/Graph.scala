@@ -107,7 +107,11 @@ object Graph {
          |  LEFT JOIN deg dg ON dg.node = e.src
          |  GROUP BY nodes.node)""".stripMargin
     }.mkString
-    base + iters + s"\nSELECT node, r FROM r$PrIters ORDER BY r DESC, node"
+    // DuckDB types the SUM-fed rank HUGEINT; the engine emits int64, so
+    // pin the oracle's output column to BIGINT (values are identical —
+    // rank mass is bounded by PrScale, far inside int64).
+    base + iters +
+      s"\nSELECT node, CAST(r AS BIGINT) AS r FROM r$PrIters ORDER BY r DESC, node"
   }
 
   // ---------------------------------------------------------------------

@@ -1419,8 +1419,10 @@ object Relational {
        |  SELECT o_custkey, island, COUNT(*) AS n_orders,
        |    MIN(start_day) AS s, MAX(end_day) AS e
        |  FROM isl GROUP BY o_custkey, island)
-       |SELECT o_custkey, SUM(n_orders) AS n_orders, COUNT(*) AS n_spans,
-       |  SUM(e - s) AS covered_days, MAX(e - s) AS longest_span_days
+       |SELECT o_custkey, CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+       |  COUNT(*) AS n_spans,
+       |  CAST(SUM(e - s) AS BIGINT) AS covered_days,
+       |  MAX(e - s) AS longest_span_days
        |FROM spans GROUP BY o_custkey
        |ORDER BY o_custkey""".stripMargin
 
@@ -1473,7 +1475,7 @@ object Relational {
       |    SUM(w) OVER (PARTITION BY l_returnflag) AS total_w
       |  FROM by_value)
       |SELECT l_returnflag, MIN(price_c) AS w_median_cents,
-      |  MAX(total_w) AS total_weight
+      |  CAST(MAX(total_w) AS BIGINT) AS total_weight
       |FROM cum WHERE cum_w * 2 >= total_w
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin

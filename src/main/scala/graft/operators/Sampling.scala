@@ -258,7 +258,7 @@ object Sampling {
        |  CASE WHEN ${PortableHash.h60Sql("doc_id")} < $TrainBound THEN 'train'
        |       WHEN ${PortableHash.h60Sql("doc_id")} < $ValBound THEN 'val'
        |       ELSE 'test' END AS split,
-       |  COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+       |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
        |FROM documents
        |GROUP BY 1, 2
        |ORDER BY source, split""".stripMargin

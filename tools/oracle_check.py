@@ -24,6 +24,24 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reindex(sorted(df.columns), axis=1)
 
 
+# DuckDB types SUM(BIGINT) as HUGEINT (int128); pandas then widens it to
+# float64 while Spark writes int64, so the driver's value hasher reads
+# "1500.0" vs "1500" and fails even though the values match. Five r07
+# queries shipped with exactly this latent failure because this mirror
+# used check_dtype=False. Flag any oracle whose DESCRIBE output carries a
+# 128-bit type: the fix is always CAST(... AS BIGINT) in the oracle SQL.
+BAD_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def hugeint_columns(con, sql: str):
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:
+        return []  # the main run will surface the real error
+    return [(c, t) for c, t, *_ in desc
+            if any(b in t.upper() for b in BAD_DUCK_TYPES)]
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -32,6 +50,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
     for name, sql in sorted(oracle.items()):
+        bad = hugeint_columns(con, sql)
+        if bad:
+            cols = ", ".join(f"{c} {t}" for c, t in bad)
+            print(f"FAIL {name}: oracle output types 128-bit ({cols}) — "
+                  f"the driver's hasher will read float vs Spark's int64; "
+                  f"CAST(... AS BIGINT) in the oracle SQL")
+            n_fail += 1
+            continue
         try:
             want = con.execute(sql).df()
         except Exception as e:
@@ -52,6 +78,17 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         if len(w) != len(g):
             print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            n_fail += 1
+            continue
+        # Driver-faithful typing gate: a pandas kind mismatch (int vs
+        # float vs object) is exactly what makes the driver's value
+        # hasher diverge on otherwise-equal frames.
+        kind_bad = [c for c in w.columns if w[c].dtype.kind != g[c].dtype.kind]
+        if kind_bad:
+            det = ", ".join(
+                f"{c}: duck {w[c].dtype} vs spark {g[c].dtype}"
+                for c in kind_bad)
+            print(f"FAIL {name}: dtype kind mismatch ({det})")
             n_fail += 1
             continue
         try:
