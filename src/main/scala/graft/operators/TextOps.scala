@@ -741,8 +741,14 @@ object TextOps {
         i => struct(try_element_at(toks, i).as("w1"),
           try_element_at(toks, i + lit(1)).as("w2"))),
       s => s.getField("w2").isNotNull)
+    // the exploded pair stream feeds BOTH the model's c2 aggregate and
+    // the scoring join — localCheckpoint materializes the compute-dense
+    // gram explosion once instead of twice (the d55/d57 shared-frame
+    // idiom). At cluster scale the same seam is a persisted shuffle or a
+    // cached staging table between the train and score passes.
     val pairs = d.select(col("doc_id"), explode(grams).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .localCheckpoint(true)
     // vocab size for smoothing — one corpus scalar (t59's nDocs precedent)
     val vocab = d.select(explode(toks).as("w")).agg(countDistinct(col("w")))
       .collect()(0).getLong(0)
@@ -901,9 +907,18 @@ object TextOps {
   // ---------------------------------------------------------------------
   def t63Normalize(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextFns.register(spark)
-    val dirty = concat_ws("", transform(toks, t => concat(
-      when(ascii(substring(md5(t), 1, 1)) % 2 === 0, upper(t)).otherwise(t),
-      when(ascii(substring(md5(t), 2, 1)) % 2 === 0, lit("  ")).otherwise(lit(" ")))))
+    // One md5 per token (not two): materialize the digest next to the
+    // token in an inner transform, then probe two bytes of it. Values are
+    // identical to the two-call form, so the oracle SQL is unchanged;
+    // this halves the dominant hash cost of the suite's most expensive
+    // scan-bound query.
+    val dirty = concat_ws("", transform(
+      transform(toks, t => struct(t.as("t"), md5(t).as("h"))),
+      s => concat(
+        when(ascii(substring(s("h"), 1, 1)) % 2 === 0, upper(s("t")))
+          .otherwise(s("t")),
+        when(ascii(substring(s("h"), 2, 1)) % 2 === 0, lit("  "))
+          .otherwise(lit(" ")))))
     docs(spark, dir)
       .withColumn("dirty", dirty)
       .select(col("doc_id"),
