@@ -332,7 +332,7 @@ object TextOps {
     * partial gram the Scala side emits (latent t55/t56/d49 divergence on
     * short docs; ADVICE r06).
     */
-  private[operators] def kgramsSql(k: Int): String =
+  private[graft] def kgramsSql(k: Int): String =
     s"list_transform(range(1, greatest(len(t) - ${k - 1}, 1) + 1), " +
       s"i -> array_to_string(t[i : i + ${k - 1}], ' '))"
 

@@ -391,6 +391,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(sorted.forall(_.getAs[Int]("overlap") > 0))
       assert(sorted.forall(_.getAs[Long]("doc_id") != q))
     }
+    // Coverage pin (ADVICE r06): the corpus is semi-joined to embeddings
+    // before the lexical stage, so every candidate is rankable by
+    // construction and no query comes back short of K because the
+    // re-rank join dropped an embedding-less candidate.
+    val perQuery = out.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length)
+    assert(perQuery.size == 5, s"expected 5 query groups, got ${perQuery.size}")
+    perQuery.foreach { case (q, n) =>
+      assert(n == 5, s"query $q returned $n results, expected K=5 — " +
+        "a candidate was dropped between the lexical and re-rank stages")
+    }
   }
 
   test("d48 semantic dedup: dominance rule holds and agrees with in-cell exact cosine") {

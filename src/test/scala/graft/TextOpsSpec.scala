@@ -94,6 +94,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(h(2L) == 0.1) // all-distinct doc: 1/10
   }
 
+  test("kgrams on sub-k-token docs: partial gram emitted, metrics total, SQL mirror clamps") {
+    import spark.implicits._
+    // The corpus never carries docs under 10 tokens, so the gate can't
+    // exercise the sub-k edge: a 1- or 2-token doc where kgrams' tail
+    // positions run off the array. concat_ws skips the nulls and emits
+    // the PARTIAL gram — the metrics must stay total (no null fractions)
+    // and the DuckDB mirror must agree, which it only does in the
+    // clamping list-slice form (the earlier `t[i] || ' ' || t[i+1]`
+    // NULL-propagated the whole gram; ADVICE r06).
+    val planted = Seq((1L, "a"), (2L, "a b")).toDF("doc_id", "text")
+    val m = TextOps.repetitionMetricsFrom(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Int]("n_tokens") == 1)
+    assert(m(1L).getAs[Double]("top_unigram_frac") == 1.0)
+    // one partial gram ("a"), fully distinct → duplication 0.0, not null
+    assert(m(1L).getAs[Double]("dup_bigram_frac") == 0.0)
+    assert(m(1L).getAs[Double]("dup_trigram_frac") == 0.0)
+    assert(m(2L).getAs[Int]("n_tokens") == 2)
+    assert(m(2L).getAs[Double]("top_unigram_frac") == 0.5)
+    assert(m(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    // k=3 over 2 tokens: the single partial gram "a b"
+    assert(m(2L).getAs[Double]("dup_trigram_frac") == 0.0)
+    // the mirror must stay in the clamping slice form — string-pin the
+    // template since DuckDB can't run inside this suite
+    val sql = TextOps.kgramsSql(3)
+    assert(sql.contains("array_to_string") && sql.contains(": i + 2]"),
+      s"kgramsSql must clamp via list-slice + array_to_string, got: $sql")
+    assert(!sql.contains("||"),
+      s"NULL-propagating concatenation reintroduced in kgramsSql: $sql")
+  }
+
   test("t56 boilerplate: df-filtered grams only, boiler_frac consistent with keep flag") {
     val rows = TextOps.t56Boilerplate(spark, dir).collect()
     assert(rows.nonEmpty)
