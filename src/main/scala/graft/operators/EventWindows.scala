@@ -650,10 +650,12 @@ object EventWindows {
         sum(col("vl") * col("vl")).as("syy"))
     val dn = col("n_pairs").cast(DoubleType)
     def d(c: String) = col(c).cast(DoubleType)
+    val (vx, vy) = (dn * d("sxx") - d("sx") * d("sx"),
+      dn * d("syy") - d("sy") * d("sy"))
+    // zero-variance guard (ADVICE r07), mirrored in the oracle SQL
     m.select(col("event_type"), col("lag"), col("n_pairs"),
-        ((dn * d("sxy") - d("sx") * d("sy")) /
-          sqrt((dn * d("sxx") - d("sx") * d("sx")) *
-               (dn * d("syy") - d("sy") * d("sy")))).as("acf"))
+        when(vx > 0 && vy > 0,
+          (dn * d("sxy") - d("sx") * d("sy")) / sqrt(vx * vy)).as("acf"))
       .orderBy(col("event_type"), col("lag"))
   }
 
@@ -678,12 +680,16 @@ object EventWindows {
        |    SUM(v * v) AS sxx, SUM(vl * vl) AS syy
        |  FROM pairs WHERE vl IS NOT NULL GROUP BY 1, 2)
        |SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
-       |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |  CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |        AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+       |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       |  THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        |  / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
        |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS acf
+       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS acf
        |FROM m
        |ORDER BY event_type, lag""".stripMargin
   }
@@ -857,10 +863,12 @@ object EventWindows {
         sum(col("y") * col("y")).as("syy"))
     val dn = col("n_pairs").cast(DoubleType)
     def d(c: String) = col(c).cast(DoubleType)
+    val (vx, vy) = (dn * d("sxx") - d("sx") * d("sx"),
+      dn * d("syy") - d("sy") * d("sy"))
+    // zero-variance guard (ADVICE r07), mirrored in the oracle SQL
     m.select(col("lag"), col("n_pairs"),
-        ((dn * d("sxy") - d("sx") * d("sy")) /
-          sqrt((dn * d("sxx") - d("sx") * d("sx")) *
-               (dn * d("syy") - d("sy") * d("sy")))).as("xcorr"))
+        when(vx > 0 && vy > 0,
+          (dn * d("sxy") - d("sx") * d("sy")) / sqrt(vx * vy)).as("xcorr"))
       .orderBy(col("lag"))
   }
 
@@ -887,12 +895,16 @@ object EventWindows {
        |    CAST(SUM(y * y) AS BIGINT) AS syy
        |  FROM pairs GROUP BY lag)
        |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
-       |  (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |  CASE WHEN CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+       |        AND CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+       |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+       |  THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
        |  / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
        |         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS xcorr
+       |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS xcorr
        |FROM m
        |ORDER BY lag""".stripMargin
 

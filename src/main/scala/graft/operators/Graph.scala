@@ -307,23 +307,29 @@ object Graph {
   private val KhopRounds = 3
 
   def q67KHopReach(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
     val (e, _, nodes) = projection(spark, dir)
     val seeds = nodes.where(col("node") % 500 === 0).localCheckpoint(true)
     var visited = seeds
     var frontier = seeds
-    val counts = scala.collection.mutable.ArrayBuffer[(Int, Long)](
-      (0, seeds.count()))
-    for (h <- 1 to KhopRounds) {
+    // Collect each round's frontier as a FRAME (not a driver count): the
+    // result is the lazy union of per-hop single-row aggregates — the
+    // same f0..f3 shape as the SQL oracle — so q67 keeps the declarative
+    // QueryDef contract the rest of the suite follows (ADVICE r07). The
+    // per-round localCheckpoints still bound lineage; an ungrouped agg
+    // emits its zero row even on an empty frontier, keeping the output
+    // total at any SF.
+    val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame](seeds)
+    for (_ <- 1 to KhopRounds) {
       frontier = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .localCheckpoint(true)
-      counts += ((h, frontier.count()))
+      frontiers += frontier
       visited = visited.union(frontier).localCheckpoint(true)
     }
-    counts.toSeq.toDF("hop", "n_new").orderBy(col("hop"))
+    frontiers.zipWithIndex.map { case (f, h) =>
+      f.agg(count(lit(1)).as("n_new")).select(lit(h).as("hop"), col("n_new"))
+    }.reduce(_ union _).orderBy(col("hop"))
   }
 
   val q67KHopReachSql: String = {

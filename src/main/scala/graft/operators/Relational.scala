@@ -1024,11 +1024,17 @@ object Relational {
     val Seq(dsx, dsy, dsxy, dsxx, dsyy) =
       Seq("sx", "sy", "sxy", "sxx", "syy").map(c => col(c).cast(DoubleType))
     val num = dn * dsxy - dsx * dsy
-    val slope = num / (dn * dsxx - dsx * dsx)
+    val varx = dn * dsxx - dsx * dsx
+    val vary = dn * dsyy - dsy * dsy
+    val slope = num / varx
+    // Zero-variance guard (ADVICE r07): a degenerate group (constant x
+    // or y) would divide by 0 into NaN/Inf, whose cross-engine
+    // serialization is not hash-stable — null the fit out instead, with
+    // the IDENTICAL double comparison mirrored in the oracle SQL.
     s.select(col("p_brand"), col("n"),
-        slope.as("slope"),
-        ((dsy - slope * dsx) / dn / lit(100.0)).as("intercept"),
-        (num * num / ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy))).as("r2"))
+        when(varx > 0, slope).as("slope"),
+        when(varx > 0, (dsy - slope * dsx) / dn / lit(100.0)).as("intercept"),
+        when(varx > 0 && vary > 0, num * num / (varx * vary)).as("r2"))
       .orderBy(col("p_brand"))
   }
 
@@ -1052,10 +1058,14 @@ object Relational {
       |    CAST(syy AS DOUBLE) AS dsyy
       |  FROM s)
       |SELECT p_brand, n,
-      |  (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) AS slope,
-      |  (dsy - (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) * dsx) / dn / 100.0 AS intercept,
-      |  (dn * dsxy - dsx * dsy) * (dn * dsxy - dsx * dsy)
-      |    / ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)) AS r2
+      |  CASE WHEN dn * dsxx - dsx * dsx > 0
+      |    THEN (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) END AS slope,
+      |  CASE WHEN dn * dsxx - dsx * dsx > 0
+      |    THEN (dsy - (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) * dsx) / dn / 100.0
+      |    END AS intercept,
+      |  CASE WHEN dn * dsxx - dsx * dsx > 0 AND dn * dsyy - dsy * dsy > 0
+      |    THEN (dn * dsxy - dsx * dsy) * (dn * dsxy - dsx * dsy)
+      |      / ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)) END AS r2
       |FROM d ORDER BY p_brand""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1088,7 +1098,10 @@ object Relational {
       val dn = col("n").cast(DoubleType)
       val (da, db, dab, daa, dbb) = (col(sa).cast(DoubleType), col(sb).cast(DoubleType),
         col(sab).cast(DoubleType), col(saa).cast(DoubleType), col(sbb).cast(DoubleType))
-      (dn * dab - da * db) / sqrt((dn * daa - da * da) * (dn * dbb - db * db))
+      val (va, vb) = (dn * daa - da * da, dn * dbb - db * db)
+      // zero-variance guard (ADVICE r07): constant feature → null, not
+      // NaN — identical comparison mirrored in the oracle SQL
+      when(va > 0 && vb > 0, (dn * dab - da * db) / sqrt(va * vb))
     }
     s.select(col("event_type"), col("n"),
         corr("sv", "sh", "svh", "svv", "shh").as("corr_value_hour"),
@@ -1120,9 +1133,15 @@ object Relational {
       |    CAST(svh AS DOUBLE) AS dvh, CAST(svd AS DOUBLE) AS dvd, CAST(shd AS DOUBLE) AS dhd
       |  FROM s)
       |SELECT event_type, n,
-      |  (dn * dvh - dv * dh) / sqrt((dn * dvv - dv * dv) * (dn * dhh - dh * dh)) AS corr_value_hour,
-      |  (dn * dvd - dv * dd) / sqrt((dn * dvv - dv * dv) * (dn * ddd - dd * dd)) AS corr_value_dow,
-      |  (dn * dhd - dh * dd) / sqrt((dn * dhh - dh * dh) * (dn * ddd - dd * dd)) AS corr_hour_dow
+      |  CASE WHEN dn * dvv - dv * dv > 0 AND dn * dhh - dh * dh > 0
+      |    THEN (dn * dvh - dv * dh)
+      |      / sqrt((dn * dvv - dv * dv) * (dn * dhh - dh * dh)) END AS corr_value_hour,
+      |  CASE WHEN dn * dvv - dv * dv > 0 AND dn * ddd - dd * dd > 0
+      |    THEN (dn * dvd - dv * dd)
+      |      / sqrt((dn * dvv - dv * dv) * (dn * ddd - dd * dd)) END AS corr_value_dow,
+      |  CASE WHEN dn * dhh - dh * dh > 0 AND dn * ddd - dd * dd > 0
+      |    THEN (dn * dhd - dh * dd)
+      |      / sqrt((dn * dhh - dh * dh) * (dn * ddd - dd * dd)) END AS corr_hour_dow
       |FROM d ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -1552,9 +1571,13 @@ object Relational {
         round(col("sa.est"), 4).as("est_a"),
         round(col("sb.est"), 4).as("est_b"),
         round(col("su.est"), 4).as("est_union"),
-        round(col("sa.est") + col("sb.est") - col("su.est"), 4).as("est_intersect"),
-        round((col("sa.est") + col("sb.est") - col("su.est")) / col("su.est"), 4)
-          .as("est_jaccard"))
+        // inclusion–exclusion can go slightly negative on sketch noise;
+        // clamp at 0 (mirrored in the oracle) so the output never admits
+        // an impossible negative cardinality (ADVICE r07)
+        round(greatest(lit(0.0), col("sa.est") + col("sb.est") - col("su.est")), 4)
+          .as("est_intersect"),
+        round(greatest(lit(0.0), col("sa.est") + col("sb.est") - col("su.est"))
+          / col("su.est"), 4).as("est_jaccard"))
   }
 
   val q77KmvSetOpsSql: String = {
@@ -1576,9 +1599,10 @@ object Relational {
        |  ROUND(${est("ska")}, 4) AS est_a,
        |  ROUND(${est("skb")}, 4) AS est_b,
        |  ROUND(${est("sku")}, 4) AS est_union,
-       |  ROUND(${est("ska")} + ${est("skb")} - ${est("sku")}, 4) AS est_intersect,
-       |  ROUND((${est("ska")} + ${est("skb")} - ${est("sku")}) / ${est("sku")}, 4)
-       |    AS est_jaccard""".stripMargin
+       |  ROUND(GREATEST(0.0, ${est("ska")} + ${est("skb")} - ${est("sku")}), 4)
+       |    AS est_intersect,
+       |  ROUND(GREATEST(0.0, ${est("ska")} + ${est("skb")} - ${est("sku")})
+       |    / ${est("sku")}, 4) AS est_jaccard""".stripMargin
   }
 
   // ---------------------------------------------------------------------

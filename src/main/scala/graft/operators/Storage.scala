@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -80,10 +80,19 @@ object Storage {
     val stats = df.agg(
       min(col(colA).cast("long")).as("__amin"), max(col(colA).cast("long")).as("__amax"),
       min(col(colB).cast("long")).as("__bmin"), max(col(colB).cast("long")).as("__bmax"))
+    // Grid cell in DECIMAL(38,0): the int64 form ((a - amin) * 256)
+    // overflows once the key range exceeds ~2^55 (ADVICE r07); decimal
+    // widening keeps the same floor-division values at every range.
+    // Columns are referenced as Column objects, not interpolated SQL, so
+    // non-identifier column names survive.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def grid(c: Column, mn: Column, mx: Column): Column =
+      floor(((c.cast("long") - mn).cast(dec) * lit(256)) /
+        ((mx - mn).cast(dec) + lit(1))).cast("long")
     df.crossJoin(broadcast(stats))
       .withColumn("__z", zorderKey(
-        expr(s"(($colA - __amin) * 256) div (__amax - __amin + 1)"),
-        expr(s"(($colB - __bmin) * 256) div (__bmax - __bmin + 1)"), bits = 8))
+        grid(col(colA), col("__amin"), col("__amax")),
+        grid(col(colB), col("__bmin"), col("__bmax")), bits = 8))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z", "__amin", "__amax", "__bmin", "__bmax")
