@@ -71,17 +71,42 @@ object RunningStats {
     * anti-pattern (SURVEY.md §2.4.2).
     */
   def kafkaWriter(stats: DataFrame, bootstrapServers: String, topic: String,
-                  checkpoint: String): DataStreamWriter[Row] =
-    kafkaWireWriter(toWire(stats), bootstrapServers, topic, checkpoint)
+                  checkpoint: String,
+                  idempotent: Boolean = true): DataStreamWriter[Row] =
+    kafkaWireWriter(toWire(stats), bootstrapServers, topic, checkpoint, idempotent)
+
+  /** Producer delivery profile (SURVEY §2.4.2 / §3.3). The reference ships
+    * `acks=all, retries=0` (`PROD:34-35`) — at-least-once *per send
+    * attempt*, droppable on any transient broker error. The engine default
+    * enables the idempotent producer instead: `enable.idempotence=true`
+    * implies `acks=all`, `retries=MAX_INT`, and in-flight sequencing, so a
+    * send survives transient errors with no duplicate and no reorder
+    * within a partition. Combined with the Update-mode keyed output
+    * (latest stats per key), a recovery replay of an uncommitted epoch
+    * re-sends the SAME (key, value) payloads — downstream keyed readers
+    * converge, the same discipline FileSinkReplaySpec machine-checks on
+    * the parquet sink. `idempotent = false` reproduces the reference's
+    * lossy profile for a byte-faithful comparison.
+    */
+  def producerOptions(idempotent: Boolean = true): Map[String, String] =
+    if (idempotent) Map(
+      "kafka.enable.idempotence" -> "true",
+      "kafka.acks" -> "all")
+    else Map(
+      "kafka.enable.idempotence" -> "false",
+      "kafka.acks" -> "all",
+      "kafka.retries" -> "0")
 
   /** As [[kafkaWriter]] but over an already-wire-shaped (key, value)
     * frame — shared by the declarative and fidelity paths.
     */
   def kafkaWireWriter(wire: DataFrame, bootstrapServers: String, topic: String,
-                      checkpoint: String): DataStreamWriter[Row] =
+                      checkpoint: String,
+                      idempotent: Boolean = true): DataStreamWriter[Row] =
     wire.writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
+      .options(producerOptions(idempotent))
       .option("topic", topic)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update())

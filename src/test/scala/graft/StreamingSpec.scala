@@ -111,6 +111,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(json.contains("\"" + f + "\""), s"missing field $f in $json")
   }
 
+  test("kafka producer profile: idempotent default, reference-lossy opt-in (K3)") {
+    val opts = RunningStats.producerOptions()
+    assert(opts("kafka.enable.idempotence") == "true")
+    assert(opts("kafka.acks") == "all")
+    // enable.idempotence implies retries=MAX_INT — pinning retries here
+    // would silently cap the idempotent producer's recovery
+    assert(!opts.contains("kafka.retries"))
+    val lossy = RunningStats.producerOptions(idempotent = false)
+    assert(lossy("kafka.enable.idempotence") == "false")
+    assert(lossy("kafka.retries") == "0" && lossy("kafka.acks") == "all",
+      "lossy profile must reproduce the reference's acks=all/retries=0 (PROD:34-35)")
+
+    // the profile must land on the writer, not just exist as a Map: the
+    // writer's option store is private, so scrape every Map-typed field
+    // off it reflectively and merge
+    def writerOptions(w: AnyRef): Map[String, String] = {
+      def fields(c: Class[_]): Seq[java.lang.reflect.Field] =
+        if (c == null) Seq.empty else c.getDeclaredFields.toSeq ++ fields(c.getSuperclass)
+      fields(w.getClass).flatMap { f =>
+        f.setAccessible(true)
+        f.get(w) match {
+          case m: scala.collection.Map[_, _] =>
+            m.collect { case (k: String, v: String) => k -> v }
+          case _ => Nil
+        }
+      }.toMap
+    }
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wire = MemoryStream[String].toDF()
+      .select(col("value").as("key"), col("value"))
+    val defaults = writerOptions(
+      RunningStats.kafkaWireWriter(wire, "b:9092", "t", "/tmp/ck"))
+    assert(defaults.get("kafka.enable.idempotence").contains("true"))
+    assert(defaults.get("kafka.acks").contains("all"))
+    val reference = writerOptions(
+      RunningStats.kafkaWireWriter(wire, "b:9092", "t", "/tmp/ck", idempotent = false))
+    assert(reference.get("kafka.retries").contains("0"))
+    assert(reference.get("kafka.enable.idempotence").contains("false"))
+  }
+
   test("per-batch wordcount resets between micro-batches (A1 semantics)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
