@@ -104,9 +104,11 @@ object StreamBench {
     */
   private def stageReplay(spark: org.apache.spark.sql.SparkSession,
                           sfDir: String, n: Int): String = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_replay").toString
-    spark.read.schema(Sources.rawEventsSchema).parquet(s"$sfDir/events.parquet")
+    // Tables.events normalizes either on-disk ts encoding (nanos-as-long
+    // or micros) to TimestampType, so the staged replay files are always
+    // TIMESTAMP(MICROS) regardless of the testdata generation
+    Tables.events(spark, sfDir)
       .repartitionByRange(n, col("ts"))
       .write.mode("overwrite").parquet(dir)
     s"$dir/part-*.parquet"

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided TPC-H-ish tables (`TESTDATA.md`).
   *
@@ -27,17 +27,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default. Read nanos as long and convert to
-    * a microsecond TimestampType with INTEGER division (`div`) — Spark's
-    * `/` on longs casts through double, and ~1.7e18 ns exceeds 2^53, so
-    * `floor(long / 1000)` silently loses low bits (~12.5% of values land
-    * 1 µs off DuckDB's exact ns→µs truncation).
+  /** events.parquet has stored `ts` two ways across testdata generations:
+    * INT64 TIMESTAMP(NANOS) (which Spark's parquet reader rejects unless
+    * read as long) and plain TIMESTAMP(MICROS). Branch on the RESOLVED
+    * type so both load to the same microsecond TimestampType:
+    *  - nanos-as-long → convert with INTEGER division (`div`): Spark's
+    *    `/` on longs casts through double, and ~1.7e18 ns exceeds 2^53,
+    *    so `floor(long / 1000)` silently loses low bits (~12.5% of values
+    *    land 1 µs off DuckDB's exact ns→µs truncation);
+    *  - micros (arrives as TIMESTAMP_NTZ) → cast to TimestampType, a
+    *    wall-clock no-op under the engine's fixed UTC session zone.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
-    raw.withColumn("ts", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

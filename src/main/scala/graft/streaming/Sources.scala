@@ -49,11 +49,15 @@ object Sources {
     raw.select(get_json_object(col("value").cast(StringType), "$.readTag_id").as("line"))
       .filter(col("line").isNotNull)
 
-  /** Raw on-disk events schema (ts = int64 nanos — see Tables.events). */
-  val rawEventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** Raw on-disk events schema, probed from the parquet footers (the file
+    * stream source needs an explicit schema). `ts` has been int64 nanos
+    * in one testdata generation and TIMESTAMP(MICROS) in another — see
+    * Tables.events; [[eventsStreamFrom]] branches on what it finds.
+    */
+  private def rawEventsSchema(spark: SparkSession, glob: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(glob).schema
+  }
 
   /** File-replay source: the events table as a stream (the test/bench
     * stand-in for the Kafka topic — event_type plays readTag_id,
@@ -71,13 +75,18 @@ object Sources {
     */
   def eventsStreamFrom(spark: SparkSession, glob: String,
                        maxFilesPerTrigger: Int = 1): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawEventsSchema)
+    val onDisk = rawEventsSchema(spark, glob)
+    val raw = spark.readStream
+      .schema(onDisk)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(glob)
-      // integer division (`div`): long/1000 via `/` casts through double
-      // and loses low bits above 2^53 — see Tables.events
-      .withColumn("ts", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
+    onDisk("ts").dataType match {
+      case LongType =>
+        // integer division (`div`): long/1000 via `/` casts through double
+        // and loses low bits above 2^53 — see Tables.events
+        raw.withColumn("ts", timestamp_micros(expr("CAST(ts AS BIGINT) div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Audits
+
+/** Semantics of the statistical-audit operators (q92 Benford, q93 basket
+  * association rules, q94 Gini). The DuckDB hash gate covers cross-engine
+  * equality; these specs pin the MEANING against naive driver-side
+  * recomputations and the closed-form invariants each statistic obeys.
+  */
+class AuditsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  test("q92 digit histogram sums to the scan count and freqs to ~1") {
+    val rows = Audits.q92Benford(spark, dir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == rows.map(_.getInt(0)).toSeq.sorted)
+    assert(rows.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 9))
+    val total = graft.Tables.lineitem(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    val obsSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(obsSum - 1.0) < 1e-4)
+    // expected Benford mass over the PRESENT digits only (all 9 appear
+    // in this data, so it is the full law and sums to ~1)
+    val expSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(expSum - 1.0) < 1e-4)
+    assert(rows.forall(_.getDouble(4) >= 0.0)) // chi2 parts non-negative
+  }
+
+  test("q92 digits match a naive recomputation") {
+    val naive = graft.Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice")).collect()
+      .map(r => r.getDouble(0).toLong.toString.head.asDigit)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Audits.q92Benford(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+  }
+
+  test("q93 rules match a naive pair count; lift/confidence arithmetic holds") {
+    val baskets = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val nOrders = byOrder.size.toLong
+    val itemN = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairN = byOrder.values.flatMap { parts =>
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= 2)
+    val got = Audits.q93BasketLift(spark, dir).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == pairN.keySet)
+    for (r <- got) {
+      val (a, b, nab, na, nb) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(a < b)
+      assert(nab == pairN((a, b)) && na == itemN(a) && nb == itemN(b))
+      assert(math.abs(r.getDouble(5) - nab.toDouble / na) < 1e-6)
+      assert(math.abs(r.getDouble(6) - nab.toDouble * nOrders / (na.toDouble * nb)) < 1e-6)
+    }
+    // ordered by lift desc with deterministic tie-break
+    val lifts = got.map(r => (-r.getDouble(6), r.getLong(0), r.getLong(1))).toSeq
+    assert(lifts == lifts.sorted)
+  }
+
+  test("q94 gini matches a naive rank-formula recomputation and is in [0,1)") {
+    val got = Audits.q94Gini(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val li = graft.Tables.lineitem(spark, dir)
+      .join(graft.Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(graft.Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(graft.Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((nation, rows) <- li.groupBy(_._1)) {
+      val perCust = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+        .sortBy { case (ck, cents) => (cents, ck) }.map(_._2)
+      val n = perCust.length
+      val sx = perCust.sum
+      val six = perCust.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+      val gini = 2.0 * six / (n * sx.toDouble) - (n + 1.0) / n
+      val (gn, grev, gg) = got(nation)
+      assert(gn == n, s"$nation n_cust")
+      assert(math.abs(grev - sx / 100.0) < 0.02, s"$nation total")
+      assert(math.abs(gg - gini) < 1e-6, s"$nation gini")
+      assert(gg >= 0.0 && gg < 1.0)
+    }
+    assert(got.keySet == li.map(_._1).toSet)
+  }
+}
