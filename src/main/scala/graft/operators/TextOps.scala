@@ -1356,6 +1356,112 @@ object TextOps {
        |GROUP BY 1, 2
        |ORDER BY doc_id, bucket""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t71: per-doc Shannon entropy (character- and token-level) + type-token
+  // ratio — the information-density quality signals (low char entropy ⇒
+  // repeated characters/boilerplate, low TTR ⇒ template text; standard
+  // pre-training filter features alongside t51's ratios).
+  //
+  // Algebra: H = log2(N) − Σ n·log2(n) / N over the per-doc symbol
+  // histogram — one explode + one hash agg per level, no per-symbol
+  // probability division, no window. Scale shape: rows after the explode
+  // are (doc, symbol) pairs — linear in corpus size, partitioned by the
+  // shuffle on (doc_id, symbol), then collapsed to one row per doc.
+  // ---------------------------------------------------------------------
+  private def entropyAgg(sym: Column): Column = {
+    // Σ n·log2 n and N from a per-(doc,symbol) count column `sym`
+    round(log2(sum(sym)) - sum(sym * log2(sym)) / sum(sym), 6)
+  }
+
+  def t71Entropy(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val chars = d
+      .select(col("doc_id"), explode(filter(split(col("text"), ""), c => c =!= "")).as("c"))
+      .groupBy(col("doc_id"), col("c")).agg(count(lit(1)).cast(DoubleType).as("n"))
+      .groupBy(col("doc_id")).agg(entropyAgg(col("n")).as("char_entropy"))
+    val toksPer = d
+      .select(col("doc_id"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).cast(DoubleType).as("n"))
+      .groupBy(col("doc_id")).agg(
+        entropyAgg(col("n")).as("token_entropy"),
+        round(count(lit(1)) / sum(col("n")), 6).as("ttr"))
+    chars.join(toksPer, "doc_id")
+      .select(col("doc_id"), col("char_entropy"), col("token_entropy"), col("ttr"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t71EntropySql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+      |  GROUP BY 1, 2),
+      |che AS (
+      |  SELECT doc_id, ROUND(log2(SUM(n)) - SUM(n * log2(n)) / SUM(n), 6) AS char_entropy
+      |  FROM ch GROUP BY doc_id),
+      |tk AS (
+      |  SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY 1, 2),
+      |tke AS (
+      |  SELECT doc_id,
+      |    ROUND(log2(SUM(n)) - SUM(n * log2(n)) / SUM(n), 6) AS token_entropy,
+      |    ROUND(COUNT(*) / SUM(n), 6) AS ttr
+      |  FROM tk GROUP BY doc_id)
+      |SELECT che.doc_id AS doc_id, char_entropy, token_entropy, ttr
+      |FROM che JOIN tke ON che.doc_id = tke.doc_id
+      |ORDER BY che.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // t72: RAG chunking — fixed token windows (W=32) with overlap
+  // (stride S=24), the retrieval-corpus preparation step. Chunk count and
+  // offsets are exact integer arithmetic on the token count; the chunk
+  // payload is carried as md5 of the reassembled window (the driver
+  // compare stays small; a real pipeline would keep the text column).
+  // Scale shape: pure per-row fan-out (posexplode of a computed range) —
+  // no shuffle at all until the output sort; chunks inherit the scan's
+  // partitioning, which is exactly what a 100 TB chunker wants.
+  // ---------------------------------------------------------------------
+  private val ChunkW = 32
+  private val ChunkS = 24
+
+  def t72Chunks(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), toks.as("tk"), size(toks).cast(LongType).as("n"))
+      .withColumn("nc",
+        when(col("n") <= ChunkW, lit(1L))
+          .otherwise(expr(s"(n - $ChunkW + $ChunkS - 1) div $ChunkS + 1")))
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * ChunkS)
+      .withColumn("n_tok", least(lit(ChunkW.toLong), col("n") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+        md5(concat_ws(" ",
+          slice(col("tk"), (col("start_tok") + 1).cast("int"), col("n_tok").cast("int"))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  val t72ChunksSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS tk,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, tk, n,
+       |    CASE WHEN n <= $ChunkW THEN 1
+       |         ELSE (n - $ChunkW + $ChunkS - 1) // $ChunkS + 1 END AS nc
+       |  FROM t),
+       |e AS (
+       |  SELECT doc_id, tk, n,
+       |    CAST(unnest(generate_series(0, nc - 1)) AS BIGINT) AS chunk_id
+       |  FROM c)
+       |SELECT doc_id, chunk_id, chunk_id * $ChunkS AS start_tok,
+       |  LEAST($ChunkW, n - chunk_id * $ChunkS) AS n_tok,
+       |  md5(array_to_string(
+       |    list_slice(tk, chunk_id * $ChunkS + 1,
+       |               chunk_id * $ChunkS + LEAST($ChunkW, n - chunk_id * $ChunkS)), ' ')) AS chunk_md5
+       |FROM e
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -1378,5 +1484,7 @@ object TextOps {
     QueryDef.sql("t68_bpe_merge", t68BpeMergeRound _, t68BpeMergeRoundSql),
     QueryDef.sql("t69_lang_confusion", t69LangConfusion _, t69LangConfusionSql),
     QueryDef.sql("t70_feature_hash", t70FeatureHash _, t70FeatureHashSql),
+    QueryDef.sql("t71_entropy", t71Entropy _, t71EntropySql),
+    QueryDef.sql("t72_chunks", t72Chunks _, t72ChunksSql),
   )
 }
