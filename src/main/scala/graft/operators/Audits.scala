@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 import graft.{QueryDef, Tables}
 
@@ -27,10 +27,18 @@ object Audits {
   // expected-frequency / chi-square arithmetic runs on the 9-row result.
   // ---------------------------------------------------------------------
   def q92Benford(spark: SparkSession, dir: String): DataFrame = {
-    val digits = Tables.lineitem(spark, dir)
+    val observed = Tables.lineitem(spark, dir)
       .select(substring(floor(col("l_extendedprice")).cast(LongType)
         .cast("string"), 1, 1).cast(IntegerType).as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    // every Benford cell contributes even at zero observed count — on a
+    // skewed input an absent digit is exactly the deviation the audit
+    // must flag, so the chi-square runs over all 9 cells, not just the
+    // digits that happened to appear (ADVICE r09)
+    val digits = spark.range(1, 10)
+      .select(col("id").cast(IntegerType).as("digit"))
+      .join(observed, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"))
     // total as a broadcast scalar, not an unpartitioned window: same
     // 9-row result, but no single-partition WindowExec in the plan
     digits
@@ -48,7 +56,11 @@ object Audits {
     """WITH d AS (
       |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
       |  FROM lineitem),
-      |h AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      |h0 AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+      |h AS (
+      |  SELECT g.digit, CAST(COALESCE(h0.n, 0) AS BIGINT) AS n
+      |  FROM (SELECT CAST(unnest(range(1, 10)) AS INT) AS digit) g
+      |  LEFT JOIN h0 ON g.digit = h0.digit),
       |t AS (SELECT h.*, CAST(SUM(n) OVER () AS BIGINT) AS tot FROM h)
       |SELECT digit, n,
       |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS obs_freq,
@@ -71,8 +83,12 @@ object Audits {
   private val MinSup = 2
 
   def q93BasketLift(spark: SparkSession, dir: String): DataFrame = {
+    // the basket frame feeds FOUR consumers (n, item, both self-join
+    // sides) — materialize the scan+distinct once instead of executing
+    // it per consumer (ADVICE r09; the d55/d57 shared-frame idiom)
     val b = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint()
     val n = b.select(countDistinct(col("l_orderkey")).as("n_orders"))
     val item = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
     val pairs = b.as("a").join(b.as("b"),
@@ -140,7 +156,11 @@ object Audits {
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
         sum(col("rev_cents")).as("sx"),
-        sum(col("i") * col("rev_cents")).as("six"))
+        // decimal accumulator: rank × cents products summed as LongType
+        // wrap past 2^63 around SF~1000 while the DuckDB oracle promotes
+        // to HUGEINT — a silent cross-engine divergence exactly at scale
+        // (ADVICE r09); DecimalType(38,0) holds the rank-mass sum exactly
+        sum((col("i") * col("rev_cents")).cast(DecimalType(38, 0))).as("six"))
       .select(col("n_name"), col("n_cust"),
         round(col("sx").cast(DoubleType) / 100.0, 2).as("total_rev"),
         round(lit(2.0) * col("six") / (col("n_cust") * col("sx").cast(DoubleType))
@@ -162,7 +182,7 @@ object Audits {
       |  JOIN nation ON c_nationkey = n_nationkey)
       |SELECT n_name, COUNT(*) AS n_cust,
       |  ROUND(CAST(CAST(SUM(rev_cents) AS BIGINT) AS DOUBLE) / 100.0, 2) AS total_rev,
-      |  ROUND(2.0 * CAST(SUM(i * rev_cents) AS BIGINT) / (COUNT(*) * CAST(CAST(SUM(rev_cents) AS BIGINT) AS DOUBLE))
+      |  ROUND(2.0 * SUM(CAST(i AS HUGEINT) * rev_cents) / (COUNT(*) * CAST(CAST(SUM(rev_cents) AS BIGINT) AS DOUBLE))
       |        - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
       |FROM ranked
       |GROUP BY n_name

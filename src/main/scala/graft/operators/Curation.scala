@@ -250,9 +250,19 @@ object Curation {
     val keepers = Dedup.dedupExact(
         docs.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
       .select(col("doc_id"))
+    // Materialize each gate frame ONCE behind a checkpoint before the
+    // survivor join (the d55/d57 shared-frame idiom): composed bare,
+    // Catalyst rewrites `filter(passes_gate)` into the metric arithmetic
+    // and pushes it through the repartition exchange onto the SCAN's
+    // partitioning — a single row group locally, so the per-doc n-gram
+    // work serialized into one 30 s task at sf0.1 (BASELINE.md round-10
+    // reconciliation). The checkpoint pins the compute to the gates' own
+    // 32-way plans; downstream sees only (doc_id, flag) pairs.
     val rep = TextOps.t55Metrics(spark, dir)
+      .select(col("doc_id"), col("passes_gate")).localCheckpoint()
       .filter(col("passes_gate") === 1).select(col("doc_id"))
     val boi = TextOps.t56Metrics(spark, dir)
+      .select(col("doc_id"), col("keep")).localCheckpoint()
       .filter(col("keep") === 1).select(col("doc_id"))
     val survivors = docs
       .select(col("doc_id"), col("source"),

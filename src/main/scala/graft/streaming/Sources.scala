@@ -55,9 +55,28 @@ object Sources {
     * Tables.events; [[eventsStreamFrom]] branches on what it finds.
     */
   private def rawEventsSchema(spark: SparkSession, glob: String): StructType = {
+    // nanosAsLong is session-wide on purpose: the streaming scan that
+    // later reads these files resolves footer types under the same conf
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(glob).schema
+    // an empty glob at stream-DEFINITION time (source dir populated after
+    // start — the normal file-stream deployment) must not be fatal: fall
+    // back to the int64-nanos generation's layout, the explicit schema
+    // this source always assumed before the probe existed (ADVICE r09)
+    try spark.read.parquet(glob).schema
+    catch { case _: org.apache.spark.sql.AnalysisException => fallbackEventsSchema }
   }
+
+  /** The driver testdata's original events layout (`TESTDATA.md`), with
+    * `ts` as raw int64 nanos — what [[eventsStreamFrom]] reads when the
+    * glob has no files yet to probe.
+    */
+  private val fallbackEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   /** File-replay source: the events table as a stream (the test/bench
     * stand-in for the Kafka topic — event_type plays readTag_id,

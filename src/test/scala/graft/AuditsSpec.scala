@@ -23,11 +23,33 @@ class AuditsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == total)
     val obsSum = rows.map(_.getDouble(2)).sum
     assert(math.abs(obsSum - 1.0) < 1e-4)
-    // expected Benford mass over the PRESENT digits only (all 9 appear
-    // in this data, so it is the full law and sums to ~1)
+    // all 9 Benford cells are always present (zero-count digits included
+    // since ADVICE r09), so the expected mass is the full law, ~1
+    assert(rows.length == 9)
     val expSum = rows.map(_.getDouble(3)).sum
     assert(math.abs(expSum - 1.0) < 1e-4)
     assert(rows.forall(_.getDouble(4) >= 0.0)) // chi2 parts non-negative
+  }
+
+  test("q92 emits zero-count cells: a digit the data never produces still contributes") {
+    // planted lineitem whose prices ALL lead with digit 1 — the exact
+    // skewed input where dropping absent cells would understate chi2
+    val d = java.nio.file.Files.createTempDirectory("graft-benford").toString
+    val s = spark; import s.implicits._
+    Seq(10.0, 11.5, 150.0, 1999.99, 12.0)
+      .toDF("l_extendedprice")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val rows = Audits.q92Benford(spark, d).collect()
+    assert(rows.length == 9, "all 9 Benford cells even when 8 digits are absent")
+    val byDigit = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byDigit(1).getLong(1) == 5L)
+    for (dig <- 2 to 9) {
+      assert(byDigit(dig).getLong(1) == 0L, s"digit $dig n")
+      assert(byDigit(dig).getDouble(2) == 0.0, s"digit $dig obs_freq")
+      // absent cell's chi2 part is tot·p_d — the full expected mass
+      val p = math.log10(1.0 + 1.0 / dig)
+      assert(math.abs(byDigit(dig).getDouble(4) - 5.0 * p) < 1e-4, s"digit $dig chi2")
+    }
   }
 
   test("q92 digits match a naive recomputation") {
