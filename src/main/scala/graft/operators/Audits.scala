@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
@@ -136,7 +135,10 @@ object Audits {
   // revenues contribute the same Σ i·x_i under any tie permutation, so
   // the coefficient is order-independent anyway. Shape: lineitem⋈orders
   // aggregates to one row per CUSTOMER before anything sorts — the
-  // window ranks |customers| rows per nation, never line items.
+  // Lorenz ranks cover |customers| rows per nation, never line items,
+  // and come from `rankByRange` (range-partitioned slices + broadcast
+  // offsets), so rank parallelism is the slice count, not |nations|
+  // (VERDICT r09 #7).
   // ---------------------------------------------------------------------
   def q94Gini(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
@@ -150,9 +152,8 @@ object Audits {
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("c_custkey"), col("rev_cents"))
-    val w = Window.partitionBy(col("n_name"))
-      .orderBy(col("rev_cents"), col("c_custkey"))
-    named.withColumn("i", row_number().over(w))
+    Relational.rankByRange(named, Seq("n_name"),
+        Seq(col("rev_cents"), col("c_custkey")), "i", "__n")
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
         sum(col("rev_cents")).as("sx"),

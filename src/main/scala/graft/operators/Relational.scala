@@ -638,6 +638,40 @@ object Relational {
       .select(col(grp) +: col("__n") +: res: _*)
   }
 
+  /** Exact per-group ranks by distributed rank — `rankQuantiles`' slice
+    * machinery exposed as a row-level operator: range-partition
+    * (group, order) into `parts` slices, rank slice-locally (a
+    * partition-bounded sort), add the broadcast slice offsets. Appends
+    * `rankName` (1-based dense row_number semantics under `orderCols`'
+    * total order) and `nName` (group size) to `df`; never plans the
+    * single-partition Window an unpartitioned `row_number`/`ntile`
+    * would. `partNames` empty = one global ranking; the offset/size side
+    * table stays bounded at `parts`·|groups| rows.
+    */
+  private[graft] def rankByRange(df: DataFrame, partNames: Seq[String],
+                                 orderCols: Seq[Column], rankName: String,
+                                 nName: String, parts: Int = 32): DataFrame = {
+    val partCols = partNames.map(col)
+    val sliced = df
+      .repartitionByRange(parts, partCols ++ orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val perSlice = sliced
+      .groupBy(col("__pid") +: partCols: _*).agg(count(lit(1)).as("__c"))
+    // bounded side table: `parts`·|groups| rows ranked by slice id
+    val wOff = Window.partitionBy(partCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perSlice
+      .withColumn("__off", coalesce(sum(col("__c")).over(wOff), lit(0L)))
+      .withColumn(nName, sum(col("__c")).over(Window.partitionBy(partCols: _*)))
+      .select(col("__pid") +: partCols :+ col("__off") :+ col(nName): _*)
+    sliced
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__pid") +: partCols: _*).orderBy(orderCols: _*)))
+      .join(broadcast(offs), "__pid" +: partNames)
+      .withColumn(rankName, col("__off") + col("__lrn"))
+      .drop("__pid", "__off", "__lrn", "__c")
+  }
+
   def q19Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val price = rankQuantiles(li, "l_returnflag", "l_extendedprice",
@@ -1675,31 +1709,33 @@ object Relational {
 
   // ---------------------------------------------------------------------
   // q83: decile / ratio-to-report analysis — bucket customers into spend
-  // deciles (ntile over the exact-cents spend total order) and report
-  // each decile's share of total revenue: the concentration table every
+  // deciles over the exact-cents spend total order and report each
+  // decile's share of total revenue: the concentration table every
   // revenue review starts from ("the top decile is 40% of revenue").
-  // ntile's bucket assignment is positional, defined only on a TOTAL
-  // order — the (spend DESC, custkey ASC) tie-break is load-bearing,
-  // same as q62's discipline. Spend and decile sums are exact cents;
-  // the share is ONE IEEE division of exact integers.
+  // The decile is equi-depth from the exact global rank —
+  // (rank−1)·10 div n + 1 — on the (spend DESC, custkey ASC) total
+  // order; the tie-break is load-bearing, same as q62's discipline.
+  // Spend and decile sums are exact cents; the share is ONE IEEE
+  // division of exact integers.
   //
-  // Scale: customer-sized aggregate, then a single global sort for the
-  // ntile — the honest cost of exact global ranking (q62's note applies:
-  // at extreme cardinality use range partitioning; Spark plans a single
-  // ordered partition here). The decile rollup and total are 10-row.
+  // Scale: customer-sized aggregate, then ranks via `rankByRange`
+  // (range-partitioned slices + broadcast offsets — q19's machinery),
+  // NOT an unpartitioned ntile: this was the suite's one unbounded
+  // single-task sort (VERDICT r09 #1). The report total rides a window
+  // over the 10-row decile rollup — bounded by construction, so the
+  // whole report is ONE pass over orders.
   // ---------------------------------------------------------------------
   def q83DecileReport(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .select(col("o_custkey"),
         floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
       .groupBy(col("o_custkey")).agg(sum(col("pc")).as("spend"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
-    val tot = spend.agg(sum(col("spend")).as("t"))
-    spend
-      .withColumn("decile", ntile(10).over(w).cast(LongType))
+    rankByRange(spend, Nil,
+        Seq(col("spend").desc, col("o_custkey").asc), "__rnk", "__n")
+      .withColumn("decile", expr("(__rnk - 1) * 10 div __n + 1").cast(LongType))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("decile_spend_c"))
-      .crossJoin(tot)
+      .withColumn("t", sum(col("decile_spend_c")).over(Window.partitionBy()))
       .select(col("decile"), col("n_customers"), col("decile_spend_c"),
         (col("decile_spend_c").cast(DoubleType) / col("t").cast(DoubleType))
           .as("spend_share"))
@@ -1714,8 +1750,8 @@ object Relational {
       |  FROM orders GROUP BY o_custkey),
       |decd AS (
       |  SELECT o_custkey, spend,
-      |    CAST(NTILE(10) OVER (ORDER BY spend DESC, o_custkey ASC) AS BIGINT)
-      |      AS decile
+      |    CAST((ROW_NUMBER() OVER (ORDER BY spend DESC, o_custkey ASC) - 1) * 10
+      |      // (COUNT(*) OVER ()) + 1 AS BIGINT) AS decile
       |  FROM spend),
       |tot AS (SELECT CAST(SUM(spend) AS BIGINT) AS t FROM spend)
       |SELECT decile, COUNT(*) AS n_customers,

@@ -219,4 +219,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"per-node triangles must come from the oriented intersection:\n$plan")
   }
+
+  test("q83/q94 ranks ride range-partitioned slices — no corpus-sized single-partition window") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val frames = Seq(
+      "q83" -> graft.operators.Relational.q83DecileReport(spark, dir),
+      "q94" -> graft.operators.Audits.q94Gini(spark, dir))
+    for ((name, df) <- frames) {
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p
+      }
+      assert(!plan.toString.contains("ntile("),
+        s"$name: the unpartitioned ntile must be gone (VERDICT r09 #1):\n$plan")
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$name: rank machinery expected in:\n$plan")
+      // every window is bounded: either its partition spec carries the
+      // slice id (__pid — a slice-local sort), or its subtree aggregates
+      // by __pid first (the parts-sized offset/report frame); a window
+      // straight over the customer frame satisfies neither
+      for (w <- windows) {
+        val slicePartitioned = w.partitionSpec.exists(_.references.exists(
+          _.name.startsWith("__pid")))
+        val overSliceAgg = w.child.collect { case h: BaseAggregateExec
+          if h.groupingExpressions.exists(_.name.startsWith("__pid")) => h
+        }.nonEmpty
+        assert(slicePartitioned || overSliceAgg,
+          s"$name: window must be slice-local or ride the bounded slice frame:\n$plan")
+      }
+    }
+  }
 }
