@@ -1373,6 +1373,29 @@ object TextOps {
     round(log2(sum(sym)) - sum(sym * log2(sym)) / sum(sym), 6)
   }
 
+  /** t71's metrics as a STATELESS per-row projection over any
+    * (doc_id, text) frame — the histogram lives in the row's own arrays
+    * (t55's `topCnt` idiom), so the SAME expression tree runs on a
+    * stream unchanged (StreamingSpec pins it; EntropyChunkSpec pins
+    * ≡ the batch explode+agg form). Per-row cost is O(distinct·n) in
+    * the doc's own length — fine as an ingest gate; the batch form
+    * keeps the explode+hash-agg shape for corpus passes.
+    */
+  private[graft] def entropyMetricsFrom(df: DataFrame): DataFrame = {
+    def ent(arr: Column): Column = {
+      val counts = transform(array_distinct(arr),
+        w => size(filter(arr, x => x === w)).cast(DoubleType))
+      val n = size(arr).cast(DoubleType)
+      round(log2(n) - aggregate(counts, lit(0.0),
+        (acc, c) => acc + c * log2(c)) / n, 6)
+    }
+    val chars = filter(split(col("text"), ""), c => c =!= "")
+    df.select(col("doc_id"),
+      ent(chars).as("char_entropy"),
+      ent(toks).as("token_entropy"),
+      round(size(array_distinct(toks)).cast(DoubleType) / size(toks), 6).as("ttr"))
+  }
+
   def t71Entropy(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val chars = d
@@ -1425,7 +1448,16 @@ object TextOps {
   private val ChunkS = 24
 
   def t72Chunks(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    chunksFrom(docs(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** t72's chunker over any (doc_id, text) frame, without the
+    * presentation sort: a stateless per-row fan-out (Generate), so the
+    * SAME tree chunks a stream in Append mode (StreamingSpec pins it) —
+    * the RAG-ingest path chunks documents as they arrive.
+    */
+  private[graft] def chunksFrom(df: DataFrame): DataFrame =
+    df
       .select(col("doc_id"), toks.as("tk"), size(toks).cast(LongType).as("n"))
       .withColumn("nc",
         when(col("n") <= ChunkW, lit(1L))
@@ -1438,7 +1470,6 @@ object TextOps {
         md5(concat_ws(" ",
           slice(col("tk"), (col("start_tok") + 1).cast("int"), col("n_tok").cast("int"))))
           .as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_id"))
 
   val t72ChunksSql: String =
     s"""WITH t AS (

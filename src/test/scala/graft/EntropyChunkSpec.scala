@@ -77,6 +77,24 @@ class EntropyChunkSpec extends AnyFunSuite {
     assert(math.abs(ch2 - naiveEntropy("p q r s".map(_.toString))) < 1e-5)
   }
 
+  test("t71 per-row stream form ≡ batch explode+agg form on the corpus") {
+    // same statistic, two shapes: the batch explode+hash-agg pass and the
+    // stateless per-row projection the streaming path runs; both round
+    // to 6 decimals, so they must agree within the rounding step
+    val agg = TextOps.t71Entropy(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val perRow = TextOps.entropyMetricsFrom(
+        Tables.documents(spark, dir).select("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(agg.keySet == perRow.keySet)
+    for ((id, (ch, tk, ttr)) <- agg) {
+      val (ch2, tk2, ttr2) = perRow(id)
+      assert(math.abs(ch - ch2) <= 1.1e-6, s"doc $id char_entropy")
+      assert(math.abs(tk - tk2) <= 1.1e-6, s"doc $id token_entropy")
+      assert(math.abs(ttr - ttr2) <= 1.1e-6, s"doc $id ttr")
+    }
+  }
+
   test("t72 chunks tile each doc gaplessly: stride-S starts, interior full-width, last closes at n") {
     val byDoc = TextOps.t72Chunks(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -97,6 +97,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("t71 entropy/TTR gate runs stateless on a stream, identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "aaaa"), // zero-entropy degenerate
+      (2L, "one two three four one two three four"),
+      (3L, "all tokens here are unique words"))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.entropyMetricsFrom(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("entropy_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      val streamed = spark.table("entropy_gate").collect().map(key).toMap
+      // identical per-row expression tree over the same rows in batch
+      val batch = graft.operators.TextOps.entropyMetricsFrom(
+        docs.toDF("doc_id", "text")).collect().map(key).toMap
+      assert(streamed == batch)
+      assert(streamed(1L)._1 == 0.0 && streamed(1L)._2 == 0.0) // degenerate
+      assert(streamed(2L)._3 == 0.5 && streamed(3L)._3 == 1.0) // TTR
+    } finally q.stop()
+  }
+
+  test("t72 chunker runs stateless on a stream, identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val long = (1 to 50).map(i => s"w$i").mkString(" ") // 50 toks -> 2 chunks
+    val docs = Seq((1L, "short doc"), (2L, long))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.chunksFrom(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4)))
+      val streamed = spark.table("chunks").collect().map(key).toMap
+      val batch = graft.operators.TextOps.chunksFrom(
+        docs.toDF("doc_id", "text")).collect().map(key).toMap
+      assert(streamed == batch)
+      assert(streamed.keySet == Set((1L, 0L), (2L, 0L), (2L, 1L)))
+      assert(streamed((2L, 1L))._2 == 26L) // last chunk: 50 - 24 tokens
+    } finally q.stop()
+  }
+
   test("wire payload has the reference's 10-field JSON shape") {
     import spark.implicits._
     val stats = RunningStats(
