@@ -263,10 +263,90 @@ object Sampling {
        |GROUP BY 1, 2
        |ORDER BY source, split""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t73/t74: deterministic corpus shuffle-shard — training-order
+  // randomization, the step t57's packing feeds: every epoch-0 data
+  // loader wants the corpus in a reproducible pseudo-random order, cut
+  // into K equal shards it can hand to K workers.
+  //
+  // "Random" = the engine's portable hash gadget over (doc_id, seed) —
+  // the shuffle is a pure function of (data, seed): re-runs, engine
+  // swaps, and partitioning changes reproduce the same permutation, and
+  // changing the seed is a fresh epoch order. The position comes from
+  // `rankByRange` (range-partitioned slices + broadcast offsets), NOT an
+  // unpartitioned row_number — the q83/q94 discipline — and the shard is
+  // pure integer arithmetic on that exact rank: (pos-1)·K div n, so
+  // shard sizes differ by at most one by construction.
+  //
+  // t74 is the per-shard MANIFEST the loader actually reads: exact
+  // [pos_lo, pos_hi] row ranges plus a bit_xor membership checksum — K
+  // rows regardless of corpus size. Scale: one scan, one range exchange;
+  // the manifest aggregate is map-side combined into K groups.
+  // ---------------------------------------------------------------------
+  private[operators] val ShuffleSeed = 42
+  private[operators] val ShuffleShards = 8
+
+  /** (doc_id, shuffle_pos, shard) for every document — shared by t73
+    * (the permutation itself) and t74 (its manifest).
+    */
+  private def shardAssign(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        PortableHash.h60(concat_ws(":", col("doc_id"), lit(ShuffleSeed))).as("__key"))
+    Relational.rankByRange(keyed, Nil,
+        Seq(col("__key").asc, col("doc_id").asc), "shuffle_pos", "__n")
+      .select(col("doc_id"), col("shuffle_pos"),
+        expr(s"(shuffle_pos - 1) * $ShuffleShards div __n").as("shard"))
+  }
+
+  def t73ShuffleShard(spark: SparkSession, dir: String): DataFrame =
+    shardAssign(spark, dir).orderBy(col("shuffle_pos"))
+
+  /** The hash-order CTE both oracles share. */
+  private val shardAssignSql: String =
+    s"""k AS (
+       |  SELECT doc_id,
+       |    ${PortableHash.h60Sql(s"doc_id || ':$ShuffleSeed'")} AS key
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    ROW_NUMBER() OVER (ORDER BY key, doc_id) AS shuffle_pos,
+       |    COUNT(*) OVER () AS n
+       |  FROM k),
+       |a AS (
+       |  SELECT doc_id, CAST(shuffle_pos AS BIGINT) AS shuffle_pos,
+       |    CAST((shuffle_pos - 1) * $ShuffleShards // n AS BIGINT) AS shard
+       |  FROM r)""".stripMargin
+
+  val t73ShuffleShardSql: String =
+    s"""WITH $shardAssignSql
+       |SELECT doc_id, shuffle_pos, shard FROM a
+       |ORDER BY shuffle_pos""".stripMargin
+
+  def t74ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardAssign(spark, dir)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("shuffle_pos")).as("pos_lo"),
+        max(col("shuffle_pos")).as("pos_hi"),
+        expr("bit_xor(doc_id)").as("doc_xor"))
+      .orderBy(col("shard"))
+
+  val t74ShardManifestSql: String =
+    s"""WITH $shardAssignSql
+       |SELECT shard, COUNT(*) AS n_docs,
+       |  MIN(shuffle_pos) AS pos_lo, MAX(shuffle_pos) AS pos_hi,
+       |  BIT_XOR(doc_id) AS doc_xor
+       |FROM a
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d46_stratified_sample", d46StratifiedSample _, d46StratifiedSampleSql),
     QueryDef.sql("d51_weighted_sample", d51WeightedSample _, d51WeightedSampleSql),
     QueryDef.sql("d52_mixture_sample", d52MixtureSample _, d52MixtureSampleSql),
     QueryDef.sql("d56_split_assign", d56SplitAssign _, d56SplitAssignSql),
+    QueryDef.sql("t73_shuffle_shard", t73ShuffleShard _, t73ShuffleShardSql),
+    QueryDef.sql("t74_shard_manifest", t74ShardManifest _, t74ShardManifestSql),
   )
 }
