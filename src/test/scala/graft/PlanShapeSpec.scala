@@ -226,7 +226,9 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.window.WindowExec
     val frames = Seq(
       "q83" -> graft.operators.Relational.q83DecileReport(spark, dir),
-      "q94" -> graft.operators.Audits.q94Gini(spark, dir))
+      "q94" -> graft.operators.Audits.q94Gini(spark, dir),
+      "t73" -> graft.operators.Sampling.t73ShuffleShard(spark, dir),
+      "t74" -> graft.operators.Sampling.t74ShardManifest(spark, dir))
     for ((name, df) <- frames) {
       val plan = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p
