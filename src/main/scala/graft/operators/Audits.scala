@@ -157,11 +157,14 @@ object Audits {
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_cust"),
         sum(col("rev_cents")).as("sx"),
-        // decimal accumulator: rank × cents products summed as LongType
-        // wrap past 2^63 around SF~1000 while the DuckDB oracle promotes
-        // to HUGEINT — a silent cross-engine divergence exactly at scale
-        // (ADVICE r09); DecimalType(38,0) holds the rank-mass sum exactly
-        sum((col("i") * col("rev_cents")).cast(DecimalType(38, 0))).as("six"))
+        // decimal accumulator: rank × cents summed as LongType wraps past
+        // 2^63 around SF~1000 while the DuckDB oracle promotes to HUGEINT
+        // — a silent cross-engine divergence exactly at scale (ADVICE
+        // r09). The rank is widened to decimal BEFORE the multiply
+        // (mirroring the oracle's CAST(i AS HUGEINT) * rev_cents): a cast
+        // applied to the product would still compute it in long and can
+        // wrap per-row at extreme rank×cents magnitudes (ADVICE r10)
+        sum(col("i").cast(DecimalType(38, 0)) * col("rev_cents")).as("six"))
       .select(col("n_name"), col("n_cust"),
         round(col("sx").cast(DoubleType) / 100.0, 2).as("total_rev"),
         round(lit(2.0) * col("six") / (col("n_cust") * col("sx").cast(DoubleType))

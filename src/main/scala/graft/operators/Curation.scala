@@ -257,12 +257,20 @@ object Curation {
     // partitioning — a single row group locally, so the per-doc n-gram
     // work serialized into one 30 s task at sf0.1 (BASELINE.md round-10
     // reconciliation). The checkpoint pins the compute to the gates' own
-    // 32-way plans; downstream sees only (doc_id, flag) pairs.
+    // 32-way plans; downstream sees only (doc_id, flag) pairs. Lazy
+    // (eager=false): no definition-time job, the gate runs with the
+    // first consumer and its (doc_id, flag) blocks are reused after.
+    // Tradeoff, both modes: localCheckpoint blocks are executor-local —
+    // an executor loss fails the job instead of recomputing. At 100 TB
+    // that trades re-running one job on rare node loss against every
+    // consumer recomputing the gates' n-gram arithmetic per query; for
+    // gate frames that are two orders smaller than the corpus, the
+    // frozen-blocks side wins (ADVICE r10).
     val rep = TextOps.t55Metrics(spark, dir)
-      .select(col("doc_id"), col("passes_gate")).localCheckpoint()
+      .select(col("doc_id"), col("passes_gate")).localCheckpoint(eager = false)
       .filter(col("passes_gate") === 1).select(col("doc_id"))
     val boi = TextOps.t56Metrics(spark, dir)
-      .select(col("doc_id"), col("keep")).localCheckpoint()
+      .select(col("doc_id"), col("keep")).localCheckpoint(eager = false)
       .filter(col("keep") === 1).select(col("doc_id"))
     val survivors = docs
       .select(col("doc_id"), col("source"),

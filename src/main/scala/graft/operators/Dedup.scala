@@ -663,6 +663,103 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d58: intra-corpus exact substring dedup — the span-level granularity
+  // between d47's fixed chunks and d40's whole documents (Lee et al.,
+  // "Deduplicating Training Data Makes Language Models Better": remove
+  // any ≥L-token substring that appears verbatim more than once in the
+  // corpus, keeping the first occurrence). Sliding L-token window hashes
+  // at EVERY alignment (d49's machinery, positions kept), elect the
+  // globally-first occurrence per hash (min (doc_id, pos) — d40/d47's
+  // auditable-keeper discipline), then merge each doc's non-first window
+  // positions into maximal token spans via the q72 interval-union idiom.
+  // Output: one row per maximal duplicated span — exactly the byte
+  // ranges a cleaning pass would cut.
+  //
+  // Scale shape: the corpus-sized shuffle carries ONLY (wh md5, doc_id,
+  // pos) — 32 hex chars + two longs per window, never text (the paper's
+  // suffix-array build is a single-machine design; window hashing is the
+  // shuffle-native equivalent and finds the same ≥L repeats, quantized
+  // to window alignment). The span merge windows by doc_id — per-doc
+  // bounded — and the interval union is the running-max form, never a
+  // buffered span list.
+  // ---------------------------------------------------------------------
+  private[operators] val SpanL = 10
+
+  /** Spans over any (doc_id, text) frame — the corpus entry point below
+    * plus the spec's planted-duplicate harness.
+    */
+  private[graft] def substringSpansFrom(df: DataFrame): DataFrame = {
+    val toks = df
+      .withColumn("t", tokens)
+      .filter(size(col("t")) >= SpanL) // full L-token windows only
+    val wins = toks.select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("t")) - (SpanL - 1)),
+          i => md5(concat_ws(" ",
+            (0 until SpanL).map(j => try_element_at(col("t"), i + lit(j))): _*)))))
+      .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
+        col("col").as("wh"))
+    val dup = wins
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("wh")).orderBy(col("doc_id").asc, col("pos").asc)))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + (SpanL - 1)).as("e"))
+    // q72 interval union, keyed per doc: a window starts a new island iff
+    // it begins past every preceding window's covered end + 1
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dup
+      .withColumn("ni",
+        (col("s") > coalesce(max(col("e")).over(wPrev), lit(-1L)) + 1).cast(LongType))
+      .withColumn("island", sum(col("ni")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  def d58SubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    substringSpansFrom(Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("text")))
+
+  val d58SubstringSpansSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |wins AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |    md5(array_to_string(t[i : i + ${SpanL - 1}], ' ')) AS wh
+       |  FROM toks, unnest(range(1, len(t) - $SpanL + 2)) AS u(i)),
+       |dup AS (
+       |  SELECT doc_id, pos AS s, pos + ${SpanL - 1} AS e FROM (
+       |    SELECT doc_id, pos,
+       |      ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+       |    FROM wins) x
+       |  WHERE rn > 1),
+       |isl AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+       |      THEN 1 ELSE 0 END AS ni
+       |  FROM dup),
+       |grp AS (
+       |  SELECT doc_id, s, e,
+       |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM isl)
+       |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
+       |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens,
+       |  COUNT(*) AS n_windows
+       |FROM grp
+       |GROUP BY doc_id, island
+       |ORDER BY doc_id, span_start""".stripMargin
+
+  // ---------------------------------------------------------------------
   // d50: edit-distance near-dup verification — the fuzzy-match verifier
   // the hash-family dedupers (d42/d43) can't express: candidate pairs
   // come from the SAME sub-quadratic minhash band join as d42, then each
@@ -1003,5 +1100,6 @@ object Dedup {
     QueryDef.sql("d54_bloom_semijoin", d54BloomSemiJoin _, d54BloomSemiJoinSql),
     QueryDef.sql("d55_prefix_filter_join", d55PrefixFilterJoin _, d41NgramJaccardSql),
     QueryDef.sql("d57_containment_join", d57ContainmentJoin _, d57ContainmentJoinSql),
+    QueryDef.sql("d58_substring_spans", d58SubstringSpans _, d58SubstringSpansSql),
   )
 }

@@ -597,11 +597,11 @@ object Relational {
     */
   private[graft] def rankQuantiles(df: DataFrame, grp: String, value: String,
                                    qs: Seq[(String, Double)],
-                                   parts: Int = 32): DataFrame = {
-    val slice = df.select(col(grp), col(value).cast(DoubleType).as("__v"))
-      .where(col("__v").isNotNull)
-      .repartitionByRange(parts, col(grp), col("__v"))
-      .withColumn("__pid", spark_partition_id())
+                                   parts: Int = 0): DataFrame = {
+    val slice = pinnedSlices(
+      df.select(col(grp), col(value).cast(DoubleType).as("__v"))
+        .where(col("__v").isNotNull),
+      Seq(col(grp), col("__v")), parts)
     // Tiny side table: slice start offset + group total per (pid, grp).
     val perSlice = slice.groupBy(col("__pid"), col(grp)).agg(count(lit(1)).as("__c"))
     val wOff = Window.partitionBy(col(grp)).orderBy(col("__pid"))
@@ -648,13 +648,37 @@ object Relational {
     * would. `partNames` empty = one global ranking; the offset/size side
     * table stays bounded at `parts`·|groups| rows.
     */
+  /** Range-slice a frame and freeze the slice assignment. Shared by
+    * [[rankQuantiles]] and [[rankByRange]], whose correctness depends on
+    * the offset side table and the ranked output seeing IDENTICAL slice
+    * boundaries: range-boundary sampling is seeded per physical exchange,
+    * so two independent executions of the same lineage may sample
+    * different boundaries — silent rank corruption, invisible at spec
+    * sizes where the sample is exhaustive. The lazy localCheckpoint pins
+    * one materialization both consumers read (exchange reuse is an
+    * optimization, not a contract). Blocks are executor-local: an
+    * executor loss fails the job instead of recomputing — the price of a
+    * frozen partitioning, same class as c72's gate frames.
+    *
+    * `parts <= 0` → size-adaptive: inherit the input's partition count,
+    * clamped to [32, 2048], so slice parallelism tracks data volume at
+    * 100× while the offset side table stays bounded (parts·|groups|
+    * rows) and tiny inputs still exercise multi-slice offsets.
+    */
+  private def pinnedSlices(df: DataFrame, sliceCols: Seq[Column],
+                           parts: Int): DataFrame = {
+    val nSlices = if (parts > 0) parts
+      else math.min(2048, math.max(32, df.rdd.getNumPartitions))
+    df.repartitionByRange(nSlices, sliceCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = false)
+  }
+
   private[graft] def rankByRange(df: DataFrame, partNames: Seq[String],
                                  orderCols: Seq[Column], rankName: String,
-                                 nName: String, parts: Int = 32): DataFrame = {
+                                 nName: String, parts: Int = 0): DataFrame = {
     val partCols = partNames.map(col)
-    val sliced = df
-      .repartitionByRange(parts, partCols ++ orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val sliced = pinnedSlices(df, partCols ++ orderCols, parts)
     val perSlice = sliced
       .groupBy(col("__pid") +: partCols: _*).agg(count(lit(1)).as("__c"))
     // bounded side table: `parts`·|groups| rows ranked by slice id

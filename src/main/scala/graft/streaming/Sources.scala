@@ -60,23 +60,37 @@ object Sources {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // an empty glob at stream-DEFINITION time (source dir populated after
     // start — the normal file-stream deployment) must not be fatal: fall
-    // back to the int64-nanos generation's layout, the explicit schema
-    // this source always assumed before the probe existed (ADVICE r09)
+    // back to the explicit events layout (ADVICE r09). ONLY the two
+    // nothing-to-probe conditions fall back — a corrupt footer or
+    // misconfigured path stays fatal rather than silently defining a
+    // wrong-schema stream (ADVICE r10)
     try spark.read.parquet(glob).schema
-    catch { case _: org.apache.spark.sql.AnalysisException => fallbackEventsSchema }
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(c =>
+            c == "PATH_NOT_FOUND" || c == "UNABLE_TO_INFER_SCHEMA") =>
+        fallbackEventsSchema(spark)
+    }
   }
 
-  /** The driver testdata's original events layout (`TESTDATA.md`), with
-    * `ts` as raw int64 nanos — what [[eventsStreamFrom]] reads when the
-    * glob has no files yet to probe.
+  /** Explicit events layout for a stream defined before any file exists
+    * to probe. Default = the CURRENT testdata generation: TIMESTAMP
+    * (MICROS), resolved as TIMESTAMP_NTZ the same way Tables.events sees
+    * it (ADVICE r10 — the previous int64-nanos default made late
+    * current-generation arrivals fail the long-vs-timestamp parquet
+    * conversion). Deployments replaying the legacy nanos generation set
+    * `graft.streaming.eventsFallback=nanos`.
     */
-  private val fallbackEventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def fallbackEventsSchema(spark: SparkSession): StructType = {
+    val nanos = spark.conf.get("graft.streaming.eventsFallback", "micros") == "nanos"
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", if (nanos) LongType else TimestampNTZType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+  }
 
   /** File-replay source: the events table as a stream (the test/bench
     * stand-in for the Kafka topic — event_type plays readTag_id,

@@ -636,12 +636,16 @@ class Round7fSpec extends AnyFunSuite {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
     val ordered = spend.sortBy { case (c, s) => (-s, c) }
     val total = spend.map(_._2).sum
-    // ntile semantics: earlier buckets absorb the remainder
-    val base = ordered.length / 10
-    val rem = ordered.length % 10
+    // equi-depth semantics: rank r lands in bucket (r−1)·10 div n + 1, so
+    // size_d = ceil(d·n/10) − ceil((d−1)·n/10) — remainder rows spread
+    // across buckets, NOT absorbed by the earliest ones (the old ntile
+    // widths only matched because |customers| was a multiple of 10 —
+    // ADVICE r10)
+    val n = ordered.length
+    def cut(d: Long): Int = ((d * n + 9) / 10).toInt
     var idx = 0
     for ((decile, nCust, dSpend, share) <- got) {
-      val width = base + (if (decile <= rem) 1 else 0)
+      val width = cut(decile) - cut(decile - 1)
       val mine = ordered.slice(idx, idx + width)
       idx += width
       assert(nCust == width, s"decile $decile size")

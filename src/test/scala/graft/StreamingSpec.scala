@@ -323,11 +323,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("events stream defines on an EMPTY glob and reads files that arrive later") {
+  /** Stage one single-file parquet write and move its part file to
+    * `dest` — a late arrival under an already-defined stream glob.
+    */
+  private def stageLateFile(df: DataFrame, dest: String): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-late-write").toString
+    df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/out"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst.get
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(dest))
+  }
+
+  test("events stream defines on an EMPTY glob and reads CURRENT-generation files") {
     // the normal file-stream deployment: the source dir is populated
     // AFTER the stream starts; stream definition must not require
-    // pre-existing files to probe (ADVICE r09 — falls back to the
-    // explicit int64-nanos schema)
+    // pre-existing files to probe (ADVICE r09), and the default fallback
+    // layout must match what the driver generates TODAY — TIMESTAMP
+    // (MICROS) stored as NTZ, like Tables.events resolves (ADVICE r10)
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-empty-glob").toString
     val stream = Sources.eventsStreamFrom(spark, s"$d/*.parquet") // must not throw
@@ -337,22 +349,43 @@ class StreamingSpec extends AnyFunSuite {
     try {
       q.processAllAvailable()
       assert(spark.table("late_files").count() == 0, "no files yet, no rows")
-      // a file arrives in the fallback generation's layout (raw int64 ns)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-late-write").toString
-      Seq((1L, 3600L * 1000 * 1000 * 1000, 7L, "click", 1.5, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/out")
-      val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/out"))
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).findFirst.get
-      java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$d/ev1.parquet"))
+      stageLateFile(
+        Seq((1L, 7L, "click", 1.5, "{}"))
+          .toDF("event_id", "user_id", "event_type", "value", "props")
+          .withColumn("ts", timestamp_micros(lit(3600L * 1000 * 1000))
+            .cast(org.apache.spark.sql.types.TimestampNTZType))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props"),
+        s"$d/ev1.parquet")
       q.processAllAvailable()
       val rows = spark.table("late_files").collect()
       assert(rows.length == 1)
       val r = rows.head
       assert(r.getAs[Long]("event_id") == 1L)
       assert(r.getAs[String]("event_type") == "click" && r.getAs[Double]("value") == 1.5)
-      // 3.6e12 ns → 3600 s epoch through the ns→µs integer-division path
       assert(r.getAs[java.sql.Timestamp]("ts").toInstant.getEpochSecond == 3600L)
+    } finally q.stop()
+  }
+
+  test("nanos-generation replay still works behind the fallback conf") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-empty-glob-ns").toString
+    spark.conf.set("graft.streaming.eventsFallback", "nanos")
+    val stream =
+      try Sources.eventsStreamFrom(spark, s"$d/*.parquet")
+      finally spark.conf.unset("graft.streaming.eventsFallback")
+    val q = stream.select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .writeStream.format("memory").queryName("late_files_ns")
+      .outputMode("append").start()
+    try {
+      stageLateFile(
+        Seq((1L, 3600L * 1000 * 1000 * 1000, 7L, "click", 1.5, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        s"$d/ev1.parquet")
+      q.processAllAvailable()
+      val rows = spark.table("late_files_ns").collect()
+      assert(rows.length == 1)
+      // 3.6e12 ns → 3600 s epoch through the ns→µs integer-division path
+      assert(rows.head.getAs[java.sql.Timestamp]("ts").toInstant.getEpochSecond == 3600L)
     } finally q.stop()
   }
 
