@@ -1493,6 +1493,165 @@ object TextOps {
        |FROM e
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t75/t76: learned quality gate — the CCNet-style classifier pass
+  // (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+  // Datasets from Web Crawl Data"): a linear model over per-doc
+  // features replaces the hand-tuned t51 combination. t75 is INFERENCE
+  // — fixed public weights, one projection over the corpus, no shuffle
+  // before the output sort — and t76 is one full-batch logistic
+  // gradient step against t51-derived labels (distant supervision: the
+  // learned gate starts from the heuristic it will replace), the q56
+  // sum-of-moments discipline applied to a classifier.
+  //
+  // Cross-engine determinism: the five features are exact rational
+  // arithmetic (IEEE-identical in both engines, the t51 precedent), the
+  // margin z is a fixed-order weighted sum of them, and the one
+  // transcendental (the sigmoid) is SNAPPED to integer nano-units
+  // (floor(σ·1e9 + .5) — the t54/t61 ln discipline; σ ≤ 1 so the 1e-16
+  // wobble is 1e-7 nano-units). t76's gradient Σ(σ−y)·x is summed
+  // EXACTLY: snapped residual (int nanos) × snapped feature (int
+  // micros) accumulated in Decimal(38,0)/HUGEINT — bit-identical under
+  // any partitioning or order, no double sum anywhere.
+  //
+  // Scale: t75 is scan-shaped (per-row projection). t76 is one
+  // map-side-combined aggregate to a single |features|-width row,
+  // unpivoted to |features|+1 output rows — gradient state is
+  // feature-count-sized, never corpus-sized, which is why one step of
+  // the 100 TB corpus is just one pass (and more steps are the same
+  // pass repeated off the cached feature frame).
+  // -------------------------------------------------------------------
+  private[operators] val QcFeatures: Seq[String] =
+    Seq("len_sat", "punct_ratio", "stop_ratio", "ttr", "mean_tok_len")
+  private[operators] val QcWeights: Map[String, Double] = Map(
+    "len_sat" -> 2.0, "punct_ratio" -> -4.0, "stop_ratio" -> 3.0,
+    "ttr" -> 1.5, "mean_tok_len" -> 0.2)
+  // bias centers the decision boundary on the corpus z-median (~1.9 at
+  // every gated SF) so the gate separates rather than rubber-stamps
+  private[operators] val QcBias = -2.9
+  private[operators] val QcW0: Map[String, Double] = Map(
+    "len_sat" -> 1.0, "punct_ratio" -> -1.0, "stop_ratio" -> 1.0,
+    "ttr" -> 1.0, "mean_tok_len" -> 0.0)
+  private[operators] val QcB0 = 0.0
+  private[operators] val QcEta = 0.5
+
+  /** Per-doc feature projection shared by t75/t76 — exact rational
+    * arithmetic only (counts and their ratios).
+    */
+  private def qcFeatureFrame(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(col("doc_id"), col("text"),
+      least(lit(1.0), size(toks) / lit(100.0)).as("len_sat"),
+      (regexp_count(col("text"), lit("[^a-z0-9 ]")) / length(col("text")))
+        .as("punct_ratio"),
+      (langScore("en") / size(toks)).as("stop_ratio"),
+      (size(array_distinct(toks)) / size(toks)).as("ttr"),
+      ((length(col("text")) - (size(toks) - 1)) / size(toks)).as("mean_tok_len"))
+
+  private val qcFeatureSqls: Map[String, String] = Map(
+    "len_sat" -> "least(1.0, len(string_split(text, ' ')) / 100.0)",
+    "punct_ratio" -> "len(regexp_extract_all(text, '[^a-z0-9 ]')) / length(text)",
+    "stop_ratio" -> s"${langScoreSql("en")} / len(string_split(text, ' '))",
+    "ttr" -> "len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))",
+    "mean_tok_len" ->
+      "(length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' '))")
+
+  /** Fixed-order weighted sum b + Σ wᵢ·xᵢ — the fold order IS the
+    * cross-engine contract (float addition does not reassociate).
+    */
+  private def qcMargin(ws: Map[String, Double], b: Double): Column =
+    QcFeatures.foldLeft(lit(b): Column)((acc, f) => acc + lit(ws(f)) * col(f))
+
+  private def qcMarginSql(ws: Map[String, Double], b: Double): String =
+    QcFeatures.foldLeft(b.toString)((acc, f) => s"($acc + ${ws(f)} * $f)")
+
+  /** σ(z) snapped to integer nano-units. */
+  private def sigmoidN9(z: Column): Column =
+    floor(lit(1.0) / (lit(1.0) + exp(-z)) * lit(1e9) + lit(0.5)).cast(LongType)
+
+  private def sigmoidN9Sql(z: String): String =
+    s"CAST(floor(1.0 / (1.0 + exp(-($z))) * 1000000000.0 + 0.5) AS BIGINT)"
+
+  def t75QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qcFeatureFrame(spark, dir)
+      .withColumn("z", qcMargin(QcWeights, QcBias))
+      .select(col("doc_id") +: QcFeatures.map(col) :+
+        col("z") :+ sigmoidN9(col("z")).as("score_n9") :+
+        (col("z") >= 0).cast(LongType).as("keep"): _*)
+      .orderBy(col("doc_id"))
+
+  val t75QualityClassifierSql: String = {
+    val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |$featCols
+       |  FROM documents),
+       |z AS (
+       |  SELECT *, ${qcMarginSql(QcWeights, QcBias)} AS z FROM f)
+       |SELECT doc_id, ${QcFeatures.mkString(", ")}, z,
+       |  ${sigmoidN9Sql("z")} AS score_n9,
+       |  CAST(z >= 0 AS BIGINT) AS keep
+       |FROM z
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  def t76QualityGradStep(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = qcFeatureFrame(spark, dir)
+      .withColumn("y", (qualityScoreExpr >= 0.5).cast(LongType))
+      .withColumn("z0", qcMargin(QcW0, QcB0))
+      // residual in exact int nanos; features in exact int micros
+      .withColumn("r9", sigmoidN9(col("z0")) - col("y") * lit(1000000000L))
+    val snapped = QcFeatures.foldLeft(labeled)((df, f) =>
+      df.withColumn(s"x6_$f", floor(col(f) * lit(1e6) + lit(0.5)).cast(LongType)))
+    val aggs = sum(col("r9").cast(DecimalType(38, 0))).as("gnum_bias") +:
+      QcFeatures.map(f => sum(col("r9").cast(DecimalType(38, 0)) * col(s"x6_$f"))
+        .as(s"gnum_$f"))
+    val agg = snapped.agg(count(lit(1)).as("n"), aggs: _*)
+    // unpivot the one gradient row to (feature, w0, grad, w1)
+    val rows = struct(lit("bias").as("feature"), lit(QcB0).as("w0"),
+        round(col("gnum_bias").cast(DoubleType) / (lit(1e9) * col("n")), 6).as("grad")) +:
+      QcFeatures.map(f => struct(lit(f).as("feature"), lit(QcW0(f)).as("w0"),
+        round(col(s"gnum_$f").cast(DoubleType) / (lit(1e15) * col("n")), 6).as("grad")))
+    agg.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.feature"), col("r.w0"), col("r.grad"),
+        round(col("r.w0") - lit(QcEta) * col("r.grad"), 6).as("w1"))
+      .orderBy(col("feature"))
+  }
+
+  val t76QualityGradStepSql: String = {
+    val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
+    val snapCols = QcFeatures.map(f =>
+      s"    CAST(floor($f * 1000000.0 + 0.5) AS BIGINT) AS x6_$f").mkString(",\n")
+    val gnums = s"    SUM(CAST(r9 AS HUGEINT)) AS gnum_bias" +:
+      QcFeatures.map(f => s"    SUM(CAST(r9 AS HUGEINT) * x6_$f) AS gnum_$f")
+    val branches = Seq(
+      s"SELECT 'bias' AS feature, CAST($QcB0 AS DOUBLE) AS w0, " +
+        s"ROUND(CAST(gnum_bias AS DOUBLE) / (1e9 * n), 6) AS grad FROM g") ++
+      QcFeatures.map(f =>
+        s"SELECT '$f', CAST(${QcW0(f)} AS DOUBLE), " +
+          s"ROUND(CAST(gnum_$f AS DOUBLE) / (1e15 * n), 6) FROM g")
+    s"""WITH f AS (
+       |  SELECT doc_id, text,
+       |$featCols
+       |  FROM documents),
+       |lab AS (
+       |  SELECT *, CAST($qualityScoreSqlExpr >= 0.5 AS BIGINT) AS y,
+       |    ${qcMarginSql(QcW0, QcB0)} AS z0
+       |  FROM f),
+       |r AS (
+       |  SELECT *, ${sigmoidN9Sql("z0")} - y * 1000000000 AS r9,
+       |$snapCols
+       |  FROM lab),
+       |g AS (
+       |  SELECT COUNT(*) AS n,
+       |${gnums.mkString(",\n")}
+       |  FROM r),
+       |u AS (
+       |  ${branches.mkString("\n  UNION ALL ")})
+       |SELECT feature, w0, grad, ROUND(w0 - $QcEta * grad, 6) AS w1
+       |FROM u
+       |ORDER BY feature""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -1517,5 +1676,7 @@ object TextOps {
     QueryDef.sql("t70_feature_hash", t70FeatureHash _, t70FeatureHashSql),
     QueryDef.sql("t71_entropy", t71Entropy _, t71EntropySql),
     QueryDef.sql("t72_chunks", t72Chunks _, t72ChunksSql),
+    QueryDef.sql("t75_quality_classifier", t75QualityClassifier _, t75QualityClassifierSql),
+    QueryDef.sql("t76_quality_grad_step", t76QualityGradStep _, t76QualityGradStepSql),
   )
 }
