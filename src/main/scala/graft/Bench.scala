@@ -53,7 +53,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // stdout is interleaved with sbt [info] noise; the file copy gives the
     // driver a parse target that can't miss

@@ -39,17 +39,32 @@ object StreamBench {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     var rows = 0L
     val epochMs = ArrayBuffer[Double]()
+    // per-stage duration samples (addBatch, getBatch, latestOffset,
+    // queryPlanning, walCommit, commitOffsets, ...) for the envelope
+    // attribution protocol (GRAFT_STREAM_PROFILE)
+    val stageMs = scala.collection.mutable.Map[String, ArrayBuffer[Double]]()
     override def onQueryStarted(e: QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: QueryProgressEvent): Unit =
       if (e.progress.numInputRows > 0) synchronized {
         rows += e.progress.numInputRows
         epochMs += e.progress.durationMs.getOrDefault("triggerExecution", 0L).toDouble
+        e.progress.durationMs.forEach((k, v) =>
+          stageMs.getOrElseUpdate(k, ArrayBuffer[Double]()) += v.toDouble)
       }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   }
 
   private case class RunStats(rows: Long, epochMs: Seq[Double],
-                              wallSec: Double) {
+                              wallSec: Double,
+                              stageMs: Map[String, Seq[Double]] = Map.empty) {
+    /** p50 per stage, sorted by descending cost — the attribution line. */
+    def stageP50Json: String = stageMs.toSeq
+      .map { case (k, vs) =>
+        val s = vs.sorted
+        k -> s(math.min(s.size - 1, math.max(0, math.ceil(0.5 * s.size).toInt - 1)))
+      }
+      .sortBy(-_._2)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     def epochs: Int = epochMs.size
     // nearest-rank percentile: index = ceil(p·n) − 1 (so p50 of 8 values
     // is the 4th, not the 5th)
@@ -86,9 +101,11 @@ object StreamBench {
       Thread.sleep(100); prev = cur; cur = totals.synchronized(totals.rows); spins += 1
     }
     spark.streams.removeListener(totals)
-    val (rows, ms) = totals.synchronized((totals.rows, totals.epochMs.toSeq))
+    val (rows, ms, st) = totals.synchronized(
+      (totals.rows, totals.epochMs.toSeq,
+        totals.stageMs.view.mapValues(_.toSeq).toMap))
     q.stop()
-    RunStats(rows, ms, elapsed)
+    RunStats(rows, ms, elapsed, st)
   }
 
   /** Warm-up replay (discarded) then the measured one. */
@@ -149,6 +166,12 @@ object StreamBench {
       s""""join_rows_per_sec":${join.rowsPerSec},""" +
       s""""join_p50_epoch_ms":${join.p50},"join_p95_epoch_ms":${join.p95},""" +
       s""""sf":"$sfDir"}""")
+    // opt-in per-stage p50 breakdown (BASELINE envelope attribution) on a
+    // separate metric line so the driver's primary-line parse is untouched
+    if (sys.env.contains("GRAFT_STREAM_PROFILE"))
+      println(s"""{"metric":"stream_stage_p50_ms",""" +
+        s""""decl":${decl.stageP50Json},"fidelity":${fid.stageP50Json},""" +
+        s""""join":${join.stageP50Json}}""")
     spark.stop()
   }
 }

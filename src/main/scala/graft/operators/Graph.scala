@@ -169,15 +169,14 @@ object Graph {
 
   /** Sorted out-neighborhood per oriented source — node-sized (Σ outdeg =
     * m longs total); shared by q66 (triangle total) and q82 (per-node
-    * counts / clustering coefficients). Materialized once: both callers
-    * broadcast it TWICE (u-side and v-side of the edge), and without the
-    * checkpoint each broadcast exchange re-runs the collect_list
-    * aggregation over the edge set (r11 double-run profile: the adj
-    * build appeared twice in q66's cold stage list).
+    * counts / clustering coefficients). NOT checkpointed: the u-side and
+    * v-side broadcasts differ only in output aliases, which canonicalize
+    * away, so ReuseExchange ships ONE broadcast build (measured r11: an
+    * eager checkpoint here cost q66 +2.3 s warm by adding a
+    * materialization job the reuse had already made redundant).
     */
   private def orientedAdjacency(or: DataFrame): DataFrame =
     or.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs"))
-      .localCheckpoint(true)
 
   def q66Triangles(spark: SparkSession, dir: String): DataFrame = {
     val (und, or) = orientedCoPurchase(spark, dir)
