@@ -1536,10 +1536,12 @@ object TextOps {
   private[operators] val QcEta = 0.5
 
   /** Per-doc feature projection shared by t75/t76 — exact rational
-    * arithmetic only (counts and their ratios).
+    * arithmetic only (counts and their ratios). Stateless per-row, so
+    * the SAME expression tree scores a STREAM unchanged (the
+    * t55/t71/t72 ingest-gate pattern; StreamingSpec pins it).
     */
-  private def qcFeatureFrame(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir).select(col("doc_id"), col("text"),
+  private[graft] def qcFeaturesFrom(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("text"),
       least(lit(1.0), size(toks) / lit(100.0)).as("len_sat"),
       (regexp_count(col("text"), lit("[^a-z0-9 ]")) / length(col("text")))
         .as("punct_ratio"),
@@ -1571,13 +1573,18 @@ object TextOps {
   private def sigmoidN9Sql(z: String): String =
     s"CAST(floor(1.0 / (1.0 + exp(-($z))) * 1000000000.0 + 0.5) AS BIGINT)"
 
-  def t75QualityClassifier(spark: SparkSession, dir: String): DataFrame =
-    qcFeatureFrame(spark, dir)
+  /** Scored-but-unsorted form: runs on batch OR stream (Append mode —
+    * no state, no watermark needed).
+    */
+  private[graft] def qualityScoresFrom(df: DataFrame): DataFrame =
+    qcFeaturesFrom(df)
       .withColumn("z", qcMargin(QcWeights, QcBias))
       .select(col("doc_id") +: QcFeatures.map(col) :+
         col("z") :+ sigmoidN9(col("z")).as("score_n9") :+
         (col("z") >= 0).cast(LongType).as("keep"): _*)
-      .orderBy(col("doc_id"))
+
+  def t75QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityScoresFrom(docs(spark, dir)).orderBy(col("doc_id"))
 
   val t75QualityClassifierSql: String = {
     val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
@@ -1595,7 +1602,7 @@ object TextOps {
   }
 
   def t76QualityGradStep(spark: SparkSession, dir: String): DataFrame = {
-    val labeled = qcFeatureFrame(spark, dir)
+    val labeled = qcFeaturesFrom(docs(spark, dir))
       .withColumn("y", (qualityScoreExpr >= 0.5).cast(LongType))
       .withColumn("z0", qcMargin(QcW0, QcB0))
       // residual in exact int nanos; features in exact int micros

@@ -73,6 +73,33 @@ class PlanShapeSpec extends AnyFunSuite {
     }, s"no exchange co-partitions the election key:\n$plan")
   }
 
+  test("d58 window election shuffles the md5 hash; span merge windows per doc — text never moves") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ConcatWs}
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = Dedup.d58SubstringSpans(spark, dir).queryExecution.executedPlan
+    val plan = root match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected election + island windows in:\n$plan")
+    // every window partitions on materialized columns (the wh election,
+    // then the per-doc island passes) — never on an inline text expr
+    assert(windows.flatMap(_.partitionSpec)
+        .forall(_.isInstanceOf[AttributeReference]),
+      s"window keys must be materialized columns:\n$plan")
+    // the d47 discipline: no shuffle key may embed the window-text
+    // construction — only the fixed-width md5 (and ids) move
+    val hashKeys = plan.collect { case e: ShuffleExchangeExec => e }
+      .flatMap(_.outputPartitioning match {
+        case h: HashPartitioning => h.expressions
+        case _                   => Seq.empty
+      })
+    assert(hashKeys.nonEmpty &&
+      hashKeys.forall(k => k.collectFirst { case c: ConcatWs => c }.isEmpty),
+      s"a shuffle key embeds the window-text construction:\n$plan")
+  }
+
   test("d49 probes the benchmark set via broadcast — no corpus-vs-benchmark shuffle join") {
     val plan = physical(Dedup.d49Decontaminate(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),

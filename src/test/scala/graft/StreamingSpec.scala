@@ -97,6 +97,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("t75 learned quality gate runs stateless on a stream, identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "the of and to in is that a the of common words flow here nicely " +
+        "and the text keeps a sane mixture of the usual stopwords to score"),
+      (2L, "x!!! y??? z@@@ ### $$$ %%% ^^^ &&& *** ((("))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.operators.TextOps.qualityScoresFrom(
+        input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qc_gated").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("qc_gated").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("z"), r.getAs[Long]("score_n9"), r.getAs[Long]("keep")))).toMap
+      val batch = graft.operators.TextOps.qualityScoresFrom(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("z"), r.getAs[Long]("score_n9"), r.getAs[Long]("keep")))).toMap
+      assert(streamed == batch)
+      assert(streamed(1L)._3 == 1L, "stopword-rich prose passes")
+      assert(streamed(2L)._3 == 0L, "punctuation soup fails")
+    } finally q.stop()
+  }
+
   test("t71 entropy/TTR gate runs stateless on a stream, identical to batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
