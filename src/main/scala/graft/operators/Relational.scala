@@ -648,17 +648,25 @@ object Relational {
     * would. `partNames` empty = one global ranking; the offset/size side
     * table stays bounded at `parts`·|groups| rows.
     */
-  /** Range-slice a frame and freeze the slice assignment. Shared by
+  /** Range-slice a frame for the rank operators. Shared by
     * [[rankQuantiles]] and [[rankByRange]], whose correctness depends on
     * the offset side table and the ranked output seeing IDENTICAL slice
-    * boundaries: range-boundary sampling is seeded per physical exchange,
-    * so two independent executions of the same lineage may sample
-    * different boundaries — silent rank corruption, invisible at spec
-    * sizes where the sample is exhaustive. The lazy localCheckpoint pins
-    * one materialization both consumers read (exchange reuse is an
-    * optimization, not a contract). Blocks are executor-local: an
-    * executor loss fails the job instead of recomputing — the price of a
-    * frozen partitioning, same class as c72's gate frames.
+    * boundaries: range-boundary sampling is seeded per physical
+    * exchange, so two INDEPENDENT executions of this lineage could
+    * sample different boundaries — silent rank corruption, invisible at
+    * spec sizes where the sample is exhaustive (ADVICE r10). Both
+    * consumers read ONE exchange in practice: the two branches'
+    * exchanges canonicalize equal, so AQE's stage cache (or
+    * ReuseExchange without AQE) dedupes them — verified by executing
+    * the plans (each rank site resolves to exactly one
+    * ReusedQueryStage) and PINNED in PlanShapeSpec, which executes
+    * q83/q94/t73/q19 and fails if any rank site ever stops reusing.
+    * The pin, not a checkpoint, is the guard on purpose: an eager or
+    * lazy localCheckpoint here was measured at +30-90% on every
+    * rank-path query (materialization + broken pipelining) while
+    * adding nothing the reuse doesn't already give, and its
+    * executor-local blocks would turn node loss into job failure at
+    * 100 TB.
     *
     * `parts <= 0` → size-adaptive: inherit the input's partition count,
     * clamped to [32, 2048], so slice parallelism tracks data volume at
@@ -671,7 +679,6 @@ object Relational {
       else math.min(2048, math.max(32, df.rdd.getNumPartitions))
     df.repartitionByRange(nSlices, sliceCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(eager = false)
   }
 
   private[graft] def rankByRange(df: DataFrame, partNames: Seq[String],

@@ -73,6 +73,31 @@ class PlanShapeSpec extends AnyFunSuite {
     }, s"no exchange co-partitions the election key:\n$plan")
   }
 
+  test("rank slices: both consumers reuse ONE range exchange per rank site (boundary determinism)") {
+    // rankByRange/rankQuantiles consume the sliced frame twice (offset
+    // side table + ranked output); boundary sampling is per physical
+    // exchange, so ranks are only exact because the two branches
+    // canonicalize to the SAME exchange and AQE's stage cache dedupes
+    // them. Execute each plan and assert every rank site resolved to a
+    // reused stage — if a refactor or Spark upgrade ever breaks the
+    // canonical match, this fails loudly instead of corrupting ranks
+    // silently at scale (ADVICE r10; the checkpoint alternative was
+    // measured at +30-90% per rank-path query and rejected).
+    val frames = Seq(
+      ("q83", graft.operators.Relational.q83DecileReport(spark, dir), 1),
+      ("q94", graft.operators.Audits.q94Gini(spark, dir), 1),
+      ("t73", graft.operators.Sampling.t73ShuffleShard(spark, dir), 1),
+      ("q19", graft.operators.Relational.q19Percentiles(spark, dir), 2))
+    for ((name, df, sites) <- frames) {
+      df.collect() // reuse is decided during adaptive execution
+      val plan = df.queryExecution.executedPlan.toString
+      val reused = plan.linesIterator.count(l =>
+        l.contains("ReusedQueryStage") || l.contains("ReusedExchange"))
+      assert(reused >= sites,
+        s"$name: expected >= $sites reused exchange(s) for its rank site(s), got $reused:\n$plan")
+    }
+  }
+
   test("d58 window election shuffles the md5 hash; span merge windows per doc — text never moves") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ConcatWs}
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
