@@ -679,9 +679,11 @@ object Dedup {
   // pos) — 32 hex chars + two longs per window, never text (the paper's
   // suffix-array build is a single-machine design; window hashing is the
   // shuffle-native equivalent and finds the same ≥L repeats, quantized
-  // to window alignment). The span merge windows by doc_id — per-doc
-  // bounded — and the interval union is the running-max form, never a
-  // buffered span list.
+  // to window alignment). The election is a map-side-combined
+  // min-aggregate joined back (skew-immune — see the inline note), the
+  // join's build side is pre-pruned to repeated hashes only, the span
+  // merge windows by doc_id — per-doc bounded — and the interval union
+  // is the running-max form, never a buffered span list.
   // ---------------------------------------------------------------------
   private[operators] val SpanL = 10
 
@@ -698,10 +700,20 @@ object Dedup {
             (0 until SpanL).map(j => try_element_at(col("t"), i + lit(j))): _*)))))
       .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
         col("col").as("wh"))
+    // First-occurrence election via min-aggregate + join, NOT a
+    // per-hash row_number window (d47's shape): the election only needs
+    // "am I the min (doc_id, pos) for my hash", and the aggregate form
+    // is map-side combined — a boilerplate window repeated across 1% of
+    // a 100 TB corpus partial-aggregates to one row per map task
+    // instead of serializing every occurrence into one window reducer,
+    // and the remaining equi-join is AQE-skew-splittable where window
+    // skew is not.
+    val firsts = wins.groupBy(col("wh"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("occ"))
     val dup = wins
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("wh")).orderBy(col("doc_id").asc, col("pos").asc)))
-      .filter(col("rn") > 1)
+      .join(firsts.where(col("occ") > 1), Seq("wh"))
+      .where(struct(col("doc_id"), col("pos")) =!= col("first"))
       .select(col("doc_id"), col("pos").as("s"),
         (col("pos") + (SpanL - 1)).as("e"))
     // q72 interval union, keyed per doc: a window starts a new island iff

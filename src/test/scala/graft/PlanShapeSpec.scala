@@ -98,7 +98,7 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("d58 window election shuffles the md5 hash; span merge windows per doc — text never moves") {
+  test("d58 election is a combinable aggregate; span merge windows per doc — text never moves") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, ConcatWs}
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
@@ -107,12 +107,17 @@ class PlanShapeSpec extends AnyFunSuite {
     val root = Dedup.d58SubstringSpans(spark, dir).queryExecution.executedPlan
     val plan = root match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
     val windows = plan.collect { case w: WindowExec => w }
-    assert(windows.nonEmpty, s"expected election + island windows in:\n$plan")
-    // every window partitions on materialized columns (the wh election,
-    // then the per-doc island passes) — never on an inline text expr
-    assert(windows.flatMap(_.partitionSpec)
-        .forall(_.isInstanceOf[AttributeReference]),
-      s"window keys must be materialized columns:\n$plan")
+    assert(windows.nonEmpty, s"expected the per-doc island windows in:\n$plan")
+    // the skew guard: NO window may partition by the window hash — the
+    // election is the map-side-combined min-aggregate, so a hot
+    // boilerplate hash partial-aggregates instead of serializing every
+    // occurrence into one window reducer; only the bounded per-doc
+    // island passes may window
+    assert(windows.flatMap(_.partitionSpec).forall {
+        case a: AttributeReference => a.name == "doc_id"
+        case _                     => false
+      },
+      s"only per-doc windows allowed (election must stay an aggregate):\n$plan")
     // the d47 discipline: no shuffle key may embed the window-text
     // construction — only the fixed-width md5 (and ids) move
     val hashKeys = plan.collect { case e: ShuffleExchangeExec => e }
