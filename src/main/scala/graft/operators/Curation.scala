@@ -780,6 +780,81 @@ object Curation {
        |FROM tot t LEFT JOIN hits h USING (split)
        |ORDER BY split""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c80: dedup-savings datasheet — the "what did dedup buy us" report a
+  // corpus owner reads before paying for a training run: per source, the
+  // token budget before dedup, the tokens removed by whole-doc exact
+  // dedup (d40 keeper election), the tokens a span-cut pass would remove
+  // from the SURVIVING docs (d58 substring spans over the keeper corpus
+  // — the Lee et al. pipeline order: exact dedup first, then span-level),
+  // and what remains. COMPOSITION in the c-family discipline: the oracle
+  // nests the d40 election and the full d58 span CTE chain over the
+  // keeper corpus, so drift in either stage OR the composition glue
+  // flips the hash.
+  //
+  // Scale: the d40 election is one hash shuffle (only md5 + ids move),
+  // d58 inherits its skew-immune aggregate election, and the final
+  // rollup is a map-side-combined per-source aggregate — |sources| rows
+  // out. savings_ratio is an exact-long division, bit-identical in both
+  // engines.
+  // -------------------------------------------------------------------
+  def c80DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    val keepers = Dedup.dedupExact(
+        docs.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
+      .select(col("doc_id"))
+    val flagged = docs
+      .join(keepers.withColumn("__k", lit(1L)), Seq("doc_id"), "left")
+      .withColumn("is_dup", col("__k").isNull.cast(LongType))
+    val spanCut = Dedup.substringSpansFrom(
+        docs.join(keepers, Seq("doc_id")).select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("st"))
+    flagged.join(spanCut, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("is_dup") * col("n_tokens")).as("dup_doc_tokens"),
+        sum(when(col("is_dup") === 0, coalesce(col("st"), lit(0L)))
+          .otherwise(lit(0L))).as("span_dup_tokens"))
+      .withColumn("tokens_after",
+        col("n_tokens") - col("dup_doc_tokens") - col("span_dup_tokens"))
+      .withColumn("savings_ratio",
+        (col("dup_doc_tokens") + col("span_dup_tokens")) / col("n_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val c80DedupSavingsSql: String =
+    s"""WITH k80 AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |keep80 AS (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN k80 USING (doc_id)),
+       |${Dedup.substringSpanCtesSql("keep80")},
+       |sp80 AS (
+       |  SELECT doc_id, CAST(SUM(span_tokens) AS BIGINT) AS st
+       |  FROM spans58 GROUP BY doc_id),
+       |m80 AS (
+       |  SELECT d.source,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+       |    CASE WHEN k.doc_id IS NULL THEN 1 ELSE 0 END AS is_dup,
+       |    CASE WHEN k.doc_id IS NULL THEN 0 ELSE COALESCE(s.st, 0) END AS st
+       |  FROM documents d
+       |  LEFT JOIN k80 k ON k.doc_id = d.doc_id
+       |  LEFT JOIN sp80 s ON s.doc_id = d.doc_id)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+       |  CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(is_dup * nt) AS BIGINT) AS dup_doc_tokens,
+       |  CAST(SUM(st) AS BIGINT) AS span_dup_tokens,
+       |  CAST(SUM(nt) - SUM(is_dup * nt) - SUM(st) AS BIGINT) AS tokens_after,
+       |  (CAST(SUM(is_dup * nt) AS BIGINT) + CAST(SUM(st) AS BIGINT))
+       |    / CAST(SUM(nt) AS BIGINT) AS savings_ratio
+       |FROM m80
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
@@ -790,5 +865,6 @@ object Curation {
     QueryDef.sql("c76_cdc_apply", c76CdcApply _, c76CdcApplySql),
     QueryDef.sql("c77_source_datasheet", c77SourceDatasheet _, c77SourceDatasheetSql),
     QueryDef.sql("c79_split_leakage", c79SplitLeakage _, c79SplitLeakageSql),
+    QueryDef.sql("c80_dedup_savings", c80DedupSavings _, c80DedupSavingsSql),
   )
 }

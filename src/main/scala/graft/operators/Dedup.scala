@@ -740,35 +740,48 @@ object Dedup {
       .repartition(spark.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), col("text")))
 
-  val d58SubstringSpansSql: String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-       |wins AS (
+  /** The d58 span CTE chain over any relation `rel` exposing (doc_id,
+    * text), ending in `spans58(doc_id, island, span_start, span_end,
+    * span_tokens, n_windows)` — embeddable (c80 composes it over the
+    * post-d40 keeper corpus). The oracle election stays the naive
+    * ROW_NUMBER form on purpose; the engine's min-aggregate election is
+    * hash-proven equivalent against it.
+    */
+  private[operators] def substringSpanCtesSql(rel: String): String =
+    s"""toks58 AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM $rel),
+       |wins58 AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |    md5(array_to_string(t[i : i + ${SpanL - 1}], ' ')) AS wh
-       |  FROM toks, unnest(range(1, len(t) - $SpanL + 2)) AS u(i)),
-       |dup AS (
+       |  FROM toks58, unnest(range(1, len(t) - $SpanL + 2)) AS u(i)),
+       |dup58 AS (
        |  SELECT doc_id, pos AS s, pos + ${SpanL - 1} AS e FROM (
        |    SELECT doc_id, pos,
        |      ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
-       |    FROM wins) x
+       |    FROM wins58) x
        |  WHERE rn > 1),
-       |isl AS (
+       |isl58 AS (
        |  SELECT doc_id, s, e,
        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
        |      THEN 1 ELSE 0 END AS ni
-       |  FROM dup),
-       |grp AS (
+       |  FROM dup58),
+       |grp58 AS (
        |  SELECT doc_id, s, e,
        |    SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-       |  FROM isl)
-       |SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end,
-       |  CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens,
-       |  COUNT(*) AS n_windows
-       |FROM grp
-       |GROUP BY doc_id, island
+       |  FROM isl58),
+       |spans58 AS (
+       |  SELECT doc_id, island, MIN(s) AS span_start, MAX(e) AS span_end,
+       |    CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens,
+       |    COUNT(*) AS n_windows
+       |  FROM grp58
+       |  GROUP BY doc_id, island)""".stripMargin
+
+  val d58SubstringSpansSql: String =
+    s"""WITH ${substringSpanCtesSql("documents")}
+       |SELECT doc_id, span_start, span_end, span_tokens, n_windows
+       |FROM spans58
        |ORDER BY doc_id, span_start""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -54,23 +54,18 @@ class SubstringSpanSpec extends AnyFunSuite {
     assert(spans(Seq((1L, short), (2L, short), (3L, a), (4L, b))).isEmpty)
   }
 
-  test("corpus spans match a naive recomputation at sf0.001") {
-    val got = Dedup.d58SubstringSpans(spark, "/root/testdata/sf0.001").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
-      .toSeq
-    assert(got.nonEmpty, "the planted near-dups must share ≥L-token runs")
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1).split(" ")))
-    // naive: every window occurrence, first occurrence per window text
-    // elected in (doc_id, pos) order, remaining positions union-merged
+  /** Naive span recompute: every window occurrence, first occurrence per
+    * window text elected in (doc_id, pos) order, remaining positions
+    * union-merged — (doc_id, start, end, span_tokens, n_windows) rows.
+    */
+  private def naiveSpans(docs: Seq[(Long, Array[String])]) = {
     val occ = for {
       (id, t) <- docs if t.length >= L
       p <- 1 to (t.length - L + 1)
     } yield (t.slice(p - 1, p - 1 + L).mkString(" "), id, p)
     val first = occ.groupBy(_._1).view.mapValues(_.map(o => (o._2, o._3)).min).toMap
     val dups = occ.filter { case (w, id, p) => first(w) != ((id, p)) }
-    val want = dups.groupBy(_._2).toSeq.flatMap { case (id, ds) =>
+    dups.groupBy(_._2).toSeq.flatMap { case (id, ds) =>
       val sorted = ds.map(_._3).sorted
       val islands = sorted.foldLeft(List.empty[List[Int]]) {
         case (acc @ (cur :: rest), p) =>
@@ -84,6 +79,49 @@ class SubstringSpanSpec extends AnyFunSuite {
           (ps.last + L - 1 - ps.head + 1).toLong, ps.length.toLong)
       }
     }.sortBy(s => (s._1, s._2))
-    assert(got == want)
+  }
+
+  test("corpus spans match a naive recomputation at sf0.001") {
+    val got = Dedup.d58SubstringSpans(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got.nonEmpty, "the planted near-dups must share ≥L-token runs")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" "))).toSeq
+    assert(got == naiveSpans(docs))
+  }
+
+  test("c80 savings datasheet matches a naive composed recomputation at sf0.001") {
+    val got = graft.operators.Curation.c80DedupSavings(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))).toMap
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // d40 keeper election, then naive spans over the keeper corpus only
+    val keepIds = rows.groupBy(_._3).values.map(_.map(_._1).min).toSet
+    val spanByDoc = naiveSpans(rows.filter(r => keepIds(r._1))
+        .map(r => (r._1, r._3.split(" "))).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    val want = rows.groupBy(_._2).map { case (src, ds) =>
+      val nTok = ds.map(_._3.split(" ").length.toLong).sum
+      val dupToks = ds.filterNot(d => keepIds(d._1)).map(_._3.split(" ").length.toLong).sum
+      val nDup = ds.count(d => !keepIds(d._1)).toLong
+      val spanToks = ds.filter(d => keepIds(d._1)).map(d => spanByDoc.getOrElse(d._1, 0L)).sum
+      src -> ((ds.length.toLong, nDup, nTok, dupToks, spanToks,
+        nTok - dupToks - spanToks, (dupToks + spanToks).toDouble / nTok))
+    }
+    assert(got.keySet == want.keySet && got.nonEmpty)
+    for ((src, w) <- want) assert(got(src) == w, s"source $src")
+    // non-vacuous: span cuts fire at this SF; exact whole-doc dups only
+    // exist in the sf0.1 generation (8 planted) — pin that branch there
+    assert(want.values.map(_._5).sum > 0, "span cuts present")
+    assert(want.values.map(_._2).sum == 0, "sf0.001 has no exact dups (generation fact)")
+    val dupDocs01 = graft.operators.Curation
+      .c80DedupSavings(spark, "/root/testdata/sf0.1").collect()
+      .map(_.getLong(2)).sum
+    assert(dupDocs01 == 8L, s"sf0.1 plants 8 exact dup docs, got $dupDocs01")
   }
 }
