@@ -192,9 +192,250 @@ object Audits {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q95: k-anonymity risk audit (Sweeney's k-anonymity) — the privacy
+  // sibling of t62's PII redaction: a released table is k-anonymous when
+  // every quasi-identifier combination covers at least k records; rows
+  // in smaller groups are re-identifiable. Quasi-identifiers here:
+  // (nation, market segment, account-balance band) over `customer`.
+  //
+  // Scale shape: one shuffle on the QI key (map-side combined) to a
+  // group-size frame bounded by the QI domain (|nations|·|segments|·
+  // |bands| — config-sized, never corpus-sized), then the risk profile
+  // for every k level folds that frame into ONE row, unpivoted to
+  // |levels| output rows (the t76 unpivot idiom). No window functions,
+  // no second pass over the input.
+  //
+  // Determinism: integer counts end-to-end; the band floor is exact
+  // IEEE division by 1000.0; the one ratio is a final ROUND-6.
+  // ---------------------------------------------------------------------
+  private[operators] val KAnonLevels: Seq[Long] = Seq(2L, 5L, 10L)
+
+  def q95KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityFrom(Tables.customer(spark, dir))
+
+  /** Risk profile over any customer-shaped frame — spec entry point. */
+  private[graft] def kAnonymityFrom(c: DataFrame): DataFrame = {
+    val g = c
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast(LongType).as("bal_band"))
+      .agg(count(lit(1)).as("g"))
+    val riskAggs = KAnonLevels.flatMap(k => Seq(
+      sum(when(col("g") < k, 1L).otherwise(0L)).as(s"rg_$k"),
+      sum(when(col("g") < k, col("g")).otherwise(0L)).as(s"rr_$k")))
+    val folded = g.agg(count(lit(1)).as("n_groups"),
+      (sum(col("g")).as("n_records") +: min(col("g")).as("min_group") +: riskAggs): _*)
+    val rows = KAnonLevels.map(k => struct(lit(k).as("k"),
+      col(s"rg_$k").as("groups_at_risk"), col(s"rr_$k").as("records_at_risk")))
+    folded.select(col("n_groups"), col("n_records"), col("min_group"),
+        explode(array(rows: _*)).as("r"))
+      .select(col("r.k").as("k"), col("n_groups"), col("n_records"), col("min_group"),
+        col("r.groups_at_risk"), col("r.records_at_risk"),
+        round(col("r.records_at_risk") / col("n_records"), 6).as("risk_ratio"))
+      .orderBy(col("k"))
+  }
+
+  val q95KAnonymitySql: String = {
+    val riskCols = KAnonLevels.map(k =>
+      s"""    CAST(SUM(CASE WHEN g < $k THEN 1 ELSE 0 END) AS BIGINT) AS rg_$k,
+         |    CAST(SUM(CASE WHEN g < $k THEN g ELSE 0 END) AS BIGINT) AS rr_$k""".stripMargin)
+      .mkString(",\n")
+    val branches = KAnonLevels.map(k =>
+      s"SELECT CAST($k AS BIGINT) AS k, n_groups, n_records, min_group, " +
+        s"rg_$k AS groups_at_risk, rr_$k AS records_at_risk, " +
+        s"ROUND(rr_$k / n_records, 6) AS risk_ratio FROM s")
+    s"""WITH g AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |    COUNT(*) AS g
+       |  FROM customer GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT COUNT(*) AS n_groups, CAST(SUM(g) AS BIGINT) AS n_records,
+       |    MIN(g) AS min_group,
+       |$riskCols
+       |  FROM g)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY k""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q96: l-diversity audit (Machanavajjhala et al.) — k-anonymity's
+  // stronger sibling: a QI group that is large but carries only ONE
+  // distinct sensitive value still leaks the attribute ("homogeneity
+  // attack"). QIs here drop the segment to (nation, balance band); the
+  // market segment becomes the SENSITIVE attribute whose within-group
+  // diversity l = COUNT(DISTINCT segment) is audited.
+  //
+  // Scale shape: exactly q95's — one (two-phase, distinct-expanded)
+  // shuffle on the QI key to a domain-bounded group frame, then the
+  // risk fold to one row, unpivoted to |levels| rows.
+  // ---------------------------------------------------------------------
+  private[operators] val LDivLevels: Seq[Long] = Seq(2L, 3L)
+
+  def q96LDiversity(spark: SparkSession, dir: String): DataFrame =
+    lDiversityFrom(Tables.customer(spark, dir))
+
+  private[graft] def lDiversityFrom(c: DataFrame): DataFrame = {
+    val g = c
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).cast(LongType).as("bal_band"))
+      .agg(count(lit(1)).as("g"), countDistinct(col("c_mktsegment")).as("l"))
+    val riskAggs = LDivLevels.flatMap(k => Seq(
+      sum(when(col("l") < k, 1L).otherwise(0L)).as(s"lg_$k"),
+      sum(when(col("l") < k, col("g")).otherwise(0L)).as(s"lr_$k")))
+    val folded = g.agg(count(lit(1)).as("n_groups"),
+      (sum(col("g")).as("n_records") +: min(col("l")).as("min_l") +: riskAggs): _*)
+    val rows = LDivLevels.map(k => struct(lit(k).as("l_level"),
+      col(s"lg_$k").as("groups_below"), col(s"lr_$k").as("records_below")))
+    folded.select(col("n_groups"), col("n_records"), col("min_l"),
+        explode(array(rows: _*)).as("r"))
+      .select(col("r.l_level").as("l_level"), col("n_groups"), col("n_records"),
+        col("min_l"), col("r.groups_below"), col("r.records_below"),
+        round(col("r.records_below") / col("n_records"), 6).as("risk_ratio"))
+      .orderBy(col("l_level"))
+  }
+
+  val q96LDiversitySql: String = {
+    val riskCols = LDivLevels.map(k =>
+      s"""    CAST(SUM(CASE WHEN l < $k THEN 1 ELSE 0 END) AS BIGINT) AS lg_$k,
+         |    CAST(SUM(CASE WHEN l < $k THEN g ELSE 0 END) AS BIGINT) AS lr_$k""".stripMargin)
+      .mkString(",\n")
+    val branches = LDivLevels.map(k =>
+      s"SELECT CAST($k AS BIGINT) AS l_level, n_groups, n_records, min_l, " +
+        s"lg_$k AS groups_below, lr_$k AS records_below, " +
+        s"ROUND(lr_$k / n_records, 6) AS risk_ratio FROM s")
+    s"""WITH g AS (
+       |  SELECT c_nationkey,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |    COUNT(*) AS g, COUNT(DISTINCT c_mktsegment) AS l
+       |  FROM customer GROUP BY 1, 2),
+       |s AS (
+       |  SELECT COUNT(*) AS n_groups, CAST(SUM(g) AS BIGINT) AS n_records,
+       |    MIN(l) AS min_l,
+       |$riskCols
+       |  FROM g)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY l_level""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q97: t-closeness audit (Li et al.) — the third of the release-risk
+  // trio: a QI group can be large (k-anonymous) and diverse
+  // (l-diverse) yet still leak by DISTRIBUTION — e.g. 90% of one
+  // segment where the population holds 20%. Per group, the
+  // total-variation distance between the group's sensitive-value
+  // distribution and the global one:
+  //   TVD_g = ½ Σ_s |c_gs/g − c_s/n|
+  // audited against thresholds t.
+  //
+  // Exactness: TVD never leaves the rationals — the per-cell numerator
+  // |c_gs·n − c_s·g| and the absent-cell correction g·(n − Σ_present c_s)
+  // are BIGINT (≤ n² ≈ 2.3e8 at sf0.1 — decades of headroom), and the
+  // threshold compare cross-multiplies (10·num > t·10·2·g·n with t in
+  // tenths) so no division ever happens on the audit path; the reported
+  // max TVD is one final ROUND-6.
+  //
+  // Scale shape: one shuffle on (QI, segment) — map-side combined —
+  // then a QI-bounded rollup; the 5-row global segment histogram and
+  // the 1-row total ride in as broadcast literals via cross joins.
+  // ---------------------------------------------------------------------
+  private[operators] val TClosenessTenths: Seq[Long] = Seq(2L, 3L) // t = 0.2, 0.3
+
+  def q97TCloseness(spark: SparkSession, dir: String): DataFrame =
+    tClosenessFrom(Tables.customer(spark, dir))
+
+  private[graft] def tClosenessFrom(c: DataFrame): DataFrame = {
+    // one corpus shuffle to the (QI, segment) cell frame; everything
+    // after runs on QI-domain-bounded frames
+    val cells = c
+      .groupBy(col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0)).cast(LongType).as("bal_band"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("cgs"))
+      .localCheckpoint(false)
+    val gsize = cells.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("cgs")).as("g"))
+    val glob = cells.groupBy(col("c_mktsegment")).agg(sum(col("cgs")).as("cs"))
+    val tot = glob.agg(sum(col("cs")).as("n"))
+    val groups = cells
+      .join(broadcast(glob), "c_mktsegment")
+      .crossJoin(broadcast(tot))
+      .join(broadcast(gsize), Seq("c_nationkey", "bal_band"))
+      .groupBy(col("c_nationkey"), col("bal_band"), col("g"), col("n"))
+      .agg(sum(abs(col("cgs") * col("n") - col("cs") * col("g"))).as("dev"),
+        sum(col("cs")).as("present_cs"))
+      // segments ABSENT from a group still deviate by their full global
+      // mass: Σ_absent cs·g = g·(n − Σ_present cs)
+      .withColumn("num", col("dev") + col("g") * (col("n") - col("present_cs")))
+      .withColumn("tvd", round(col("num").cast(DoubleType)
+        / (lit(2L) * col("g") * col("n")).cast(DoubleType), 6))
+    val riskAggs = TClosenessTenths.flatMap(t => Seq(
+      sum(when(lit(10L) * col("num") > lit(2L) * t * col("g") * col("n"), 1L)
+        .otherwise(0L)).as(s"tg_$t"),
+      sum(when(lit(10L) * col("num") > lit(2L) * t * col("g") * col("n"), col("g"))
+        .otherwise(0L)).as(s"tr_$t")))
+    val folded = groups.agg(count(lit(1)).as("n_groups"),
+      (sum(col("g")).as("n_records") +: max(col("tvd")).as("max_tvd") +: riskAggs): _*)
+    val rows = TClosenessTenths.map(t => struct(lit(t).as("t_tenths"),
+      col(s"tg_$t").as("groups_above"), col(s"tr_$t").as("records_above")))
+    folded.select(col("n_groups"), col("n_records"), col("max_tvd"),
+        explode(array(rows: _*)).as("r"))
+      .select(col("r.t_tenths").as("t_tenths"), col("n_groups"), col("n_records"),
+        col("max_tvd"), col("r.groups_above"), col("r.records_above"),
+        round(col("r.records_above") / col("n_records"), 6).as("risk_ratio"))
+      .orderBy(col("t_tenths"))
+  }
+
+  val q97TClosenessSql: String = {
+    val riskCols = TClosenessTenths.map(t =>
+      s"""    CAST(SUM(CASE WHEN 10 * num > 2 * $t * g * n THEN 1 ELSE 0 END) AS BIGINT) AS tg_$t,
+         |    CAST(SUM(CASE WHEN 10 * num > 2 * $t * g * n THEN g ELSE 0 END) AS BIGINT) AS tr_$t""".stripMargin)
+      .mkString(",\n")
+    val branches = TClosenessTenths.map(t =>
+      s"SELECT CAST($t AS BIGINT) AS t_tenths, n_groups, n_records, max_tvd, " +
+        s"tg_$t AS groups_above, tr_$t AS records_above, " +
+        s"ROUND(tr_$t / n_records, 6) AS risk_ratio FROM s")
+    s"""WITH cells AS (
+       |  SELECT c_nationkey,
+       |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+       |    c_mktsegment, COUNT(*) AS cgs
+       |  FROM customer GROUP BY 1, 2, 3),
+       |gsize AS (
+       |  SELECT c_nationkey, bal_band, CAST(SUM(cgs) AS BIGINT) AS g
+       |  FROM cells GROUP BY 1, 2),
+       |seg AS (
+       |  SELECT c_mktsegment, CAST(SUM(cgs) AS BIGINT) AS cs
+       |  FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(cs) AS BIGINT) AS n FROM seg),
+       |grp AS (
+       |  SELECT c.c_nationkey, c.bal_band, gs.g, t.n,
+       |    CAST(SUM(abs(c.cgs * t.n - gl.cs * gs.g)) AS BIGINT) AS dev,
+       |    CAST(SUM(gl.cs) AS BIGINT) AS present_cs
+       |  FROM cells c
+       |  JOIN seg gl USING (c_mktsegment)
+       |  CROSS JOIN tot t
+       |  JOIN gsize gs ON gs.c_nationkey = c.c_nationkey AND gs.bal_band = c.bal_band
+       |  GROUP BY 1, 2, 3, 4),
+       |g2 AS (
+       |  SELECT *, dev + g * (n - present_cs) AS num,
+       |    ROUND(CAST(dev + g * (n - present_cs) AS DOUBLE)
+       |      / CAST(2 * g * n AS DOUBLE), 6) AS tvd
+       |  FROM grp),
+       |s AS (
+       |  SELECT COUNT(*) AS n_groups, CAST(SUM(g) AS BIGINT) AS n_records,
+       |    MAX(tvd) AS max_tvd,
+       |$riskCols
+       |  FROM g2)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY t_tenths""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q92_benford", q92Benford _, q92BenfordSql),
     QueryDef.sql("q93_basket_lift", q93BasketLift _, q93BasketLiftSql),
     QueryDef.sql("q94_gini", q94Gini _, q94GiniSql),
+    QueryDef.sql("q95_k_anonymity", q95KAnonymity _, q95KAnonymitySql),
+    QueryDef.sql("q96_l_diversity", q96LDiversity _, q96LDiversitySql),
+    QueryDef.sql("q97_t_closeness", q97TCloseness _, q97TClosenessSql),
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
@@ -855,6 +856,282 @@ object Curation {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c81: cross-source overlap matrix — pairwise shingle-level Jaccard
+  // between source domains, the provenance-overlap panel of a corpus
+  // datasheet (answers "how much of src_a is already in src_b" BEFORE
+  // committing to a mixing ratio; whole-doc hashes miss it — at the gate
+  // SF every document is unique yet sources share 10-15% of their
+  // 3-gram inventories).
+  //
+  // Scale shape: the corpus collapses to the DISTINCT (source,
+  // shingle-h60) set — only 60-bit hashes shuffle, never text — and
+  // pair counting aggregates per-hash source SETS (collect_set is
+  // bounded by |sources|, a config-sized constant) and fans each out to
+  // its C(|sources|,2) pairs, so no corpus-sized self-join ever forms:
+  // one shuffle on the hash, a |sources|²-row aggregate after it. The
+  // |sources|-row size table broadcasts onto the result.
+  //
+  // Determinism: set arithmetic on exact integers end-to-end; the one
+  // ratio is a final ROUND-6 projection on a bounded frame.
+  // ---------------------------------------------------------------------
+  def c81SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapFrom(Tables.documents(spark, dir))
+
+  /** Overlap matrix over any (source, text) frame — spec entry point. */
+  private[graft] def sourceOverlapFrom(d: DataFrame): DataFrame = {
+    // distinct (source, shingle-hash) inventory; consumed by both the
+    // size table and the pair counts → materialized once (t61 seam)
+    val sh = d
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))).as("shingle"))
+      .select(col("source"), PortableHash.h60(col("shingle")).as("k"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // per-hash source set → all ordered pairs inside it; |ss| ≤ |sources|
+    val pairs = sh.groupBy(col("k"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"), col("n_common"),
+        round(col("n_common") / (col("na") + col("nb") - col("n_common")), 6).as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val c81SourceOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, string_split(text, ' ') AS t FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT DISTINCT source,
+       |    ${PortableHash.h60Sql("shingle")} AS k
+       |  FROM (
+       |    SELECT source, unnest(list_distinct(list_transform(
+       |      range(1, len(t) - 1),
+       |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]))) AS shingle
+       |    FROM toks)),
+       |sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+       |inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+       |  FROM sh a JOIN sh b ON a.k = b.k AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT src_a, src_b, sa.n AS na, sb.n AS nb, n_common,
+       |  ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON inter.src_a = sa.source
+       |JOIN sizes sb ON inter.src_b = sb.source
+       |ORDER BY src_a, src_b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // c82: DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+  // Optimizing Data Mixtures Speeds Up Language Model Pretraining") —
+  // one exponentiated-gradient step on the source-mixture weights,
+  // driven by each domain's EXCESS loss over the corpus-wide reference:
+  //   w'_i ∝ w_i · exp(η · max(0, NLL_i − NLL_ref)),  then normalize.
+  // The per-domain loss is the engine's own t61 bigram-LM negative
+  // log-likelihood (the proxy-model loss slot in the paper), so the
+  // whole mixture step — proxy scoring AND reweighting — is one plan.
+  //
+  // Scale shape: t61's model tables (vocabulary-bounded) + ONE pair scan
+  // aggregated straight to |sources| rows — no per-doc intermediate at
+  // all; the reweight arithmetic runs on that bounded frame (windows
+  // over |sources| rows, the d52 allocation idiom).
+  //
+  // Determinism: per-bigram log-probs are t61's nano-snapped integers;
+  // per-source sums are exact BIGINT; the one exp() is snapped to
+  // integer nanos per source (bounded rows); weights are ratios of those
+  // integers, ROUND-6 at the edge.
+  // ---------------------------------------------------------------------
+  private val DoremiEta = 1.0
+
+  /** The |sources|-row DoReMi frame (source, n_bigrams, sl, ns, excess,
+    * en9): t61's proxy-LM per-source NLL plus the snapped EG numerator —
+    * shared by c82 (the reweight report) and c83 (the mixture-to-sample
+    * capstone).
+    */
+  private def doremiFrame(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val t = col("__t")
+    val grams = filter(
+      transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
+        i => struct(try_element_at(t, i).as("w1"),
+          try_element_at(t, i + lit(1)).as("w2"))),
+      s => s.getField("w2").isNotNull)
+    // pair stream feeds the model aggregates AND the per-source scoring
+    // join — materialized once (the t61 seam)
+    val pairs = d.withColumn("__t", split(col("text"), " "))
+      .select(col("source"), explode(grams).as("g"))
+      .select(col("source"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .localCheckpoint(true)
+    val vocab = d.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val model = c2.join(c1, "w1").withColumn("lp_n",
+      floor(log((col("c2") + 1).cast(DoubleType) / (col("c1") + lit(vocab)).cast(DoubleType))
+        * lit(1e9) + lit(0.5)).cast(LongType))
+      .select(col("w1"), col("w2"), col("lp_n"))
+    val perSrc = pairs.join(model, Seq("w1", "w2"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_n")).as("sl"))
+    val tot = perSrc.agg(sum(col("n_bigrams")).as("tb"), sum(col("sl")).as("tl"),
+      count(lit(1)).as("ns"))
+    perSrc.crossJoin(broadcast(tot))
+      .withColumn("excess", greatest(lit(0.0),
+        (col("tl").cast(DoubleType) / col("tb").cast(DoubleType)
+          - col("sl").cast(DoubleType) / col("n_bigrams").cast(DoubleType)) / lit(1e9)))
+      .withColumn("en9",
+        floor(exp(lit(DoremiEta) * col("excess")) * lit(1e9) + lit(0.5)).cast(LongType))
+  }
+
+  def c82DoremiReweight(spark: SparkSession, dir: String): DataFrame = {
+    val wN = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    doremiFrame(spark, dir)
+      .withColumn("esum", sum(col("en9")).over(wN))
+      .select(col("source"), col("n_bigrams"),
+        round((lit(0.0) - col("sl").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+          / lit(1e9), 6).as("nll"),
+        round(col("excess"), 6).as("excess"),
+        col("en9"),
+        round(lit(1.0) / col("ns"), 6).as("w0"),
+        round(col("en9").cast(DoubleType) / col("esum").cast(DoubleType), 6).as("w1"))
+      .orderBy(col("source"))
+  }
+
+  /** The c82 CTE chain up to the per-source en9 frame (no leading WITH)
+    * — shared by the c82 report and c83's allocation tail.
+    */
+  private val doremiCtes: String =
+    s"""tk AS (
+       |  SELECT source, string_split(text, ' ') AS t FROM documents),
+       |pairs AS (
+       |  SELECT source, struct_extract(g, 'w1') AS w1, struct_extract(g, 'w2') AS w2
+       |  FROM (
+       |    SELECT source, unnest(list_transform(range(1, len(t)),
+       |      i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS g
+       |    FROM tk)),
+       |vocab AS (
+       |  SELECT COUNT(DISTINCT w) AS v FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+       |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1),
+       |model AS (
+       |  SELECT c2.w1, c2.w2,
+       |    CAST(floor(ln(CAST(c2 + 1 AS DOUBLE)
+       |      / CAST(c1 + (SELECT v FROM vocab) AS DOUBLE)) * 1000000000.0 + 0.5)
+       |      AS BIGINT) AS lp_n
+       |  FROM c2 JOIN c1 ON c2.w1 = c1.w1),
+       |per_src AS (
+       |  SELECT source, COUNT(*) AS n_bigrams, CAST(SUM(lp_n) AS BIGINT) AS sl
+       |  FROM pairs JOIN model USING (w1, w2) GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(n_bigrams) AS BIGINT) AS tb, CAST(SUM(sl) AS BIGINT) AS tl,
+       |    COUNT(*) AS ns
+       |  FROM per_src),
+       |e AS (
+       |  SELECT source, n_bigrams, sl, ns,
+       |    GREATEST(0.0, (CAST(tl AS DOUBLE) / CAST(tb AS DOUBLE)
+       |      - CAST(sl AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / 1000000000.0) AS excess
+       |  FROM per_src, tot),
+       |n AS (
+       |  SELECT *, CAST(floor(exp($DoremiEta * excess) * 1000000000.0 + 0.5) AS BIGINT) AS en9
+       |  FROM e)""".stripMargin
+
+  val c82DoremiReweightSql: String =
+    s"""WITH $doremiCtes
+       |SELECT source, n_bigrams,
+       |  ROUND((0.0 - CAST(sl AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) / 1000000000.0, 6) AS nll,
+       |  ROUND(excess, 6) AS excess,
+       |  en9,
+       |  ROUND(1.0 / ns, 6) AS w0,
+       |  ROUND(CAST(en9 AS DOUBLE) / CAST(SUM(en9) OVER () AS DOUBLE), 6) AS w1
+       |FROM n
+       |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // c83: mixture-to-sample capstone — the DoReMi loop closed end-to-end:
+  // c82's EG weights (the snapped en9 integers, i.e. data-derived
+  // importance instead of d52's config weights) are apportioned over a
+  // global document budget by exact largest-remainder allocation, and
+  // each source's quota is then drawn deterministically by hash rank
+  // (the d46/d52 two-phase selection: cross-multiplied h60 threshold
+  // prefilter, then a per-source rank window over ~Over·quota
+  // survivors). Weights → quotas → rows, all in one oracle-checked plan.
+  //
+  // Scale shape: the proxy-LM scoring is c82's (vocabulary-bounded
+  // model, |sources|-row output); allocation runs on that bounded frame
+  // (unpartitioned windows over |sources| rows — the corpus never
+  // passes through them); selection broadcasts the |sources|-row quota
+  // table and rank-windows only the hash-threshold survivors.
+  // ---------------------------------------------------------------------
+  private val MixtureBudget = 211L
+  private val MixtureOver = 4L // d46/d52's oversampling factor
+
+  def c83WeightedMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val wN = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRem = Window.orderBy(col("rem").desc, col("source").asc)
+    val alloc = doremiFrame(spark, dir).select(col("source"), col("en9"))
+      .join(counts, "source") // both |sources|-row frames
+      .withColumn("esum", sum(col("en9")).over(wN))
+      .withColumn("base", expr(s"($MixtureBudget * en9) div esum"))
+      .withColumn("rem", expr(s"($MixtureBudget * en9) % esum"))
+      .withColumn("leftover", lit(MixtureBudget) - sum(col("base")).over(wN))
+      .withColumn("seat", row_number().over(wRem))
+      .withColumn("quota", least(col("base") +
+        when(col("seat") <= col("leftover"), 1L).otherwise(0L), col("n")))
+      .select(col("source"), col("n"), col("quota"))
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    d.join(broadcast(alloc), "source")
+      .withColumn("h", PortableHash.h60(col("doc_id")))
+      .filter(col("h").cast(dec) * col("n").cast(dec) <
+        lit(PortableHash.HashSpace.toLong).cast(dec)
+          * (lit(MixtureOver) * col("quota")).cast(dec))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= col("quota"))
+      .select(col("source"), col("quota"), col("rank"), col("doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val c83WeightedMixtureSql: String =
+    s"""WITH $doremiCtes,
+       |cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+       |a AS (
+       |  SELECT n.source, c.n, en9,
+       |    ($MixtureBudget * en9) // SUM(en9) OVER () AS base,
+       |    ($MixtureBudget * en9) % SUM(en9) OVER () AS rem
+       |  FROM n JOIN cnt c USING (source)),
+       |q AS (
+       |  SELECT source, n,
+       |    LEAST(base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC)
+       |      <= $MixtureBudget - SUM(base) OVER () THEN 1 ELSE 0 END, n) AS quota
+       |  FROM a),
+       |f AS (
+       |  SELECT d.source, q.quota, d.doc_id, ${PortableHash.h60Sql("d.doc_id")} AS h
+       |  FROM documents d JOIN q USING (source)
+       |  WHERE CAST(${PortableHash.h60Sql("d.doc_id")} AS HUGEINT) * q.n
+       |    < ${PortableHash.HashSpaceSqlHugeInt} * ($MixtureOver * q.quota)),
+       |r AS (
+       |  SELECT source, quota, doc_id,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+       |  FROM f)
+       |SELECT source, CAST(quota AS BIGINT) AS quota, rank, doc_id
+       |FROM r WHERE rank <= quota
+       |ORDER BY source, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
@@ -866,5 +1143,8 @@ object Curation {
     QueryDef.sql("c77_source_datasheet", c77SourceDatasheet _, c77SourceDatasheetSql),
     QueryDef.sql("c79_split_leakage", c79SplitLeakage _, c79SplitLeakageSql),
     QueryDef.sql("c80_dedup_savings", c80DedupSavings _, c80DedupSavingsSql),
+    QueryDef.sql("c81_source_overlap", c81SourceOverlap _, c81SourceOverlapSql),
+    QueryDef.sql("c82_doremi_reweight", c82DoremiReweight _, c82DoremiReweightSql),
+    QueryDef.sql("c83_weighted_mixture", c83WeightedMixture _, c83WeightedMixtureSql),
   )
 }

@@ -1,9 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.{QueryDef, Tables}
 
@@ -341,6 +341,161 @@ object Sampling {
        |GROUP BY shard
        |ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d59: DSIR importance-weighted data selection (Xie et al. 2023, "Data
+  // Selection for Language Models via Importance Resampling"). Select
+  // raw-corpus documents whose hashed n-gram profile looks like a TARGET
+  // domain: estimate bucket unigram+bigram distributions p_target and
+  // p_raw over a FIXED feature space of B hashed buckets, weight every
+  // document by  log w(x) = Σ_grams [ln p_t(bucket) − ln p_r(bucket)],
+  // and keep the global top-K (the paper's deterministic top-k variant;
+  // its Gumbel resample differs only in a seeded perturbation of the
+  // same weights). Target here = the corpus's English slice, standing in
+  // for the paper's Wikipedia/books formal-text target.
+  //
+  // Scale shape: ONE gram explode (localCheckpoint'd, the t61 shared-
+  // frame seam) feeds both the distribution estimate — a B=256-row
+  // aggregate, so model state is O(B) regardless of corpus size — and
+  // the per-doc bucket counts; scoring is a broadcast join of the B-row
+  // log-ratio table, then an exact BIGINT dot product per document.
+  // Selection is orderBy+limit → TakeOrderedAndProject (K per partition,
+  // K at the driver), never a global sort.
+  //
+  // Determinism: the only transcendental (the per-bucket log-ratio) is
+  // nano-snapped ONCE per bucket (t54/t61 discipline) from exact integer
+  // counts; per-doc weights are then pure BIGINT sums — bit-identical
+  // under any partitioning — and the top-K cut tie-breaks by doc_id.
+  // ---------------------------------------------------------------------
+  private[operators] val DsirBuckets = 256
+  private[operators] val DsirTopK = 100
+  private[operators] val DsirTargetLang = "en"
+  private val DsirAlphaB = DsirBuckets / 2.0 // additive smoothing α=0.5 per bucket
+
+  /** Unigram+bigram array over a tokenized `__t` column; the
+    * struct/filter detour (t61) keeps a trailing null w2 from collapsing
+    * into a duplicate unigram.
+    */
+  private def dsirGramArray: Column = {
+    val t = col("__t")
+    concat(
+      t,
+      transform(
+        filter(
+          transform(sequence(lit(1), greatest(size(t) - 1, lit(1))),
+            i => struct(try_element_at(t, i).as("w1"),
+              try_element_at(t, i + lit(1)).as("w2"))),
+          s => s.getField("w2").isNotNull),
+        s => concat_ws(" ", s.getField("w1"), s.getField("w2"))))
+  }
+
+  /** (doc_id, lang, bucket) for every unigram+bigram occurrence. */
+  private[graft] def dsirGramsFrom(d: DataFrame): DataFrame =
+    d.withColumn("__t", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), explode(dsirGramArray).as("g"))
+      .select(col("doc_id"), col("lang"),
+        pmod(PortableHash.h60(col("g")), lit(DsirBuckets.toLong)).as("b"))
+
+  def d59DsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirSelectFrom(Tables.documents(spark, dir))
+
+  /** The B-row (b, lr9) log-ratio model over a (doc_id, lang, bucket)
+    * occurrence frame; buckets unseen in the fitting corpus are absent
+    * (their smoothed prior is [[dsirOovLr9]]).
+    */
+  private def dsirModelOf(pairs: DataFrame): DataFrame = {
+    val stats = pairs.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
+    val tot = stats.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    def lnP(c: Column, t: Column): Column =
+      log((c.cast(DoubleType) + lit(0.5)) / (t.cast(DoubleType) + lit(DsirAlphaB)))
+    stats.crossJoin(broadcast(tot))
+      .withColumn("lr9", floor((lnP(col("ct"), col("tt")) - lnP(col("cr"), col("tr")))
+        * lit(1e9) + lit(0.5)).cast(LongType))
+      .select(col("b"), col("lr9"))
+  }
+
+  /** Fit the bucket model on a (doc_id, lang, text) corpus — the
+    * training half of the stream-scoring seam.
+    */
+  private[graft] def dsirModelFrom(d: DataFrame): DataFrame =
+    dsirModelOf(dsirGramsFrom(d))
+
+  /** Smoothed log-ratio for a bucket with zero occurrences in a fitting
+    * corpus of (tt target, tr raw) gram totals — the OOV prior a stream
+    * scorer uses for buckets the fitted model never saw.
+    */
+  private[graft] def dsirOovLr9(tt: Long, tr: Long): Long =
+    math.floor((math.log(0.5 / (tt + DsirAlphaB)) - math.log(0.5 / (tr + DsirAlphaB)))
+      * 1e9 + 0.5).toLong
+
+  /** DSIR over any (doc_id, lang, text) frame — spec entry point. */
+  private[graft] def dsirSelectFrom(d: DataFrame): DataFrame = {
+    // the gram explosion feeds both the model aggregate and the per-doc
+    // counts — materialize it once (t61's shared-frame idiom)
+    val pairs = dsirGramsFrom(d).localCheckpoint(true)
+    val model = dsirModelOf(pairs)
+    pairs.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(model), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("c") * col("lr9")).as("w9"))
+      .select(col("doc_id"), col("lang"), col("w9"))
+      .orderBy(col("w9").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  /** Stateless per-row DSIR scorer against a FROZEN model: the B-bucket
+    * log-ratio table rides along as a literal array (B is a fixed
+    * config-sized constant), so scoring is a pure projection — no
+    * explode, no join, no stateful aggregation — and the SAME expression
+    * tree scores a STREAM in Append mode (the t55/t71/t75 ingest-gate
+    * pattern; StreamingSpec pins stream ≡ batch). `lr9ByBucket(b)` must
+    * hold the fitted model's log-ratio for bucket b, with [[dsirOovLr9]]
+    * in buckets the fitting corpus never populated.
+    */
+  private[graft] def dsirScoresFrom(df: DataFrame, lr9ByBucket: Seq[Long]): DataFrame = {
+    require(lr9ByBucket.length == DsirBuckets, s"model must cover all $DsirBuckets buckets")
+    val lr9 = array(lr9ByBucket.map(lit(_)): _*)
+    df.withColumn("__t", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        aggregate(
+          transform(dsirGramArray, g => element_at(lr9,
+            (pmod(PortableHash.h60(g), lit(DsirBuckets.toLong)) + lit(1L))
+              .cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("w9"))
+  }
+
+  val d59DsirSelectSql: String = {
+    def lnP(c: String, t: String) =
+      s"ln((CAST($c AS DOUBLE) + 0.5) / (CAST($t AS DOUBLE) + $DsirAlphaB))"
+    s"""WITH tk AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |ex AS (
+       |  SELECT doc_id, lang,
+       |    ${PortableHash.h60Sql("g")} % $DsirBuckets AS b
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      unnest(t || list_transform(range(1, len(t)),
+       |        i -> t[i] || ' ' || t[i + 1])) AS g
+       |    FROM tk)),
+       |stats AS (
+       |  SELECT b, COUNT(*) AS cr,
+       |    SUM(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END) AS ct
+       |  FROM ex GROUP BY b),
+       |tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM stats),
+       |model AS (
+       |  SELECT b, CAST(floor((${lnP("ct", "tt")} - ${lnP("cr", "tr")})
+       |    * 1000000000.0 + 0.5) AS BIGINT) AS lr9
+       |  FROM stats, tot),
+       |db AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3)
+       |SELECT doc_id, lang, CAST(SUM(c * lr9) AS BIGINT) AS w9
+       |FROM db JOIN model USING (b)
+       |GROUP BY doc_id, lang
+       |ORDER BY w9 DESC, doc_id
+       |LIMIT $DsirTopK""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d46_stratified_sample", d46StratifiedSample _, d46StratifiedSampleSql),
     QueryDef.sql("d51_weighted_sample", d51WeightedSample _, d51WeightedSampleSql),
@@ -348,5 +503,6 @@ object Sampling {
     QueryDef.sql("d56_split_assign", d56SplitAssign _, d56SplitAssignSql),
     QueryDef.sql("t73_shuffle_shard", t73ShuffleShard _, t73ShuffleShardSql),
     QueryDef.sql("t74_shard_manifest", t74ShardManifest _, t74ShardManifestSql),
+    QueryDef.sql("d59_dsir_select", d59DsirSelect _, d59DsirSelectSql),
   )
 }

@@ -277,6 +277,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"per-node triangles must come from the oriented intersection:\n$plan")
   }
 
+  test("d59 scores via broadcast model join and selects via top-K — no global sort, no shuffle join") {
+    val plan = physical(graft.operators.Sampling.d59DsirSelect(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the B-row log-ratio model must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"per-doc counts must not shuffle against the model:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be TakeOrdered, never a full corpus sort:\n$plan")
+  }
+
+  test("c81 pair counting rides per-hash source sets — no corpus self-join, sizes broadcast") {
+    val plan = physical(graft.operators.Curation.c81SourceOverlap(spark, dir))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the shingle inventory must never self-join by shuffle:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the |sources|-row size table must broadcast:\n$plan")
+    assert(plan.contains("collect_set"),
+      s"pair fan-out must come from the bounded per-hash source set:\n$plan")
+  }
+
+  test("q95 is ONE hash exchange on the QI key — risk folding rides the bounded group frame") {
+    val n = hashExchanges(graft.operators.Audits.q95KAnonymity(spark, dir))
+    assert(n == 1, s"expected a single QI-key exchange, got $n")
+  }
+
   test("q83/q94 ranks ride range-partitioned slices — no corpus-sized single-partition window") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec

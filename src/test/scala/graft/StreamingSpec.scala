@@ -124,6 +124,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("d59 frozen-model DSIR gate scores a stream statelessly, identical to batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Sampling
+    // freeze a model on a tiny labeled corpus, then score unlabeled
+    // arrivals against it — the production shape: fit offline, gate the
+    // ingest stream with the frozen table
+    val fit = Seq(
+      (1L, "en", "alpha beta gamma alpha beta gamma delta"),
+      (2L, "de", "omega psi chi omega psi chi phi")).toDF("doc_id", "lang", "text")
+    val model = Sampling.dsirModelFrom(fit).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val occ = Sampling.dsirGramsFrom(fit)
+    val (tr, tt) = (occ.count(), occ.filter($"lang" === "en").count())
+    val lr9 = (0 until 256).map(b => model.getOrElse(b.toLong, Sampling.dsirOovLr9(tt, tr)))
+    val docs = Seq(
+      (10L, "xx", "alpha beta gamma"),   // target-like
+      (11L, "xx", "omega psi chi"),      // off-target
+      (12L, "xx", "unseen tokens here")) // pure OOV prior
+    val input = MemoryStream[(Long, String, String)]
+    val q = Sampling.dsirScoresFrom(input.toDF().toDF("doc_id", "lang", "text"), lr9)
+      .writeStream.format("memory").queryName("dsir_scored").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_scored").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val batch = Sampling.dsirScoresFrom(docs.toDF("doc_id", "lang", "text"), lr9)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(streamed == batch, "stream scores must equal batch scores")
+      assert(streamed(10L) > streamed(11L), s"target vocab must outrank off-target: $streamed")
+    } finally q.stop()
+  }
+
   test("t71 entropy/TTR gate runs stateless on a stream, identical to batch") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
