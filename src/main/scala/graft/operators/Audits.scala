@@ -140,18 +140,25 @@ object Audits {
   // offsets), so rank parallelism is the slice count, not |nations|
   // (VERDICT r09 #7).
   // ---------------------------------------------------------------------
-  def q94Gini(spark: SparkSession, dir: String): DataFrame = {
+  /** The exact per-customer revenue-cents grid with nation names —
+    * shared by q94 (Gini) and q98 (Theil).
+    */
+  private def nationRevenue(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_custkey"))
       .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
         * lit(100.0) + lit(0.5)).cast(LongType)).as("rev_cents"))
-    val named = rev
+    rev
       .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
       .select(col("n_name"), col("c_custkey"), col("rev_cents"))
+  }
+
+  def q94Gini(spark: SparkSession, dir: String): DataFrame = {
+    val named = nationRevenue(spark, dir)
     Relational.rankByRange(named, Seq("n_name"),
         Seq(col("rev_cents"), col("c_custkey")), "i", "__n")
       .groupBy(col("n_name"))
@@ -430,6 +437,66 @@ object Audits {
        |ORDER BY t_tenths""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q98: Theil T inequality index — q94's information-theoretic sibling
+  // (Theil 1967): per nation, T = (1/n)·Σ (x/μ)·ln(x/μ) over the same
+  // exact revenue-cents grid. Unlike Gini it needs NO ranks at all —
+  // one broadcast of the |nations|-row (n, Σx) stats onto the customer
+  // frame, one per-row snapped term, one rollup — so it is strictly
+  // cheaper at scale (no range exchange) and decomposable (the classic
+  // reason to publish Theil alongside Gini).
+  //
+  // Determinism: x, n, Σx are exact integers; the ratio r = x·n/Σx is
+  // ONE fixed-shape double expression (multiply then divide — no
+  // integer product that could wrap at scale); r·ln r is nano-snapped
+  // per row; per-nation sums run in BIGINT.
+  // ---------------------------------------------------------------------
+  def q98Theil(spark: SparkSession, dir: String): DataFrame = {
+    val named = nationRevenue(spark, dir)
+    val stats = named.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("rev_cents")).as("sx"))
+    named.join(broadcast(stats), "n_name")
+      .withColumn("r", col("rev_cents").cast(DoubleType) * col("n_cust").cast(DoubleType)
+        / col("sx").cast(DoubleType))
+      .withColumn("term9",
+        floor(col("r") * log(col("r")) * lit(1e9) + lit(0.5)).cast(LongType))
+      .groupBy(col("n_name"), col("n_cust"), col("sx"))
+      .agg(sum(col("term9")).as("s9"))
+      .select(col("n_name"), col("n_cust"),
+        round(col("sx").cast(DoubleType) / lit(100.0), 2).as("total_rev"),
+        round(col("s9").cast(DoubleType)
+          / (col("n_cust").cast(DoubleType) * lit(1e9)), 6).as("theil"))
+      .orderBy(col("n_name"))
+  }
+
+  val q98TheilSql: String = {
+    val r = "CAST(rev_cents AS DOUBLE) * CAST(n_cust AS DOUBLE) / CAST(sx AS DOUBLE)"
+    s"""WITH rev AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY o_custkey),
+       |named AS (
+       |  SELECT n_name, c_custkey, rev_cents
+       |  FROM rev
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey),
+       |st AS (
+       |  SELECT n_name, COUNT(*) AS n_cust, CAST(SUM(rev_cents) AS BIGINT) AS sx
+       |  FROM named GROUP BY n_name),
+       |t AS (
+       |  SELECT named.n_name, n_cust, sx,
+       |    CAST(floor(($r) * ln($r) * 1000000000.0 + 0.5) AS BIGINT) AS term9
+       |  FROM named JOIN st USING (n_name))
+       |SELECT n_name, n_cust,
+       |  ROUND(CAST(sx AS DOUBLE) / 100.0, 2) AS total_rev,
+       |  ROUND(CAST(CAST(SUM(term9) AS BIGINT) AS DOUBLE)
+       |    / (CAST(n_cust AS DOUBLE) * 1000000000.0), 6) AS theil
+       |FROM t
+       |GROUP BY n_name, n_cust, sx
+       |ORDER BY n_name""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q92_benford", q92Benford _, q92BenfordSql),
     QueryDef.sql("q93_basket_lift", q93BasketLift _, q93BasketLiftSql),
@@ -437,5 +504,6 @@ object Audits {
     QueryDef.sql("q95_k_anonymity", q95KAnonymity _, q95KAnonymitySql),
     QueryDef.sql("q96_l_diversity", q96LDiversity _, q96LDiversitySql),
     QueryDef.sql("q97_t_closeness", q97TCloseness _, q97TClosenessSql),
+    QueryDef.sql("q98_theil", q98Theil _, q98TheilSql),
   )
 }

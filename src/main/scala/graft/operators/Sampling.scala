@@ -429,8 +429,10 @@ object Sampling {
     math.floor((math.log(0.5 / (tt + DsirAlphaB)) - math.log(0.5 / (tr + DsirAlphaB)))
       * 1e9 + 0.5).toLong
 
-  /** DSIR over any (doc_id, lang, text) frame — spec entry point. */
-  private[graft] def dsirSelectFrom(d: DataFrame): DataFrame = {
+  /** Exact per-doc importance weights (doc_id, lang, w9) — shared by
+    * the top-K selection (d59) and the Gumbel resample (d60).
+    */
+  private[graft] def dsirWeightsFrom(d: DataFrame): DataFrame = {
     // the gram explosion feeds both the model aggregate and the per-doc
     // counts — materialize it once (t61's shared-frame idiom)
     val pairs = dsirGramsFrom(d).localCheckpoint(true)
@@ -441,9 +443,13 @@ object Sampling {
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("c") * col("lr9")).as("w9"))
       .select(col("doc_id"), col("lang"), col("w9"))
+  }
+
+  /** DSIR over any (doc_id, lang, text) frame — spec entry point. */
+  private[graft] def dsirSelectFrom(d: DataFrame): DataFrame =
+    dsirWeightsFrom(d)
       .orderBy(col("w9").desc, col("doc_id"))
       .limit(DsirTopK)
-  }
 
   /** Stateless per-row DSIR scorer against a FROZEN model: the B-bucket
     * log-ratio table rides along as a literal array (B is a fixed
@@ -466,10 +472,66 @@ object Sampling {
           lit(0L), (acc, x) => acc + x).as("w9"))
   }
 
-  val d59DsirSelectSql: String = {
+  // ---------------------------------------------------------------------
+  // d60: DSIR Gumbel-top-k resample — the paper's ACTUAL sampler (d59's
+  // deterministic top-K is its baseline variant): perturb each log
+  // weight with seeded Gumbel noise and take the top K of
+  //   key = log w(x) + G,  G = −ln(−ln u),
+  // which draws K documents WITHOUT replacement with probability
+  // proportional to w(x) (the Gumbel-max trick). "Random" = the
+  // engine's h60 gadget over (doc_id, seed) — u = (h + 0.5)/2^60 is a
+  // pure function of (data, seed), so the sample is reproducible
+  // across engines, re-runs and partitionings, like d46/t73.
+  //
+  // Determinism: w9 is d59's exact BIGINT; the Gumbel perturbation is
+  // snapped to integer nanos per row (the double-ln wobble is orders of
+  // magnitude under the snap); key = w9 + g9 stays in BIGINT; the top-K
+  // cut ties-breaks by doc_id. Same TakeOrdered shape as d59.
+  // ---------------------------------------------------------------------
+  private[operators] val GumbelSeed = 7
+  private val HashSpaceDouble = 1152921504606846976.0 // 2^60
+
+  def d60DsirResample(spark: SparkSession, dir: String): DataFrame =
+    dsirResampleFrom(Tables.documents(spark, dir))
+
+  private[graft] def dsirResampleFrom(d: DataFrame): DataFrame =
+    dsirWeightsFrom(d)
+      .withColumn("u",
+        (PortableHash.h60(concat_ws(":", col("doc_id"), lit(GumbelSeed))).cast(DoubleType)
+          + lit(0.5)) / lit(HashSpaceDouble))
+      .withColumn("g9",
+        floor(-log(-log(col("u"))) * lit(1e9) + lit(0.5)).cast(LongType))
+      .withColumn("key9", col("w9") + col("g9"))
+      .select(col("doc_id"), col("lang"), col("w9"), col("g9"), col("key9"))
+      .orderBy(col("key9").desc, col("doc_id"))
+      .limit(DsirTopK)
+
+  val d60DsirResampleSql: String = {
+    val uExpr = s"(CAST(${PortableHash.h60Sql(s"doc_id || ':$GumbelSeed'")} AS DOUBLE) + 0.5)" +
+      s" / 1152921504606846976.0"
+    s"""WITH $dsirCtes,
+       |w AS (
+       |  SELECT doc_id, lang, CAST(SUM(c * lr9) AS BIGINT) AS w9
+       |  FROM db JOIN model USING (b)
+       |  GROUP BY doc_id, lang),
+       |g AS (
+       |  SELECT doc_id, lang, w9,
+       |    CAST(floor(-ln(-ln($uExpr)) * 1000000000.0 + 0.5) AS BIGINT) AS g9
+       |  FROM w)
+       |SELECT doc_id, lang, w9, g9, w9 + g9 AS key9
+       |FROM g
+       |ORDER BY key9 DESC, doc_id
+       |LIMIT $DsirTopK""".stripMargin
+  }
+
+  /** The d59 CTE chain through the per-doc bucket counts (no leading
+    * WITH) — shared by d59's top-K and d60's Gumbel resample.
+    */
+  // lazy: referenced by d60's SQL val, which is declared above this block
+  private lazy val dsirCtes: String = {
     def lnP(c: String, t: String) =
       s"ln((CAST($c AS DOUBLE) + 0.5) / (CAST($t AS DOUBLE) + $DsirAlphaB))"
-    s"""WITH tk AS (
+    s"""tk AS (
        |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
        |ex AS (
        |  SELECT doc_id, lang,
@@ -488,13 +550,16 @@ object Sampling {
        |  SELECT b, CAST(floor((${lnP("ct", "tt")} - ${lnP("cr", "tr")})
        |    * 1000000000.0 + 0.5) AS BIGINT) AS lr9
        |  FROM stats, tot),
-       |db AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3)
+       |db AS (SELECT doc_id, lang, b, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  val d59DsirSelectSql: String =
+    s"""WITH $dsirCtes
        |SELECT doc_id, lang, CAST(SUM(c * lr9) AS BIGINT) AS w9
        |FROM db JOIN model USING (b)
        |GROUP BY doc_id, lang
        |ORDER BY w9 DESC, doc_id
        |LIMIT $DsirTopK""".stripMargin
-  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d46_stratified_sample", d46StratifiedSample _, d46StratifiedSampleSql),
@@ -504,5 +569,6 @@ object Sampling {
     QueryDef.sql("t73_shuffle_shard", t73ShuffleShard _, t73ShuffleShardSql),
     QueryDef.sql("t74_shard_manifest", t74ShardManifest _, t74ShardManifestSql),
     QueryDef.sql("d59_dsir_select", d59DsirSelect _, d59DsirSelectSql),
+    QueryDef.sql("d60_dsir_resample", d60DsirResample _, d60DsirResampleSql),
   )
 }

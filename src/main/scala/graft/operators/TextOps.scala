@@ -1659,6 +1659,104 @@ object TextOps {
        |ORDER BY feature""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t77: interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995;
+  // Chen & Goodman 1998) — the smoothing real perplexity filters
+  // (KenLM) actually use, upgrading t61's add-one baseline: absolute
+  // discounting plus a CONTINUATION-count backoff,
+  //   P_KN(w2|w1) = max(c2−D,0)/c1 + (D·N1+(w1·)/c1) · N1+(·w2)/B
+  // where N1+(w1·)/N1+(·w2) are distinct-successor/-predecessor type
+  // counts and B the distinct-bigram total. "how many contexts does w2
+  // complete" replaces "how often does w2 occur" in the backoff — the
+  // insight that made KN the default.
+  //
+  // Scale shape: t61's exactly — all four model tables live on the
+  // vocabulary (c2 plus three aggregates OF c2), the scoring join hashes
+  // corpus pairs against them, and the per-doc rollup is one hash
+  // aggregate. Determinism: every count is exact BIGINT; P_KN is one
+  // FIXED-shape double expression per distinct bigram, its ln
+  // nano-snapped ONCE (t54/t61 discipline); per-doc sums run in BIGINT.
+  // -------------------------------------------------------------------
+  private val KnDiscount = 0.75
+  // mean logprob ≥ −3.45 keeps — the threshold sits INSIDE the corpus's
+  // score range at every gated SF (−3.85..−3.26), so the gate separates
+  // instead of rubber-stamping (the t75 bias discipline)
+  private val KnThresholdNanos = -3_450_000_000L
+
+  def t77KnLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val grams = filter(
+      transform(sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+        i => struct(try_element_at(toks, i).as("w1"),
+          try_element_at(toks, i + lit(1)).as("w2"))),
+      s => s.getField("w2").isNotNull)
+    val pairs = d.select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .localCheckpoint(true)
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    // successor stats per context: total count AND distinct-successor
+    // type count, in ONE pass over the c2 frame
+    val c1f = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1fwd"))
+    val n1b = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1bwd"))
+    val bt = c2.agg(count(lit(1)).as("bt"))
+    def D = DoubleType
+    val model = c2.join(c1f, "w1").join(n1b, "w2").crossJoin(broadcast(bt))
+      .withColumn("p",
+        greatest(col("c2").cast(D) - lit(KnDiscount), lit(0.0)) / col("c1").cast(D)
+          + (lit(KnDiscount) * col("n1fwd").cast(D) / col("c1").cast(D))
+            * (col("n1bwd").cast(D) / col("bt").cast(D)))
+      .withColumn("lp_n", floor(log(col("p")) * lit(1e9) + lit(0.5)).cast(LongType))
+      .select(col("w1"), col("w2"), col("lp_n"))
+    val scored = pairs.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_n")).as("sum_n"))
+    d.select(col("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("sum_n").cast(DoubleType) / col("n_bigrams").cast(DoubleType) / lit(1e9), 6)
+          .as("avg_logprob"),
+        coalesce(col("sum_n") >= lit(KnThresholdNanos) * col("n_bigrams"), lit(false))
+          .as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t77KnLmScoreSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |pr AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS g
+       |  FROM tk),
+       |pairs AS (
+       |  SELECT doc_id, struct_extract(g, 'w1') AS w1, struct_extract(g, 'w2') AS w2
+       |  FROM pr),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+       |c1f AS (
+       |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1, COUNT(*) AS n1fwd
+       |  FROM c2 GROUP BY w1),
+       |n1b AS (SELECT w2, COUNT(*) AS n1bwd FROM c2 GROUP BY w2),
+       |bt AS (SELECT COUNT(*) AS bt FROM c2),
+       |model AS (
+       |  SELECT c2.w1, c2.w2,
+       |    CAST(floor(ln(
+       |      GREATEST(CAST(c2 AS DOUBLE) - $KnDiscount, 0.0) / CAST(c1 AS DOUBLE)
+       |        + ($KnDiscount * CAST(n1fwd AS DOUBLE) / CAST(c1 AS DOUBLE))
+       |          * (CAST(n1bwd AS DOUBLE) / CAST(bt AS DOUBLE))
+       |    ) * 1000000000.0 + 0.5) AS BIGINT) AS lp_n
+       |  FROM c2 JOIN c1f USING (w1) JOIN n1b USING (w2) CROSS JOIN bt),
+       |scored AS (
+       |  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp_n) AS sum_n
+       |  FROM pairs JOIN model USING (w1, w2) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  ROUND(CAST(sum_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) / 1000000000.0, 6)
+       |    AS avg_logprob,
+       |  COALESCE(sum_n >= $KnThresholdNanos * n_bigrams, false) AS keep
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN scored USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -1685,5 +1783,6 @@ object TextOps {
     QueryDef.sql("t72_chunks", t72Chunks _, t72ChunksSql),
     QueryDef.sql("t75_quality_classifier", t75QualityClassifier _, t75QualityClassifierSql),
     QueryDef.sql("t76_quality_grad_step", t76QualityGradStep _, t76QualityGradStepSql),
+    QueryDef.sql("t77_kn_lm_score", t77KnLmScore _, t77KnLmScoreSql),
   )
 }

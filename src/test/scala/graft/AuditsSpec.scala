@@ -114,4 +114,43 @@ class AuditsSpec extends AnyFunSuite {
     }
     assert(got.keySet == li.map(_._1).toSet)
   }
+
+  test("q98 theil matches a naive recomputation and sits in [0, ln n]") {
+    val got = Audits.q98Theil(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // the q94 grid recomputed naively: per-customer exact cents → nation
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")).collect()
+      .map(r => (r.getLong(0),
+        math.floor(r.getDouble(1) * (1.0 - r.getDouble(2)) * 100.0 + 0.5).toLong))
+    val ordCust = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val custNation = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val nationName = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    val revByCust = li.flatMap { case (ok, cents) => ordCust.get(ok).map(_ -> cents) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = revByCust.toSeq
+      .map { case (ck, cents) => (nationName(custNation(ck)), cents) }
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (nn, xs) =>
+        val n = xs.length.toLong
+        val sx = xs.map(_._2).sum
+        val s9 = xs.map { case (_, x) =>
+          val r = x.toDouble * n.toDouble / sx.toDouble
+          math.floor(r * math.log(r) * 1e9 + 0.5).toLong
+        }.sum
+        (nn, n, r2(sx.toDouble / 100.0), r6(s9.toDouble / (n.toDouble * 1e9)))
+      }
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    for ((nn, n, _, t) <- got) {
+      assert(t >= -1e-6 && t <= math.log(n.toDouble) + 1e-6,
+        s"$nn: Theil must sit in [0, ln n], got $t")
+    }
+  }
 }

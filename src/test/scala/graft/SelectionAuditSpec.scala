@@ -53,7 +53,7 @@ class SelectionAuditSpec extends AnyFunSuite {
     }.toMap
     occ.groupBy(o => (o._1, o._2)).map { case ((id, lang), os) =>
       (id, lang, os.groupBy(_._3).map { case (b, bs) => bs.size * lr9(b) }.sum)
-    }.toSeq.sortBy(r => (-r._3, r._1)).take(100)
+    }.toSeq.sortBy(r => (-r._3, r._1))
   }
 
   test("d59 matches a naive in-memory recompute on testdata") {
@@ -62,7 +62,7 @@ class SelectionAuditSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
-    val want = naiveDsir(docs)
+    val want = naiveDsir(docs).take(100)
     assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
   }
 
@@ -149,6 +149,26 @@ class SelectionAuditSpec extends AnyFunSuite {
       (5L, 3L, 17L, 1L, 2L, 5L, 0.294118),
       (10L, 3L, 17L, 1L, 2L, 5L, 0.294118))
     assert(got == want, s"got $got")
+  }
+
+  test("d60 Gumbel resample matches a naive recompute and differs from plain top-K") {
+    val got = Sampling.d60DsirResample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val weights = naiveDsir(docs) // EVERY doc is perturbed, not just the top-K
+    val want = weights.map { case (id, lang, w9) =>
+      val u = (h60(s"$id:7").toDouble + 0.5) / 1152921504606846976.0
+      val g9 = math.floor(-math.log(-math.log(u)) * 1e9 + 0.5).toLong
+      (id, lang, w9, g9, w9 + g9)
+    }.sortBy(r => (-r._5, r._1)).take(100)
+    assert(got == want, s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // the perturbation must actually reorder something vs the pure
+    // weight order, or the query degenerates to d59
+    assert(got.map(_._1) != weights.map(_._1).take(got.size),
+      "Gumbel noise must permute the ranking")
   }
 
   test("d59 frozen-model scorer reproduces the batch weights") {

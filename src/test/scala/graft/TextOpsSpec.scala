@@ -196,4 +196,64 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fp("a")._2 == fp("b")._2, "and share min shingle hash")
     assert(fp("a")._1 != fp("c")._1)
   }
+
+  /** Naive interpolated-KN model over collected docs: (c2, c1, n1fwd,
+    * n1bwd, B) and P_KN exactly as t77 defines them.
+    */
+  private def knModel(docs: Seq[(Long, Seq[String])]) = {
+    val pairs = docs.flatMap { case (id, ts) =>
+      ts.sliding(2).filter(_.size == 2).map(p => (id, p(0), p(1)))
+    }
+    val c2 = pairs.groupBy(p => (p._2, p._3)).view.mapValues(_.length.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1fwd = c2.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1bwd = c2.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val bt = c2.size.toLong
+    def p(w1: String, w2: String): Double =
+      math.max(c2.getOrElse((w1, w2), 0L).toDouble - 0.75, 0.0) / c1(w1).toDouble +
+        (0.75 * n1fwd(w1).toDouble / c1(w1).toDouble) *
+          (n1bwd.getOrElse(w2, 0L).toDouble / bt.toDouble)
+    (pairs, c1, n1bwd, p _)
+  }
+
+  test("t77 KN scoring matches a naive recomputation") {
+    val got = TextOps.t77KnLmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2), r.getBoolean(3))).toSeq
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq)).toSeq
+    val (pairs, _, _, p) = knModel(docs)
+    val lp = pairs.map(q => (q._2, q._3)).distinct
+      .map(k => k -> math.floor(math.log(p(k._1, k._2)) * 1e9 + 0.5).toLong).toMap
+    val perDoc = pairs.groupBy(_._1).view.mapValues { ps =>
+      (ps.length.toLong, ps.map(q => lp((q._2, q._3))).sum)
+    }.toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = docs.map(_._1).sorted.map { id =>
+      perDoc.get(id) match {
+        case Some((nb, sn)) =>
+          (id, nb, r6(sn.toDouble / nb.toDouble / 1e9), sn >= -3450000000L * nb)
+        case None => (id, 0L, null, false)
+      }
+    }
+    assert(got == want, s"first diff: ${got.zip(want).find(q => q._1 != q._2)}")
+    assert(got.exists(_._4) && got.exists(!_._4),
+      "the KN gate must separate the corpus, not rubber-stamp it")
+  }
+
+  test("t77 KN is a PROPER conditional distribution: vocab-wide mass sums to 1 per context") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq)).toSeq
+    val (pairs, c1, _, p) = knModel(docs)
+    val vocab = docs.flatMap(_._2).distinct
+    // five contexts spread across the frequency range
+    val contexts = c1.keys.toSeq.sorted.grouped(math.max(1, c1.size / 5)).map(_.head).toSeq
+    for (w1 <- contexts) {
+      val mass = vocab.iterator.map(w2 => p(w1, w2)).sum
+      assert(math.abs(mass - 1.0) < 1e-9,
+        s"KN mass for context '$w1' must be exactly 1, got $mass")
+    }
+  }
 }
