@@ -1683,15 +1683,19 @@ object TextOps {
   // instead of rubber-stamping (the t75 bias discipline)
   private val KnThresholdNanos = -3_450_000_000L
 
-  def t77KnLmScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc KN score frame (doc_id, lang, n_bigrams, sum_n) — t77's
+    * engine, shared by the gate (t77) and the CCNet bucketing (t78).
+    * Only docs WITH bigrams appear; t77's left join restores the rest.
+    */
+  private def knDocScores(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val grams = filter(
       transform(sequence(lit(1), greatest(size(toks) - 1, lit(1))),
         i => struct(try_element_at(toks, i).as("w1"),
           try_element_at(toks, i + lit(1)).as("w2"))),
       s => s.getField("w2").isNotNull)
-    val pairs = d.select(col("doc_id"), explode(grams).as("g"))
-      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val pairs = d.select(col("doc_id"), col("lang"), explode(grams).as("g"))
+      .select(col("doc_id"), col("lang"), col("g.w1").as("w1"), col("g.w2").as("w2"))
       .localCheckpoint(true)
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     // successor stats per context: total count AND distinct-successor
@@ -1708,10 +1712,14 @@ object TextOps {
             * (col("n1bwd").cast(D) / col("bt").cast(D)))
       .withColumn("lp_n", floor(log(col("p")) * lit(1e9) + lit(0.5)).cast(LongType))
       .select(col("w1"), col("w2"), col("lp_n"))
-    val scored = pairs.join(model, Seq("w1", "w2"))
-      .groupBy(col("doc_id"))
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_n")).as("sum_n"))
-    d.select(col("doc_id")).distinct()
+  }
+
+  def t77KnLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val scored = knDocScores(spark, dir).drop("lang")
+    docs(spark, dir).select(col("doc_id")).distinct()
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
@@ -1757,6 +1765,76 @@ object TextOps {
        |LEFT JOIN scored USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t78: CCNet perplexity buckets (Wenzek et al.) — the data-mixing
+  // stage that follows the LM score: per LANGUAGE, split the corpus
+  // into equi-depth head / middle / tail terciles by model score
+  // (CCNet keeps head+middle for training, tail for audit). Ranks ride
+  // `rankByRange` grouped by lang (the q83/q94 slice discipline — no
+  // per-language single-partition window), buckets are the exact
+  // equi-depth rank formula (rank−1)·3 div n + 1.
+  //
+  // Determinism: the sort key is sum_n/n_bigrams as a raw IEEE double
+  // of two exact BIGINTs — bit-identical cross-engine — with doc_id as
+  // the total tiebreak; bucket arithmetic is pure integer.
+  // -------------------------------------------------------------------
+  def t78PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val scored = knDocScores(spark, dir)
+      .withColumn("alp", col("sum_n").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+    Relational.rankByRange(scored, Seq("lang"),
+        Seq(col("alp").desc, col("doc_id").asc), "i", "__n")
+      .withColumn("bucket", expr("(i - 1) * 3 div __n + 1"))
+      .select(col("doc_id"), col("lang"),
+        round(col("alp") / lit(1e9), 6).as("avg_logprob"),
+        col("bucket"),
+        when(col("bucket") === 1, "head").when(col("bucket") === 2, "middle")
+          .otherwise("tail").as("band"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t78PerplexityBucketsSql: String =
+    s"""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+       |pr AS (
+       |  SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+       |    i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS g
+       |  FROM tk),
+       |pairs AS (
+       |  SELECT doc_id, lang,
+       |    struct_extract(g, 'w1') AS w1, struct_extract(g, 'w2') AS w2
+       |  FROM pr),
+       |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY w1, w2),
+       |c1f AS (
+       |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1, COUNT(*) AS n1fwd
+       |  FROM c2 GROUP BY w1),
+       |n1b AS (SELECT w2, COUNT(*) AS n1bwd FROM c2 GROUP BY w2),
+       |bt AS (SELECT COUNT(*) AS bt FROM c2),
+       |model AS (
+       |  SELECT c2.w1, c2.w2,
+       |    CAST(floor(ln(
+       |      GREATEST(CAST(c2 AS DOUBLE) - $KnDiscount, 0.0) / CAST(c1 AS DOUBLE)
+       |        + ($KnDiscount * CAST(n1fwd AS DOUBLE) / CAST(c1 AS DOUBLE))
+       |          * (CAST(n1bwd AS DOUBLE) / CAST(bt AS DOUBLE))
+       |    ) * 1000000000.0 + 0.5) AS BIGINT) AS lp_n
+       |  FROM c2 JOIN c1f USING (w1) JOIN n1b USING (w2) CROSS JOIN bt),
+       |scored AS (
+       |  SELECT doc_id, lang, COUNT(*) AS n_bigrams, SUM(lp_n) AS sum_n
+       |  FROM pairs JOIN model USING (w1, w2) GROUP BY doc_id, lang),
+       |ranked AS (
+       |  SELECT doc_id, lang,
+       |    CAST(sum_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS alp,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY CAST(sum_n AS DOUBLE) / CAST(n_bigrams AS DOUBLE) DESC, doc_id) AS i,
+       |    COUNT(*) OVER (PARTITION BY lang) AS n
+       |  FROM scored)
+       |SELECT doc_id, lang,
+       |  ROUND(alp / 1000000000.0, 6) AS avg_logprob,
+       |  CAST((i - 1) * 3 // n + 1 AS BIGINT) AS bucket,
+       |  CASE WHEN (i - 1) * 3 // n + 1 = 1 THEN 'head'
+       |       WHEN (i - 1) * 3 // n + 1 = 2 THEN 'middle'
+       |       ELSE 'tail' END AS band
+       |FROM ranked
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
@@ -1784,5 +1862,6 @@ object TextOps {
     QueryDef.sql("t75_quality_classifier", t75QualityClassifier _, t75QualityClassifierSql),
     QueryDef.sql("t76_quality_grad_step", t76QualityGradStep _, t76QualityGradStepSql),
     QueryDef.sql("t77_kn_lm_score", t77KnLmScore _, t77KnLmScoreSql),
+    QueryDef.sql("t78_perplexity_buckets", t78PerplexityBuckets _, t78PerplexityBucketsSql),
   )
 }

@@ -310,7 +310,8 @@ class PlanShapeSpec extends AnyFunSuite {
       "q83" -> graft.operators.Relational.q83DecileReport(spark, dir),
       "q94" -> graft.operators.Audits.q94Gini(spark, dir),
       "t73" -> graft.operators.Sampling.t73ShuffleShard(spark, dir),
-      "t74" -> graft.operators.Sampling.t74ShardManifest(spark, dir))
+      "t74" -> graft.operators.Sampling.t74ShardManifest(spark, dir),
+      "t78" -> graft.operators.TextOps.t78PerplexityBuckets(spark, dir))
     for ((name, df) <- frames) {
       val plan = df.queryExecution.executedPlan match {
         case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p

@@ -242,6 +242,41 @@ class TextOpsSpec extends AnyFunSuite {
       "the KN gate must separate the corpus, not rubber-stamp it")
   }
 
+  test("t78 CCNet buckets match a naive per-language tercile recompute") {
+    val got = TextOps.t78PerplexityBuckets(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3),
+        r.getString(4))).toSeq
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").toSeq)).toSeq
+    val (pairs, _, _, p) = knModel(docs.map(d => (d._1, d._3)))
+    val lp = pairs.map(q => (q._2, q._3)).distinct
+      .map(k => k -> math.floor(math.log(p(k._1, k._2)) * 1e9 + 0.5).toLong).toMap
+    val alp = pairs.groupBy(_._1).view.mapValues { ps =>
+      ps.map(q => lp((q._2, q._3))).sum.toDouble / ps.length.toDouble
+    }.toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      val ranked = ds.map(d => (d._1, alp(d._1))).sortBy { case (id, a) => (-a, id) }
+      val n = ranked.length.toLong
+      ranked.zipWithIndex.map { case ((id, a), ix) =>
+        val bucket = ix.toLong * 3 / n + 1
+        (id, lang, r6(a / 1e9), bucket,
+          if (bucket == 1) "head" else if (bucket == 2) "middle" else "tail")
+      }
+    }.sortBy(_._1)
+    assert(got == want, s"first diff: ${got.zip(want).find(q => q._1 != q._2)}")
+    // equi-depth: per (lang) the three buckets differ by at most one doc,
+    // and every head doc outscores every tail doc within its language
+    for ((lang, rows) <- got.groupBy(_._2)) {
+      val sizes = rows.groupBy(_._4).view.mapValues(_.size).toMap
+      assert(sizes.size == 3 && sizes.values.max - sizes.values.min <= 1,
+        s"$lang buckets must be equi-depth: $sizes")
+      assert(rows.filter(_._5 == "head").map(_._3).min >=
+        rows.filter(_._5 == "tail").map(_._3).max, s"$lang head must outscore tail")
+    }
+  }
+
   test("t77 KN is a PROPER conditional distribution: vocab-wide mass sums to 1 per context") {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).collect()
