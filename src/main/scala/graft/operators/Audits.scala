@@ -497,7 +497,265 @@ object Audits {
        |ORDER BY n_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q90/q91/q99: two-sample inference suite — the hypothesis-test
+  // siblings of the descriptive audits above (q92-q98 ask "what does the
+  // distribution look like"; these ask "are these two populations the
+  // SAME distribution", the question every A/B readout and every
+  // source-vs-source curation comparison reduces to). Three tests, three
+  // distinct distributional assumptions:
+  //   q90  Welch's unequal-variance t-test   (parametric, mean shift)
+  //   q91  Kolmogorov-Smirnov two-sample     (nonparametric, any shape)
+  //   q99  Mann-Whitney U, tie-corrected     (nonparametric, rank shift)
+  //
+  // Shared determinism discipline (q79/q94/q98's): order totals snap to
+  // the exact cents grid (BIGINT) at the scan, every accumulation is an
+  // integer sum — squares and rank products widened to DecimalType(38,0)
+  // BEFORE the multiply, mirroring the oracle's HUGEINT (q94's ADVICE
+  // r09/r10 lesson) — and the final statistics are ONE fixed-shape
+  // double expression over those exact sums, so both engines evaluate
+  // identical IEEE trees. No per-row double is ever summed.
+  //
+  // Scale shape: q90 is a pure moment-sum fold (one shuffle, |nations|
+  // rows of state — the form that needs no second pass at any scale).
+  // q91/q99 need cumulative counts over the VALUE order; the corpus
+  // first collapses to the distinct-cents grid per group (bounded by
+  // the value domain), then `Relational.prefixSumByRange` computes the
+  // running totals via range slices + broadcast offsets — never the
+  // 3-reducer window that `Window.partitionBy(o_orderstatus)` would
+  // plan (the q83/q94 single-partition-rank lesson, applied to ECDFs).
+  // ---------------------------------------------------------------------
+  private val SegA = "BUILDING"
+  private val SegB = "MACHINERY"
+
+  /** Shared two-sample base: one row per order of a SegA/SegB customer —
+    * (n_name, exact cents, is_a tag). orders⋈customer shuffles on the
+    * customer key (both corpus-sized at scale), nation names broadcast.
+    */
+  private def segmentOrderCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"))
+      .join(Tables.customer(spark, dir)
+          .filter(col("c_mktsegment").isin(SegA, SegB))
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("cents"),
+        when(col("c_mktsegment") === SegA, 1L).otherwise(0L).as("is_a"))
+
+  /** SQL mirror of [[segmentOrderCents]] (CTE body, no leading WITH). */
+  private val segmentOrderCentsSql: String =
+    s"""j AS (
+       |  SELECT n_name,
+       |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+       |    CASE WHEN c_mktsegment = '$SegA' THEN 1 ELSE 0 END AS is_a
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE c_mktsegment IN ('$SegA', '$SegB'))""".stripMargin
+
+  def q90WelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val dec0 = lit(0L).cast(DecimalType(38, 0))
+    val m = segmentOrderCents(spark, dir)
+      .groupBy(col("n_name"))
+      .agg(
+        sum(col("is_a")).as("n_a"),
+        sum(when(col("is_a") === 1L, col("cents")).otherwise(0L)).as("s_a"),
+        sum(when(col("is_a") === 1L,
+          col("cents").cast(DecimalType(38, 0)) * col("cents")).otherwise(dec0)).as("ss_a"),
+        sum(lit(1L) - col("is_a")).as("n_b"),
+        sum(when(col("is_a") === 0L, col("cents")).otherwise(0L)).as("s_b"),
+        sum(when(col("is_a") === 0L,
+          col("cents").cast(DecimalType(38, 0)) * col("cents")).otherwise(dec0)).as("ss_b"))
+      .filter(col("n_a") >= 2L && col("n_b") >= 2L)
+    val dna = col("n_a").cast(DoubleType)
+    val dnb = col("n_b").cast(DoubleType)
+    val ma = col("s_a").cast(DoubleType) / dna
+    val mb = col("s_b").cast(DoubleType) / dnb
+    val va = (col("ss_a").cast(DoubleType)
+      - col("s_a").cast(DoubleType) * col("s_a").cast(DoubleType) / dna) / (dna - lit(1.0))
+    val vb = (col("ss_b").cast(DoubleType)
+      - col("s_b").cast(DoubleType) * col("s_b").cast(DoubleType) / dnb) / (dnb - lit(1.0))
+    val sea = va / dna
+    val seb = vb / dnb
+    m.select(col("n_name"), col("n_a"), col("n_b"),
+        round(ma / lit(100.0), 4).as("mean_a"),
+        round(mb / lit(100.0), 4).as("mean_b"),
+        round((ma - mb) / sqrt(sea + seb), 6).as("t_stat"),
+        round((sea + seb) * (sea + seb)
+          / (sea * sea / (dna - lit(1.0)) + seb * seb / (dnb - lit(1.0))), 2).as("df"))
+      .orderBy(col("n_name"))
+  }
+
+  val q90WelchTtestSql: String = {
+    val ma = "CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    val mb = "CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    val va = "(CAST(ss_a AS DOUBLE) - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / (CAST(n_a AS DOUBLE) - 1.0)"
+    val vb = "(CAST(ss_b AS DOUBLE) - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / (CAST(n_b AS DOUBLE) - 1.0)"
+    val sea = s"($va) / CAST(n_a AS DOUBLE)"
+    val seb = s"($vb) / CAST(n_b AS DOUBLE)"
+    s"""WITH $segmentOrderCentsSql,
+       |m AS (
+       |  SELECT n_name,
+       |    CAST(SUM(is_a) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN is_a = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+       |    SUM(CASE WHEN is_a = 1 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss_a,
+       |    CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN is_a = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_b,
+       |    SUM(CASE WHEN is_a = 0 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS ss_b
+       |  FROM j GROUP BY n_name
+       |  HAVING SUM(is_a) >= 2 AND SUM(1 - is_a) >= 2)
+       |SELECT n_name, n_a, n_b,
+       |  ROUND(($ma) / 100.0, 4) AS mean_a,
+       |  ROUND(($mb) / 100.0, 4) AS mean_b,
+       |  ROUND((($ma) - ($mb)) / sqrt(($sea) + ($seb)), 6) AS t_stat,
+       |  ROUND((($sea) + ($seb)) * (($sea) + ($seb))
+       |    / (($sea) * ($sea) / (CAST(n_a AS DOUBLE) - 1.0)
+       |       + ($seb) * ($seb) / (CAST(n_b AS DOUBLE) - 1.0)), 2) AS df
+       |FROM m
+       |ORDER BY n_name""".stripMargin
+  }
+
+  def q91KsTest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      .select(col("o_orderstatus"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"),
+        when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("is_a"))
+    val g = o.groupBy(col("o_orderstatus"), col("cents"))
+      .agg(sum(col("is_a")).as("c_a"), sum(lit(1L) - col("is_a")).as("c_b"))
+    val cums = Relational.prefixSumByRange(g, Seq("o_orderstatus"),
+      Seq(col("cents")), Seq("cum_a" -> col("c_a"), "cum_b" -> col("c_b")))
+    // sample sizes = the final cumulative value (increments are >= 0, so
+    // max ≡ last); the sup statistic compares the two ECDFs on the
+    // common-denominator integer grid |cum_a·n_b − cum_b·n_a| — exact in
+    // decimal, divided once at the end — so D is never a max over
+    // accumulated per-row doubles
+    val tot = cums.groupBy(col("o_orderstatus"))
+      .agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
+    val d = cums.join(broadcast(tot), "o_orderstatus")
+      .select(col("o_orderstatus"), col("n_a"), col("n_b"),
+        abs(col("cum_a").cast(DecimalType(38, 0)) * col("n_b")
+          - col("cum_b").cast(DecimalType(38, 0)) * col("n_a")).as("num"))
+      .groupBy(col("o_orderstatus"), col("n_a"), col("n_b"))
+      .agg(max(col("num")).as("dnum"))
+      .filter(col("n_a") >= 1L && col("n_b") >= 1L)
+    val dStat = col("dnum").cast(DoubleType) /
+      (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType))
+    d.select(col("o_orderstatus"), col("n_a"), col("n_b"),
+        round(dStat, 6).as("d_stat"),
+        round(dStat * sqrt(col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)
+          / (col("n_a") + col("n_b")).cast(DoubleType)), 6).as("ks_z"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q91KsTestSql: String = {
+    val dStat = "CAST(dnum AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))"
+    s"""WITH o AS (
+       |  SELECT o_orderstatus,
+       |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+       |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS is_a
+       |  FROM orders
+       |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+       |g AS (
+       |  SELECT o_orderstatus, cents,
+       |    CAST(SUM(is_a) AS BIGINT) AS c_a, CAST(SUM(1 - is_a) AS BIGINT) AS c_b
+       |  FROM o GROUP BY 1, 2),
+       |c AS (
+       |  SELECT o_orderstatus, c_a, c_b,
+       |    CAST(SUM(c_a) OVER w AS BIGINT) AS cum_a,
+       |    CAST(SUM(c_b) OVER w AS BIGINT) AS cum_b
+       |  FROM g
+       |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY cents
+       |               ROWS UNBOUNDED PRECEDING)),
+       |t AS (
+       |  SELECT o_orderstatus,
+       |    CAST(MAX(cum_a) AS BIGINT) AS n_a, CAST(MAX(cum_b) AS BIGINT) AS n_b
+       |  FROM c GROUP BY 1),
+       |d AS (
+       |  SELECT o_orderstatus, n_a, n_b,
+       |    MAX(abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)) AS dnum
+       |  FROM c JOIN t USING (o_orderstatus)
+       |  GROUP BY 1, 2, 3
+       |  HAVING n_a >= 1 AND n_b >= 1)
+       |SELECT o_orderstatus, n_a, n_b,
+       |  ROUND($dStat, 6) AS d_stat,
+       |  ROUND(($dStat) * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |    / CAST(n_a + n_b AS DOUBLE)), 6) AS ks_z
+       |FROM d
+       |ORDER BY o_orderstatus""".stripMargin
+  }
+
+  def q99MannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val g = segmentOrderCents(spark, dir)
+      .groupBy(col("n_name"), col("cents"))
+      .agg(sum(col("is_a")).as("c_a"), sum(lit(1L) - col("is_a")).as("c_b"))
+    val cums = Relational.prefixSumByRange(g, Seq("n_name"),
+      Seq(col("cents")), Seq("cum_t" -> (col("c_a") + col("c_b"))))
+    val t = col("c_a") + col("c_b")
+    // average-rank method without per-row fractions: every rank quantity
+    // is DOUBLED so it stays on the integer grid — 2·avgrank(v) =
+    // 2·cum_before + t + 1 — and the rank-sum/tie accumulators widen to
+    // decimal before multiplying (rank·count products reach n² and tie
+    // cubes n³: long wraps at scale, q94's lesson)
+    val a = cums
+      .select(col("n_name"), col("c_a"), col("c_b"),
+        (col("c_a").cast(DecimalType(38, 0))
+          * (lit(2L) * (col("cum_t") - t) + t + lit(1L))).as("r2term"),
+        (t.cast(DecimalType(38, 0)) * t * t - t).as("tie3"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("nv"), sum(col("c_a")).as("n_a"),
+        sum(col("c_b")).as("n_b"), sum(col("r2term")).as("r2"),
+        sum(col("tie3")).as("ties"))
+      .filter(col("nv") >= 2L && col("n_a") >= 2L && col("n_b") >= 2L)
+    val dna = col("n_a").cast(DoubleType)
+    val dnb = col("n_b").cast(DoubleType)
+    val dn = (col("n_a") + col("n_b")).cast(DoubleType)
+    val ua = col("r2").cast(DoubleType) / lit(2.0) - dna * (dna + lit(1.0)) / lit(2.0)
+    val varU = dna * dnb / lit(12.0) *
+      ((dn + lit(1.0)) - col("ties").cast(DoubleType) / (dn * (dn - lit(1.0))))
+    a.select(col("n_name"), col("n_a"), col("n_b"),
+        round(ua, 1).as("u_a"),
+        round((ua - dna * dnb / lit(2.0)) / sqrt(varU), 6).as("z"))
+      .orderBy(col("n_name"))
+  }
+
+  val q99MannWhitneySql: String = {
+    val ua = "CAST(r2 AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1.0) / 2.0"
+    val varU = "CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0 * ((CAST(n_a + n_b AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE) / (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))"
+    s"""WITH $segmentOrderCentsSql,
+       |g AS (
+       |  SELECT n_name, cents,
+       |    CAST(SUM(is_a) AS BIGINT) AS c_a, CAST(SUM(1 - is_a) AS BIGINT) AS c_b
+       |  FROM j GROUP BY 1, 2),
+       |c AS (
+       |  SELECT n_name, c_a, c_b,
+       |    CAST(SUM(c_a + c_b) OVER (PARTITION BY n_name ORDER BY cents
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t
+       |  FROM g),
+       |a AS (
+       |  SELECT n_name, COUNT(*) AS nv,
+       |    CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b,
+       |    SUM(CAST(c_a AS HUGEINT)
+       |        * (2 * (cum_t - (c_a + c_b)) + (c_a + c_b) + 1)) AS r2,
+       |    SUM(CAST(c_a + c_b AS HUGEINT) * (c_a + c_b) * (c_a + c_b)
+       |        - (c_a + c_b)) AS ties
+       |  FROM c GROUP BY 1
+       |  HAVING COUNT(*) >= 2 AND SUM(c_a) >= 2 AND SUM(c_b) >= 2)
+       |SELECT n_name, n_a, n_b,
+       |  ROUND($ua, 1) AS u_a,
+       |  ROUND((($ua) - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0)
+       |    / sqrt($varU), 6) AS z
+       |FROM a
+       |ORDER BY n_name""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
+    QueryDef.sql("q91_ks_test", q91KsTest _, q91KsTestSql),
+    QueryDef.sql("q99_mann_whitney", q99MannWhitney _, q99MannWhitneySql),
     QueryDef.sql("q92_benford", q92Benford _, q92BenfordSql),
     QueryDef.sql("q93_basket_lift", q93BasketLift _, q93BasketLiftSql),
     QueryDef.sql("q94_gini", q94Gini _, q94GiniSql),

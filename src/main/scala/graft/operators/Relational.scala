@@ -703,6 +703,49 @@ object Relational {
       .drop("__pid", "__off", "__lrn", "__c")
   }
 
+  /** Exact per-group running totals by distributed prefix sum —
+    * [[rankByRange]]'s cumulative-MEASURE sibling (ranks are the special
+    * case measure ≡ 1). Range-partitions (group, order) into slices,
+    * accumulates each measure slice-locally (a partition-bounded window),
+    * and adds the slice's broadcast exclusive offset, so running totals
+    * over a corpus-sized frame never plan the single-reducer window a
+    * low-cardinality `Window.partitionBy` would (q91's ECDF partitions
+    * by ORDER STATUS — three groups — which a plain window would funnel
+    * through three tasks regardless of cluster size). Appends, for every
+    * `(name, measure)`, a column `name` holding the running sum of
+    * `measure` INCLUDING the current row under `orderCols`' total order
+    * within `partNames`. Same exchange-reuse pin as rankByRange
+    * (PlanShapeSpec executes the q91 plan and asserts the slice frame's
+    * two consumers resolve to one reused stage); `orderCols` must be a
+    * total order within each group for cross-engine determinism.
+    */
+  private[graft] def prefixSumByRange(df: DataFrame, partNames: Seq[String],
+                                      orderCols: Seq[Column],
+                                      measures: Seq[(String, Column)],
+                                      parts: Int = 0): DataFrame = {
+    val partCols = partNames.map(col)
+    val sliced = pinnedSlices(df, partCols ++ orderCols, parts)
+    val totals = measures.map { case (n, m) => sum(m).as(s"__t_$n") }
+    val perSlice = sliced
+      .groupBy(col("__pid") +: partCols: _*).agg(totals.head, totals.tail: _*)
+    // bounded side table: `parts`·|groups| rows of exclusive offsets
+    val wOff = Window.partitionBy(partCols: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = perSlice.select(
+      col("__pid") +: partCols ++: measures.map { case (n, _) =>
+        coalesce(sum(col(s"__t_$n")).over(wOff), lit(0L)).as(s"__off_$n")
+      }: _*)
+    val wLoc = Window.partitionBy(col("__pid") +: partCols: _*)
+      .orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = measures.foldLeft(sliced) { case (d, (n, m)) =>
+      d.withColumn(n, sum(m).over(wLoc))
+    }
+    measures.foldLeft(local.join(broadcast(offs), "__pid" +: partNames)) {
+      case (d, (n, _)) => d.withColumn(n, col(n) + col(s"__off_$n"))
+    }.drop("__pid" +: measures.map(m => s"__off_${m._1}"): _*)
+  }
+
   def q19Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val price = rankQuantiles(li, "l_returnflag", "l_extendedprice",

@@ -1291,6 +1291,95 @@ object TextOps {
       |ORDER BY word""".stripMargin
 
   // -------------------------------------------------------------------
+  // t79: multi-round BPE training — t68's single merge round iterated
+  // BpeRounds times as ONE declarative plan: round k's pair statistics
+  // run over the spellings round k-1 produced, the elected pair (count
+  // DESC, pair ASC — the insertion-order tie-break) joins back as a
+  // 1-row broadcast, and the merge applies as a greedy left-to-right
+  // literal replace. Once rounds can produce MULTI-character symbols, a
+  // bare space-join is no longer sound — pair "b c" would false-match
+  // inside the spelling "ab c" — so every symbol is sentinel-wrapped
+  // ("<a> <b>"; merged "<ab>"): a pattern can then only align on symbol
+  // boundaries, and because the pattern consumes no separator beyond
+  // its own symbols, iterated literal replace IS exact greedy BPE
+  // application even through runs ("<a> <a> <a> <a>" → "<aa> <aa>").
+  // (Assumes '<'/'>' absent from the token alphabet, true of this
+  // corpus; a production run would pick unused codepoints.)
+  //
+  // Scale shape (t68's, compounded): the corpus collapses to (word,
+  // cnt) in the ONE corpus scan; the vocabulary frame is
+  // localCheckpoint'd because all 2·R downstream branches (pair stats +
+  // symbol counts per round) re-read it, and every round's work —
+  // stats, election, re-spelling — is vocabulary-sized. Output is the
+  // R-row merge TABLE (round, pair, pair_count, corpus symbols after),
+  // the artifact a tokenizer trainer persists per round.
+  // -------------------------------------------------------------------
+  private val BpeRounds = 3
+
+  def t79BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = docs(spark, dir)
+      .select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("spaced", array_join(
+        transform(filter(split(col("w"), ""), x => x =!= ""),
+          c => concat(lit("<"), c, lit(">"))), " "))
+      .localCheckpoint()
+    val rounds = (1 to BpeRounds).foldLeft(
+      (vocab, Seq.empty[DataFrame])) { case ((prev, outs), r) =>
+      val pairs = prev
+        .withColumn("cs", split(col("spaced"), " "))
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("p"))
+        .groupBy(col("p")).agg(sum(col("cnt")).as("pc"))
+      val top = pairs.orderBy(col("pc").desc, col("p").asc).limit(1)
+        .select(col("p").as("pair"), col("pc").as("pair_count"))
+      val merged = prev.crossJoin(broadcast(top))
+        .withColumn("spaced", expr("replace(spaced, pair, replace(pair, '> <', ''))"))
+      val report = merged
+        .groupBy(col("pair"), col("pair_count"))
+        .agg(sum(col("cnt") * size(split(col("spaced"), " "))).as("syms_after"))
+        .select(lit(r).as("round"),
+          regexp_replace(col("pair"), "[<>]", "").as("pair"),
+          col("pair_count"), col("syms_after"))
+      (merged.select(col("w"), col("cnt"), col("spaced")), outs :+ report)
+    }._2
+    rounds.reduce(_.unionAll(_)).orderBy(col("round"))
+  }
+
+  val t79BpeTrainSql: String = {
+    def stage(k: Int): String = {
+      val prev = s"s${k - 1}"
+      s"""p$k AS (
+         |  SELECT cs[i] || ' ' || cs[i+1] AS p, CAST(SUM(cnt) AS BIGINT) AS pc
+         |  FROM (SELECT cnt, string_split(spaced, ' ') AS cs FROM $prev),
+         |       unnest(range(1, len(cs))) r(i)
+         |  GROUP BY 1),
+         |t$k AS (SELECT p AS pair, pc AS pair_count FROM p$k
+         |        ORDER BY pc DESC, p ASC LIMIT 1),
+         |s$k AS (SELECT w, cnt, replace(spaced, pair, replace(pair, '> <', '')) AS spaced
+         |        FROM $prev CROSS JOIN t$k),
+         |o$k AS (SELECT $k AS round,
+         |    replace(replace(pair, '<', ''), '>', '') AS pair, pair_count, syms_after
+         |  FROM t$k CROSS JOIN (
+         |    SELECT CAST(SUM(cnt * len(string_split(spaced, ' '))) AS BIGINT) AS syms_after
+         |    FROM s$k) x)""".stripMargin
+    }
+    s"""WITH words AS (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1),
+       |s0 AS (
+       |  SELECT w, cnt,
+       |    array_to_string(list_transform(string_split(w, ''),
+       |      c -> '<' || c || '>'), ' ') AS spaced
+       |  FROM words),
+       |${(1 to BpeRounds).map(stage).mkString(",\n")}
+       |${(1 to BpeRounds).map(k => s"SELECT * FROM o$k").mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // t69: classifier confusion matrix — t50's language predictions
   // cross-tabulated against the gold labels, with per-true-class recall:
   // the eval table every labeling/classification stage ships with. The
@@ -1863,5 +1952,6 @@ object TextOps {
     QueryDef.sql("t76_quality_grad_step", t76QualityGradStep _, t76QualityGradStepSql),
     QueryDef.sql("t77_kn_lm_score", t77KnLmScore _, t77KnLmScoreSql),
     QueryDef.sql("t78_perplexity_buckets", t78PerplexityBuckets _, t78PerplexityBucketsSql),
+    QueryDef.sql("t79_bpe_train", t79BpeTrain _, t79BpeTrainSql),
   )
 }

@@ -153,4 +153,178 @@ class AuditsSpec extends AnyFunSuite {
         s"$nn: Theil must sit in [0, ln n], got $t")
     }
   }
+
+  // -- two-sample inference suite (q90/q91/q99) -------------------------
+
+  /** Textbook Welch from raw values — deliberately NOT the query's
+    * moment-sum path (two-pass centered variance vs one-pass sums).
+    */
+  private def naiveWelch(a: Seq[Double], b: Seq[Double]): (Double, Double) = {
+    def mv(x: Seq[Double]) = {
+      val n = x.size; val m = x.sum / n
+      (m, x.map(v => (v - m) * (v - m)).sum / (n - 1))
+    }
+    val (ma, va) = mv(a); val (mb, vb) = mv(b)
+    val sea = va / a.size; val seb = vb / b.size
+    ((ma - mb) / math.sqrt(sea + seb),
+      (sea + seb) * (sea + seb) /
+        (sea * sea / (a.size - 1) + seb * seb / (b.size - 1)))
+  }
+
+  /** Rank-based Mann-Whitney from raw values with average-rank ties —
+    * the O(n log n) sort-and-walk form, not the query's grid algebra.
+    */
+  private def naiveMwu(a: Seq[Long], b: Seq[Long]): (Double, Double) = {
+    val arr = (a ++ b).sorted
+    val avgRank = arr.zipWithIndex.groupBy(_._1).view
+      .mapValues(g => g.map(_._2 + 1).sum.toDouble / g.size).toMap
+    val ra = a.map(avgRank).sum
+    val ua = ra - a.size.toDouble * (a.size + 1) / 2
+    val n = arr.size
+    val tieSum = arr.groupBy(identity).values
+      .map(g => math.pow(g.size.toDouble, 3) - g.size).sum
+    val varU = a.size.toDouble * b.size / 12.0 *
+      ((n + 1) - tieSum / (n.toDouble * (n - 1)))
+    (ua, (ua - a.size.toDouble * b.size / 2) / math.sqrt(varU))
+  }
+
+  /** The per-nation (cents, is_a) base both q90 and q99 aggregate —
+    * recomputed by driver-side joins over the raw tables.
+    */
+  private lazy val naiveSegmentCents: Map[String, (Seq[Long], Seq[Long])] = {
+    val custSeg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getString(2)))).toMap
+    val nationName = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name")).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .flatMap { r =>
+        custSeg.get(r.getLong(0)).collect {
+          case (nk, seg) if seg == "BUILDING" || seg == "MACHINERY" =>
+            (nationName(nk), seg, math.floor(r.getDouble(1) * 100.0 + 0.5).toLong)
+        }
+      }
+      .groupBy(_._1).view.mapValues { xs =>
+        (xs.filter(_._2 == "BUILDING").map(_._3).toSeq,
+          xs.filter(_._2 == "MACHINERY").map(_._3).toSeq)
+      }.toMap
+  }
+
+  test("q90 Welch t ≡ textbook two-pass recompute per nation") {
+    val got = Audits.q90WelchTtest(spark, dir).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val (as, bs) = naiveSegmentCents(r.getString(0))
+      assert(r.getLong(1) == as.size && r.getLong(2) == bs.size, s"${r.getString(0)} sizes")
+      val (t, df) = naiveWelch(as.map(_.toDouble), bs.map(_.toDouble))
+      assert(math.abs(r.getDouble(5) - t) < 1e-4, s"${r.getString(0)} t: ${r.getDouble(5)} vs $t")
+      assert(math.abs(r.getDouble(6) - df) < 0.05, s"${r.getString(0)} df: ${r.getDouble(6)} vs $df")
+      val meanA = as.sum.toDouble / as.size / 100.0
+      assert(math.abs(r.getDouble(3) - meanA) < 1e-3, s"${r.getString(0)} mean_a")
+    }
+    // every SegA/SegB nation with n>=2 per side appears — nothing dropped
+    val want = naiveSegmentCents.filter { case (_, (a, b)) => a.size >= 2 && b.size >= 2 }
+    assert(got.map(_.getString(0)).toSet == want.keySet)
+  }
+
+  test("q90 planted samples: zero shift ⇒ t = 0; known shift matches hand formula") {
+    val d = java.nio.file.Files.createTempDirectory("graft-welch").toString
+    val s = spark; import s.implicits._
+    // nation 0: identical samples (t = 0 exactly — same mean, any var);
+    // nation 1: a shifted pair with unequal variances
+    val orders = Seq(
+      (1L, 10.0), (1L, 20.0), (1L, 30.0), (2L, 10.0), (2L, 20.0), (2L, 30.0),
+      (3L, 1.0), (3L, 2.0), (3L, 3.0), (3L, 4.0), (3L, 5.0),
+      (4L, 2.0), (4L, 4.0), (4L, 6.0), (4L, 8.0), (4L, 10.0), (4L, 12.0))
+    orders.toDF("o_custkey", "o_totalprice")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    Seq((1L, 0, "BUILDING"), (2L, 0, "MACHINERY"),
+        (3L, 1, "BUILDING"), (4L, 1, "MACHINERY"))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$d/customer.parquet")
+    Seq((0, "SAME"), (1, "SHIFT")).toDF("n_nationkey", "n_name")
+      .coalesce(1).write.parquet(s"$d/nation.parquet")
+    val got = Audits.q90WelchTtest(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("SAME").getDouble(5) == 0.0)
+    val (t, df) = naiveWelch(Seq(100.0, 200, 300, 400, 500),
+      Seq(200.0, 400, 600, 800, 1000, 1200))
+    assert(math.abs(got("SHIFT").getDouble(5) - t) < 1e-6)
+    assert(math.abs(got("SHIFT").getDouble(6) - df) < 1e-2)
+  }
+
+  test("q91 KS d ≡ naive ECDF sup-difference per status") {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority"))
+      .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW")).collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1) * 100.0 + 0.5).toLong,
+        r.getString(2) == "1-URGENT"))
+    val got = Audits.q91KsTest(spark, dir).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val rows = base.filter(_._1 == r.getString(0))
+      val a = rows.filter(_._3).map(_._2).toSeq.sorted
+      val b = rows.filterNot(_._3).map(_._2).toSeq.sorted
+      assert(r.getLong(1) == a.size && r.getLong(2) == b.size)
+      val d = (a ++ b).distinct.map { v =>
+        math.abs(a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size)
+      }.max
+      assert(math.abs(r.getDouble(3) - d) < 1e-6, s"${r.getString(0)} D: ${r.getDouble(3)} vs $d")
+      val z = d * math.sqrt(a.size.toDouble * b.size / (a.size + b.size))
+      assert(math.abs(r.getDouble(4) - z) < 1e-4)
+    }
+  }
+
+  test("q91 planted: identical samples ⇒ D = 0; disjoint ranges ⇒ D = 1") {
+    val d = java.nio.file.Files.createTempDirectory("graft-ks").toString
+    val s = spark; import s.implicits._
+    val same = Seq(1.0, 2.0, 3.0).flatMap(v =>
+      Seq(("O", v, "1-URGENT"), ("O", v, "5-LOW")))
+    val disjoint = Seq(("F", 1.0, "1-URGENT"), ("F", 2.0, "1-URGENT"),
+      ("F", 10.0, "5-LOW"), ("F", 20.0, "5-LOW"))
+    (same ++ disjoint ++ Seq(("P", 5.0, "3-MEDIUM"))) // non-sample priority drops out
+      .toDF("o_orderstatus", "o_totalprice", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val got = Audits.q91KsTest(spark, d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("P"), "a status with only one sample present must drop")
+    assert(got("O").getDouble(3) == 0.0 && got("O").getDouble(4) == 0.0)
+    assert(got("F").getDouble(3) == 1.0, "fully separated samples reach the sup bound")
+  }
+
+  test("q99 Mann-Whitney U/z ≡ rank-based recompute per nation (ties included)") {
+    val got = Audits.q99MannWhitney(spark, dir).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val (as, bs) = naiveSegmentCents(r.getString(0))
+      val (ua, z) = naiveMwu(as, bs)
+      assert(r.getLong(1) == as.size && r.getLong(2) == bs.size)
+      assert(math.abs(r.getDouble(3) - ua) < 1e-6, s"${r.getString(0)} U: ${r.getDouble(3)} vs $ua")
+      assert(math.abs(r.getDouble(4) - z) < 1e-4, s"${r.getString(0)} z: ${r.getDouble(4)} vs $z")
+    }
+  }
+
+  test("q99 planted ties: U and z match the tie-corrected hand computation") {
+    val d = java.nio.file.Files.createTempDirectory("graft-mwu").toString
+    val s = spark; import s.implicits._
+    // heavy ties ACROSS samples: A = [1,2,2,3], B = [2,2,3,3,4]
+    val a = Seq(1.0, 2.0, 2.0, 3.0); val b = Seq(2.0, 2.0, 3.0, 3.0, 4.0)
+    (a.zipWithIndex.map { case (v, i) => (100L + i, v) } ++
+      b.zipWithIndex.map { case (v, i) => (200L + i, v) })
+      .toDF("o_custkey", "o_totalprice")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    (a.indices.map(i => (100L + i, 0, "BUILDING")) ++
+      b.indices.map(i => (200L + i, 0, "MACHINERY")))
+      .toDF("c_custkey", "c_nationkey", "c_mktsegment")
+      .coalesce(1).write.parquet(s"$d/customer.parquet")
+    Seq((0, "TIES")).toDF("n_nationkey", "n_name")
+      .coalesce(1).write.parquet(s"$d/nation.parquet")
+    val got = Audits.q99MannWhitney(spark, d).collect()
+    assert(got.length == 1)
+    val (ua, z) = naiveMwu(a.map(v => (v * 100).toLong), b.map(v => (v * 100).toLong))
+    assert(got(0).getDouble(3) == ua, s"U: ${got(0).getDouble(3)} vs $ua")
+    assert(math.abs(got(0).getDouble(4) - z) < 1e-6)
+  }
 }

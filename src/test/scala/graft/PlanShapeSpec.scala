@@ -87,7 +87,11 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q83", graft.operators.Relational.q83DecileReport(spark, dir), 1),
       ("q94", graft.operators.Audits.q94Gini(spark, dir), 1),
       ("t73", graft.operators.Sampling.t73ShuffleShard(spark, dir), 1),
-      ("q19", graft.operators.Relational.q19Percentiles(spark, dir), 2))
+      ("q19", graft.operators.Relational.q19Percentiles(spark, dir), 2),
+      // prefixSumByRange consumers (ECDF/rank-sum cumulatives) ride the
+      // same slice frame twice — same boundary-determinism dependency
+      ("q91", graft.operators.Audits.q91KsTest(spark, dir), 1),
+      ("q99", graft.operators.Audits.q99MannWhitney(spark, dir), 1))
     for ((name, df, sites) <- frames) {
       df.collect() // reuse is decided during adaptive execution
       val plan = df.queryExecution.executedPlan.toString

@@ -291,4 +291,72 @@ class TextOpsSpec extends AnyFunSuite {
         s"KN mass for context '$w1' must be exactly 1, got $mass")
     }
   }
+
+  // -- t79: multi-round BPE -------------------------------------------
+
+  /** Exact greedy BPE over a (word → count) vocabulary, symbols as real
+    * token VECTORS — the reference semantics t79's sentinel-wrapped
+    * literal replace must reproduce. Tie-break: count DESC, then the
+    * space-joined pair ASC (valid against the wrapped election because
+    * both ' ' and '>' sort below the lowercase alphabet, so prefix
+    * symbols order first under either encoding).
+    */
+  private def naiveBpe(words: Map[String, Long], rounds: Int): Seq[(String, Long, Long)] = {
+    var spell: Map[String, (Vector[String], Long)] =
+      words.map { case (w, c) => w -> (w.toVector.map(_.toString), c) }
+    (1 to rounds).map { _ =>
+      val pc = scala.collection.mutable.Map[(String, String), Long]()
+      for ((_, (syms, c)) <- spell; i <- 0 until syms.size - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + c
+      val ((a, b), cnt) = pc.toSeq.minBy { case ((x, y), c) => (-c, s"$x $y") }
+      spell = spell.map { case (w, (syms, c)) =>
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.size) {
+          if (i + 1 < syms.size && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        w -> (out.result(), c)
+      }
+      val symsAfter = spell.values.map { case (s, c) => s.size * c }.sum
+      (s"$a $b", cnt, symsAfter)
+    }
+  }
+
+  test("t79 merge table ≡ exact greedy BPE on the real vocabulary, all rounds") {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = naiveBpe(words, 3)
+    val got = TextOps.t79BpeTrain(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"got $got\nwant $want")
+    // round 1 must agree with t68's single-round election
+    val t68 = TextOps.t68BpeMergeRound(spark, dir).head()
+    assert(t68.getString(2) == want.head._1 && t68.getLong(3) == want.head._2)
+  }
+
+  test("t79 sentinel wrapping: multi-char symbols never false-match; runs merge pairwise") {
+    val d = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val s = spark; import s.implicits._
+    // vocab {ab:10, bc:5, abc:1, aaaa:1} plants both literal-replace
+    // hazards. False-match: round 1 merges (a,b), so 'abc' spells
+    // [ab, c]; round 2 elects (b,c) — a bare space-join spelling 'ab c'
+    // CONTAINS 'b c' and would merge across the symbol boundary,
+    // collapsing 'abc' a round early (and leaving round 3 with the
+    // wrong elections everywhere). Run merge: round 3 elects (a,a) and
+    // 'aaaa' must become [aa, aa] — a replace variant that consumes the
+    // separator (padded patterns) leaves [aa, a, a].
+    Seq((1L, "ab ab ab ab ab ab ab ab ab ab"), (2L, "bc bc bc bc bc abc aaaa"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = TextOps.t79BpeTrain(spark, d).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val hand = Seq((1, "a b", 11L, 26L), (2, "b c", 5L, 21L), (3, "a a", 3L, 19L))
+    assert(got == hand, s"got $got\nwant $hand")
+    val words = Map("ab" -> 10L, "bc" -> 5L, "abc" -> 1L, "aaaa" -> 1L)
+    val want = naiveBpe(words, 3).zipWithIndex
+      .map { case ((p, c, sa), i) => (i + 1, p, c, sa) }
+    assert(got == want, s"got $got\nnaive $want")
+  }
 }
