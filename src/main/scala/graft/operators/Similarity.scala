@@ -1122,6 +1122,168 @@ object Similarity {
        |ORDER BY s.vec_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // d61: cluster-cap diversity selection — the density-equalization
+  // step a curated training mix runs AFTER near-dup removal (the D4 /
+  // SSL-prototypes recipe): assign every vector to its nearest bounded
+  // coarse cell (q34's ≈√n md5-sampled centroids), rank each cell's
+  // members by prototypicality (cosine to own centroid DESC, id ASC),
+  // and keep at most CapPerCell per cell — over-dense regions of
+  // embedding space lose their long tail instead of dominating the mix.
+  //
+  // Scale shape: the one broadcast is the O(√n) centroid set; cell
+  // assignment is the q34 oracle-proven scan; the per-cell rank windows
+  // over ~√n-sized partitions (cells), never a global sort. Output is
+  // the full per-vector selection mask (the operator's contract — it
+  // feeds a keeper join downstream), kept flag derived from the rank.
+  // -------------------------------------------------------------------
+  private val CapPerCell = 8
+
+  def d61ClusterCap(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    val cents = sampleCentroids(raw)
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("csim", Vectors.vecCosine(col("embedding"), col("ce")))
+      .withColumn("crn", row_number().over(wA))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cid"), col("csim"))
+    val wC = Window.partitionBy(col("cid")).orderBy(col("csim").desc, col("vec_id").asc)
+    assigned
+      .withColumn("rnk", row_number().over(wC).cast(org.apache.spark.sql.types.LongType))
+      .withColumn("cell_n", count(lit(1)).over(Window.partitionBy(col("cid"))))
+      .select(col("vec_id"), col("cid"), round(col("csim"), 6).as("csim"),
+        col("rnk"), col("cell_n"),
+        (col("rnk") <= CapPerCell).cast(org.apache.spark.sql.types.IntegerType).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val d61ClusterCapSql: String =
+    s"""WITH ${centsSqlCte("cents")},
+       |assigned AS (
+       |  SELECT vec_id, cid, csim FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ${cosSql("e.embedding", "c.ce")} AS csim,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE crn = 1)
+       |SELECT vec_id, cid, ROUND(csim, 6) AS csim,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY cid
+       |    ORDER BY csim DESC, vec_id ASC) AS BIGINT) AS rnk,
+       |  CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS cell_n,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY cid
+       |    ORDER BY csim DESC, vec_id ASC) <= $CapPerCell AS INTEGER) AS kept
+       |FROM assigned
+       |ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // d62: MMR (maximal-marginal-relevance) re-ranking — the diversity
+  // pass a retrieval stack runs over its ANN candidates before they
+  // reach a context window: greedily pick k results balancing relevance
+  // to the query against redundancy with what is already picked,
+  // score(c) = λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s) (Carbonell &
+  // Goldstein 1998). k is a CONSTANT, so the greedy loop unrolls into k
+  // declarative stages — no recursion, no driver loop — and the oracle
+  // replays the identical k-stage chain in SQL.
+  //
+  // Scale shape: candidate generation is the q30 single-scan brute
+  // kernel (broadcast queries, per-query top-MmrCand reduction); the
+  // MMR stages then touch only |queries|·MmrCand rows — localCheckpoint
+  // materializes that bounded frame once because all k stages re-read
+  // it (q93's shared-frame idiom; at 100 TB the alternative re-scores
+  // the corpus k times).
+  // -------------------------------------------------------------------
+  private val MmrCand = 20
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+
+  def d62MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    val queries = raw.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val wTop = Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("neighbor_id").asc)
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rel", Vectors.vecCosine(col("qe"), col("ne")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= MmrCand)
+      .select(col("query_id"), col("neighbor_id"), col("ne"), col("rel"))
+      .localCheckpoint()
+    val first = cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("ne"), col("rel"),
+        col("rel").as("score"), lit(1).as("pick_rank"))
+    val selected = (2 to MmrK).foldLeft(first) { case (sel, i) =>
+      val rem = cand.join(sel.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val wPick = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id").asc)
+      val pick = rem
+        .join(sel.select(col("query_id"), col("ne").as("se")), Seq("query_id"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("ne"), col("rel"))
+        .agg(max(Vectors.vecCosine(col("ne"), col("se"))).as("msim"))
+        .withColumn("score",
+          lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("msim"))
+        .withColumn("prn", row_number().over(wPick))
+        .filter(col("prn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("ne"), col("rel"),
+          col("score"), lit(i).as("pick_rank"))
+      sel.unionAll(pick)
+    }
+    selected
+      .select(col("query_id"), col("pick_rank"), col("neighbor_id"),
+        round(col("rel"), 6).as("rel"), round(col("score"), 6).as("mmr_score"))
+      .orderBy(col("query_id"), col("pick_rank"))
+  }
+
+  val d62MmrRerankSql: String = {
+    def stage(i: Int): String = {
+      val prev = s"sel${i - 1}"
+      s"""rem$i AS (
+         |  SELECT c.* FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prev s
+         |    WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)),
+         |sc$i AS (
+         |  SELECT r.query_id, r.neighbor_id, r.ne, r.rel,
+         |    $MmrLambda * r.rel - ${1.0 - MmrLambda} * MAX(${cosSql("r.ne", "s.ne")}) AS score
+         |  FROM rem$i r JOIN $prev s ON s.query_id = r.query_id
+         |  GROUP BY r.query_id, r.neighbor_id, r.ne, r.rel),
+         |pick$i AS (
+         |  SELECT query_id, neighbor_id, ne, rel, score, $i AS pick_rank FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id ASC) AS prn FROM sc$i) t
+         |  WHERE prn = 1),
+         |sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$i)""".stripMargin
+    }
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |  WHERE vec_id < $NumQueries),
+       |cand AS (
+       |  SELECT query_id, neighbor_id, ne, rel FROM (
+       |    SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS ne,
+       |      ${cosSql("q.qe", "e.embedding")} AS rel,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.qe", "e.embedding")} DESC, e.vec_id ASC) AS rn
+       |    FROM embeddings e CROSS JOIN q
+       |    WHERE e.vec_id <> q.query_id) t
+       |  WHERE rn <= $MmrCand),
+       |sel1 AS (
+       |  SELECT query_id, neighbor_id, ne, rel, rel AS score, 1 AS pick_rank FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, neighbor_id ASC) AS rn2 FROM cand) t
+       |  WHERE rn2 = 1),
+       |${(2 to MmrK).map(stage).mkString(",\n")}
+       |SELECT query_id, pick_rank, neighbor_id,
+       |  ROUND(rel, 6) AS rel, ROUND(score, 6) AS mmr_score
+       |FROM sel$MmrK
+       |ORDER BY query_id, pick_rank""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
   // q71: per-dimension embedding standardization (z-score feature
   // scaling) — the feature-prep pass in front of clustering/ANN when
   // dimensions carry different scales. One posexplode + one hash agg on
@@ -1354,6 +1516,8 @@ object Similarity {
     QueryDef.sql("q50_hybrid_search", q50HybridSearch _, q50HybridSearchSql),
     QueryDef.sql("q51_ann_ivf_pq", q51AnnIvfPq _, q51AnnIvfPqSql),
     QueryDef.sql("d48_semdedup", d48SemDedup _, d48SemDedupSql),
+    QueryDef.sql("d61_cluster_cap", d61ClusterCap _, d61ClusterCapSql),
+    QueryDef.sql("d62_mmr_rerank", d62MmrRerank _, d62MmrRerankSql),
     QueryDef.sql("q71_standardize", q71Standardize _, q71StandardizeSql),
     QueryDef.sql("c78_embedding_audit", c78EmbeddingAudit _, c78EmbeddingAuditSql),
     QueryDef.sql("q88_knn_classify", q88KnnClassify _, q88KnnClassifySql),

@@ -484,4 +484,79 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(candPrefix <= candFull * 9 / 10,
       s"pruning ratio too weak: $candPrefix of $candFull")
   }
+
+  // -- d61 cluster cap / d62 MMR --------------------------------------
+
+  /** Driver-side cosine matching VecCosine's accumulation order. */
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private lazy val allVecs: Map[Long, Array[Float]] =
+    Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  test("d61 caps every cell at CapPerCell and keeps exactly the most prototypical") {
+    val rows = Similarity.d61ClusterCap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    assert(rows.length == allVecs.size, "selection mask must cover every vector")
+    val byCell = rows.groupBy(_._2)
+    for ((cid, members) <- byCell) {
+      val n = members.length.toLong
+      assert(members.forall(_._5 == n), s"cell $cid cell_n")
+      assert(members.map(_._4).sorted.toSeq == (1L to n), s"cell $cid ranks not 1..n")
+      val kept = members.filter(_._6 == 1)
+      assert(kept.length == math.min(n, 8L), s"cell $cid kept count")
+      // kept = rank prefix: every kept (csim, -id) dominates every dropped
+      val ord = implicitly[Ordering[(Double, Long)]]
+      val worstKept = kept.map(m => (m._3, -m._1)).min(ord)
+      for (d <- members.filter(_._6 == 0))
+        assert(ord.lteq((d._3, -d._1), worstKept), s"cell $cid: dropped $d beats kept")
+    }
+    // cells are the q34 quantizer: every vector's cell is its true argmax centroid
+    val cents = byCell.keySet.map(c => c -> allVecs(c)).toMap
+    for ((vid, cid, _, _, _, _) <- rows.take(50)) {
+      val best = cents.toSeq.map { case (c, ce) => (cos(allVecs(vid), ce), -c) }.max
+      assert(-best._2 == cid || math.abs(best._1 - cos(allVecs(vid), cents(cid))) < 1e-12,
+        s"vec $vid assigned to $cid, argmax is ${-best._2}")
+    }
+  }
+
+  test("d62 ≡ naive greedy MMR over the top-20 brute candidates") {
+    val lambda = 0.7
+    val got = Similarity.d62MmrRerank(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    val queries = allVecs.keys.filter(_ < 10).toSeq.sorted
+    assert(got.map(_._1).distinct.toSeq == queries)
+    for (q <- queries) {
+      val qe = allVecs(q)
+      val cand = allVecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qe, v)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(20)
+      var sel = Vector.empty[(Long, Double)] // (id, score)
+      for (_ <- 1 to 5) {
+        val remaining = cand.filterNot(c => sel.exists(_._1 == c._1))
+        val scored = remaining.map { case (id, rel) =>
+          val msim = if (sel.isEmpty) 0.0
+            else sel.map(s => cos(allVecs(id), allVecs(s._1))).max
+          val score = if (sel.isEmpty) rel else lambda * rel - (1 - lambda) * msim
+          (id, score)
+        }
+        sel = sel :+ scored.minBy { case (id, s) => (-s, id) }
+      }
+      val gotQ = got.filter(_._1 == q).sortBy(_._2)
+      assert(gotQ.map(_._3).toSeq == sel.map(_._1),
+        s"query $q picks: ${gotQ.map(_._3).toSeq} vs ${sel.map(_._1)}")
+      for ((g, (_, s)) <- gotQ.zip(sel))
+        assert(math.abs(g._5 - s) < 1e-5, s"query $q score ${g._5} vs $s")
+      // diversity sanity: the MMR list never repeats a neighbor
+      assert(gotQ.map(_._3).distinct.length == 5)
+    }
+  }
 }
