@@ -621,6 +621,54 @@ object Curation {
       |WHERE rn = 1 AND op <> 'D'
       |ORDER BY user_id""".stripMargin
 
+  // -- c76's incremental/streaming siblings ------------------------------
+  // The foreachBatch MERGE form of the same CDC apply: state is one row
+  // per key (last change + applied depth), each micro-batch folds in via
+  // a commutative/associative combine — (max by (tus, event_id), sum) —
+  // so batch boundaries cannot change the result (StreamingSpec pins
+  // stream ≡ c76's batch window form, which doubles as an independent
+  // cross-check of the window election). Tombstoned keys STAY in state
+  // (a later upsert must compare against the delete's sequence number);
+  // only the final report drops them — the discipline a lakehouse MERGE
+  // gets wrong if it deletes eagerly. At 100 TB: state is |keys|-sized,
+  // each merge is one hash agg on the key — the standard upsert-compact
+  // loop, with no base-table join because the summary IS the base.
+
+  /** Raw events → the keyed change rows c76 elects over (same wire
+    * projection: sequence = (µs, event_id), exact cents values).
+    */
+  private[graft] def cdcChanges(events: DataFrame): DataFrame =
+    events.select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+      when(col("event_type") === "error", lit("D"))
+        .when(col("event_type") === "signup", lit("I"))
+        .otherwise(lit("U")).as("op"),
+      floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("vc"))
+
+  /** Change rows → per-key summary (last change struct + change count). */
+  private[graft] def cdcSummarize(changes: DataFrame): DataFrame =
+    changes
+      .select(col("user_id"),
+        struct(col("tus"), col("event_id"), col("op"), col("vc")).as("last"),
+        lit(1L).as("n_changes"))
+      .groupBy(col("user_id"))
+      .agg(max(col("last")).as("last"), sum(col("n_changes")).as("n_changes"))
+
+  /** MERGE one summary into another — both one-row-per-key; the combine
+    * is associative+commutative so any batch split folds identically.
+    */
+  private[graft] def cdcCombine(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionAll(batch)
+      .groupBy(col("user_id"))
+      .agg(max(col("last")).as("last"), sum(col("n_changes")).as("n_changes"))
+
+  /** Final table state from the summary — c76's output shape. */
+  private[graft] def cdcReport(state: DataFrame): DataFrame =
+    state.where(col("last.op") =!= "D")
+      .select(col("user_id"), col("last.op").as("last_op"),
+        (col("last.vc").cast(DoubleType) / lit(100.0)).as("last_value"),
+        col("n_changes"))
+      .orderBy(col("user_id"))
+
   // -------------------------------------------------------------------
   // c77: per-source dataset datasheet — the "data card" table a corpus
   // release ships: per source, document and token volume, language mix

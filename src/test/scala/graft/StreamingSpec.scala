@@ -384,6 +384,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch CDC merge converges to c76's batch apply (tombstones survive in state)") {
+    import graft.operators.Curation
+    val sf = "/root/testdata/sf0.001"
+    val stream = Sources.eventsStream(spark, sf)
+    // state: one summary row per key, folded per micro-batch; the var is
+    // a bounded |keys|-sized frame, lineage truncated every merge
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    var batches = 0
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val summary = Curation.cdcSummarize(Curation.cdcChanges(batch))
+        state = Some(state.fold(summary)(s => Curation.cdcCombine(s, summary))
+          .localCheckpoint())
+        batches += 1
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = Curation.cdcReport(state.get).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSeq
+    val want = Curation.c76CdcApply(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == want, s"incremental CDC diverged: ${got.diff(want).take(3)}...")
+    // tombstoned keys are IN state (awaiting possible re-insert) but not
+    // in the report — and the state is exactly one row per user
+    val stateKeys = state.get.select("user_id").collect().map(_.getLong(0))
+    assert(stateKeys.length == stateKeys.distinct.length)
+    assert(stateKeys.length >= want.length)
+    val allKeys = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(stateKeys.length == allKeys, "every key incl. tombstoned must hold state")
+  }
+
   /** Stage one single-file parquet write and move its part file to
     * `dest` — a late arrival under an already-defined stream glob.
     */
