@@ -752,10 +752,160 @@ object Audits {
        |ORDER BY n_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q100/q101: the k-group completions of the two-sample suite —
+  // one-way ANOVA (does ANY of the k priority classes shift the mean)
+  // and the chi-square test of independence (are priority and status
+  // associated at all). Both reduce to bounded contingency/moment
+  // frames after one shuffle, so the test statistics cost nothing more
+  // than the group-by that produces them.
+  //
+  // Float-sum determinism, two techniques: ANOVA's Σ s_j²/n_j is the
+  // only double accumulation, and k is a FIXED public domain (the five
+  // TPC-H priorities) — so the sum unrolls into one left-associated
+  // five-term expression, identical text in both engines (no
+  // aggregation order to diverge). Chi-square's cell contributions
+  // nano-snap to the integer grid (q98's floor(x·1e6 + 0.5) gadget)
+  // and sum exactly.
+  // ---------------------------------------------------------------------
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def q100Anova(spark: SparkSession, dir: String): DataFrame = {
+    val dec0 = lit(0L).cast(DecimalType(38, 0))
+    val b = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"))
+    val aggs = Priorities.zipWithIndex.flatMap { case (p, i) =>
+      Seq(sum(when(col("o_orderpriority") === p, 1L).otherwise(0L)).as(s"n_$i"),
+        sum(when(col("o_orderpriority") === p, col("cents")).otherwise(0L)).as(s"s_$i"))
+    }
+    val m = b.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        (Seq(sum(col("cents")).as("s"),
+          sum(col("cents").cast(DecimalType(38, 0)) * col("cents")).as("ss")) ++ aggs): _*)
+    val dn = col("n").cast(DoubleType)
+    // the five group terms in fixed textual order — never an agg over
+    // a double
+    val terms = Priorities.indices.map { i =>
+      when(col(s"n_$i") > 0L,
+        col(s"s_$i").cast(DoubleType) * col(s"s_$i").cast(DoubleType)
+          / col(s"n_$i").cast(DoubleType)).otherwise(lit(0.0))
+    }
+    val sumTerm = terms.reduceLeft(_ + _)
+    val k = Priorities.indices.map(i =>
+      when(col(s"n_$i") > 0L, 1L).otherwise(0L)).reduceLeft(_ + _)
+    val ssb = sumTerm - col("s").cast(DoubleType) * col("s").cast(DoubleType) / dn
+    val ssw = col("ss").cast(DoubleType) - sumTerm
+    m.select(col("o_orderstatus"), col("n").as("n_orders"), k.as("k_groups"),
+        round((ssb / (k - lit(1L)).cast(DoubleType))
+          / (ssw / (col("n") - k).cast(DoubleType)), 6).as("f_stat"),
+        round(ssb / (ssb + ssw), 6).as("eta_sq"))
+      .filter(col("k_groups") >= 2L && col("n_orders") > col("k_groups"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q100AnovaSql: String = {
+    val nAggs = Priorities.zipWithIndex.map { case (p, i) =>
+      s"""    CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS n_$i,
+         |    CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN cents ELSE 0 END) AS BIGINT) AS s_$i""".stripMargin
+    }.mkString(",\n")
+    val terms = Priorities.indices.map(i =>
+      s"CASE WHEN n_$i > 0 THEN CAST(s_$i AS DOUBLE) * CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE) ELSE 0.0 END")
+      .mkString("(", " + ", ")")
+    val k = Priorities.indices.map(i => s"CASE WHEN n_$i > 0 THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val ssb = s"($terms - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    val ssw = s"(CAST(ss AS DOUBLE) - $terms)"
+    s"""WITH b AS (
+       |  SELECT o_orderstatus, o_orderpriority,
+       |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |m AS (
+       |  SELECT o_orderstatus, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+       |    SUM(CAST(cents AS HUGEINT) * cents) AS ss,
+       |$nAggs
+       |  FROM b GROUP BY o_orderstatus)
+       |SELECT o_orderstatus, n AS n_orders, CAST($k AS BIGINT) AS k_groups,
+       |  ROUND(($ssb / CAST($k - 1 AS DOUBLE))
+       |    / ($ssw / CAST(n - $k AS DOUBLE)), 6) AS f_stat,
+       |  ROUND($ssb / ($ssb + $ssw), 6) AS eta_sq
+       |FROM m
+       |WHERE $k >= 2 AND n > $k
+       |ORDER BY o_orderstatus""".stripMargin
+  }
+
+  def q101Chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderstatus"))
+    val cells = o.groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("obs"))
+    // full R×C grid: a structurally-zero cell still carries expected
+    // mass (q92's left-join discipline)
+    val rows = cells.groupBy(col("o_orderpriority")).agg(sum(col("obs")).as("r"))
+    val cols_ = cells.groupBy(col("o_orderstatus")).agg(sum(col("obs")).as("c"))
+    val tot = cells.agg(sum(col("obs")).as("nn"),
+      countDistinct(col("o_orderpriority")).as("nr"),
+      countDistinct(col("o_orderstatus")).as("nc"))
+    val grid = rows.crossJoin(cols_)
+      .join(cells, Seq("o_orderpriority", "o_orderstatus"), "left")
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        col("r"), col("c"), coalesce(col("obs"), lit(0L)).as("obs"))
+      .crossJoin(broadcast(tot))
+    val e = col("r").cast(DoubleType) * col("c").cast(DoubleType) /
+      col("nn").cast(DoubleType)
+    val contrib = (col("obs").cast(DoubleType) - e) * (col("obs").cast(DoubleType) - e) / e
+    val snapped = grid
+      .withColumn("e", e)
+      .withColumn("c6", floor(contrib * lit(1e6) + lit(0.5)).cast(LongType))
+    val chi2 = snapped.agg(sum(col("c6")).as("chi6"))
+    snapped.crossJoin(broadcast(chi2))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("obs"),
+        round(col("e"), 6).as("expected"),
+        round(col("c6").cast(DoubleType) / lit(1e6), 6).as("contrib"),
+        round(col("chi6").cast(DoubleType) / lit(1e6), 6).as("chi2"),
+        ((col("nr") - 1L) * (col("nc") - 1L)).as("dof"))
+      .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+  }
+
+  val q101Chi2IndependenceSql: String = {
+    val e = "CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)"
+    val contrib = s"(CAST(obs AS DOUBLE) - $e) * (CAST(obs AS DOUBLE) - $e) / ($e)"
+    s"""WITH cells AS (
+       |  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS obs
+       |  FROM orders GROUP BY 1, 2),
+       |rs AS (SELECT o_orderpriority, CAST(SUM(obs) AS BIGINT) AS r FROM cells GROUP BY 1),
+       |cs AS (SELECT o_orderstatus, CAST(SUM(obs) AS BIGINT) AS c FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS nn,
+       |    COUNT(DISTINCT o_orderpriority) AS nr,
+       |    COUNT(DISTINCT o_orderstatus) AS nc
+       |  FROM cells),
+       |grid AS (
+       |  SELECT rs.o_orderpriority, cs.o_orderstatus, r, c,
+       |    CAST(COALESCE(obs, 0) AS BIGINT) AS obs, nn, nr, nc
+       |  FROM rs CROSS JOIN cs
+       |  LEFT JOIN cells USING (o_orderpriority, o_orderstatus)
+       |  CROSS JOIN tot),
+       |snapped AS (
+       |  SELECT *, $e AS e,
+       |    CAST(floor(($contrib) * 1e6 + 0.5) AS BIGINT) AS c6
+       |  FROM grid),
+       |x AS (SELECT CAST(SUM(c6) AS BIGINT) AS chi6 FROM snapped)
+       |SELECT o_orderpriority, o_orderstatus, obs,
+       |  ROUND(e, 6) AS expected,
+       |  ROUND(CAST(c6 AS DOUBLE) / 1e6, 6) AS contrib,
+       |  ROUND(CAST(chi6 AS DOUBLE) / 1e6, 6) AS chi2,
+       |  CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof
+       |FROM snapped CROSS JOIN x
+       |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
     QueryDef.sql("q91_ks_test", q91KsTest _, q91KsTestSql),
     QueryDef.sql("q99_mann_whitney", q99MannWhitney _, q99MannWhitneySql),
+    QueryDef.sql("q100_anova", q100Anova _, q100AnovaSql),
+    QueryDef.sql("q101_chi2_indep", q101Chi2Independence _, q101Chi2IndependenceSql),
     QueryDef.sql("q92_benford", q92Benford _, q92BenfordSql),
     QueryDef.sql("q93_basket_lift", q93BasketLift _, q93BasketLiftSql),
     QueryDef.sql("q94_gini", q94Gini _, q94GiniSql),

@@ -306,6 +306,53 @@ class AuditsSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 ANOVA F ≡ textbook centered SSB/SSW recompute per status") {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_totalprice")).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        math.floor(r.getDouble(2) * 100.0 + 0.5)))
+    val got = Audits.q100Anova(spark, dir).collect()
+    assert(got.nonEmpty)
+    for (r <- got) {
+      val rows = base.filter(_._1 == r.getString(0))
+      val groups = rows.groupBy(_._2).values.map(_.map(_._3).toSeq).toSeq
+      val n = rows.length
+      assert(r.getLong(1) == n && r.getLong(2) == groups.size)
+      val grand = rows.map(_._3).sum / n
+      val ssb = groups.map(g => g.size * math.pow(g.sum / g.size - grand, 2)).sum
+      val ssw = groups.map(g => { val m = g.sum / g.size; g.map(v => (v - m) * (v - m)).sum }).sum
+      val f = (ssb / (groups.size - 1)) / (ssw / (n - groups.size))
+      assert(math.abs(r.getDouble(3) - f) / math.max(1.0, f) < 1e-6,
+        s"${r.getString(0)} F: ${r.getDouble(3)} vs $f")
+      assert(math.abs(r.getDouble(4) - ssb / (ssb + ssw)) < 1e-6)
+    }
+  }
+
+  test("q101 chi2 ≡ naive contingency recompute; grid is complete; contribs sum to chi2") {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderstatus")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val got = Audits.q101Chi2Independence(spark, dir).collect()
+    val nr = base.map(_._1).distinct.length; val nc = base.map(_._2).distinct.length
+    assert(got.length == nr * nc, "every R×C cell present, observed or not")
+    assert(got.map(_.getLong(2)).sum == base.length)
+    assert(got.forall(_.getLong(6) == (nr - 1).toLong * (nc - 1)))
+    val n = base.length.toDouble
+    var chi2 = 0.0
+    for (r <- got) {
+      val ri = base.count(_._1 == r.getString(0)).toDouble
+      val cj = base.count(_._2 == r.getString(1)).toDouble
+      val e = ri * cj / n
+      assert(math.abs(r.getDouble(3) - e) < 1e-4, s"cell expected: ${r.getDouble(3)} vs $e")
+      val o = r.getLong(2).toDouble
+      chi2 += (o - e) * (o - e) / e
+    }
+    assert(got.map(_.getDouble(5)).distinct.length == 1, "chi2 is one statistic")
+    assert(math.abs(got.head.getDouble(5) - chi2) < 1e-3, s"${got.head.getDouble(5)} vs $chi2")
+    val contribSum = got.map(_.getDouble(4)).sum
+    assert(math.abs(contribSum - got.head.getDouble(5)) < 1e-3)
+  }
+
   test("q99 planted ties: U and z match the tie-corrected hand computation") {
     val d = java.nio.file.Files.createTempDirectory("graft-mwu").toString
     val s = spark; import s.implicits._
