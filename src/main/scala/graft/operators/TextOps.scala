@@ -1127,6 +1127,99 @@ object TextOps {
       .orderBy(col("lang"))
   }
 
+  // -------------------------------------------------------------------
+  // t80: Heaps'-law vocabulary-growth fit — t66's companion diagnostic:
+  // V(N) ≈ k·N^β over the corpus read in the deterministic (doc_id,
+  // position) order. A natural corpus fits β ≈ 0.4-0.6; a synthetic or
+  // heavily-deduplicated one flattens early — the growth curve is the
+  // capacity-planning input for tokenizer vocab size and hash sizing.
+  //
+  // Shape: global token positions come from `prefixSumByRange` over the
+  // per-doc lengths (offset = running total − own length; no
+  // single-reducer window), each word's FIRST position is a
+  // map-side-combined min-aggregate (the d58 election discipline:
+  // vocabulary-sized state, never a sort), V at the 10 checkpoint
+  // prefixes is one broadcast join against the vocab frame, and the
+  // log-log OLS runs on 10 rows via t66's micro-snapped integer moment
+  // sums (no double ever accumulates). The extra consumer of the slice
+  // frame (the corpus-total scalar) reads only the boundary-independent
+  // global sum, so it sits outside the reuse-pin dependency.
+  // -------------------------------------------------------------------
+  private val HeapsCheckpoints = 10L
+
+  def t80HeapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), toks.as("ts"))
+      .withColumn("n_toks", size(col("ts")).cast(LongType))
+    val cum = Relational.prefixSumByRange(d, Seq.empty, Seq(col("doc_id")),
+      Seq("cum" -> col("n_toks")))
+    val first = cum
+      .select((col("cum") - col("n_toks")).as("off"), posexplode(col("ts")))
+      .select((col("off") + col("pos") + 1L).as("gp"), col("col").as("w"))
+      .groupBy(col("w")).agg(min(col("gp")).as("fp"))
+    val tot = cum.agg(max(col("cum")).as("t"))
+    val chk = tot
+      .select(explode(sequence(lit(1L), lit(HeapsCheckpoints))).as("c"), col("t"))
+      .withColumn("nc", expr("(c * t) div 10"))
+    val pts = first.crossJoin(broadcast(chk))
+      .filter(col("fp") <= col("nc"))
+      .groupBy(col("c"), col("nc")).agg(count(lit(1)).as("vc"))
+      .select(col("c"), col("nc"), col("vc"),
+        floor(log(col("nc").cast(DoubleType)) * lit(1000000.0) + lit(0.5))
+          .cast(LongType).as("x"),
+        floor(log(col("vc").cast(DoubleType)) * lit(1000000.0) + lit(0.5))
+          .cast(LongType).as("y"))
+    val m = pts.agg(count(lit(1)).as("np"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    def dd(c: String) = col(c).cast(DoubleType)
+    val beta = (dd("np") * dd("sxy") - dd("sx") * dd("sy")) /
+      (dd("np") * dd("sxx") - dd("sx") * dd("sx"))
+    pts.crossJoin(broadcast(m))
+      .select(col("c"), col("nc").as("n_tokens"), col("vc").as("vocab"),
+        round(beta, 6).as("beta"),
+        round((dd("sy") - beta * dd("sx")) / dd("np") / lit(1000000.0), 6).as("ln_k"))
+      .orderBy(col("c"))
+  }
+
+  val t80HeapsLawSql: String = {
+    val beta = "(CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ts,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |cum AS (
+       |  SELECT doc_id, ts, n_toks,
+       |    CAST(SUM(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM d),
+       |g AS (
+       |  SELECT (cum - n_toks) + i AS gp, ts[i] AS w
+       |  FROM cum, unnest(range(1, len(ts) + 1)) r(i)),
+       |first AS (SELECT w, MIN(gp) AS fp FROM g GROUP BY 1),
+       |tot AS (SELECT MAX(cum) AS t FROM cum),
+       |chk AS (
+       |  SELECT c, (c * t) // 10 AS nc
+       |  FROM (SELECT unnest(range(1, 11)) AS c) CROSS JOIN tot),
+       |pts AS (
+       |  SELECT c, nc, COUNT(*) AS vc,
+       |    CAST(floor(ln(CAST(nc AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(COUNT(*) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS y
+       |  FROM first CROSS JOIN chk
+       |  WHERE fp <= nc
+       |  GROUP BY c, nc),
+       |m AS (
+       |  SELECT COUNT(*) AS np, CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM pts)
+       |SELECT c, nc AS n_tokens, vc AS vocab,
+       |  ROUND($beta, 6) AS beta,
+       |  ROUND((CAST(sy AS DOUBLE) - ($beta) * CAST(sx AS DOUBLE))
+       |    / CAST(np AS DOUBLE) / 1000000.0, 6) AS ln_k
+       |FROM pts CROSS JOIN m
+       |ORDER BY c""".stripMargin
+  }
+
   val t66ZipfSlopeSql: String =
     s"""WITH counts AS (
        |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -1953,5 +2046,6 @@ object TextOps {
     QueryDef.sql("t77_kn_lm_score", t77KnLmScore _, t77KnLmScoreSql),
     QueryDef.sql("t78_perplexity_buckets", t78PerplexityBuckets _, t78PerplexityBucketsSql),
     QueryDef.sql("t79_bpe_train", t79BpeTrain _, t79BpeTrainSql),
+    QueryDef.sql("t80_heaps_law", t80HeapsLaw _, t80HeapsLawSql),
   )
 }

@@ -359,4 +359,68 @@ class TextOpsSpec extends AnyFunSuite {
       .map { case ((p, c, sa), i) => (i + 1, p, c, sa) }
     assert(got == want, s"got $got\nnaive $want")
   }
+
+  // -- t80: Heaps' law ------------------------------------------------
+
+  /** First-occurrence vocabulary curve + OLS fit recomputed serially in
+    * the same (doc_id, position) order.
+    */
+  private def naiveHeaps(texts: Seq[(Long, String)]): (Seq[(Long, Long, Long)], Double) = {
+    val stream = texts.sortBy(_._1).flatMap(_._2.split(" "))
+    val t = stream.size.toLong
+    val seen = scala.collection.mutable.Set[String]()
+    val firstCount = new Array[Long](stream.size + 1)
+    for ((w, i) <- stream.zipWithIndex) {
+      if (!seen.contains(w)) seen += w
+      firstCount(i + 1) = seen.size.toLong
+    }
+    val pts = (1L to 10L).map { c =>
+      val nc = c * t / 10
+      (c, nc, firstCount(nc.toInt))
+    }
+    def snap(v: Double) = math.floor(v * 1e6 + 0.5)
+    val xs = pts.map(p => snap(math.log(p._2.toDouble)))
+    val ys = pts.map(p => snap(math.log(p._3.toDouble)))
+    val n = pts.size.toDouble
+    val beta = (n * xs.zip(ys).map { case (x, y) => x * y }.sum - xs.sum * ys.sum) /
+      (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    (pts, beta)
+  }
+
+  test("t80 vocabulary curve ≡ serial first-occurrence replay; corpus saturates flat") {
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val (pts, beta) = naiveHeaps(texts)
+    val got = TextOps.t80HeapsLaw(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == pts,
+      s"checkpoint curve: ${got.toSeq} vs $pts")
+    assert(math.abs(got.head._4 - beta) < 1e-6, s"beta ${got.head._4} vs $beta")
+    // the synthetic 31-word corpus is the degenerate flat case — the
+    // diagnostic this operator exists to flag
+    assert(got.head._4 == 0.0 && got.forall(_._3 == got.head._3))
+  }
+
+  test("t80 planted growing corpus fits 0 < beta < 1 with a strictly rising curve") {
+    val d = java.nio.file.Files.createTempDirectory("graft-heaps").toString
+    val s = spark; import s.implicits._
+    // doc i introduces i fresh words then repeats the first word i
+    // times: vocabulary grows ~sqrt(total tokens), the Heaps regime
+    val docsPlanted = (1 to 40).map { i =>
+      val fresh = (1 to i).map(j => s"w${i}_$j")
+      val filler = Seq.fill(i)("w1_1")
+      (i.toLong, (fresh ++ filler).mkString(" "))
+    }
+    docsPlanted.toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val got = TextOps.t80HeapsLaw(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val (pts, beta) = naiveHeaps(docsPlanted)
+    assert(got.map(g => (g._1, g._2, g._3)).toSeq == pts)
+    assert(math.abs(got.head._4 - beta) < 1e-6)
+    assert(got.head._4 > 0.0 && got.head._4 < 1.0, s"beta ${got.head._4}")
+    val vocabs = got.sortBy(_._1).map(_._3)
+    assert(vocabs.zip(vocabs.tail).forall { case (a, b) => a < b }, "curve must rise")
+  }
 }
