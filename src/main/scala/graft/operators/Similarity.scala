@@ -5,6 +5,7 @@ import scala.util.Random
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.{QueryDef, Tables}
 import graft.functions.{Vectors, VecLshSketch}
@@ -1284,6 +1285,106 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // q102: retrieval-quality evaluation — NDCG@K of the exact brute
+  // ranking under label-agreement gain (neighbor shares the query's
+  // class ⇒ gain 1), the graded companion of q88's majority-vote
+  // accuracy and the recall-floor specs: every retrieval stack ships
+  // this table per index build. DCG terms 1/log2(rank+1) nano-snap to
+  // the integer grid before summing (per-query AND for the corpus mean
+  // — no double ever accumulates, q98's discipline); IDCG re-ranks the
+  // same gains ideally, so NDCG = 1 exactly when all hits lead.
+  //
+  // Scale: one brute scan (broadcast queries), per-query top-K windows,
+  // then everything lives on |queries|·K rows.
+  // -------------------------------------------------------------------
+  def q102NdcgEval(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("qlabel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val top = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"),
+        col("label").as("nlabel"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", Vectors.vecCosine(col("qe"), col("ne")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("query_id"), col("qlabel"), col("rn"),
+        (col("nlabel") === col("qlabel")).cast(LongType).as("gain"))
+    // discount at the ACTUAL rank vs at the IDEAL rank (gains re-sorted
+    // desc, ties by actual rank) — both snapped to nano-ints
+    val wIdeal = Window.partitionBy(col("query_id"))
+      .orderBy(col("gain").desc, col("rn").asc)
+    val terms = top
+      .withColumn("irn", row_number().over(wIdeal))
+      .select(col("query_id"), col("qlabel"), col("gain"),
+        floor(col("gain").cast(DoubleType) /
+          log2(col("rn").cast(DoubleType) + lit(1.0)) * lit(1e9) + lit(0.5))
+          .cast(LongType).as("d9"),
+        floor(col("gain").cast(DoubleType) /
+          log2(col("irn").cast(DoubleType) + lit(1.0)) * lit(1e9) + lit(0.5))
+          .cast(LongType).as("i9"))
+    val perQ = terms.groupBy(col("query_id"), col("qlabel"))
+      .agg(sum(col("gain")).as("hits"), sum(col("d9")).as("dcg9"),
+        sum(col("i9")).as("idcg9"))
+      .withColumn("n9", when(col("idcg9") > 0L,
+        floor(col("dcg9").cast(DoubleType) / col("idcg9").cast(DoubleType)
+          * lit(1e9) + lit(0.5)).cast(LongType)).otherwise(0L))
+    val mean = perQ.agg(sum(col("n9")).as("sn9"), count(lit(1)).as("nq"))
+    perQ.crossJoin(broadcast(mean))
+      .select(col("query_id"), col("qlabel"), col("hits"),
+        round(col("dcg9").cast(DoubleType) / lit(1e9), 6).as("dcg"),
+        round(col("n9").cast(DoubleType) / lit(1e9), 6).as("ndcg"),
+        round(col("sn9").cast(DoubleType) / col("nq").cast(DoubleType) / lit(1e9), 6)
+          .as("mean_ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  val q102NdcgEvalSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |scored AS (
+       |  SELECT query_id, qlabel, e.vec_id AS neighbor_id,
+       |    CAST(e.label = qlabel AS BIGINT) AS gain,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${cosSql("qe", "e.embedding")} DESC, e.vec_id ASC) AS rn
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id),
+       |top AS (SELECT * FROM scored WHERE rn <= $K),
+       |terms AS (
+       |  SELECT query_id, qlabel, gain,
+       |    CAST(floor(CAST(gain AS DOUBLE) / log2(CAST(rn AS DOUBLE) + 1.0)
+       |      * 1e9 + 0.5) AS BIGINT) AS d9,
+       |    CAST(floor(CAST(gain AS DOUBLE) / log2(CAST(irn AS DOUBLE) + 1.0)
+       |      * 1e9 + 0.5) AS BIGINT) AS i9
+       |  FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY gain DESC, rn ASC) AS irn
+       |    FROM top) t),
+       |perq AS (
+       |  SELECT query_id, qlabel,
+       |    CAST(SUM(gain) AS BIGINT) AS hits,
+       |    CAST(SUM(d9) AS BIGINT) AS dcg9, CAST(SUM(i9) AS BIGINT) AS idcg9
+       |  FROM terms GROUP BY 1, 2),
+       |n AS (
+       |  SELECT *, CASE WHEN idcg9 > 0 THEN
+       |      CAST(floor(CAST(dcg9 AS DOUBLE) / CAST(idcg9 AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+       |    ELSE 0 END AS n9
+       |  FROM perq),
+       |m AS (SELECT CAST(SUM(n9) AS BIGINT) AS sn9, COUNT(*) AS nq FROM n)
+       |SELECT query_id, qlabel, hits,
+       |  ROUND(CAST(dcg9 AS DOUBLE) / 1e9, 6) AS dcg,
+       |  ROUND(CAST(n9 AS DOUBLE) / 1e9, 6) AS ndcg,
+       |  ROUND(CAST(sn9 AS DOUBLE) / CAST(nq AS DOUBLE) / 1e9, 6) AS mean_ndcg
+       |FROM n CROSS JOIN m
+       |ORDER BY query_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // q71: per-dimension embedding standardization (z-score feature
   // scaling) — the feature-prep pass in front of clustering/ANN when
   // dimensions carry different scales. One posexplode + one hash agg on
@@ -1518,6 +1619,7 @@ object Similarity {
     QueryDef.sql("d48_semdedup", d48SemDedup _, d48SemDedupSql),
     QueryDef.sql("d61_cluster_cap", d61ClusterCap _, d61ClusterCapSql),
     QueryDef.sql("d62_mmr_rerank", d62MmrRerank _, d62MmrRerankSql),
+    QueryDef.sql("q102_ndcg_eval", q102NdcgEval _, q102NdcgEvalSql),
     QueryDef.sql("q71_standardize", q71Standardize _, q71StandardizeSql),
     QueryDef.sql("c78_embedding_audit", c78EmbeddingAudit _, c78EmbeddingAuditSql),
     QueryDef.sql("q88_knn_classify", q88KnnClassify _, q88KnnClassifySql),

@@ -559,4 +559,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(gotQ.map(_._3).distinct.length == 5)
     }
   }
+
+  test("q102 NDCG ≡ naive graded-relevance recompute; perfect prefix ⇒ ndcg = 1") {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Similarity.q102NdcgEval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.length == 10)
+    var n9sum = 0.0
+    for ((qid, qlabel, hits, dcg, ndcg, _) <- got) {
+      assert(qlabel == labels(qid))
+      val qe = allVecs(qid)
+      val top = allVecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qe, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5)
+      val gains = top.map { case (id, _) => if (labels(id) == qlabel) 1.0 else 0.0 }
+      assert(hits == gains.sum.toLong)
+      val nDcg = gains.zipWithIndex.map { case (g, i) => g / (math.log(i + 2) / math.log(2)) }.sum
+      val ideal = gains.sortBy(-_).zipWithIndex
+        .map { case (g, i) => g / (math.log(i + 2) / math.log(2)) }.sum
+      assert(math.abs(dcg - nDcg) < 1e-6, s"q$qid dcg $dcg vs $nDcg")
+      val nd = if (ideal == 0.0) 0.0 else nDcg / ideal
+      assert(math.abs(ndcg - nd) < 1e-6, s"q$qid ndcg $ndcg vs $nd")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9)
+      // all hits leading the list ⇒ the ideal ordering ⇒ ndcg exactly 1
+      if (hits > 0 && gains.take(hits.toInt).forall(_ == 1.0))
+        assert(math.abs(ndcg - 1.0) < 1e-9, s"q$qid perfect prefix must score 1")
+      n9sum += nd
+    }
+    assert(math.abs(got.head._6 - n9sum / 10) < 1e-6, "mean_ndcg")
+  }
 }
