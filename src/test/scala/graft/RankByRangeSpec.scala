@@ -68,4 +68,57 @@ class RankByRangeSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2).toLong).toMap
     assert(got == ref)
   }
+
+  // -- prefixSumByRange (the q91/q99/t80 cumulative-measure sibling) ---
+
+  test("grouped running totals ≡ the window cumulative reference, two measures at once") {
+    val df = frame(5000).withColumn("w", col("id") % 13)
+    val got = Relational.prefixSumByRange(df, Seq("g"),
+        Seq(col("v").asc, col("id").asc),
+        Seq("cv" -> col("v"), "cw" -> col("w")), parts = 16)
+      .select("g", "id", "cv", "cw").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val w = Window.partitionBy("g").orderBy(col("v").asc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ref = df.withColumn("cv", sum(col("v")).over(w))
+      .withColumn("cw", sum(col("w")).over(w))
+      .select("g", "id", "cv", "cw").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == ref)
+  }
+
+  test("global running total (t80's shape) ≡ the single-partition reference") {
+    val df = frame(3000)
+    val got = Relational.prefixSumByRange(df, Nil, Seq(col("id").asc),
+        Seq("cum" -> col("v")), parts = 16)
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = df.withColumn("cum", sum(col("v")).over(
+        Window.orderBy(col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    // the final cumulative equals the exact global sum — the scalar
+    // t80's checkpoint arithmetic depends on
+    val t = df.agg(sum(col("v"))).head().getLong(0)
+    assert(got.values.max == t)
+  }
+
+  test("prefix sums engage multiple slices and zero-value runs stay exact") {
+    // values mostly zero with a few spikes: slice offsets of 0 must
+    // coalesce correctly (the lit(0L) branch) and ties straddle slices
+    val s = spark; import s.implicits._
+    val df = (1 to 2000).map { i =>
+      ("g", if (i % 97 == 0) i.toLong else 0L, i.toLong)
+    }.toDF("g", "v", "id")
+    val got = Relational.prefixSumByRange(df, Seq("g"), Seq(col("id").asc),
+        Seq("cum" -> col("v")), parts = 8)
+      .select("id", "cum").collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    for ((id, cum) <- got) {
+      if (id % 97 == 0) acc += id
+      assert(cum == acc, s"id $id: $cum != $acc")
+    }
+  }
 }
