@@ -1219,12 +1219,15 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("ne"), col("rel"),
         col("rel").as("score"), lit(1).as("pick_rank"))
     val selected = (2 to MmrK).foldLeft(first) { case (sel, i) =>
-      val rem = cand.join(sel.select(col("query_id"), col("neighbor_id")),
+      // the selected set is <= |queries|·(i-1) rows — broadcast both
+      // stage joins (the checkpointed cand frame carries no stats, so
+      // the planner would otherwise fall back to sort-merge)
+      val rem = cand.join(broadcast(sel.select(col("query_id"), col("neighbor_id"))),
         Seq("query_id", "neighbor_id"), "left_anti")
       val wPick = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("neighbor_id").asc)
       val pick = rem
-        .join(sel.select(col("query_id"), col("ne").as("se")), Seq("query_id"))
+        .join(broadcast(sel.select(col("query_id"), col("ne").as("se"))), Seq("query_id"))
         .groupBy(col("query_id"), col("neighbor_id"), col("ne"), col("rel"))
         .agg(max(Vectors.vecCosine(col("ne"), col("se"))).as("msim"))
         .withColumn("score",
