@@ -134,6 +134,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"a shuffle key embeds the window-text construction:\n$plan")
   }
 
+  test("t80 first occurrences elect via aggregate — windows only on slices/offset tables") {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val root = TextOps.t80HeapsLaw(spark, dir).queryExecution.executedPlan
+    val plan = root match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the prefix-sum slice windows")
+    // a WindowExec partitioned on the WORD would funnel the vocabulary
+    // through per-word window reducers — the election must stay the
+    // map-side-combined min-aggregate; the only windows allowed are the
+    // slice-local cumulatives (__pid) and the bounded offset side table
+    // (empty partition spec over `parts` rows)
+    assert(windows.forall(_.partitionSpec.forall {
+        case a: AttributeReference => a.name == "__pid"
+        case _                     => false
+      }),
+      s"unexpected window partitioning:\n$plan")
+  }
+
   test("d49 probes the benchmark set via broadcast — no corpus-vs-benchmark shuffle join") {
     val plan = physical(Dedup.d49Decontaminate(spark, dir))
     assert(plan.contains("BroadcastHashJoin"),
