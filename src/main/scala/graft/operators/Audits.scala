@@ -900,8 +900,125 @@ object Audits {
        |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q103: Kruskal-Wallis H — the k-group completion of the RANK branch
+  // of the suite, closing the 2×2 test grid: q90→q100 generalizes the
+  // parametric pair to k groups (ANOVA), q99→q103 does the same for the
+  // rank pair. Per order status, do the five priority classes draw from
+  // one distribution?
+  //   H = 12/(N(N+1)) · Σ_j R_j²/n_j − 3(N+1),   H_adj = H / C,
+  //   C = 1 − Σ(t³−t)/(N³−N)  (tie correction; cents grids tie heavily)
+  //
+  // Machinery is q99's wholesale: collapse to the distinct-cents grid,
+  // running totals via prefixSumByRange, DOUBLED average ranks so rank
+  // arithmetic stays on the integer grid, rank-sum accumulators widened
+  // to decimal before the multiply. The only doubles are q100's: the
+  // five R_j²/n_j terms unroll over the FIXED priority domain into one
+  // left-associated expression — no aggregation over a double anywhere.
+  // ---------------------------------------------------------------------
+  def q103KruskalWallis(spark: SparkSession, dir: String): DataFrame = {
+    // (status, priority, value) cell frame — ONE corpus shuffle; the
+    // value grid per (status, value) derives from it by a second
+    // (grid-bounded) aggregate
+    val g2 = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"))
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val g = g2.groupBy(col("o_orderstatus"), col("cents"))
+      .agg(sum(col("c")).as("t"))
+    // the prefix frame is EXACTLY (keys, measure input): both internal
+    // slice consumers prune to the same projection, so the range
+    // exchange canonicalizes equal and reuse fires (the boundary-
+    // determinism invariant, ADVICE r10 / PlanShapeSpec) — the
+    // per-priority cells join the doubled ranks back by (status, value)
+    // instead of riding through the slice machinery
+    val cums = Relational.prefixSumByRange(g, Seq("o_orderstatus"),
+      Seq(col("cents")), Seq("cum_t" -> col("t")))
+    // 2·avgrank(v) = 2·cum_before + t + 1 — integer; per-group doubled
+    // rank sums and the tie cubes widen to decimal before multiplying
+    val b2 = lit(2L) * (col("cum_t") - col("t")) + col("t") + lit(1L)
+    val joined = g2.join(cums.select(col("o_orderstatus"), col("cents"),
+      b2.as("b2"), col("t")), Seq("o_orderstatus", "cents"))
+    val rAggs = Priorities.zipWithIndex.flatMap { case (p, i) =>
+      val isP = col("o_orderpriority") === p
+      Seq(sum(when(isP, col("c")).otherwise(0L)).as(s"n_$i"),
+        sum(when(isP, col("c").cast(DecimalType(38, 0)) * col("b2"))
+          .otherwise(lit(0L).cast(DecimalType(38, 0)))).as(s"r2_$i"))
+    }
+    // Σ_j c_jv·(t_v²−1) telescopes to Σ_v (t³−t): the tie mass rides the
+    // cell rows, no second read of the value grid
+    val a = joined
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("cents")).as("nv"),
+        (sum(col("c")).as("n") +:
+          sum(col("c").cast(DecimalType(38, 0)) * col("t") * col("t")
+            - col("c").cast(DecimalType(38, 0))).as("ties") +: rAggs): _*)
+      .filter(col("nv") >= 2L)
+    val dn = col("n").cast(DoubleType)
+    val terms = Priorities.indices.map { i =>
+      when(col(s"n_$i") > 0L,
+        (col(s"r2_$i").cast(DoubleType) / lit(2.0))
+          * (col(s"r2_$i").cast(DoubleType) / lit(2.0))
+          / col(s"n_$i").cast(DoubleType)).otherwise(lit(0.0))
+    }
+    val sumTerm = terms.reduceLeft(_ + _)
+    val k = Priorities.indices.map(i =>
+      when(col(s"n_$i") > 0L, 1L).otherwise(0L)).reduceLeft(_ + _)
+    val h = lit(12.0) / (dn * (dn + lit(1.0))) * sumTerm - lit(3.0) * (dn + lit(1.0))
+    val tieC = lit(1.0) - col("ties").cast(DoubleType) / (dn * dn * dn - dn)
+    a.select(col("o_orderstatus"), col("n").as("n_orders"), k.as("k_groups"),
+        round(h, 6).as("h_stat"), round(h / tieC, 6).as("h_adj"))
+      .filter(col("k_groups") >= 2L && col("n_orders") > col("k_groups"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q103KruskalWallisSql: String = {
+    val cAggs = Priorities.zipWithIndex.map { case (p, i) =>
+      s"    CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS c_$i"
+    }.mkString(",\n")
+    val rAggs = Priorities.indices.map { i =>
+      s"""    CAST(SUM(c_$i) AS BIGINT) AS n_$i,
+         |    SUM(CAST(c_$i AS HUGEINT) * (2 * (cum_t - t) + t + 1)) AS r2_$i""".stripMargin
+    }.mkString(",\n")
+    val terms = Priorities.indices.map(i =>
+      s"CASE WHEN n_$i > 0 THEN (CAST(r2_$i AS DOUBLE) / 2.0) * (CAST(r2_$i AS DOUBLE) / 2.0) / CAST(n_$i AS DOUBLE) ELSE 0.0 END")
+      .mkString("(", " + ", ")")
+    val k = Priorities.indices.map(i => s"CASE WHEN n_$i > 0 THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val h = s"(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * $terms" +
+      s" - 3.0 * (CAST(n AS DOUBLE) + 1.0))"
+    val tieC = "(1.0 - CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"
+    s"""WITH o AS (
+       |  SELECT o_orderstatus, o_orderpriority,
+       |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |g AS (
+       |  SELECT o_orderstatus, cents, COUNT(*) AS t,
+       |$cAggs
+       |  FROM o GROUP BY 1, 2),
+       |c AS (
+       |  SELECT *,
+       |    CAST(SUM(t) OVER (PARTITION BY o_orderstatus ORDER BY cents
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_t
+       |  FROM g),
+       |a AS (
+       |  SELECT o_orderstatus, COUNT(*) AS nv, CAST(SUM(t) AS BIGINT) AS n,
+       |    SUM(CAST(t AS HUGEINT) * t * t - t) AS ties,
+       |$rAggs
+       |  FROM c GROUP BY 1
+       |  HAVING COUNT(*) >= 2)
+       |SELECT o_orderstatus, n AS n_orders, CAST($k AS BIGINT) AS k_groups,
+       |  ROUND($h, 6) AS h_stat,
+       |  ROUND($h / $tieC, 6) AS h_adj
+       |FROM a
+       |WHERE $k >= 2 AND n > $k
+       |ORDER BY o_orderstatus""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
+    QueryDef.sql("q103_kruskal_wallis", q103KruskalWallis _, q103KruskalWallisSql),
     QueryDef.sql("q91_ks_test", q91KsTest _, q91KsTestSql),
     QueryDef.sql("q99_mann_whitney", q99MannWhitney _, q99MannWhitneySql),
     QueryDef.sql("q100_anova", q100Anova _, q100AnovaSql),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.{QueryDef, Tables}
 
@@ -417,8 +417,80 @@ object Graph {
       s"\nSELECT node, d FROM d$SsspRounds WHERE node % 23 = 0 ORDER BY node"
   }
 
+  // ---------------------------------------------------------------------
+  // q107: degree assortativity (Newman 2002) — do high-degree parts
+  // co-purchase with other high-degree parts (r > 0, "rich club") or
+  // with the long tail (r < 0, hub-and-spoke)? The one scalar that
+  // separates those regimes, and the standard first diagnostic after
+  // the degree distribution itself. Pearson correlation of the degree
+  // pairs at the two ends of every edge, both orientations (the
+  // undirected convention): with M = 2m endpoint pairs,
+  //   r = (M·Σxy − (Σx)²) / (M·Σx² − (Σx)²)
+  // using Σy = Σx, Σy² = Σx² by symmetry.
+  //
+  // Scale shape: the degree frame is node-sized and BROADCASTS onto the
+  // edge list twice (the q66 idiom — edges never shuffle to learn their
+  // endpoint degrees), then everything folds to ONE row of integer
+  // moments. Exactness: every moment is an integer sum widened to
+  // decimal BEFORE the multiply (d³-scale products), and r is a single
+  // exact-integer ratio evaluated in double ONCE — no per-row double
+  // ever exists, so r is bit-identical across engines and partitionings.
+  // ---------------------------------------------------------------------
+  def q107Assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val (und, _) = orientedCoPurchase(spark, dir)
+    assortativityFrom(und)
+  }
+
+  /** Assortativity over any undirected (src, dst) edge frame — spec
+    * entry point.
+    */
+  private[graft] def assortativityFrom(und: DataFrame): DataFrame = {
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dec = DecimalType(38, 0)
+    val m = und
+      .join(broadcast(deg.select(col("node").as("src"), col("d").as("ds"))), "src")
+      .join(broadcast(deg.select(col("node").as("dst"), col("d").as("dd"))), "dst")
+      .agg(count(lit(1)).as("n_edges"),
+        sum((col("ds") + col("dd")).cast(dec)).as("sx"),
+        sum(col("ds").cast(dec) * col("ds") + col("dd").cast(dec) * col("dd")).as("sxx"),
+        sum(lit(2L).cast(dec) * col("ds") * col("dd")).as("sxy"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val m2 = (lit(2L) * col("n_edges")).cast(dec)
+    m.crossJoin(broadcast(nodes))
+      .select(col("n_nodes"), col("n_edges"),
+        round((m2 * col("sxy") - col("sx") * col("sx")).cast(DoubleType)
+          / (m2 * col("sxx") - col("sx") * col("sx")).cast(DoubleType), 6)
+          .as("assortativity"))
+  }
+
+  val q107AssortativitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |und AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, COUNT(*) AS d FROM (
+      |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+      |  GROUP BY node),
+      |m AS (
+      |  SELECT COUNT(*) AS n_edges,
+      |    SUM(CAST(ds.d + dd.d AS HUGEINT)) AS sx,
+      |    SUM(CAST(ds.d AS HUGEINT) * ds.d + CAST(dd.d AS HUGEINT) * dd.d) AS sxx,
+      |    SUM(CAST(2 AS HUGEINT) * ds.d * dd.d) AS sxy
+      |  FROM und
+      |  JOIN deg ds ON ds.node = und.src
+      |  JOIN deg dd ON dd.node = und.dst)
+      |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes, n_edges,
+      |  ROUND(CAST(2 * n_edges * sxy - sx * sx AS DOUBLE)
+      |        / CAST(2 * n_edges * sxx - sx * sx AS DOUBLE), 6) AS assortativity
+      |FROM m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
+    QueryDef.sql("q107_assortativity", q107Assortativity _, q107AssortativitySql),
     QueryDef.sql("q66_triangles", q66Triangles _, q66TrianglesSql),
     QueryDef.sql("q67_khop_reach", q67KHopReach _, q67KHopReachSql),
     QueryDef.sql("q82_clustering_coeff", q82ClusteringCoeff _, q82ClusteringCoeffSql),

@@ -1,0 +1,430 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.{QueryDef, Tables}
+
+/** Temporal statistics and distribution-drift monitoring — the
+  * time-axis siblings of the `Audits` battery: q104 asks "how long
+  * until the event, given censoring" (Kaplan-Meier 1958), q105 asks
+  * "what part of the series is calendar, what part is signal"
+  * (classical additive decomposition), q106 asks "has the
+  * distribution moved since the reference window" (Population
+  * Stability Index — the standard model-monitoring drift score, and
+  * the question every periodic retraining pipeline has to answer
+  * about its incoming data).
+  *
+  * The reference engine has no batch/temporal surface at all (475
+  * lines of per-batch DStream lambdas — SURVEY §0); these extend the
+  * §2.7 statistical family along the time axis.
+  *
+  * Shared scale shape: every operator collapses the corpus to a
+  * domain-bounded frame in ONE shuffle (distinct durations, calendar
+  * days, decile cells) before any sequential machinery runs; the
+  * sequential parts (ECDF-style running products, moving averages)
+  * then ride either `Relational.prefixSumByRange` (range slices +
+  * broadcast offsets — corpus-sized grids stay parallel) or a
+  * calendar-bounded window (|days| rows regardless of SF). The q79/
+  * q94/q98 determinism discipline applies throughout: exact cents/
+  * count grids, decimal widening before any product, transcendental
+  * terms nano-snapped per row (`floor(x·1e9 + 0.5)`) so every
+  * accumulation is an integer sum, finals are ONE fixed-shape double
+  * expression rounded once.
+  */
+object Temporal {
+
+  // ---------------------------------------------------------------------
+  // q104: Kaplan-Meier survival estimate of click→purchase latency.
+  // Cohort: each user's FIRST click opens an observation; the first
+  // purchase at-or-after it is the event; users with no such purchase
+  // are right-censored at their last observed event (the KM setting:
+  // dropping censored users would bias the curve optimistic, counting
+  // them as conversions would bias it pessimistic — the product-limit
+  // estimator is the standard answer).
+  //   S(t) = Π_{t_i ≤ t} (1 − d_i/n_i)
+  // with d_i events and n_i at-risk at step t_i; ties follow the
+  // standard convention (events at t precede censorings at t, so both
+  // sit in the risk set at t).
+  //
+  // Scale shape: two user-keyed shuffles build (duration, observed) —
+  // one row per user — then the corpus is GONE: the risk table lives
+  // on the distinct-seconds duration grid. Both cumulative passes
+  // (risk-set depletion, log-survival mass) are prefixSumByRange over
+  // that grid, so no single-partition window ever sees it. The
+  // survival product is exact-integer end-to-end: each step's
+  // ln(1 − d/n) nano-snaps to BIGINT, the running product is a prefix
+  // SUM of those integers, and exp() runs once per output row.
+  // ---------------------------------------------------------------------
+  def q104KaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val u = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click", col("tus"))).as("c"),
+        max(col("tus")).as("l"))
+      .filter(col("c").isNotNull)
+    // first purchase at-or-after the first click: the open-cohort join
+    // re-shuffles events on the SAME user key as u (AQE co-locates)
+    val p = e.filter(col("event_type") === "purchase")
+      .join(u.select(col("user_id"), col("c")), "user_id")
+      .filter(col("tus") >= col("c"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("pmin"))
+    val dur = u.join(p, Seq("user_id"), "left")
+      .select(
+        expr("(coalesce(pmin, l) - c) div 1000000L").cast(LongType).as("dur_s"),
+        when(col("pmin").isNotNull, 1L).otherwise(0L).as("obs"))
+    kaplanMeierFrom(dur)
+  }
+
+  /** Product-limit curve over any (dur_s, obs) frame — spec entry point. */
+  private[graft] def kaplanMeierFrom(dur: DataFrame): DataFrame = {
+    val g = dur.groupBy(col("dur_s"))
+      .agg(sum(col("obs")).as("d"), sum(lit(1L) - col("obs")).as("w"))
+    val tot = g.agg(sum(col("d") + col("w")).as("n_total"))
+    val c1 = Relational.prefixSumByRange(g, Nil, Seq(col("dur_s")),
+        Seq("cum" -> (col("d") + col("w"))))
+      .crossJoin(broadcast(tot))
+      // at-risk = everyone whose duration has not elapsed strictly
+      // before this step (exclusive prefix): censored-at-t users are
+      // still at risk for events at t (the standard tie convention)
+      .withColumn("n_risk", col("n_total") - col("cum") + col("d") + col("w"))
+      // nano-snapped log survival factor; d = n_risk means the curve
+      // hits exactly zero — flagged out-of-band (ln(0) has no grid)
+      .withColumn("term9", when(col("d") < col("n_risk"),
+        floor(log((col("n_risk") - col("d")).cast(DoubleType)
+          / col("n_risk").cast(DoubleType)) * lit(1e9) + lit(0.5)).cast(LongType))
+        .otherwise(0L))
+      .withColumn("zf", when(col("d") === col("n_risk"), 1L).otherwise(0L))
+    // second pass sees EXACTLY (key, measure inputs) — both internal
+    // slice consumers then prune to the same projection, the range
+    // exchange canonicalizes equal and boundary reuse fires (ADVICE
+    // r10 / PlanShapeSpec); the risk-table columns join back by key.
+    // c1's own pass-1 exchange appears under both outer consumers with
+    // the same (dur_s, d, w) projection, so it dedupes the same way.
+    val cums2 = Relational.prefixSumByRange(
+        c1.select(col("dur_s"), col("term9"), col("zf")), Nil, Seq(col("dur_s")),
+        Seq("cum9" -> col("term9"), "cumz" -> col("zf")))
+      .select(col("dur_s"), col("cum9"), col("cumz"))
+    c1.join(cums2, "dur_s")
+      .filter(col("d") > 0L)
+      .select(col("dur_s"), col("n_risk"), col("d").as("n_events"),
+        col("w").as("n_censored"),
+        when(col("cumz") > 0L, lit(0.0))
+          .otherwise(round(exp(col("cum9").cast(DoubleType) / lit(1e9)), 6))
+          .as("survival"))
+      .orderBy(col("dur_s"))
+  }
+
+  val q104KaplanMeierSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'click' THEN tus END) AS c,
+      |    CAST(MAX(tus) AS BIGINT) AS l
+      |  FROM e GROUP BY 1
+      |  HAVING MIN(CASE WHEN event_type = 'click' THEN tus END) IS NOT NULL),
+      |p AS (
+      |  SELECT e.user_id, CAST(MIN(tus) AS BIGINT) AS pmin
+      |  FROM e JOIN u USING (user_id)
+      |  WHERE event_type = 'purchase' AND tus >= c
+      |  GROUP BY 1),
+      |dur AS (
+      |  SELECT CAST((COALESCE(pmin, l) - c) // 1000000 AS BIGINT) AS dur_s,
+      |    CASE WHEN pmin IS NOT NULL THEN 1 ELSE 0 END AS obs
+      |  FROM u LEFT JOIN p USING (user_id)),
+      |g AS (
+      |  SELECT dur_s, CAST(SUM(obs) AS BIGINT) AS d,
+      |    CAST(SUM(1 - obs) AS BIGINT) AS w
+      |  FROM dur GROUP BY 1),
+      |t AS (SELECT CAST(SUM(d + w) AS BIGINT) AS n_total FROM g),
+      |c1 AS (
+      |  SELECT g.*, n_total,
+      |    n_total - CAST(SUM(d + w) OVER (ORDER BY dur_s ROWS UNBOUNDED PRECEDING) AS BIGINT)
+      |      + d + w AS n_risk
+      |  FROM g CROSS JOIN t),
+      |c2 AS (
+      |  SELECT *,
+      |    CASE WHEN d < n_risk THEN
+      |      CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |        * 1e9 + 0.5) AS BIGINT) ELSE 0 END AS term9,
+      |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS zf
+      |  FROM c1),
+      |c3 AS (
+      |  SELECT *, CAST(SUM(term9) OVER w2 AS BIGINT) AS cum9,
+      |    CAST(SUM(zf) OVER w2 AS BIGINT) AS cumz
+      |  FROM c2 WINDOW w2 AS (ORDER BY dur_s ROWS UNBOUNDED PRECEDING))
+      |SELECT dur_s, n_risk, d AS n_events, w AS n_censored,
+      |  CASE WHEN cumz > 0 THEN 0.0
+      |       ELSE ROUND(exp(CAST(cum9 AS DOUBLE) / 1e9), 6) END AS survival
+      |FROM c3 WHERE d > 0
+      |ORDER BY dur_s""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q105: classical additive decomposition of the daily revenue series
+  // — revenue(day) = trend + seasonal(weekday) + residual, with the
+  // trend a centered 7-day moving average (full windows only), the
+  // seasonal the re-centered weekday mean of the detrended series, and
+  // the residual what remains. The calendar window is a RANGE frame on
+  // the epoch-day key, so a missing calendar day yields an incomplete
+  // (excluded) window rather than silently widening the span (q85's
+  // frame-mode lesson applied to a regular grid).
+  //
+  // Scale shape: ONE corpus shuffle (groupBy day, map-side combined)
+  // collapses everything to the |calendar-days| frame — bounded by the
+  // date domain (~2.4k rows for TPC-H's 7 years) at ANY scale factor,
+  // so the unpartitioned range window and the 7-row weekday frame are
+  // domain-bounded by construction, never corpus-sized (q92's 9-digit
+  // discipline on a 2.4k-row axis).
+  //
+  // Exactness: day revenue on the cents grid; the 7-day sum is BIGINT;
+  // detrended mass 7·rev − Σ7 stays integer (units: cents/7); weekday
+  // means and the seasonal re-centering micro-snap (1e6 grid) through
+  // fixed-shape double expressions of exact integers; residual finals
+  // are one expression, rounded once.
+  // ---------------------------------------------------------------------
+  def q105SeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    seasonalDecomposeFrom(daily)
+  }
+
+  /** Decomposition over any (day: DATE, rev_c: BIGINT) daily series —
+    * spec entry point.
+    */
+  private[graft] def seasonalDecomposeFrom(dailyIn: DataFrame): DataFrame = {
+    val daily = dailyIn
+      .withColumn("eday", datediff(col("day"), lit("1970-01-01")).cast(LongType))
+      .withColumn("dow", (col("eday") % 7L).cast(IntegerType))
+    // domain-bounded axis: |days| rows at any SF (see header)
+    val w7 = Window.orderBy(col("eday")).rangeBetween(-3L, 3L)
+    val trended = daily
+      .withColumn("sum7", sum(col("rev_c")).over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .filter(col("cnt7") === 7L)
+      .withColumn("det7", lit(7L) * col("rev_c") - col("sum7"))
+    // weekday seasonal: mean of detrended mass, micro-snapped; then
+    // re-centered so the seven indices sum to ~0 (level stays in trend)
+    val season = trended.groupBy(col("dow"))
+      .agg(sum(col("det7")).as("sd7"), count(lit(1)).as("cd"))
+      .withColumn("s6", floor(col("sd7").cast(DoubleType)
+        / (lit(7.0) * col("cd").cast(DoubleType)) * lit(1e6) + lit(0.5)).cast(LongType))
+    // center over the weekdays PRESENT (a sparse calendar can lose a
+    // weekday entirely to the full-window filter; dividing by a fixed 7
+    // would then leave the seasonal mass off-center)
+    val center = season.agg(
+      floor(sum(col("s6")).cast(DoubleType) / count(lit(1)).cast(DoubleType)
+        + lit(0.5)).cast(LongType).as("m6"))
+    val sAdj = season.crossJoin(broadcast(center))
+      .select(col("dow"), (col("s6") - col("m6")).as("adj6"))
+    val trendC = col("sum7").cast(DoubleType) / lit(7.0)
+    val seasC = col("adj6").cast(DoubleType) / lit(1e6)
+    trended.join(broadcast(sAdj), "dow")
+      .select(col("day"),
+        round(col("rev_c").cast(DoubleType) / lit(100.0), 2).as("revenue"),
+        round(trendC / lit(100.0), 6).as("trend"),
+        round(seasC / lit(100.0), 6).as("seasonal"),
+        round((col("rev_c").cast(DoubleType) - trendC - seasC) / lit(100.0), 6)
+          .as("residual"))
+      .orderBy(col("day"))
+  }
+
+  val q105SeasonalDecomposeSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |keyed AS (
+      |  SELECT *, CAST(day - DATE '1970-01-01' AS BIGINT) AS eday,
+      |    CAST((day - DATE '1970-01-01') % 7 AS INT) AS dow
+      |  FROM daily),
+      |tr AS (
+      |  SELECT *,
+      |    CAST(SUM(rev_c) OVER w7 AS BIGINT) AS sum7,
+      |    COUNT(*) OVER w7 AS cnt7
+      |  FROM keyed
+      |  WINDOW w7 AS (ORDER BY eday RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |full7 AS (
+      |  SELECT *, 7 * rev_c - sum7 AS det7 FROM tr WHERE cnt7 = 7),
+      |season AS (
+      |  SELECT dow, CAST(SUM(det7) AS BIGINT) AS sd7, COUNT(*) AS cd
+      |  FROM full7 GROUP BY 1),
+      |snapped AS (
+      |  SELECT dow,
+      |    CAST(floor(CAST(sd7 AS DOUBLE) / (7.0 * CAST(cd AS DOUBLE)) * 1e6 + 0.5)
+      |      AS BIGINT) AS s6
+      |  FROM season),
+      |center AS (
+      |  SELECT CAST(floor(CAST(CAST(SUM(s6) AS BIGINT) AS DOUBLE)
+      |    / CAST(COUNT(*) AS DOUBLE) + 0.5) AS BIGINT) AS m6 FROM snapped),
+      |sadj AS (SELECT dow, s6 - m6 AS adj6 FROM snapped CROSS JOIN center)
+      |SELECT day,
+      |  ROUND(CAST(rev_c AS DOUBLE) / 100.0, 2) AS revenue,
+      |  ROUND(CAST(sum7 AS DOUBLE) / 7.0 / 100.0, 6) AS trend,
+      |  ROUND(CAST(adj6 AS DOUBLE) / 1e6 / 100.0, 6) AS seasonal,
+      |  ROUND((CAST(rev_c AS DOUBLE) - CAST(sum7 AS DOUBLE) / 7.0
+      |         - CAST(adj6 AS DOUBLE) / 1e6) / 100.0, 6) AS residual
+      |FROM full7 JOIN sadj USING (dow)
+      |ORDER BY day""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q106: Population Stability Index between the first and second half
+  // of the order-date range — THE standard drift score a monitoring
+  // pipeline computes between a reference window (training data) and
+  // the current window (incoming data):
+  //   PSI = Σ_bins (p_cur − p_ref) · ln(p_cur / p_ref)
+  // over 10 equi-depth bins FIT ON THE REFERENCE (that asymmetry is
+  // the point: bins follow the training distribution, and drift shows
+  // up as current mass escaping them). Counts are Jeffreys-smoothed
+  // (+½ per cell over +B/2 total) so an emptied cell reports a large
+  // finite contribution instead of ±∞.
+  //
+  // Scale shape: the temporal split is one broadcast scalar (min/max
+  // epoch-day → midpoint cut). Reference deciles ride
+  // `Relational.rankByRange` + q83's rank formula — the corpus-sized
+  // rank path that keeps its parallelism at 100× — and collapse to a
+  // NINE-row edge frame, which broadcasts as one sorted array; bucket
+  // assignment is then a per-row codegen'd filter(array) with no
+  // fan-out join. The 2×10 histogram grid is literal-complete (q92:
+  // a structurally empty cell still carries smoothed mass).
+  // ---------------------------------------------------------------------
+  private[operators] val PsiBins = 10
+
+  def q106PsiDrift(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"),
+        col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).cast(LongType).as("eday"))
+    val cut = o.agg(expr("(min(eday) + max(eday)) div 2").cast(LongType).as("cut"))
+    val sided = o.crossJoin(broadcast(cut))
+      .select(col("cents"), col("o_orderkey"),
+        when(col("eday") <= col("cut"), 1L).otherwise(0L).as("is_ref"))
+    psiDriftFrom(sided.sparkSession, sided)
+  }
+
+  /** PSI over any (cents, o_orderkey unique, is_ref ∈ {0,1}) frame —
+    * spec entry point.
+    */
+  private[graft] def psiDriftFrom(spark: SparkSession, sidedIn: DataFrame): DataFrame = {
+    // the side gate (one comparison) would otherwise re-evaluate per
+    // consumer below; the frame is (cents, key, flag) — column-pruned
+    val sided = sidedIn.localCheckpoint(false)
+    // equi-depth edges fit on the reference side only (q83's formula)
+    val edges = Relational.rankByRange(sided.filter(col("is_ref") === 1L), Nil,
+        Seq(col("cents").asc, col("o_orderkey").asc), "__rnk", "__n")
+      .withColumn("bucket", expr(s"(__rnk - 1) * $PsiBins div __n + 1").cast(LongType))
+      .filter(col("bucket") < PsiBins)
+      .groupBy(col("bucket")).agg(max(col("cents")).as("edge"))
+    // nine longs as ONE broadcast array row: bucket(v) = 1 + |{e < v}|
+    // (upper-inclusive bins, mirroring max-per-bucket edges)
+    val edgeArr = edges.agg(sort_array(collect_list(col("edge"))).as("earr"))
+    val counted = sided.crossJoin(broadcast(edgeArr))
+      .select(col("is_ref"),
+        (lit(1) + size(filter(col("earr"), e => e < col("cents")))).cast(LongType)
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("is_ref")).as("n_ref"), sum(lit(1L) - col("is_ref")).as("n_cur"))
+    val grid = spark.range(1, PsiBins + 1).select(col("id").as("bucket"))
+      .join(counted, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = grid.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val pRef = (col("n_ref").cast(DoubleType) + lit(0.5)) /
+      (col("tr").cast(DoubleType) + lit(PsiBins * 0.5))
+    val pCur = (col("n_cur").cast(DoubleType) + lit(0.5)) /
+      (col("tc").cast(DoubleType) + lit(PsiBins * 0.5))
+    val snapped = grid.crossJoin(broadcast(tot))
+      .withColumn("p_ref", pRef).withColumn("p_cur", pCur)
+      .withColumn("c9", floor((pCur - pRef) * log(pCur / pRef) * lit(1e9) + lit(0.5))
+        .cast(LongType))
+    val psi = snapped.agg(sum(col("c9")).as("psi9"))
+    snapped.crossJoin(broadcast(psi))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        round(col("p_ref"), 6).as("p_ref"), round(col("p_cur"), 6).as("p_cur"),
+        round(col("c9").cast(DoubleType) / lit(1e9), 6).as("psi_contrib"),
+        round(col("psi9").cast(DoubleType) / lit(1e9), 6).as("psi"))
+      .orderBy(col("bucket"))
+  }
+
+  val q106PsiDriftSql: String = {
+    val pr = s"(CAST(n_ref AS DOUBLE) + 0.5) / (CAST(tr AS DOUBLE) + ${PsiBins * 0.5})"
+    val pc = s"(CAST(n_cur AS DOUBLE) + 0.5) / (CAST(tc AS DOUBLE) + ${PsiBins * 0.5})"
+    s"""WITH o AS (
+       |  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+       |    o_orderkey,
+       |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS eday
+       |  FROM orders),
+       |cut AS (SELECT (MIN(eday) + MAX(eday)) // 2 AS cut FROM o),
+       |sided AS (
+       |  SELECT cents, o_orderkey,
+       |    CASE WHEN eday <= cut THEN 1 ELSE 0 END AS is_ref
+       |  FROM o CROSS JOIN cut),
+       |rnk AS (
+       |  SELECT cents,
+       |    ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS i,
+       |    COUNT(*) OVER () AS n
+       |  FROM sided WHERE is_ref = 1),
+       |edges AS (
+       |  SELECT CAST((i - 1) * $PsiBins // n + 1 AS BIGINT) AS bucket,
+       |    CAST(MAX(cents) AS BIGINT) AS edge
+       |  FROM rnk GROUP BY 1 HAVING CAST((i - 1) * $PsiBins // n + 1 AS BIGINT) < $PsiBins),
+       |assigned AS (
+       |  SELECT s.is_ref,
+       |    1 + (SELECT COUNT(*) FROM edges e WHERE e.edge < s.cents) AS bucket
+       |  FROM sided s),
+       |counted AS (
+       |  SELECT bucket, CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+       |    CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+       |  FROM assigned GROUP BY 1),
+       |grid AS (
+       |  SELECT CAST(g.bucket AS BIGINT) AS bucket,
+       |    CAST(COALESCE(n_ref, 0) AS BIGINT) AS n_ref,
+       |    CAST(COALESCE(n_cur, 0) AS BIGINT) AS n_cur
+       |  FROM (SELECT unnest(range(1, ${PsiBins + 1})) AS bucket) g
+       |  LEFT JOIN counted ON g.bucket = counted.bucket),
+       |tot AS (
+       |  SELECT CAST(SUM(n_ref) AS BIGINT) AS tr, CAST(SUM(n_cur) AS BIGINT) AS tc
+       |  FROM grid),
+       |snapped AS (
+       |  SELECT *, $pr AS p_ref, $pc AS p_cur,
+       |    CAST(floor((($pc) - ($pr)) * ln(($pc) / ($pr)) * 1e9 + 0.5) AS BIGINT) AS c9
+       |  FROM grid CROSS JOIN tot),
+       |x AS (SELECT CAST(SUM(c9) AS BIGINT) AS psi9 FROM snapped)
+       |SELECT bucket, n_ref, n_cur,
+       |  ROUND(p_ref, 6) AS p_ref, ROUND(p_cur, 6) AS p_cur,
+       |  ROUND(CAST(c9 AS DOUBLE) / 1e9, 6) AS psi_contrib,
+       |  ROUND(CAST(psi9 AS DOUBLE) / 1e9, 6) AS psi
+       |FROM snapped CROSS JOIN x
+       |ORDER BY bucket""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming sibling of q106's current-side histogram: a STATELESS
+  // per-row bucket stamp against literal reference edges (the fitted
+  // edges ship to the monitor as a config constant — the monitoring
+  // deployment shape, where reference bins are frozen artifacts of the
+  // last training run), then an ordinary streaming groupBy count. Works
+  // identically on a batch frame; StreamDriftSpec pins stream ≡ batch.
+  // ---------------------------------------------------------------------
+  private[graft] def bucketOf(value: Column, edges: Seq[Long]): Column =
+    edges.foldLeft(lit(1L)) { (acc, e) =>
+      acc + when(value > lit(e), 1L).otherwise(0L)
+    }
+
+  private[graft] def driftCountsFrom(df: DataFrame, valueCol: String,
+                                     edges: Seq[Long]): DataFrame =
+    df.select(bucketOf(col(valueCol), edges).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
+    QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
+    QueryDef.sql("q106_psi_drift", q106PsiDrift _, q106PsiDriftSql),
+  )
+}

@@ -91,7 +91,18 @@ class PlanShapeSpec extends AnyFunSuite {
       // prefixSumByRange consumers (ECDF/rank-sum cumulatives) ride the
       // same slice frame twice — same boundary-determinism dependency
       ("q91", graft.operators.Audits.q91KsTest(spark, dir), 1),
-      ("q99", graft.operators.Audits.q99MannWhitney(spark, dir), 1))
+      ("q99", graft.operators.Audits.q99MannWhitney(spark, dir), 1),
+      // the r11 temporal batch: q103/q104 were REBUILT around this
+      // invariant (their first drafts carried non-measure columns
+      // through the slice frame — the projections diverged, the two
+      // range exchanges sampled different boundaries, and the rank
+      // sums corrupted exactly as ADVICE r10 predicted; caught at
+      // sf0.01 by the oracle gate). Prefix inputs are now exactly
+      // (keys, measure inputs) with the risk/cell columns joined back
+      // by key — these pins keep it that way.
+      ("q103", graft.operators.Audits.q103KruskalWallis(spark, dir), 1),
+      ("q104", graft.operators.Temporal.q104KaplanMeier(spark, dir), 2),
+      ("q106", graft.operators.Temporal.q106PsiDrift(spark, dir), 1))
     for ((name, df, sites) <- frames) {
       df.collect() // reuse is decided during adaptive execution
       val plan = df.queryExecution.executedPlan.toString

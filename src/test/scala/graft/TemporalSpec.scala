@@ -1,0 +1,290 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Audits, Graph, Temporal}
+
+/** Semantics of the temporal/drift batch (q103-q107): Kruskal-Wallis and
+  * assortativity against naive driver-side recomputes, Kaplan-Meier
+  * against the textbook 6-MP product-limit table AND a naive recompute of
+  * the full cohort pipeline, seasonal decomposition against a planted
+  * trend+weekday signal it must recover exactly, PSI against its two
+  * defining regimes (zero under no drift, large under a planted shift),
+  * and the streaming drift histogram ≡ its batch sibling. The DuckDB
+  * hash gate covers cross-engine equality; these pin MEANING.
+  */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- q103
+  test("q103 Kruskal-Wallis matches a naive average-rank recompute") {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = Audits.q103KruskalWallis(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((st, grp) <- orders.groupBy(_._1)) {
+      val n = grp.length
+      // average ranks over the cents grid
+      val byVal = grp.groupBy(_._3).view.mapValues(_.length).toMap
+      val sortedVals = byVal.keys.toSeq.sorted
+      var cum = 0L
+      val avgRank = sortedVals.map { v =>
+        val t = byVal(v)
+        val r = cum + (t + 1) / 2.0
+        cum += t
+        v -> r
+      }.toMap
+      val byPrio = grp.groupBy(_._2)
+      val sumTerm = byPrio.values.map { rows =>
+        val rj = rows.map(r => avgRank(r._3)).sum
+        rj * rj / rows.length
+      }.sum
+      val h = 12.0 / (n.toDouble * (n + 1)) * sumTerm - 3.0 * (n + 1)
+      val ties = byVal.values.map(t => t.toDouble * t * t - t).sum
+      val c = 1.0 - ties / (n.toDouble * n * n - n)
+      val row = got(st)
+      assert(row.getLong(1) == n.toLong, s"$st n")
+      assert(row.getLong(2) == byPrio.size.toLong, s"$st k")
+      assert(math.abs(row.getDouble(3) - h) < 1e-4, s"$st h: got ${row.getDouble(3)} want $h")
+      assert(math.abs(row.getDouble(4) - h / c) < 1e-4, s"$st h_adj")
+    }
+  }
+
+  test("q103 is ~0 when every group draws the same values, large under a planted shift") {
+    // identical distributions: H must sit at its minimum (all rank mass
+    // equal); then shift one priority far right: H must explode
+    def kw(rows: Seq[(String, Long)]): Double = {
+      val d = java.nio.file.Files.createTempDirectory("graft-kw").toString
+      val s = spark; import s.implicits._
+      rows.toDF("o_orderpriority", "c10")
+        .select(lit("X").as("o_orderstatus"), col("o_orderpriority"),
+          (col("c10").cast("double") / 100.0).as("o_totalprice"))
+        .coalesce(1).write.parquet(s"$d/orders.parquet")
+      val out = Audits.q103KruskalWallis(spark, d).collect()
+      assert(out.length == 1)
+      out.head.getDouble(4)
+    }
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+    val same = for (p <- prios; v <- 1L to 30L) yield (p, v * 100L)
+    assert(math.abs(kw(same)) < 1e-6, "identical samples must give H_adj = 0")
+    val shifted = same.map { case (p, v) =>
+      if (p == "2-HIGH") (p, v + 100000L) else (p, v)
+    }
+    assert(kw(shifted) > 50.0, "a fully separated group must dominate the ranks")
+  }
+
+  // ---------------------------------------------------------------- q104
+  test("q104 kaplanMeierFrom reproduces the textbook 6-MP product-limit table") {
+    // Freireich et al. 1963 treatment arm — THE worked example every
+    // survival text uses: events at 6,6,6,7,10,13,16,22,23; censored at
+    // 6,9,10,11,17,19,20,25,32,32,34,35
+    val s = spark; import s.implicits._
+    val ev = Seq(6, 6, 6, 7, 10, 13, 16, 22, 23).map(t => (t.toLong, 1L))
+    val cn = Seq(6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35).map(t => (t.toLong, 0L))
+    val got = Temporal.kaplanMeierFrom((ev ++ cn).toDF("dur_s", "obs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    val want = Seq( // (t, n_risk, d, S) — classic table
+      (6L, 21L, 3L, 0.857143), (7L, 17L, 1L, 0.806723),
+      (10L, 15L, 1L, 0.752941), (13L, 12L, 1L, 0.690196),
+      (16L, 11L, 1L, 0.627451), (22L, 7L, 1L, 0.537815),
+      (23L, 6L, 1L, 0.448179))
+    assert(got.length == want.length)
+    for (((t, nr, d, sv), (wt, wnr, wd, wsv)) <- got.zip(want)) {
+      assert(t == wt && nr == wnr && d == wd, s"step $t risk table")
+      assert(math.abs(sv - wsv) < 1e-4, s"step $t survival: got $sv want $wsv")
+    }
+  }
+
+  test("q104 hits exactly zero when the last risk set is wiped out") {
+    val s = spark; import s.implicits._
+    val got = Temporal.kaplanMeierFrom(
+        Seq((1L, 1L), (1L, 1L), (2L, 1L), (3L, 1L)).toDF("dur_s", "obs"))
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    assert(got.last == ((3L, 0.0)), "full extinction must report S = 0, not exp(-inf) noise")
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(math.abs(got.head._2 - 0.5) < 1e-6)
+  }
+
+  test("q104 on real events matches a naive cohort recompute") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val durs = ev.groupBy(_._1).flatMap { case (_, rows) =>
+      val clicks = rows.filter(_._2 == "click").map(_._3)
+      if (clicks.isEmpty) None
+      else {
+        val c = clicks.min
+        val ps = rows.filter(r => r._2 == "purchase" && r._3 >= c).map(_._3)
+        if (ps.nonEmpty) Some(((ps.min - c) / 1000000L, true))
+        else Some(((rows.map(_._3).max - c) / 1000000L, false))
+      }
+    }.toSeq
+    // naive product-limit over the duration grid
+    val byT = durs.groupBy(_._1).view
+      .mapValues(v => (v.count(_._2), v.size)).toMap
+    var atRisk = durs.size.toLong
+    var surv = 1.0
+    val naive = byT.keys.toSeq.sorted.flatMap { t =>
+      val (d, tot) = byT(t)
+      val row = if (d > 0) {
+        surv *= (atRisk - d).toDouble / atRisk
+        Some((t, atRisk, d.toLong, surv))
+      } else None
+      atRisk -= tot
+      row
+    }
+    val got = Temporal.q104KaplanMeier(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4)))
+    assert(got.length == naive.length, s"${got.length} vs ${naive.length} event steps")
+    for (((t, nr, d, sv), (wt, wnr, wd, wsv)) <- got.zip(naive)) {
+      assert(t == wt && nr == wnr && d == wd, s"risk table at $t")
+      assert(math.abs(sv - wsv) < 1e-4, s"survival at $t: got $sv want $wsv")
+    }
+    // survival is a non-increasing step function from (0, 1]
+    assert(got.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1) - 1e-9))
+  }
+
+  // ---------------------------------------------------------------- q105
+  test("q105 recovers a planted trend + weekday signal exactly") {
+    // additive plant: linear trend (its centered 7-day MA is itself) +
+    // zero-mean weekday pattern (its 7-day MA is zero) → the operator
+    // must return trend = the line, seasonal = the pattern, residual = 0
+    val s = spark; import s.implicits._
+    val pattern = Seq(300L, -200L, 500L, 0L, -400L, 100L, -300L) // cents, Σ=0
+    val daily = (0 until 28).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong)),
+        10000L + 100L * i + pattern(i % 7))
+    }
+    val got = Temporal.seasonalDecomposeFrom(daily.toDF("day", "rev_c"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay.toInt,
+        r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.length == 22, "28 days minus 3 boundary days each side")
+    for ((i, rev, tr, se, res) <- got) {
+      assert(math.abs(rev - (10000L + 100L * i + pattern(i % 7)) / 100.0) < 1e-9)
+      assert(math.abs(tr - (10000.0 + 100.0 * i) / 100.0) < 1e-4, s"day $i trend")
+      assert(math.abs(se - pattern(i % 7) / 100.0) < 1e-4, s"day $i seasonal")
+      assert(math.abs(res) < 1e-3, s"day $i residual must vanish, got $res")
+    }
+  }
+
+  test("q105 on real orders: components re-add to revenue; seasonals re-center") {
+    val rows = operators.Temporal.q105SeasonalDecompose(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (rev, tr, se, res) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(math.abs(rev - (tr + se + res)) < 1e-4, s"identity at ${r.getDate(0)}")
+    }
+    // the distinct seasonal values sum to ~0 (re-centered over the
+    // weekdays present — a sparse sf0.001 calendar can lose some to the
+    // full-window filter)
+    val seasonals = rows.map(r =>
+      (r.getDate(0).toLocalDate.toEpochDay % 7) -> r.getDouble(3)).toMap
+    assert(seasonals.nonEmpty && seasonals.size <= 7)
+    assert(math.abs(seasonals.values.sum) < 1e-3)
+  }
+
+  // ---------------------------------------------------------------- q106
+  private def psiOf(ref: Seq[Long], cur: Seq[Long]) = {
+    val s = spark; import s.implicits._
+    val sided = (ref.map(_ -> 1L) ++ cur.map(_ -> 0L)).zipWithIndex
+      .map { case ((c, r), i) => (c, i.toLong, r) }
+      .toDF("cents", "o_orderkey", "is_ref")
+    Temporal.psiDriftFrom(spark, sided).collect()
+  }
+
+  test("q106 PSI ~ 0 when current mirrors reference, large under a planted shift") {
+    val base = (1L to 1000L).map(_ * 7L)
+    val same = psiOf(base, base)
+    assert(same.length == 10, "all ten bins, structurally")
+    val psi = same.head.getDouble(6)
+    assert(same.forall(_.getDouble(6) == psi), "one PSI total on every row")
+    assert(math.abs(psi) < 1e-3, s"no drift → PSI ~ 0, got $psi")
+    // equi-depth on 1000 distinct values: 100 per bin on BOTH sides
+    assert(same.forall(r => r.getLong(1) == 100L && r.getLong(2) == 100L))
+    // total mass ~1 per side (Jeffreys smoothing keeps it within 1e-3)
+    assert(math.abs(same.map(_.getDouble(3)).sum - 1.0) < 1e-2)
+    assert(math.abs(same.map(_.getDouble(4)).sum - 1.0) < 1e-2)
+
+    val shifted = psiOf(base, base.map(_ + 4000L))
+    val psiS = shifted.head.getDouble(6)
+    assert(psiS > 1.0, s"mass pushed into the top bins must alarm, got $psiS")
+    // industry rule of thumb: PSI > 0.25 = action threshold; the planted
+    // shift is far past it while the null case is two orders below 0.1
+  }
+
+  test("q106 buckets are upper-inclusive on reference edges") {
+    // values exactly AT an edge belong to the lower bucket (mirrors
+    // max-per-bucket edge construction); all mass in bucket 1 iff all
+    // values <= first edge
+    val ref = (1L to 100L)
+    val got = psiOf(ref, Seq(10L, 10L, 10L)) // 10 = edge of bucket 1
+    val b1 = got.find(_.getLong(0) == 1L).get
+    assert(b1.getLong(2) == 3L, "cur mass at the first edge stays in bucket 1")
+  }
+
+  // ------------------------------------------------- streaming sibling
+  test("streaming drift histogram ≡ batch on the same data") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val edges = Seq(100L, 200L, 300L)
+    val input = MemoryStream[Long]
+    val q = Temporal.driftCountsFrom(input.toDF().toDF("v"), "v", edges)
+      .writeStream.format("memory").queryName("drift_counts")
+      .outputMode("complete").start()
+    try {
+      input.addData(50L, 100L, 101L, 250L)
+      q.processAllAvailable()
+      input.addData(301L, 99L, 200L)
+      q.processAllAvailable()
+      val streamed = spark.table("drift_counts").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = Temporal.driftCountsFrom(
+          Seq(50L, 100L, 101L, 250L, 301L, 99L, 200L).toDF("v"), "v", edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(batch == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+    } finally q.stop()
+  }
+
+  // ---------------------------------------------------------------- q107
+  test("q107 star graph is exactly -1; naive Pearson recompute on real edges") {
+    val s = spark; import s.implicits._
+    val star = (1L to 10L).map(i => (0L, i)).toDF("src", "dst")
+    val r = Graph.assortativityFrom(star).collect().head
+    assert(r.getLong(0) == 11L && r.getLong(1) == 10L)
+    assert(r.getDouble(2) == -1.0, "hub-and-spoke is perfectly disassortative")
+
+    val result = Graph.q107Assortativity(spark, dir)
+    val undEdges = {
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).distinct
+      li.toSeq.groupBy(_._1).values.toSeq.flatMap { parts =>
+        val ps = parts.map(_._2)
+        for (p1 <- ps; p2 <- ps if p1 < p2) yield (p1, p2)
+      }.distinct
+    }
+    val deg = undEdges.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairs = undEdges.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m2 = pairs.length.toDouble
+    val sx = pairs.map(_._1).sum.toDouble
+    val sxx = pairs.map(p => p._1 * p._1).sum.toDouble
+    val sxy = pairs.map(p => p._1 * p._2).sum.toDouble
+    val want = (m2 * sxy - sx * sx) / (m2 * sxx - sx * sx)
+    val got = result.collect().head
+    assert(got.getLong(0) == deg.size.toLong)
+    assert(got.getLong(1) == undEdges.length.toLong)
+    assert(math.abs(got.getDouble(2) - want) < 1e-6,
+      s"got ${got.getDouble(2)} want $want")
+  }
+}
