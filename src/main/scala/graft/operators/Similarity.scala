@@ -1607,8 +1607,95 @@ object Similarity {
        |GROUP BY 1, 2
        |ORDER BY true_label, pred_label""".stripMargin
 
+  // -------------------------------------------------------------------
+  // q108: dimension-ablation recall — the Matryoshka question every
+  // embedding-storage budget decision turns on: how much top-K recall
+  // survives truncating vectors to their leading d dimensions? For each
+  // d in the ladder, exact brute-force cosine top-K over the TRUNCATED
+  // vectors, scored against the full-dimension top-K as ground truth;
+  // one recall@K number per d (d = full dim is the sanity row, recall
+  // 1 by construction).
+  //
+  // Scale shape: q30's eval pattern — the bounded query set broadcasts
+  // onto the corpus, the ×|dims| fan-out is a constant factor on the
+  // scored rows (never a second corpus scan), top-K rides per-
+  // (dim, query) windows after the one fan-out exchange, and the
+  // recall join runs on K·|queries|·|dims| rows — eval-sized. Truth
+  // and candidates come from the SAME ranked frame (hash exchanges
+  // only, so the double-consumption is deterministic; no range
+  // sampling anywhere). Recall is exact-integer hits over a constant
+  // denominator, divided once.
+  // -------------------------------------------------------------------
+  private val AblationDims = Seq(8, 16, 32, 64)
+  private val FullDim = 64
+
+  def q108DimAblation(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        explode(array(AblationDims.map(lit(_)): _*)).as("dim"),
+        col("qe"), col("ne"))
+      .withColumn("sim", Vectors.vecCosine(
+        slice(col("qe"), lit(1), col("dim")), slice(col("ne"), lit(1), col("dim"))))
+    val w = Window.partitionBy(col("dim"), col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id").asc)
+    val topk = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("dim"), col("query_id"), col("neighbor_id"))
+    val truth = topk.filter(col("dim") === FullDim)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = topk.join(truth, Seq("query_id", "neighbor_id"))
+      .groupBy(col("dim")).agg(count(lit(1)).as("n_hits"))
+    spark.range(1).select(explode(array(AblationDims.map(lit(_)): _*)).as("dim"))
+      .join(hits, Seq("dim"), "left")
+      .select(col("dim"), lit(NumQueries.toLong).as("n_queries"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast(DoubleType)
+          / lit((NumQueries * K).toDouble), 6).as("recall_at_k"))
+      .orderBy(col("dim"))
+  }
+
+  val q108DimAblationSql: String = {
+    val cos =
+      """list_sum(list_transform(list_zip(qe[1:dim], ne[1:dim]),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(qe[1:dim], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(ne[1:dim], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |           WHERE vec_id < $NumQueries),
+       |dims AS (SELECT unnest([${AblationDims.mkString(", ")}]) AS dim),
+       |scored AS (
+       |  SELECT dim, query_id, e.vec_id AS neighbor_id, e.embedding AS ne, qe,
+       |    $cos AS sim
+       |  FROM q CROSS JOIN embeddings e CROSS JOIN dims
+       |  WHERE e.vec_id <> query_id),
+       |ranked AS (
+       |  SELECT dim, query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY dim, query_id
+       |      ORDER BY sim DESC, neighbor_id ASC) AS rn
+       |  FROM scored),
+       |topk AS (SELECT dim, query_id, neighbor_id FROM ranked WHERE rn <= $K),
+       |truth AS (SELECT query_id, neighbor_id FROM topk WHERE dim = $FullDim),
+       |hits AS (
+       |  SELECT dim, COUNT(*) AS n_hits
+       |  FROM topk JOIN truth USING (query_id, neighbor_id)
+       |  GROUP BY 1)
+       |SELECT CAST(d.dim AS INT) AS dim, CAST($NumQueries AS BIGINT) AS n_queries,
+       |  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       |  ROUND(CAST(COALESCE(n_hits, 0) AS DOUBLE) / ${NumQueries * K}.0, 6) AS recall_at_k
+       |FROM dims d LEFT JOIN hits ON d.dim = hits.dim
+       |ORDER BY dim""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q30_ann_brute", q30AnnBrute _, q30AnnBruteSql),
+    QueryDef.sql("q108_dim_ablation", q108DimAblation _, q108DimAblationSql),
     QueryDef.sql("q31_ann_lsh", q31AnnLsh _, q31AnnLshSql),
     QueryDef.sql("q32_corpus_neardup", q32CorpusNearDup _, q32CorpusNearDupSql),
     QueryDef.sql("q33_lang_centroids", q33LangCentroids _, q33LangCentroidsSql),

@@ -1409,7 +1409,12 @@ object TextOps {
   // -------------------------------------------------------------------
   private val BpeRounds = 3
 
-  def t79BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+  /** The t79 training fold: (final merged word-type vocabulary, per-round
+    * merge reports). t79 publishes the reports; t81 applies the final
+    * vocabulary back to the corpus.
+    */
+  private def bpeTrainFold(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[DataFrame]) = {
     val vocab = docs(spark, dir)
       .select(explode(toks).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
@@ -1417,7 +1422,7 @@ object TextOps {
         transform(filter(split(col("w"), ""), x => x =!= ""),
           c => concat(lit("<"), c, lit(">"))), " "))
       .localCheckpoint()
-    val rounds = (1 to BpeRounds).foldLeft(
+    (1 to BpeRounds).foldLeft(
       (vocab, Seq.empty[DataFrame])) { case ((prev, outs), r) =>
       val pairs = prev
         .withColumn("cs", split(col("spaced"), " "))
@@ -1436,11 +1441,19 @@ object TextOps {
           regexp_replace(col("pair"), "[<>]", "").as("pair"),
           col("pair_count"), col("syms_after"))
       (merged.select(col("w"), col("cnt"), col("spaced")), outs :+ report)
-    }._2
+    }
+  }
+
+  def t79BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val rounds = bpeTrainFold(spark, dir)._2
     rounds.reduce(_.unionAll(_)).orderBy(col("round"))
   }
 
-  val t79BpeTrainSql: String = {
+  /** The t79 training CTE chain (words → s0 → p/t/s/o per round) —
+    * shared by the t79 and t81 oracles so encode is checked against the
+    * SAME merge derivation it trains on.
+    */
+  private val bpeStagesSql: String = {
     def stage(k: Int): String = {
       val prev = s"s${k - 1}"
       s"""p$k AS (
@@ -1458,7 +1471,7 @@ object TextOps {
          |    SELECT CAST(SUM(cnt * len(string_split(spaced, ' '))) AS BIGINT) AS syms_after
          |    FROM s$k) x)""".stripMargin
     }
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, COUNT(*) AS cnt FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
        |  GROUP BY 1),
@@ -1467,10 +1480,62 @@ object TextOps {
        |    array_to_string(list_transform(string_split(w, ''),
        |      c -> '<' || c || '>'), ' ') AS spaced
        |  FROM words),
-       |${(1 to BpeRounds).map(stage).mkString(",\n")}
+       |${(1 to BpeRounds).map(stage).mkString(",\n")}""".stripMargin
+  }
+
+  val t79BpeTrainSql: String =
+    s"""WITH $bpeStagesSql
        |${(1 to BpeRounds).map(k => s"SELECT * FROM o$k").mkString("\nUNION ALL\n")}
        |ORDER BY round""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t81: BPE ENCODE — the other half of the tokenizer story: t79 trains
+  // the merge table, t81 applies it back to the corpus (the step every
+  // training pipeline actually runs at full scale, over and over). The
+  // key economy: greedy BPE application is a pure function of the WORD,
+  // so it runs once per word TYPE on the vocabulary frame (where t79
+  // already materialized the merged spellings) and reaches the corpus by
+  // an equi-join — the 100 TB corpus is scanned once and never carries
+  // spellings, and per-doc stats are one map-side-combined aggregate.
+  // Output per document: words, BPE tokens, and the chars-per-token
+  // compression ratio (THE tokenizer-quality number).
+  //
+  // Oracle nests the full training chain (bpeStagesSql), so train →
+  // encode is hash-checked end-to-end as one composition (t69/c74's
+  // discipline). Token counts are exact integers; the ratio is one
+  // fixed-shape division rounded once.
+  // -------------------------------------------------------------------
+  def t81BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val trained = bpeTrainFold(spark, dir)._1
+      .withColumn("n_toks", size(split(col("spaced"), " ")).cast(LongType))
+      .select(col("w"), col("n_toks"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(toks).as("w"))
+      .join(broadcast(trained), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(length(col("w")).cast(LongType)).as("n_word_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_tokens"),
+        round(col("n_word_chars").cast(DoubleType)
+          / col("n_tokens").cast(DoubleType), 6).as("chars_per_token"))
+      .orderBy(col("doc_id"))
   }
+
+  val t81BpeEncodeSql: String =
+    s"""WITH $bpeStagesSql,
+       |trained AS (
+       |  SELECT w, CAST(len(string_split(spaced, ' ')) AS BIGINT) AS n_toks
+       |  FROM s$BpeRounds),
+       |corpus AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(CAST(SUM(len(w)) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(n_toks) AS BIGINT) AS DOUBLE), 6) AS chars_per_token
+       |FROM corpus JOIN trained USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
   // t69: classifier confusion matrix — t50's language predictions
@@ -2046,6 +2111,7 @@ object TextOps {
     QueryDef.sql("t77_kn_lm_score", t77KnLmScore _, t77KnLmScoreSql),
     QueryDef.sql("t78_perplexity_buckets", t78PerplexityBuckets _, t78PerplexityBucketsSql),
     QueryDef.sql("t79_bpe_train", t79BpeTrain _, t79BpeTrainSql),
+    QueryDef.sql("t81_bpe_encode", t81BpeEncode _, t81BpeEncodeSql),
     QueryDef.sql("t80_heaps_law", t80HeapsLaw _, t80HeapsLawSql),
   )
 }
