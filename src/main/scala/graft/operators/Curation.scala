@@ -1180,8 +1180,87 @@ object Curation {
        |FROM r WHERE rank <= quota
        |ORDER BY source, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c84: small-file compaction planner — the table-maintenance operation
+  // every long-lived partitioned table needs: given per-partition row
+  // counts (here lineitem by ship month), assign CONTIGUOUS partition
+  // runs to merge tasks of roughly equal row mass, so a rewrite job can
+  // fan the tasks out with no task reading non-adjacent partitions (and
+  // range/partition pruning still works on the compacted layout).
+  //
+  // Assignment is a pure formula, not a greedy loop: with target
+  // T = ceil(total / Tasks), task_id = cum_before div T — each task is a
+  // contiguous month run, every task's mass is < T + its last
+  // partition's rows (the classical next-fit bound), and the whole plan
+  // is reproducible from the counts alone.
+  //
+  // Scale shape: the ONLY corpus-sized work is the one groupBy(month)
+  // scan (map-side combined); the plan itself runs on the
+  // |partitions|-bounded metadata frame (~84 months at ANY SF — q105's
+  // domain-bounded-axis argument), so the unpartitioned cumsum window
+  // is bounded by construction. At a real deployment the input would be
+  // the table manifest's per-file stats — same frame shape, no scan at
+  // all. Everything is exact integers; the one ratio is a final ROUND.
+  // ---------------------------------------------------------------------
+  private[operators] val CompactTasks = 16L
+
+  def c84CompactionPlan(spark: SparkSession, dir: String): DataFrame =
+    compactionPlanFrom(Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .groupBy(col("month")).agg(count(lit(1)).as("n_rows")))
+
+  /** Plan over any (month, n_rows) partition-stats frame — spec entry
+    * point.
+    */
+  private[graft] def compactionPlanFrom(parts: DataFrame): DataFrame = {
+    val wCum = Window.orderBy(col("month"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = parts.agg(sum(col("n_rows")).as("total"))
+    val planned = parts
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_before", coalesce(sum(col("n_rows")).over(wCum), lit(0L)))
+      .withColumn("target", expr(s"(total + $CompactTasks - 1) div $CompactTasks"))
+      .withColumn("task_id", expr("cum_before div target"))
+    val wTask = Window.partitionBy(col("task_id"))
+    planned
+      .select(col("month"), col("n_rows"), col("task_id"),
+        count(lit(1)).over(wTask).as("task_parts"),
+        sum(col("n_rows")).over(wTask).as("task_rows"),
+        col("target"))
+      .select(col("month"), col("n_rows"), col("task_id"), col("task_parts"),
+        col("task_rows"),
+        round(col("task_rows").cast(DoubleType) / col("target").cast(DoubleType), 6)
+          .as("fill_ratio"))
+      .orderBy(col("month"))
+  }
+
+  val c84CompactionPlanSql: String =
+    s"""WITH parts AS (
+       |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month,
+       |    COUNT(*) AS n_rows
+       |  FROM lineitem GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM parts),
+       |planned AS (
+       |  SELECT month, n_rows, total,
+       |    CAST(COALESCE(SUM(n_rows) OVER (ORDER BY month
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      AS cum_before,
+       |    (total + $CompactTasks - 1) // $CompactTasks AS target
+       |  FROM parts CROSS JOIN tot),
+       |tasks AS (
+       |  SELECT *, cum_before // target AS task_id FROM planned)
+       |SELECT month, n_rows, task_id,
+       |  COUNT(*) OVER w AS task_parts,
+       |  CAST(SUM(n_rows) OVER w AS BIGINT) AS task_rows,
+       |  ROUND(CAST(SUM(n_rows) OVER w AS DOUBLE) / CAST(target AS DOUBLE), 6)
+       |    AS fill_ratio
+       |FROM tasks
+       |WINDOW w AS (PARTITION BY task_id)
+       |ORDER BY month""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
+    QueryDef.sql("c84_compaction_plan", c84CompactionPlan _, c84CompactionPlanSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
     QueryDef.sql("c72_prep_pipeline", c72PrepPipeline _, c72PrepPipelineSql),
     QueryDef.sql("c73_quality_audit", c73QualityAudit _, c73QualityAuditSql),
