@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
@@ -1016,9 +1017,102 @@ object Audits {
        |ORDER BY o_orderstatus""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q109: Benjamini-Hochberg FDR over the per-nation Mann-Whitney
+  // battery — the MULTIPLE-TESTING layer the suite still lacked: q99
+  // emits ~25 z-scores per run, and at α=0.05 one of them is expected
+  // to "discover" by chance alone; BH (1995) is the standard step-up
+  // control of the false-discovery rate. Rejections are all hypotheses
+  // ranked at-or-below k* = max{i : p_(i) ≤ i·α/m} — including any
+  // smaller rank whose OWN p briefly exceeds its threshold (the
+  // step-up property; spec-planted).
+  //
+  // p-values need Φ, which neither engine ships: both sides evaluate
+  // the IDENTICAL Abramowitz-Stegun 7.1.26 erf polynomial (max abs
+  // error 1.5e-7 — far inside the round-6 reporting grid), nested the
+  // same way textually, over z's that are themselves identical doubles
+  // (fixed-shape trees over exact integer sums, q99). So p, the sorted
+  // order, and the step-up cut are bit-identical cross-engine with no
+  // snapping needed.
+  //
+  // Scale shape: the corpus work IS q99 (nested wholesale — t69's
+  // composition discipline); BH itself runs on the m-row test frame
+  // (|nations|-bounded), where the rank window and the k* fold are
+  // domain-bounded by construction.
+  // ---------------------------------------------------------------------
+  private val BhAlpha = 0.05
+
+  /** A&S 7.1.26 two-sided normal p-value 2·(1−Φ(|z|)) — fixed shape. */
+  private def pTwoSided(z: Column): Column = {
+    val x = abs(z) / lit(math.sqrt(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = ((((lit(1.061405429) * t - lit(1.453152027)) * t
+      + lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t
+    val erf = lit(1.0) - poly * exp(-x * x)
+    lit(1.0) - erf
+  }
+
+  private def pTwoSidedSql(z: String): String = {
+    val x = s"(abs($z) / sqrt(2.0))"
+    val t = s"(1.0 / (1.0 + 0.3275911 * $x))"
+    val poly = s"(((((1.061405429 * $t - 1.453152027) * $t + 1.421413741) * $t - 0.284496736) * $t + 0.254829592) * $t)"
+    s"(1.0 - (1.0 - $poly * exp(-$x * $x)))"
+  }
+
+  def q109BhFdr(spark: SparkSession, dir: String): DataFrame =
+    bhFdrFrom(q99MannWhitney(spark, dir))
+
+  /** BH step-up over any (n_name, ..., z) test frame — spec entry
+    * point. The frame is m-row bounded (one row per test), so the rank
+    * window and total fold are domain-bounded.
+    */
+  private[graft] def bhFdrFrom(tests: DataFrame): DataFrame = {
+    val scored = tests.select(col("n_name"), col("z"))
+      .withColumn("p", pTwoSided(col("z")))
+    val ranked = scored
+      .withColumn("p_rank", row_number().over(
+        Window.orderBy(col("p").asc, col("n_name").asc)))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bh_thresh",
+        col("p_rank").cast(DoubleType) * lit(BhAlpha) / col("m").cast(DoubleType))
+    val kStar = ranked.agg(coalesce(max(when(col("p") <= col("bh_thresh"),
+      col("p_rank"))), lit(0)).cast(LongType).as("k_star"))
+    ranked.crossJoin(broadcast(kStar))
+      .select(col("n_name"), round(col("z"), 6).as("z"),
+        round(col("p"), 6).as("p_value"), col("p_rank"), col("m").as("n_tests"),
+        round(col("bh_thresh"), 6).as("bh_thresh"), col("k_star"),
+        (col("p_rank") <= col("k_star")).as("discovery"))
+      .orderBy(col("p_rank"))
+  }
+
+  val q109BhFdrSql: String = {
+    val p = pTwoSidedSql("z")
+    s"""WITH mw AS ($q99MannWhitneySql),
+       |scored AS (SELECT n_name, z, $p AS p FROM mw),
+       |ranked AS (
+       |  SELECT n_name, z, p,
+       |    ROW_NUMBER() OVER (ORDER BY p ASC, n_name ASC) AS p_rank,
+       |    COUNT(*) OVER () AS m
+       |  FROM scored),
+       |thr AS (
+       |  SELECT *, CAST(p_rank AS DOUBLE) * $BhAlpha / CAST(m AS DOUBLE) AS bh_thresh
+       |  FROM ranked),
+       |ks AS (
+       |  SELECT CAST(COALESCE(MAX(CASE WHEN p <= bh_thresh THEN p_rank END), 0)
+       |    AS BIGINT) AS k_star
+       |  FROM thr)
+       |SELECT n_name, ROUND(z, 6) AS z, ROUND(p, 6) AS p_value,
+       |  CAST(p_rank AS INT) AS p_rank, CAST(m AS BIGINT) AS n_tests,
+       |  ROUND(bh_thresh, 6) AS bh_thresh, k_star,
+       |  p_rank <= k_star AS discovery
+       |FROM thr CROSS JOIN ks
+       |ORDER BY p_rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
     QueryDef.sql("q103_kruskal_wallis", q103KruskalWallis _, q103KruskalWallisSql),
+    QueryDef.sql("q109_bh_fdr", q109BhFdr _, q109BhFdrSql),
     QueryDef.sql("q91_ks_test", q91KsTest _, q91KsTestSql),
     QueryDef.sql("q99_mann_whitney", q99MannWhitney _, q99MannWhitneySql),
     QueryDef.sql("q100_anova", q100Anova _, q100AnovaSql),

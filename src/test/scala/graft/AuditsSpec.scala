@@ -374,4 +374,46 @@ class AuditsSpec extends AnyFunSuite {
     assert(got(0).getDouble(3) == ua, s"U: ${got(0).getDouble(3)} vs $ua")
     assert(math.abs(got(0).getDouble(4) - z) < 1e-6)
   }
+
+  // ---------------------------------------------------------------- q109
+  private def asP(z: Double): Double = { // the same A&S 7.1.26 shape
+    val x = math.abs(z) / math.sqrt(2.0)
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    val poly = ((((1.061405429 * t - 1.453152027) * t + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t
+    1.0 - (1.0 - poly * math.exp(-x * x))
+  }
+
+  test("q109 BH matches a naive step-up recompute over the real battery") {
+    val zs = Audits.q99MannWhitney(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(4)))
+    val m = zs.length
+    val sorted = zs.map { case (n, z) => (n, asP(z)) }.sortBy(p => (p._2, p._1))
+    val kStar = sorted.zipWithIndex
+      .filter { case ((_, p), i) => p <= (i + 1).toDouble * 0.05 / m }
+      .map(_._2 + 1).maxOption.getOrElse(0)
+    val got = Audits.q109BhFdr(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(3), r.getLong(6), r.getBoolean(7)))
+    assert(got.length == m)
+    assert(got.map(_._1).toSeq == sorted.map(_._1).toSeq, "p-ascending order")
+    assert(got.forall(_._3 == kStar.toLong), s"k_star $kStar")
+    assert(got.forall(r => r._4 == (r._2 <= kStar)), "discovery = rank <= k_star")
+  }
+
+  test("q109 step-up rejects a rank above its own threshold when a later rank passes") {
+    // z's inverted from target p ~ [0.012, 0.030, 0.036, 0.9]:
+    // thresholds at m=4, alpha=.05 are [0.0125, 0.025, 0.0375, 0.05] —
+    // rank 2 fails ITS threshold (0.030 > 0.025) but rank 3 passes
+    // (0.036 <= 0.0375), so k* = 3 and rank 2 is STILL a discovery
+    val s = spark; import s.implicits._
+    val tests = Seq(("t1", 2.512), ("t2", 2.170), ("t3", 2.097), ("t4", 0.1257))
+      .toDF("n_name", "z")
+    val got = Audits.bhFdrFrom(tests).collect()
+      .map(r => (r.getString(0), r.getInt(3), r.getDouble(2), r.getLong(6), r.getBoolean(7)))
+    assert(got.map(_._1).toSeq == Seq("t1", "t2", "t3", "t4"))
+    assert(got.forall(_._4 == 3L), s"k_star must be 3: $got")
+    assert(got.map(_._5).toSeq == Seq(true, true, true, false))
+    val p2 = got(1)._3
+    assert(p2 > 2.0 * 0.05 / 4.0, "the planted rank-2 p must exceed its own threshold")
+  }
 }
