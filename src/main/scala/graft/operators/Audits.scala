@@ -1109,10 +1109,284 @@ object Audits {
        |ORDER BY p_rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q110: Poisson-bootstrap confidence intervals for the per-nation mean
+  // order value — the UNCERTAINTY layer under every point estimate the
+  // suite reports. The classical bootstrap resamples n rows WITH
+  // replacement per replicate — a shuffle per replicate, a non-starter
+  // at corpus scale. The Poisson bootstrap (the standard distributed
+  // approximation) instead weights each row independently w ~ Poisson(1)
+  // per replicate: one constant ×B fan-out, one hash aggregate, no
+  // resampling shuffle — and here w is a PURE FUNCTION of
+  // (row key, replicate, seed) via the shared h60 gadget, so the whole
+  // resample is reproducible and engine-identical.
+  //
+  // Determinism: w is an integer (inverse-CDF thresholds of Poisson(1),
+  // identical literals both engines); replicate weight/mass sums are
+  // integer/decimal; each replicate mean micro-snaps to BIGINT; the SE
+  // and CI then come from exact integer moments and order statistics of
+  // those snapped means. At B=32 the 2.5%/97.5% percentile ranks
+  // ⌈p·B⌉ ∈ {1, 32} land on the extreme order statistics — min/max
+  // aggregates, no window at all.
+  //
+  // Scale shape: ×B fan-out on the scan (constant factor), map-side
+  // combined into a |nations|·B bounded frame; everything after is
+  // bounded-frame arithmetic.
+  // ---------------------------------------------------------------------
+  private val BootB = 32
+  private val BootSeed = 110
+  private val HashSpaceDouble = 1152921504606846976.0 // 2^60
+  // P(Poisson(1) <= k), k = 0..7 — w caps at 8 (P(>7) ~ 1e-5)
+  private val PoisCdf = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+    "0.9999167588507119", "0.9999897508033253")
+
+  def q110BootstrapCi(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey"), col("cents"))
+    bootstrapCiFrom(base)
+  }
+
+  /** Poisson-bootstrap CI over any (n_name, o_orderkey unique, cents)
+    * frame — spec entry point.
+    */
+  private[graft] def bootstrapCiFrom(base: DataFrame): DataFrame = {
+    val point = base.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sx"))
+    val u = (PortableHash.h60(concat_ws(":", col("o_orderkey"), col("b"),
+      lit(BootSeed))).cast(DoubleType) + lit(0.5)) / lit(HashSpaceDouble)
+    val w = PoisCdf.map(c => when(col("u") > lit(c.toDouble), 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    val reps = base
+      .select(col("n_name"), col("o_orderkey"), col("cents"),
+        explode(array((1 to BootB).map(lit(_)): _*)).as("b"))
+      .withColumn("u", u)
+      .withColumn("w", w)
+      .groupBy(col("n_name"), col("b"))
+      .agg(sum(col("w")).as("sw"),
+        sum(col("w").cast(DecimalType(38, 0)) * col("cents")).as("swx"))
+      .filter(col("sw") > 0L)
+      // replicate mean, micro-cent grid: exact BIGINT per (nation, b)
+      .withColumn("m6", floor(col("swx").cast(DoubleType)
+        / col("sw").cast(DoubleType) * lit(1e6) + lit(0.5)).cast(LongType))
+    val stats = reps.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(col("m6")).as("s1"),
+        sum(col("m6").cast(DecimalType(38, 0)) * col("m6")).as("s2"),
+        min(col("m6")).as("lo6"), max(col("m6")).as("hi6"))
+    val dB = col("n_reps").cast(DoubleType)
+    val varBoot = (col("s2").cast(DoubleType)
+      - col("s1").cast(DoubleType) * col("s1").cast(DoubleType) / dB) / (dB - lit(1.0))
+    point.join(stats, "n_name")
+      .select(col("n_name"), col("n_orders"), col("n_reps"),
+        round(col("sx").cast(DoubleType) / col("n_orders").cast(DoubleType)
+          / lit(100.0), 4).as("mean_val"),
+        round(sqrt(varBoot) / lit(1e6) / lit(100.0), 6).as("boot_se"),
+        round(col("lo6").cast(DoubleType) / lit(1e6) / lit(100.0), 6).as("ci_lo"),
+        round(col("hi6").cast(DoubleType) / lit(1e6) / lit(100.0), 6).as("ci_hi"))
+      .orderBy(col("n_name"))
+  }
+
+  val q110BootstrapCiSql: String = {
+    val uExpr = s"(CAST(${PortableHash.h60Sql(s"o_orderkey || ':' || b || ':$BootSeed'")} AS DOUBLE)" +
+      " + 0.5) / 1152921504606846976.0"
+    val wExpr = PoisCdf.map(c => s"CASE WHEN u > $c THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val varBoot = "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_reps AS DOUBLE)) / (CAST(n_reps AS DOUBLE) - 1.0)"
+    s"""WITH base AS (
+       |  SELECT n_name, o_orderkey,
+       |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey),
+       |point AS (
+       |  SELECT n_name, COUNT(*) AS n_orders, CAST(SUM(cents) AS BIGINT) AS sx
+       |  FROM base GROUP BY 1),
+       |fan AS (
+       |  SELECT n_name, o_orderkey, cents, b, $uExpr AS u
+       |  FROM base CROSS JOIN (SELECT unnest(range(1, ${BootB + 1})) AS b)),
+       |reps AS (
+       |  SELECT n_name, b,
+       |    CAST(SUM(w) AS BIGINT) AS sw,
+       |    SUM(CAST(w AS HUGEINT) * cents) AS swx
+       |  FROM (SELECT n_name, b, cents, $wExpr AS w FROM fan)
+       |  GROUP BY 1, 2
+       |  HAVING SUM(w) > 0),
+       |snapped AS (
+       |  SELECT *, CAST(floor(CAST(swx AS DOUBLE) / CAST(sw AS DOUBLE) * 1e6 + 0.5)
+       |    AS BIGINT) AS m6
+       |  FROM reps),
+       |stats AS (
+       |  SELECT n_name, COUNT(*) AS n_reps,
+       |    CAST(SUM(m6) AS BIGINT) AS s1,
+       |    SUM(CAST(m6 AS HUGEINT) * m6) AS s2,
+       |    CAST(MIN(m6) AS BIGINT) AS lo6, CAST(MAX(m6) AS BIGINT) AS hi6
+       |  FROM snapped GROUP BY 1)
+       |SELECT n_name, n_orders, n_reps,
+       |  ROUND(CAST(sx AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0, 4) AS mean_val,
+       |  ROUND(sqrt($varBoot) / 1e6 / 100.0, 6) AS boot_se,
+       |  ROUND(CAST(lo6 AS DOUBLE) / 1e6 / 100.0, 6) AS ci_lo,
+       |  ROUND(CAST(hi6 AS DOUBLE) / 1e6 / 100.0, 6) AS ci_hi
+       |FROM point JOIN stats USING (n_name)
+       |ORDER BY n_name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q111: Monte-Carlo permutation test for the BUILDING-vs-MACHINERY
+  // mean order difference — the assumption-free companion to q90 (which
+  // trusts the t reference distribution) and q110's testing sibling
+  // (bootstrap = interval, permutation = p-value). Each of B=64
+  // replicates relabels every order independently with P(A) = n_a/n —
+  // the standard large-n Monte-Carlo approximation to the permutation
+  // null — and the p-value is the add-one-smoothed fraction of
+  // replicates whose |mean difference| reaches the observed one.
+  //
+  // Determinism: the relabel is an INTEGER compare (h60·n < n_a·2^60,
+  // in decimal — no float threshold), replicate sums are exact, both
+  // the replicate and observed differences snap to the same micro-cent
+  // grid before the ≥ compare, and p is a ratio of exact counts.
+  // Scale shape: q110's — ×B fan-out, map-side combine to a
+  // |nations|·B frame, bounded arithmetic after.
+  // ---------------------------------------------------------------------
+  private val PermB = 64
+  private val PermSeed = 111
+
+  def q111PermutationTest(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"))
+      .join(Tables.customer(spark, dir)
+          .filter(col("c_mktsegment").isin(SegA, SegB))
+          .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_orderkey"), col("cents"),
+        when(col("c_mktsegment") === SegA, 1L).otherwise(0L).as("is_a"))
+    permutationTestFrom(base)
+  }
+
+  /** Permutation test over any (n_name, o_orderkey unique, cents,
+    * is_a ∈ {0,1}) frame — spec entry point.
+    */
+  private[graft] def permutationTestFrom(base: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val obs = base.groupBy(col("n_name"))
+      .agg(sum(col("is_a")).as("n_a"),
+        sum(when(col("is_a") === 1L, col("cents")).otherwise(0L)).as("s_a"),
+        sum(lit(1L) - col("is_a")).as("n_b"),
+        sum(when(col("is_a") === 0L, col("cents")).otherwise(0L)).as("s_b"))
+      .filter(col("n_a") >= 2L && col("n_b") >= 2L)
+      .withColumn("n", col("n_a") + col("n_b"))
+      // observed |mean difference|, micro-cent snapped
+      .withColumn("obs6", abs(floor((col("s_a").cast(DoubleType) / col("n_a").cast(DoubleType)
+        - col("s_b").cast(DoubleType) / col("n_b").cast(DoubleType)) * lit(1e6)
+        + lit(0.5))).cast(LongType))
+    // the replicate relabel reads (n_a, n) per nation — a |nations|-row
+    // broadcast back onto the fanned-out scan
+    val sizes = obs.select(col("n_name"), col("n_a").as("na_ref"), col("n").as("n_ref"))
+    val toA = PortableHash.h60(concat_ws(":", col("o_orderkey"), col("b"),
+        lit(PermSeed))).cast(dec) * col("n_ref")
+      .cast(dec) < lit(PortableHash.HashSpace.toString).cast(dec) * col("na_ref")
+    val reps = base
+      .join(broadcast(sizes), "n_name")
+      .select(col("n_name"), col("cents"), col("o_orderkey"), col("na_ref"), col("n_ref"),
+        explode(array((1 to PermB).map(lit(_)): _*)).as("b"))
+      .withColumn("to_a", toA)
+      .groupBy(col("n_name"), col("b"))
+      .agg(sum(when(col("to_a"), 1L).otherwise(0L)).as("pa"),
+        sum(when(col("to_a"), col("cents")).otherwise(0L)).as("psa"),
+        sum(when(!col("to_a"), 1L).otherwise(0L)).as("pb"),
+        sum(when(!col("to_a"), col("cents")).otherwise(0L)).as("psb"))
+      .filter(col("pa") > 0L && col("pb") > 0L)
+      .withColumn("d6", abs(floor((col("psa").cast(DoubleType) / col("pa").cast(DoubleType)
+        - col("psb").cast(DoubleType) / col("pb").cast(DoubleType)) * lit(1e6)
+        + lit(0.5))).cast(LongType))
+    val counts = reps.join(broadcast(obs.select(col("n_name"), col("obs6"))), "n_name")
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(col("d6") >= col("obs6"), 1L).otherwise(0L)).as("n_ge"))
+    obs.join(counts, "n_name")
+      .select(col("n_name"), col("n_a"), col("n_b"),
+        round(col("obs6").cast(DoubleType) / lit(1e6) / lit(100.0), 6).as("obs_diff"),
+        col("n_reps"), col("n_ge"),
+        round((col("n_ge") + lit(1L)).cast(DoubleType)
+          / (col("n_reps") + lit(1L)).cast(DoubleType), 6).as("p_perm"))
+      .orderBy(col("n_name"))
+  }
+
+  val q111PermutationTestSql: String = {
+    val toA = s"CAST(${PortableHash.h60Sql(s"o_orderkey || ':' || b || ':$PermSeed'")} AS HUGEINT)" +
+      s" * n_ref < ${PortableHash.HashSpaceSqlHugeInt} * na_ref"
+    val mdiff = "(CAST(psa AS DOUBLE) / CAST(pa AS DOUBLE) - CAST(psb AS DOUBLE) / CAST(pb AS DOUBLE))"
+    val odiff = "(CAST(s_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(s_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    s"""WITH base AS (
+       |  SELECT n_name, o_orderkey,
+       |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+       |    CASE WHEN c_mktsegment = '$SegA' THEN 1 ELSE 0 END AS is_a
+       |  FROM orders
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  WHERE c_mktsegment IN ('$SegA', '$SegB')),
+       |obs AS (
+       |  SELECT n_name,
+       |    CAST(SUM(is_a) AS BIGINT) AS n_a,
+       |    CAST(SUM(CASE WHEN is_a = 1 THEN cents ELSE 0 END) AS BIGINT) AS s_a,
+       |    CAST(SUM(1 - is_a) AS BIGINT) AS n_b,
+       |    CAST(SUM(CASE WHEN is_a = 0 THEN cents ELSE 0 END) AS BIGINT) AS s_b
+       |  FROM base GROUP BY 1
+       |  HAVING SUM(is_a) >= 2 AND SUM(1 - is_a) >= 2),
+       |obs2 AS (
+       |  SELECT *, n_a + n_b AS n,
+       |    CAST(abs(floor($odiff * 1e6 + 0.5)) AS BIGINT) AS obs6
+       |  FROM obs),
+       |fan AS (
+       |  SELECT base.n_name, cents, o_orderkey, b,
+       |    o2.n_a AS na_ref, o2.n AS n_ref
+       |  FROM base
+       |  JOIN obs2 o2 USING (n_name)
+       |  CROSS JOIN (SELECT unnest(range(1, ${PermB + 1})) AS b)),
+       |reps AS (
+       |  SELECT n_name, b,
+       |    CAST(SUM(CASE WHEN to_a THEN 1 ELSE 0 END) AS BIGINT) AS pa,
+       |    CAST(SUM(CASE WHEN to_a THEN cents ELSE 0 END) AS BIGINT) AS psa,
+       |    CAST(SUM(CASE WHEN to_a THEN 0 ELSE 1 END) AS BIGINT) AS pb,
+       |    CAST(SUM(CASE WHEN to_a THEN 0 ELSE cents END) AS BIGINT) AS psb
+       |  FROM (SELECT n_name, cents, b, $toA AS to_a FROM fan)
+       |  GROUP BY 1, 2
+       |  HAVING SUM(CASE WHEN to_a THEN 1 ELSE 0 END) > 0
+       |     AND SUM(CASE WHEN to_a THEN 0 ELSE 1 END) > 0),
+       |snapped AS (
+       |  SELECT n_name, b,
+       |    CAST(abs(floor($mdiff * 1e6 + 0.5)) AS BIGINT) AS d6
+       |  FROM reps),
+       |counts AS (
+       |  SELECT s.n_name, COUNT(*) AS n_reps,
+       |    CAST(SUM(CASE WHEN d6 >= obs6 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+       |  FROM snapped s JOIN obs2 USING (n_name)
+       |  GROUP BY 1)
+       |SELECT n_name, n_a, n_b,
+       |  ROUND(CAST(obs6 AS DOUBLE) / 1e6 / 100.0, 6) AS obs_diff,
+       |  n_reps, n_ge,
+       |  ROUND(CAST(n_ge + 1 AS DOUBLE) / CAST(n_reps + 1 AS DOUBLE), 6) AS p_perm
+       |FROM obs2 JOIN counts USING (n_name)
+       |ORDER BY n_name""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
     QueryDef.sql("q103_kruskal_wallis", q103KruskalWallis _, q103KruskalWallisSql),
     QueryDef.sql("q109_bh_fdr", q109BhFdr _, q109BhFdrSql),
+    QueryDef.sql("q110_bootstrap_ci", q110BootstrapCi _, q110BootstrapCiSql),
+    QueryDef.sql("q111_permutation_test", q111PermutationTest _, q111PermutationTestSql),
     QueryDef.sql("q91_ks_test", q91KsTest _, q91KsTestSql),
     QueryDef.sql("q99_mann_whitney", q99MannWhitney _, q99MannWhitneySql),
     QueryDef.sql("q100_anova", q100Anova _, q100AnovaSql),

@@ -416,4 +416,122 @@ class AuditsSpec extends AnyFunSuite {
     val p2 = got(1)._3
     assert(p2 > 2.0 * 0.05 / 4.0, "the planted rank-2 p must exceed its own threshold")
   }
+
+  // ---------------------------------------------------------------- q110
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  private val poisCdf = Seq(0.36787944117144233, 0.7357588823428847,
+    0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+    0.9994058151824183, 0.9999167588507119, 0.9999897508033253)
+
+  test("q110 matches a naive Poisson-bootstrap replay") {
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .selectExpr("n_name", "o_orderkey",
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val naive = base.groupBy(_._1).map { case (nation, rows) =>
+      val m6s = (1 to 32).flatMap { b =>
+        var sw = 0L; var swx = BigInt(0)
+        for ((_, key, cents) <- rows) {
+          val u = (h60(s"$key:$b:110").toDouble + 0.5) / 1152921504606846976.0
+          val w = poisCdf.count(u > _).toLong
+          sw += w; swx += BigInt(w) * cents
+        }
+        if (sw > 0) Some(math.floor(swx.toDouble / sw * 1e6 + 0.5).toLong) else None
+      }
+      val b = m6s.length
+      val s1 = m6s.sum.toDouble
+      val s2 = m6s.map(m => BigInt(m) * m).sum.toDouble
+      val se = math.sqrt((s2 - s1 * s1 / b) / (b - 1)) / 1e6 / 100.0
+      nation -> (rows.length.toLong, b.toLong,
+        rows.map(_._3).sum.toDouble / rows.length / 100.0,
+        se, m6s.min / 1e6 / 100.0, m6s.max / 1e6 / 100.0)
+    }
+    val got = Audits.q110BootstrapCi(spark, dir).collect()
+    assert(got.length == naive.size)
+    for (r <- got) {
+      val (n, b, mean, se, lo, hi) = naive(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == b, s"${r.getString(0)} counts")
+      assert(math.abs(r.getDouble(3) - mean) < 1e-3, s"${r.getString(0)} mean")
+      assert(math.abs(r.getDouble(4) - se) < 1e-5, s"${r.getString(0)} se")
+      assert(math.abs(r.getDouble(5) - lo) < 1e-5 && math.abs(r.getDouble(6) - hi) < 1e-5,
+        s"${r.getString(0)} ci")
+      assert(r.getDouble(5) <= r.getDouble(3) && r.getDouble(3) <= r.getDouble(6),
+        "point estimate inside the bootstrap interval")
+    }
+  }
+
+  // ---------------------------------------------------------------- q111
+  test("q111 matches a naive permutation replay") {
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .selectExpr("n_name", "o_orderkey",
+        "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents",
+        "CAST(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS BIGINT) AS is_a")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val space = BigInt(1) << 60
+    val naive = base.groupBy(_._1).flatMap { case (nation, rows) =>
+      val nA = rows.count(_._4 == 1L).toLong
+      val nB = rows.length - nA
+      if (nA < 2 || nB < 2) None else {
+        def snap6(x: Double): Long = math.abs(math.floor(x * 1e6 + 0.5)).toLong
+        val obs6 = snap6(
+          rows.filter(_._4 == 1L).map(_._3).sum.toDouble / nA
+            - rows.filter(_._4 == 0L).map(_._3).sum.toDouble / nB)
+        val n = rows.length.toLong
+        val d6s = (1 to 64).flatMap { b =>
+          var pa = 0L; var psa = 0L; var pb = 0L; var psb = 0L
+          for ((_, key, cents, _) <- rows) {
+            val toA = BigInt(h60(s"$key:$b:111")) * n < space * nA
+            if (toA) { pa += 1; psa += cents } else { pb += 1; psb += cents }
+          }
+          if (pa > 0 && pb > 0)
+            Some(snap6(psa.toDouble / pa - psb.toDouble / pb)) else None
+        }
+        val nGe = d6s.count(_ >= obs6).toLong
+        Some(nation -> (nA, nB, obs6, d6s.length.toLong, nGe))
+      }
+    }.toMap
+    val got = Audits.q111PermutationTest(spark, dir).collect()
+    assert(got.length == naive.size)
+    for (r <- got) {
+      val (nA, nB, obs6, nReps, nGe) = naive(r.getString(0))
+      assert(r.getLong(1) == nA && r.getLong(2) == nB, s"${r.getString(0)} sizes")
+      assert(math.abs(r.getDouble(3) - obs6 / 1e6 / 100.0) < 1e-5, s"${r.getString(0)} obs")
+      assert(r.getLong(4) == nReps && r.getLong(5) == nGe,
+        s"${r.getString(0)} replicate counts: got (${r.getLong(4)}, ${r.getLong(5)}) want ($nReps, $nGe)")
+      assert(math.abs(r.getDouble(6) - (nGe + 1.0) / (nReps + 1.0)) < 1e-6)
+    }
+  }
+
+  test("q111 fully separated groups reach the smallest attainable p-value") {
+    // group A = 1000x group B values: no relabeling can reproduce the
+    // observed gap, so n_ge = 0 and p = 1/(B+1) exactly
+    val s = spark; import s.implicits._
+    val base = ((1L to 60L).map(k => ("X", k, 100000000L + k, 1L)) ++
+      (61L to 120L).map(k => ("X", k, 100L + k, 0L)))
+      .toDF("n_name", "o_orderkey", "cents", "is_a")
+    val r = Audits.permutationTestFrom(base).collect().head
+    assert(r.getLong(5) == 0L, s"no replicate may match the planted gap, n_ge=${r.getLong(5)}")
+    assert(math.abs(r.getDouble(6) - 1.0 / 65.0) < 1e-6)
+  }
+
+  test("q110 collapses to a zero-width interval on a constant column") {
+    // every replicate mean of a constant is the constant: se = 0 and
+    // ci_lo = ci_hi = mean, whatever the weights drawn
+    val s = spark; import s.implicits._
+    val base = (1L to 200L).map(k => ("X", k, 12345L)).toDF("n_name", "o_orderkey", "cents")
+    val r = Audits.bootstrapCiFrom(base).collect().head
+    assert(r.getDouble(3) == 123.45)
+    assert(r.getDouble(4) == 0.0, "bootstrap SE of a constant must be exactly 0")
+    assert(r.getDouble(5) == 123.45 && r.getDouble(6) == 123.45)
+  }
 }
