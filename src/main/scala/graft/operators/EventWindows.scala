@@ -1092,7 +1092,189 @@ object EventWindows {
        |  ROUND(quantile_cont(CAST(delta_us AS DOUBLE) / 1000000.0, 0.95), 6) AS p95_s
        |FROM deltas""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q112: Markov removal-effect attribution (Anderl et al.'s
+  // absorbing-chain model) — the principled multi-touch sibling of
+  // q78's last-touch window join: user paths become a first-order
+  // Markov chain over the FIXED channel domain, conversion probability
+  // comes from the chain's absorbing states, and each channel's credit
+  // is its REMOVAL EFFECT — how much conversion probability disappears
+  // when every path through it dies.
+  //
+  // Path model: per user, events ordered by (ts, event_id), truncated
+  // at the FIRST purchase (→ 'conv'); paths without one terminate in
+  // 'null'; 'start' precedes the first event.
+  //
+  // Exactness — NO floating point anywhere in the chain: transition
+  // cells are counts, and the value iteration runs on a 1e9 integer
+  // grid with v'(s) = ⌊(2·Σ_t c(s,t)·v(t) + tot(s)) / (2·tot(s))⌋ —
+  // the round-half-up of the rational update as PURE integer division,
+  // replayed with the identical recurrence (HUGEINT) by the oracle's
+  // unrolled CTE chain. Removal chains force v(channel) = 0 each
+  // round. Doubles appear only in the final ROUND-6 report columns,
+  // derived from the exact v9/re9 integers.
+  //
+  // Scale shape: the corpus-sized work is the per-user path windows
+  // (one exchange on user_id — q61's shape) collapsing to a transition
+  // matrix BOUNDED BY THE STATE DOMAIN (≤ (|channels|+2)² = 36 cells,
+  // data-independent). The collect of that matrix is the
+  // bounded-cardinality class the plan audit allows (|strata|-row
+  // precedent); the (1+|channels|) × 16-round iteration is driver
+  // arithmetic on ≤ 7 integers per round at ANY corpus size.
+  // ---------------------------------------------------------------------
+  private val AttrChannels = Seq("click", "error", "signup", "view")
+  private val MarkovIters = 16
+  private val V9One = 1000000000L
+
+  /** The (src, dst, c) transition matrix of the q112 path model — spec
+    * entry point (state-domain-bounded output).
+    */
+  private[graft] def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val ranked = e.withColumn("rk", row_number().over(w))
+    val pRank = ranked.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rk")).as("prk"))
+    val kept = ranked.join(pRank, Seq("user_id"), "left")
+      .filter(col("prk").isNull || col("rk") <= col("prk"))
+      .withColumn("state",
+        when(col("event_type") === "purchase", "conv").otherwise(col("event_type")))
+    val pairs = kept
+      .withColumn("src", coalesce(lag(col("state"), 1).over(w), lit("start")))
+      .select(col("src"), col("state").as("dst"))
+    val tails = kept.filter(col("prk").isNull)
+      .withColumn("mx", max(col("rk")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rk") === col("mx"))
+      .select(col("state").as("src"), lit("null").as("dst"))
+    pairs.union(tails).groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  def q112MarkovAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val tm = markovTransitions(spark, dir)
+    // bounded collect: ≤ 36 cells by the state domain (see header)
+    val cells = tm.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val tot = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val transient = "start" +: AttrChannels
+
+    def converge(removed: Option[String]): Long = {
+      var v = Map("conv" -> V9One, "null" -> 0L) ++ transient.map(_ -> 0L)
+      for (_ <- 1 to MarkovIters) {
+        v = v ++ transient.map { s =>
+          val v9 =
+            if (removed.contains(s) || !tot.contains(s)) 0L
+            else {
+              val num = v.map { case (t, vt) =>
+                BigInt(cells.getOrElse((s, t), 0L)) * vt
+              }.sum
+              ((2 * num + tot(s)) / (2 * BigInt(tot(s)))).toLong
+            }
+          s -> v9
+        }.toMap
+      }
+      v("start")
+    }
+
+    val v9f = converge(None)
+    val rows = AttrChannels.map(ch => (ch, v9f, converge(Some(ch))))
+    val s = spark; import s.implicits._
+    val re9 = when(col("v9f") > 0L,
+      expr(s"(2 * (v9f - v9r) * ${V9One}L + v9f) div (2 * v9f)")).otherwise(0L)
+    rows.toDF("channel", "v9f", "v9r")
+      .withColumn("re9", re9)
+      .withColumn("sum_re9", sum(col("re9")).over(Window.partitionBy()))
+      .select(col("channel"),
+        round(col("v9f").cast(DoubleType) / lit(1e9), 6).as("p_conv"),
+        round(col("v9r").cast(DoubleType) / lit(1e9), 6).as("p_removed"),
+        round(col("re9").cast(DoubleType) / lit(1e9), 6).as("removal_effect"),
+        when(col("sum_re9") > 0L,
+          round(col("re9").cast(DoubleType) / col("sum_re9").cast(DoubleType), 6))
+          .otherwise(lit(0.0)).as("attribution"))
+      .orderBy(col("channel"))
+  }
+
+  val q112MarkovAttributionSql: String = {
+    val states = ("start" +: AttrChannels) ++ Seq("conv", "null")
+    val stateRows = states.map(s => s"SELECT '$s' AS state").mkString(" UNION ALL ")
+    def chain(tag: String, removed: Option[String]): String = {
+      val v0 = states.map(s =>
+        s"SELECT '$s' AS state, CAST(${if (s == "conv") V9One else 0L} AS HUGEINT) AS v9")
+        .mkString(" UNION ALL ")
+      val iters = (1 to MarkovIters).map { k =>
+        val prev = s"v_${tag}_${k - 1}"
+        val removedCase = removed.map(r => s"WHEN s.state = '$r' THEN 0").getOrElse("")
+        s"""v_${tag}_$k AS (
+           |  SELECT s.state,
+           |    CAST(CASE WHEN s.state = 'conv' THEN $V9One
+           |         WHEN s.state = 'null' THEN 0
+           |         $removedCase
+           |         WHEN t.tot IS NULL THEN 0
+           |         ELSE (2 * COALESCE(n.num, 0) + t.tot) // (2 * t.tot)
+           |    END AS HUGEINT) AS v9
+           |  FROM states s
+           |  LEFT JOIN tot t ON t.src = s.state
+           |  LEFT JOIN (
+           |    SELECT tm.src, SUM(CAST(tm.c AS HUGEINT) * v.v9) AS num
+           |    FROM tm JOIN $prev v ON v.state = tm.dst GROUP BY 1) n
+           |    ON n.src = s.state)""".stripMargin
+      }
+      s"v_${tag}_0 AS ($v0),\n${iters.mkString(",\n")}"
+    }
+    val chains = chain("f", None) +: AttrChannels.map(ch => chain(s"r$ch", Some(ch)))
+    val resRows = AttrChannels.map(ch =>
+      s"""SELECT '$ch' AS channel,
+         |  (SELECT v9 FROM v_f_$MarkovIters WHERE state = 'start') AS v9f,
+         |  (SELECT v9 FROM v_r${ch}_$MarkovIters WHERE state = 'start') AS v9r""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rk
+       |  FROM e),
+       |pr AS (SELECT user_id, MIN(rk) AS prk FROM rk WHERE event_type = 'purchase' GROUP BY 1),
+       |kept AS (
+       |  SELECT rk.*, prk,
+       |    CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS state
+       |  FROM rk LEFT JOIN pr USING (user_id)
+       |  WHERE prk IS NULL OR rk.rk <= prk),
+       |pairs AS (
+       |  SELECT COALESCE(LAG(state) OVER (PARTITION BY user_id ORDER BY tus, event_id),
+       |    'start') AS src, state AS dst
+       |  FROM kept),
+       |tails AS (
+       |  SELECT state AS src, 'null' AS dst FROM (
+       |    SELECT *, MAX(rk) OVER (PARTITION BY user_id) AS mx
+       |    FROM kept WHERE prk IS NULL)
+       |  WHERE rk = mx),
+       |tm AS (
+       |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT * FROM pairs UNION ALL SELECT * FROM tails) GROUP BY 1, 2),
+       |tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM tm GROUP BY 1),
+       |states AS ($stateRows),
+       |${chains.mkString(",\n")},
+       |res AS (
+       |$resRows),
+       |scored AS (
+       |  SELECT *, CASE WHEN v9f > 0
+       |    THEN (2 * (v9f - v9r) * $V9One + v9f) // (2 * v9f) ELSE 0 END AS re9
+       |  FROM res),
+       |t2 AS (SELECT *, SUM(re9) OVER () AS sum_re9 FROM scored)
+       |SELECT channel,
+       |  ROUND(CAST(v9f AS DOUBLE) / 1e9, 6) AS p_conv,
+       |  ROUND(CAST(v9r AS DOUBLE) / 1e9, 6) AS p_removed,
+       |  ROUND(CAST(re9 AS DOUBLE) / 1e9, 6) AS removal_effect,
+       |  CASE WHEN sum_re9 > 0
+       |    THEN ROUND(CAST(re9 AS DOUBLE) / CAST(sum_re9 AS DOUBLE), 6)
+       |    ELSE 0.0 END AS attribution
+       |FROM t2
+       |ORDER BY channel""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("q112_markov_attribution", q112MarkovAttribution _, q112MarkovAttributionSql),
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
     QueryDef.sql("q37_stream_join_shape", q37StreamJoinShape _, q37StreamJoinShapeSql),
