@@ -6,6 +6,28 @@ package graft
   * partitions = cores) at local[32] unless `SPARK_GRAFT_CPUS` overrides.
   */
 object Bench {
+
+  /** The round-1 driver-baseline inventory (BENCH_r01.json, 35 queries) —
+    * the subset BASELINE.md's 2× acceptance bar is defined over. The
+    * printed stdout line carries per-query seconds for THIS subset only:
+    * the driver's log capture keeps a bounded tail (~2000 chars), and the
+    * full-inventory map (~6 KB at 188 queries) no longer fits — rounds
+    * 10-11 lost the parsed record to exactly that truncation. The full
+    * map is always written to `bench.json` (stable path, committed).
+    */
+  private val BaselineSubset: Set[String] = Set(
+    "q1_pricing_summary", "q2_revenue_by_nation", "q3_semi_join",
+    "q4_anti_join", "q5_window_topn", "q6_running_window", "q7_topk",
+    "q8_setops", "q9_rollup", "q10_cube", "q11_distinct",
+    "q11b_approx_distinct", "q12_hourly_events", "q13_grouping_sets",
+    "q14_correlated_subquery", "q15_range_join", "q20_keyed_stats",
+    "q20b_welford_stats", "q20c_fidelity_stats", "q21_wordcount",
+    "q22_json_extract", "q30_ann_brute", "q31_ann_lsh", "d40_dedup_exact",
+    "d41_ngram_jaccard", "d42_minhash_lsh", "d43_simhash",
+    "d44_embedding_neardup", "m60_media_catalog", "m61_decode_features",
+    "m62_frame_sample", "t50_langid", "t51_quality", "t52_token_count",
+    "t53_fingerprint")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
@@ -47,17 +69,27 @@ object Bench {
     }
     // a failed query's time-to-failure must not pass as a measurement:
     // report it as -1 in the per-query map and list it under "failed"
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1.0) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double, Boolean)], dp: Int): String =
+      rs.map { case (k, v, ok) =>
+        s"\"" + k + "\":" + (if (ok) BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP) else -1.0)
+      }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(line)
-    // stdout is interleaved with sbt [info] noise; the file copy gives the
-    // driver a parse target that can't miss
-    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(results, 9)},"failed":$failed,"sf":"$sfDir"}"""
+    // full per-query record → stable committed path; the driver artifact
+    // must never depend on stdout-tail length (VERDICT r10 item 6)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), fullLine + "\n")
+    // stdout line: summary + the BASELINE.md 35-query subset at 3 dp —
+    // ~1.2 KB, inside the driver's ~2 KB tail capture, so BENCH_r{N}
+    // parses again (r10/r11 printed the full map and lost the parse)
+    val base = results.filter(r => BaselineSubset.contains(r._1))
+    val baseTotal =
+      BigDecimal(base.collect { case (_, v, true) => v }.sum)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline_subset_total":$baseTotal,"queries":${qmap(base, 3)},"queries_full":"bench.json","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
