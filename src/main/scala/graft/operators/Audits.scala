@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.{QueryDef, Tables}
 
@@ -1381,8 +1381,168 @@ object Audits {
        |ORDER BY n_name""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q113: Spearman rank-correlation matrix over the four lineitem
+  // measures (quantity, extendedprice, discount, tax) — the robust,
+  // monotone-association sibling of q57's Pearson matrix (outlier- and
+  // distribution-free, the screen a curation pipeline runs before
+  // trusting linear statistics). Standard average-rank tie handling.
+  //
+  // Scale design: the average rank of a row depends ONLY on its value —
+  // avg_rank(v) = cnt_less(v) + (cnt_eq(v)+1)/2 — so ranks are computed
+  // on the per-column VALUE-COUNT frames (distinct-value-sized, not
+  // row-sized) via the q91 prefix-sum slice machinery, then joined back
+  // to rows by value: the three grid-bounded columns (quantity ≤ ~50
+  // cells, discount/tax ≤ ~11) broadcast, only the near-unique price map
+  // is a real shuffle equi-join. To keep everything integer-exact the
+  // engine carries 2×avg_rank = 2·cnt_less + cnt_eq + 1 (an integer;
+  // Pearson is affine-invariant so rho is unchanged). Moment sums
+  // accumulate in DECIMAL(38,0) (rank products reach ~1e18 at sf0.1 and
+  // would overflow BIGINT at 100×; q94's discipline), and the final
+  // cast-to-double + corr algebra is the q57 identical-IEEE-ops story:
+  // same exact integers in, bit-identical doubles out in both engines.
+  // ---------------------------------------------------------------------
+  private val SpearmanCols = Seq("qv", "pv", "dv", "tv")
+
+  def q113Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir).select(
+      floor(col("l_quantity") + lit(0.5)).cast(LongType).as("qv"),
+      floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pv"),
+      floor(col("l_discount") * lit(100.0) + lit(0.5)).cast(LongType).as("dv"),
+      floor(col("l_tax") * lit(100.0) + lit(0.5)).cast(LongType).as("tv"))
+    // 2×average-rank map for one column, keyed by value. cnt_less comes
+    // from an INCLUSIVE running count over the sorted distinct values
+    // (slice-parallel, never a single-partition window).
+    def rankMap(name: String, small: Boolean): DataFrame = {
+      val cnts = base.groupBy(col(name)).agg(count(lit(1)).as("__c"))
+      val pre = Relational.prefixSumByRange(
+        cnts, Nil, Seq(col(name)), Seq("__cum" -> col("__c")))
+      val m = pre.select(col(name),
+        (lit(2L) * col("__cum") - col("__c") + lit(1L)).as(s"r_$name"))
+      if (small) broadcast(m) else m
+    }
+    val ranked = base
+      .join(rankMap("qv", small = true), "qv")
+      .join(rankMap("dv", small = true), "dv")
+      .join(rankMap("tv", small = true), "tv")
+      .join(rankMap("pv", small = false), "pv")
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    def s1(a: String) = sum(col(s"r_$a").cast(d19)).as(s"s_$a")
+    def s2(a: String, b: String) =
+      sum((col(s"r_$a").cast(d19) * col(s"r_$b").cast(d19)).cast(d38)).as(s"s_${a}_$b")
+    val pairs = SpearmanCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val moments = ranked.agg(
+      count(lit(1)).as("n"),
+      SpearmanCols.map(s1) ++ SpearmanCols.map(a => s2(a, a)) ++
+        pairs.map { case (a, b) => s2(a, b) }: _*)
+    def corr(a: String, b: String): Column = {
+      val dn = col("n").cast(DoubleType)
+      val (da, db) = (col(s"s_$a").cast(DoubleType), col(s"s_$b").cast(DoubleType))
+      val (daa, dbb, dab) = (col(s"s_${a}_$a").cast(DoubleType),
+        col(s"s_${b}_$b").cast(DoubleType), col(s"s_${a}_$b").cast(DoubleType))
+      val (va, vb) = (dn * daa - da * da, dn * dbb - db * db)
+      // zero-variance guard (q57's): constant column → null, not NaN
+      when(va > 0 && vb > 0, (dn * dab - da * db) / sqrt(va * vb))
+    }
+    moments.select(col("n") +: pairs.map { case (a, b) => corr(a, b).as(s"rho_${a}_$b") }: _*)
+      .orderBy(col("n"))
+  }
+
+  val q113SpearmanSql: String = {
+    val cols = Seq(
+      "qv" -> "CAST(floor(l_quantity + 0.5) AS BIGINT)",
+      "pv" -> "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)",
+      "dv" -> "CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT)",
+      "tv" -> "CAST(floor(l_tax * 100.0 + 0.5) AS BIGINT)")
+    // 2·avg_rank = 2·rank + cnt_eq − 1 (rank() = cnt_less + 1)
+    val ranks = cols.map { case (n, _) =>
+      s"2 * RANK() OVER (ORDER BY $n) + COUNT(*) OVER (PARTITION BY $n) - 1 AS r_$n" }
+    val pairs = SpearmanCols.combinations(2).map { case Seq(a, b) => (a, b) }.toSeq
+    val sums =
+      SpearmanCols.map(a => s"CAST(SUM(r_$a) AS DOUBLE) AS s_$a") ++
+      SpearmanCols.map(a => s"CAST(SUM(r_$a * r_$a) AS DOUBLE) AS s_${a}_$a") ++
+      pairs.map { case (a, b) => s"CAST(SUM(r_$a * r_$b) AS DOUBLE) AS s_${a}_$b" }
+    val corrs = pairs.map { case (a, b) =>
+      s"""CASE WHEN n * s_${a}_$a - s_$a * s_$a > 0 AND n * s_${b}_$b - s_$b * s_$b > 0
+         |    THEN (n * s_${a}_$b - s_$a * s_$b)
+         |      / sqrt((n * s_${a}_$a - s_$a * s_$a) * (n * s_${b}_$b - s_$b * s_$b)) END AS rho_${a}_$b""".stripMargin }
+    s"""WITH b AS (
+       |  SELECT ${cols.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM lineitem),
+       |r AS (
+       |  SELECT ${ranks.mkString(",\n    ")}
+       |  FROM b),
+       |s AS (
+       |  SELECT COUNT(*) AS n, ${sums.mkString(",\n    ")}
+       |  FROM r),
+       |d AS (SELECT CAST(n AS BIGINT) AS n_out, CAST(n AS DOUBLE) AS n, s.* EXCLUDE (n) FROM s)
+       |SELECT n_out AS n,
+       |  ${corrs.mkString(",\n  ")}
+       |FROM d ORDER BY n""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q114: differentially-private release of the (event_type × day) count
+  // histogram — Laplace mechanism with SEEDED noise (the q110/q111
+  // reproducible-randomness discipline): the noise draw for a cell is a
+  // pure function of the cell's identity through the portable 60-bit
+  // md5 hash, so the release is bit-reproducible across engines and
+  // runs. u ∈ (0,1) from h60, inverse-CDF Laplace(b = 1/ε), ε = 0.5 per
+  // cell (count sensitivity 1). The domain is completed to the full
+  // observed type × day grid (absent cells released as noisy zeros —
+  // suppressing them would leak exact emptiness); output is
+  // domain-bounded (|types| · |days| rows) at any input scale, and the
+  // plan is one scan aggregate plus two tiny distinct frames cross-
+  // joined and broadcast back. ln() is the one non-correctly-rounded
+  // IEEE op in the chain; round(…, 6) carries ~9 orders of magnitude of
+  // margin over its cross-engine ulp.
+  // ---------------------------------------------------------------------
+  private val DpEps = 0.5
+
+  def q114DpCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast(DateType).as("day"))
+    val counts = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    val domain = ev.select(col("event_type")).distinct()
+      .crossJoin(ev.select(col("day")).distinct())
+    val u = (PortableHash.h60(concat_ws(":", lit("dp"), col("event_type"),
+        col("day").cast(StringType))).cast(DoubleType) + lit(0.5)) /
+      lit(PortableHash.HashSpace.toDouble)
+    val x = u - lit(0.5)
+    val scale = lit(1.0 / DpEps)
+    val noise = when(x < 0, scale * log(lit(1.0) + lit(2.0) * x))
+      .otherwise(-scale * log(lit(1.0) - lit(2.0) * x))
+    domain.join(counts, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        round(coalesce(col("n"), lit(0L)).cast(DoubleType) + noise, 6).as("noisy_n"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val q114DpCountsSql: String = {
+    val h = PortableHash.h60Sql("'dp' || ':' || event_type || ':' || CAST(day AS VARCHAR)")
+    s"""WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day FROM events),
+       |counts AS (SELECT event_type, day, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+       |domain AS (
+       |  SELECT t.event_type, d.day
+       |  FROM (SELECT DISTINCT event_type FROM ev) t
+       |  CROSS JOIN (SELECT DISTINCT day FROM ev) d),
+       |noised AS (
+       |  SELECT event_type, day, CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       |    (CAST($h AS DOUBLE) + 0.5) / ${PortableHash.HashSpace.toDouble} - 0.5 AS x
+       |  FROM domain LEFT JOIN counts USING (event_type, day))
+       |SELECT event_type, day, n,
+       |  ROUND(CAST(n AS DOUBLE) + CASE WHEN x < 0
+       |    THEN ${1.0 / DpEps} * ln(1.0 + 2.0 * x)
+       |    ELSE -(${1.0 / DpEps}) * ln(1.0 - 2.0 * x) END, 6) AS noisy_n
+       |FROM noised
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
+    QueryDef.sql("q113_spearman", q113Spearman _, q113SpearmanSql),
+    QueryDef.sql("q114_dp_counts", q114DpCounts _, q114DpCountsSql),
     QueryDef.sql("q103_kruskal_wallis", q103KruskalWallis _, q103KruskalWallisSql),
     QueryDef.sql("q109_bh_fdr", q109BhFdr _, q109BhFdrSql),
     QueryDef.sql("q110_bootstrap_ci", q110BootstrapCi _, q110BootstrapCiSql),

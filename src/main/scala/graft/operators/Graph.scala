@@ -488,8 +488,94 @@ object Graph {
       |        / CAST(2 * n_edges * sxx - sx * sx AS DOUBLE), 6) AS assortativity
       |FROM m""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q115: HITS (Kleinberg hubs & authorities) over the customer→part
+  // bipartite purchase graph — the link-analysis sibling of q63's
+  // PageRank, on the bipartite structure PageRank's co-purchase
+  // projection flattens away (customers = hubs, parts = authorities).
+  //
+  // Same fixed-point determinism story as q63: scores live on an integer
+  // grid (HitsScale total mass), every normalization is a floor division
+  // over positive integers (`div` ≡ DuckDB `//`), so the iteration is
+  // bit-identical cross-engine — floor losses are part of the operator's
+  // definition. Mass conservation makes overflow impossible at ANY
+  // scale: scores start at `S div |parts|` (total ≈ S), each raw
+  // aggregate is bounded by the total circulating mass (≤ ~2·S per
+  // node-sum), and only the normalization TOTAL — which is Σ_p deg_p·a_p
+  // and can reach |nodes|·S on a billion-node graph — accumulates in
+  // DECIMAL(38,0) (DuckDB: HUGEINT natively).
+  //
+  // Scale shape per half-iteration: score frame is node-sized →
+  // broadcast to the edges, one hash aggregate into the other side, one
+  // 1-row broadcast total. Edges are built ONCE (localCheckpoint) and
+  // never shuffle; 2 full rounds unroll into one plan.
+  // ---------------------------------------------------------------------
+  private val HitsScale = 1000000000000L // 1e12 score grid
+  private val HitsIters = 2
+  private val HitsTopK = 100
+
+  def q115Hits(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    val parts = e.select(col("p")).distinct()
+    val nParts = parts.agg(count(lit(1)).as("np"))
+    var a = parts.crossJoin(broadcast(nParts))
+      .select(col("p"), expr(s"${HitsScale}L div np").as("a"))
+    // normalize a positive integer score column to total mass ≈ S:
+    // x → x div (T div S), T summed in decimal (unbounded-safe)
+    def normalize(df: DataFrame, key: String, raw: String, out: String): DataFrame = {
+      val t = df.agg(sum(col(raw).cast(DecimalType(38, 0))).as("t"))
+      df.crossJoin(broadcast(t))
+        .select(col(key), expr(s"$raw div CAST(t div ${HitsScale}L AS BIGINT)").as(out))
+    }
+    for (_ <- 1 to HitsIters) {
+      val hRaw = e.join(broadcast(a), "p").groupBy(col("c")).agg(sum(col("a")).as("hr"))
+      val h = normalize(hRaw, "c", "hr", "h")
+      val aRaw = e.join(broadcast(h), "c").groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      a = normalize(aRaw, "p", "ar", "a")
+    }
+    a.select(col("p").as("part"), col("a").as("authority"))
+      .orderBy(col("authority").desc, col("part"))
+      .limit(HitsTopK)
+  }
+
+  val q115HitsSql: String = {
+    val S = HitsScale
+    val iters = (1 to HitsIters).map { k =>
+      s""",
+         |h${k}r AS (
+         |  SELECT c, CAST(SUM(a) AS BIGINT) AS hr
+         |  FROM e JOIN a${k - 1} USING (p) GROUP BY c),
+         |h$k AS (
+         |  SELECT c, hr // CAST((SELECT SUM(hr) FROM h${k}r) // $S AS BIGINT) AS h
+         |  FROM h${k}r),
+         |a${k}r AS (
+         |  SELECT p, CAST(SUM(h) AS BIGINT) AS ar
+         |  FROM e JOIN h$k USING (c) GROUP BY p),
+         |a$k AS (
+         |  SELECT p, ar // CAST((SELECT SUM(ar) FROM a${k}r) // $S AS BIGINT) AS a
+         |  FROM a${k}r)""".stripMargin
+    }.mkString
+    s"""WITH e AS (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |parts AS (SELECT DISTINCT p FROM e),
+       |a0 AS (
+       |  SELECT p, CAST($S AS BIGINT) // (SELECT COUNT(*) FROM parts) AS a
+       |  FROM parts)$iters
+       |SELECT p AS part, CAST(a AS BIGINT) AS authority
+       |FROM a$HitsIters
+       |ORDER BY authority DESC, part
+       |LIMIT $HitsTopK""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
+    QueryDef.sql("q115_hits", q115Hits _, q115HitsSql),
     QueryDef.sql("q107_assortativity", q107Assortativity _, q107AssortativitySql),
     QueryDef.sql("q66_triangles", q66Triangles _, q66TrianglesSql),
     QueryDef.sql("q67_khop_reach", q67KHopReach _, q67KHopReachSql),

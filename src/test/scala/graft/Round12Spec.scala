@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Audits, Graph}
+
+/** Semantics of the round-12 additions: q113 Spearman against a naive
+  * driver-side average-rank + Pearson recompute, q114 DP counts against
+  * the Laplace mechanism's defining properties (domain completion,
+  * deterministic seeded noise, exact true counts underneath), and q115
+  * HITS against a naive driver-side recompute of the identical integer
+  * fixed-point iteration. The DuckDB hash gate covers cross-engine
+  * equality; these pin MEANING.
+  */
+class Round12Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  val dir = "/root/testdata/sf0.001"
+
+  // ---------------------------------------------------------------- q113
+  test("q113 Spearman matches a naive average-rank Pearson recompute") {
+    val rows = Tables.lineitem(spark, dir)
+      .select(
+        floor(col("l_quantity") + lit(0.5)).cast("long"),
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"),
+        floor(col("l_discount") * lit(100.0) + lit(0.5)).cast("long"),
+        floor(col("l_tax") * lit(100.0) + lit(0.5)).cast("long"))
+      .collect().map(r => Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // naive average ranks per column (1-based, ties → mean of positions)
+    def avgRanks(vs: Seq[Long]): Seq[Double] = {
+      val byVal = vs.groupBy(identity).view.mapValues(_.size).toMap
+      val cumLess = {
+        var c = 0L
+        byVal.keys.toSeq.sorted.map { v => val r = c; c += byVal(v); v -> r }.toMap
+      }
+      vs.map(v => cumLess(v) + (byVal(v) + 1) / 2.0)
+    }
+    def pearson(a: Seq[Double], b: Seq[Double]): Double = {
+      val n = a.length.toDouble
+      val (sa, sb) = (a.sum, b.sum)
+      val saa = a.map(x => x * x).sum
+      val sbb = b.map(x => x * x).sum
+      val sab = a.zip(b).map { case (x, y) => x * y }.sum
+      (n * sab - sa * sb) / math.sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    val ranks = (0 to 3).map(i => avgRanks(rows.map(_(i)).toSeq))
+    val got = Audits.q113Spearman(spark, dir).collect()
+    assert(got.length == 1)
+    val row = got.head
+    assert(row.getLong(0) == rows.length)
+    val pairs = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    pairs.zipWithIndex.foreach { case ((i, j), k) =>
+      val want = pearson(ranks(i), ranks(j))
+      val gotRho = row.getDouble(1 + k)
+      assert(math.abs(gotRho - want) < 1e-9, s"pair ($i,$j): got $gotRho want $want")
+      assert(gotRho >= -1.0 - 1e-12 && gotRho <= 1.0 + 1e-12)
+    }
+  }
+
+  test("q113 detects a planted perfect monotone association") {
+    // quantity and price perfectly co-monotone → rho = 1 on that pair
+    val d = java.nio.file.Files.createTempDirectory("graft-spearman").toString
+    val s = spark; import s.implicits._
+    (1 to 50).map(i => (i.toDouble, i * 10.0 + 0.5, (i % 3) * 0.01, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val row = Audits.q113Spearman(spark, d).collect().head
+    assert(math.abs(row.getDouble(1) - 1.0) < 1e-12, "rho_qv_pv must be 1")
+    // constant tax column → zero variance → null, not NaN
+    assert(row.isNullAt(3), "rho_qv_tv on a constant column must be null")
+  }
+
+  // ---------------------------------------------------------------- q114
+  test("q114 completes the domain, keeps exact counts, and is deterministic") {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+    val nTypes = ev.select("event_type").distinct().count()
+    val nDays = ev.select("day").distinct().count()
+    val out = Audits.q114DpCounts(spark, dir).collect()
+    assert(out.length == nTypes * nDays, "full type × day grid released")
+    // true counts are exact
+    val want = ev.groupBy("event_type", "day").count().collect()
+      .map(r => (r.getString(0), r.getDate(1).toString) -> r.getLong(2)).toMap
+    out.foreach { r =>
+      val k = (r.getString(0), r.getDate(1).toString)
+      assert(r.getLong(2) == want.getOrElse(k, 0L), s"true count at $k")
+      // Laplace(b=2) noise: |noise| = 2·ln(1/(2·min(u,1-u))) ≤ 2·60·ln2 ≈ 83.2
+      val noise = r.getDouble(3) - r.getLong(2)
+      assert(math.abs(noise) <= 2.0 * 60 * math.log(2.0) + 1e-6, s"noise bound at $k")
+    }
+    // seeded noise: a second run is bit-identical
+    val again = Audits.q114DpCounts(spark, dir).collect()
+    assert(out.map(_.getDouble(3)).toSeq == again.map(_.getDouble(3)).toSeq)
+    // and the noise is not degenerate (some cell actually perturbed)
+    assert(out.exists(r => r.getDouble(3) != r.getLong(2).toDouble))
+  }
+
+  // ---------------------------------------------------------------- q115
+  test("q115 HITS matches a naive driver-side fixed-point recompute") {
+    val S = 1000000000000L
+    val e = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parts = e.map(_._2).distinct.sorted
+    var a = parts.map(p => p -> S / parts.length).toMap
+    for (_ <- 1 to 2) {
+      val hRaw = e.groupBy(_._1).view.mapValues(_.map(x => a(x._2)).sum).toMap
+      val ht = hRaw.values.map(BigInt(_)).sum
+      val hs = (ht / S).toLong
+      val h = hRaw.view.mapValues(_ / hs).toMap
+      val aRaw = e.groupBy(_._2).view.mapValues(_.map(x => h(x._1)).sum).toMap
+      val at = aRaw.values.map(BigInt(_)).sum
+      val as = (at / S).toLong
+      a = aRaw.view.mapValues(_ / as).toMap
+    }
+    val want = a.toSeq.sortBy { case (p, s) => (-s, p) }.take(100)
+    val got = Graph.q115Hits(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want, "top-100 authorities must match the naive iteration exactly")
+    // mass conservation: total authority stays within a factor of the grid
+    val total = a.values.map(BigInt(_)).sum
+    assert(total > BigInt(S) / 2 && total < BigInt(S) * 2, s"mass $total vs grid $S")
+  }
+}
