@@ -1258,8 +1258,93 @@ object Curation {
        |WINDOW w AS (PARTITION BY task_id)
        |ORDER BY month""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // c85: data-constrained epoch scheduling (Muennighoff et al. 2022,
+  // "Scaling Data-Constrained Language Models") — the planner that turns
+  // per-source token inventories into a concrete training allocation
+  // when the token budget EXCEEDS the unique corpus: temperature-
+  // weighted sampling weights p_i ∝ n_i^α (α = 0.7, the UL2/mT5-style
+  // low-resource up-weighting), a fixed budget B = 2× the unique corpus,
+  // exact largest-remainder apportionment of B over the sources, and
+  // per-source epoch counts with an over-repetition flag (the paper's
+  // ~4-epoch value-decay threshold).
+  //
+  // Determinism: the one pow() is snapped to an integer 1e6 grid per
+  // source (|sources| rows — c82's en9 discipline); apportionment runs
+  // entirely in integer arithmetic (products in DECIMAL(38,0): B·w6
+  // overflows BIGINT once corpus tokens pass ~1e12/w6; DuckDB side is
+  // HUGEINT natively), remainders ranked by (rem DESC, source) — a total
+  // order, so the ±1 top-ups land identically in both engines.
+  //
+  // Scale shape: one scan aggregate → |sources| rows; every window after
+  // that is over the bounded source dimension (the d52/c83 allocation
+  // idiom). The corpus never shuffles.
+  // ---------------------------------------------------------------------
+  private val EpochAlpha = 0.7
+  private val EpochBudgetMult = 2L
+  private val EpochCap = 4L
+
+  def c85EpochSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val wN = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val d38 = DecimalType(38, 0)
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast(LongType).as("nt"))
+      .groupBy(col("source")).agg(sum(col("nt")).as("n_tokens"))
+    perSrc
+      .withColumn("w6", floor(pow(col("n_tokens").cast(DoubleType), lit(EpochAlpha))
+        * lit(1e6) + lit(0.5)).cast(LongType))
+      .withColumn("budget", sum(col("n_tokens")).over(wN) * lit(EpochBudgetMult))
+      .withColumn("wsum", sum(col("w6")).over(wN))
+      .withColumn("num", col("budget").cast(d38) * col("w6").cast(d38))
+      .withColumn("base", expr("CAST(num div CAST(wsum AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("rem", expr("CAST(num % CAST(wsum AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("leftover", col("budget") - sum(col("base")).over(wN))
+      .withColumn("rk", row_number().over(Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("alloc_tokens",
+        col("base") + when(col("rk") <= col("leftover"), lit(1L)).otherwise(lit(0L)))
+      .select(col("source"), col("n_tokens"), col("w6"), col("budget"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens").cast(DoubleType) / col("n_tokens"), 6).as("epochs"),
+        when(col("alloc_tokens") > lit(EpochCap) * col("n_tokens"), lit(1))
+          .otherwise(lit(0)).as("over_cap"))
+      .orderBy(col("source"))
+  }
+
+  val c85EpochScheduleSql: String =
+    s"""WITH per_src AS (
+       |  SELECT source,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source),
+       |w AS (
+       |  SELECT source, n_tokens,
+       |    CAST(floor(pow(CAST(n_tokens AS DOUBLE), $EpochAlpha) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS w6,
+       |    CAST(SUM(n_tokens) OVER () AS BIGINT) * $EpochBudgetMult AS budget,
+       |    CAST(SUM(CAST(floor(pow(CAST(n_tokens AS DOUBLE), $EpochAlpha) * 1000000.0 + 0.5)
+       |      AS BIGINT)) OVER () AS BIGINT) AS wsum
+       |  FROM per_src),
+       |b AS (
+       |  SELECT *,
+       |    CAST((CAST(budget AS HUGEINT) * w6) // wsum AS BIGINT) AS base,
+       |    CAST((CAST(budget AS HUGEINT) * w6) % wsum AS BIGINT) AS rem
+       |  FROM w),
+       |r AS (
+       |  SELECT *,
+       |    budget - CAST(SUM(base) OVER () AS BIGINT) AS leftover,
+       |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM b)
+       |SELECT source, n_tokens, w6, budget,
+       |  base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens,
+       |  ROUND(CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS DOUBLE)
+       |    / n_tokens, 6) AS epochs,
+       |  CASE WHEN base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+       |       > $EpochCap * n_tokens THEN 1 ELSE 0 END AS over_cap
+       |FROM r
+       |ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
+    QueryDef.sql("c85_epoch_schedule", c85EpochSchedule _, c85EpochScheduleSql),
     QueryDef.sql("c84_compaction_plan", c84CompactionPlan _, c84CompactionPlanSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
     QueryDef.sql("c72_prep_pipeline", c72PrepPipeline _, c72PrepPipelineSql),

@@ -648,8 +648,75 @@ object Multimodal {
        |FROM memb m JOIN sz USING (cluster_id)
        |ORDER BY media_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // m69: caption↔frame alignment — for every sampled video frame (m62's
+  // 25 fps grid), the transcript caption active at that instant: the
+  // LATEST caption whose start time is ≤ the frame timestamp. This is
+  // the point-in-time join every interleaved vision-text training
+  // pipeline runs to pair frames with text, and it rides the engine's
+  // as-of operator ([[AsOfJoin.asOf]]): union + one ordered window scan
+  // per media key — O(rows), never the quadratic
+  // every-frame × every-earlier-caption candidate blow-up. Caption
+  // track is derived deterministically from the payload (one caption
+  // per 75-byte transcript chunk, 130 ms cadence, deliberately coprime
+  // with the 40 ms frame step so alignment is non-trivial); both
+  // tracks' (media_id, ts) are unique by construction, the as-of
+  // operator's determinism precondition. Frame 0 always matches
+  // caption 0 (inclusive bound) — no null track.
+  // -------------------------------------------------------------------
+  private val CapBytes = 75
+  private val FrameStepMs = 40L // 25 fps
+  private val CapStepMs = 130L
+
+  def m69CaptionAlign(spark: SparkSession, dir: String): DataFrame = {
+    val mp4 = mediaTable(spark, dir)
+      .filter(col("meta.format") === "mp4")
+      .select(col("media_id"), octet_length(col("media")).as("pb"))
+    val frames = mp4
+      .select(col("media_id"), explode(sequence(lit(0),
+        ceil(col("pb") / lit(FrameBytes.toDouble)).cast(IntegerType) - 1)).as("frame_no"))
+      .filter(col("frame_no") % SampleEvery === 0)
+      .select(col("media_id"), col("frame_no"),
+        (col("frame_no").cast(LongType) * FrameStepMs).as("ts"))
+    val caps = mp4
+      .select(col("media_id"), explode(sequence(lit(0),
+        ceil(col("pb") / lit(CapBytes.toDouble)).cast(IntegerType) - 1)).as("cap_no"))
+      .select(col("media_id"), (col("cap_no").cast(LongType) * CapStepMs).as("ts"),
+        col("cap_no"))
+    AsOfJoin.asOf(frames, caps, "media_id", "ts")
+      .select(col("media_id"), col("frame_no"), col("ts").as("frame_ms"),
+        col("cap_no"),
+        (col("ts") - col("cap_no").cast(LongType) * CapStepMs).as("lag_ms"))
+      .orderBy(col("media_id"), col("frame_no"))
+  }
+
+  val m69CaptionAlignSql: String =
+    s"""WITH media AS (
+       |  SELECT doc_id AS media_id, octet_length(encode(text)) AS pb
+       |  FROM documents
+       |  WHERE ['png','jpeg','wav','mp4'][(doc_id % 4 + 1)::INT] = 'mp4'),
+       |frames AS (
+       |  SELECT media_id, frame_no, frame_no * $FrameStepMs AS ts
+       |  FROM (
+       |    SELECT media_id,
+       |      unnest(range(0, CAST(ceil(pb / $FrameBytes.0) AS INT))) AS frame_no
+       |    FROM media)
+       |  WHERE frame_no % $SampleEvery = 0),
+       |caps AS (
+       |  SELECT media_id, cap_no, cap_no * $CapStepMs AS ts
+       |  FROM (
+       |    SELECT media_id,
+       |      unnest(range(0, CAST(ceil(pb / $CapBytes.0) AS INT))) AS cap_no
+       |    FROM media))
+       |SELECT f.media_id, f.frame_no, f.ts AS frame_ms, c.cap_no,
+       |  f.ts - c.cap_no * $CapStepMs AS lag_ms
+       |FROM frames f ASOF JOIN caps c
+       |  ON f.media_id = c.media_id AND f.ts >= c.ts
+       |ORDER BY f.media_id, f.frame_no""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("m60_media_catalog", m60MediaCatalog _, m60MediaCatalogSql),
+    QueryDef.sql("m69_caption_align", m69CaptionAlign _, m69CaptionAlignSql),
     QueryDef.sql("m61_decode_features", m61DecodeFeatures _, m61DecodeFeaturesSql),
     QueryDef.sql("m62_frame_sample", m62FrameSample _, m62FrameSampleSql),
     QueryDef.sql("m63_audio_vad", m63AudioVad _, m63AudioVadSql),

@@ -2082,8 +2082,125 @@ object TextOps {
        |FROM ranked
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t82: Gopher-rules quality gate (Rae et al. 2021, "Scaling Language
+  // Models: ... Gopher", appendix A1.1) — the canonical published
+  // rule-set t51's generic score stops short of: per document, explicit
+  // pass/fail flags for word count, mean word length, symbol-to-word
+  // ratios (# and ellipsis), alphabetic-word fraction, and the
+  // ≥2-stopwords requirement, plus the conjunctive gate.
+  //
+  // Determinism: every rule is evaluated as an INTEGER comparison
+  // (3n ≤ Σlen ≤ 10n instead of 3 ≤ mean ≤ 10; 10·hits ≤ n instead of
+  // ratio ≤ 0.1), so flags are bit-exact cross-engine with no float
+  // boundary anywhere; only the reported mean_word_len display column
+  // touches doubles (one division of exact ints, round 6). Pure per-row
+  // projection over the scan — zero shuffles before the output sort, the
+  // same 100 TB shape as t51.
+  // -------------------------------------------------------------------
+  def t82GopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val nW = size(toks)
+    val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+    val nHash = regexp_count(col("text"), lit("#"))
+    val nEll = regexp_count(col("text"), lit("\\.\\.\\."))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
+    val nStop = size(filter(toks, t => t.isin(stopwords("en"): _*)))
+    def flag(c: Column): Column = when(c, lit(1)).otherwise(lit(0))
+    docs(spark, dir)
+      .select(col("doc_id"),
+        nW.cast(LongType).as("n_words"),
+        round(sumLen / nW.cast(DoubleType), 6).as("mean_word_len"),
+        flag(nW >= 50 && nW <= 100000).as("r_word_count"),
+        flag(lit(3L) * nW <= sumLen && sumLen <= lit(10L) * nW).as("r_mean_len"),
+        flag(lit(10L) * nHash <= nW).as("r_hash_ratio"),
+        flag(lit(10L) * nEll <= nW).as("r_ellipsis_ratio"),
+        flag(lit(5L) * nAlpha >= lit(4L) * nW).as("r_alpha_words"),
+        flag(nStop >= 2).as("r_stopwords"))
+      .withColumn("pass", col("r_word_count") * col("r_mean_len") *
+        col("r_hash_ratio") * col("r_ellipsis_ratio") *
+        col("r_alpha_words") * col("r_stopwords"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t82GopherRulesSql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+       |    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    ${langScoreSql("en")} AS n_stop
+       |  FROM documents)
+       |SELECT doc_id, n_words,
+       |  ROUND(sum_len / CAST(n_words AS DOUBLE), 6) AS mean_word_len,
+       |  CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS r_word_count,
+       |  CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS r_mean_len,
+       |  CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END AS r_hash_ratio,
+       |  CASE WHEN 10 * n_ell <= n_words THEN 1 ELSE 0 END AS r_ellipsis_ratio,
+       |  CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS r_alpha_words,
+       |  CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+       |  (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+       |  * (CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END)
+       |  * (CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END)
+       |  * (CASE WHEN 10 * n_ell <= n_words THEN 1 ELSE 0 END)
+       |  * (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+       |  * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t83: taxonomy keyword tagging — a term→topic dictionary joined
+  // against the exploded token stream (the FlashText/dictionary-tagger
+  // shape). Unlike t50's inlined `isin` literals, the dictionary here is
+  // a TABLE on the broadcast side of an equi-join: a production taxonomy
+  // runs to 10^5-10^6 terms, far past expression-literal territory, and
+  // the broadcast-join plan is invariant in dictionary size. One
+  // explode → broadcast join → hash aggregate; output is
+  // (docs × matched topics)-bounded, tokens shuffle once on doc_id.
+  // -------------------------------------------------------------------
+  private[graft] val topicTaxonomy: Seq[(String, String)] = Seq(
+    "scan" -> "exec", "join" -> "exec", "filter" -> "exec", "agg" -> "exec",
+    "sort" -> "exec", "merge" -> "exec", "hash" -> "exec",
+    "table" -> "storage", "column" -> "storage", "row" -> "storage",
+    "part" -> "storage", "key" -> "storage", "value" -> "storage",
+    "stream" -> "streaming", "batch" -> "streaming", "window" -> "streaming",
+    "spark" -> "streaming",
+    "fast" -> "perf", "slow" -> "perf", "big" -> "perf", "small" -> "perf")
+
+  def t83KeywordTags(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dict = topicTaxonomy.toDF("term", "topic")
+    val tokens = docs(spark, dir)
+      .select(col("doc_id"), size(toks).cast(LongType).as("n_tokens"),
+        explode(toks).as("term"))
+    tokens.join(broadcast(dict), "term")
+      .groupBy(col("doc_id"), col("topic"))
+      .agg(count(lit(1)).as("hits"), max(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("topic"), col("hits"),
+        round(col("hits").cast(DoubleType) / col("n_tokens"), 6).as("coverage"))
+      .orderBy(col("doc_id"), col("topic"))
+  }
+
+  val t83KeywordTagsSql: String = {
+    val dictRows = topicTaxonomy.map { case (t, c) => s"('$t', '$c')" }.mkString(", ")
+    s"""WITH dict(term, topic) AS (VALUES $dictRows),
+       |tokens AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents)
+       |SELECT doc_id, topic, COUNT(*) AS hits,
+       |  ROUND(COUNT(*) / CAST(MAX(n_tokens) AS DOUBLE), 6) AS coverage
+       |FROM tokens JOIN dict USING (term)
+       |GROUP BY doc_id, topic
+       |ORDER BY doc_id, topic""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
+    QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
+    QueryDef.sql("t83_keyword_tags", t83KeywordTags _, t83KeywordTagsSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

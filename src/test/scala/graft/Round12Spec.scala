@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Audits, Graph}
+import graft.operators.{Audits, Curation, Graph, Multimodal, TextOps}
 
 /** Semantics of the round-12 additions: q113 Spearman against a naive
   * driver-side average-rank + Pearson recompute, q114 DP counts against
@@ -122,5 +122,90 @@ class Round12Spec extends AnyFunSuite {
     // mass conservation: total authority stays within a factor of the grid
     val total = a.values.map(BigInt(_)).sum
     assert(total > BigInt(S) / 2 && total < BigInt(S) * 2, s"mass $total vs grid $S")
+  }
+
+  // ---------------------------------------------------------------- t82
+  test("t82 Gopher rules: each planted violation trips exactly its rule") {
+    val d = java.nio.file.Files.createTempDirectory("graft-gopher").toString
+    val s = spark; import s.implicits._
+    val fifty = (1 to 48).map(_ => "word").mkString(" ") + " the a" // 50 words, 2 stopwords
+    val docs = Seq(
+      (1L, fifty, "en", "web", 0L),                                   // passes all
+      (2L, "the a short doc", "en", "web", 0L),                       // word count < 50
+      (3L, fifty.replaceAll("word", "iridescent###"), "en", "web", 0L), // hash ratio + mean len
+      (4L, (1 to 48).map(_ => "xx").mkString(" ") + " the a", "en", "web", 0L), // mean len < 3
+      (5L, (1 to 48).map(_ => "word...").mkString(" ") + " the a", "en", "web", 0L), // ellipsis
+      (6L, (1 to 48).map(_ => "1234").mkString(" ") + " the a", "en", "web", 0L), // alpha < 80%
+      (7L, (1 to 50).map(_ => "word").mkString(" "), "en", "web", 0L)) // no stopwords
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.parquet(s"$d/documents.parquet")
+    val out = TextOps.t82GopherRules(spark, d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def flags(id: Long): Seq[Int] = (3 to 8).map(out(id).getInt)
+    assert(flags(1L) == Seq(1, 1, 1, 1, 1, 1) && out(1L).getInt(9) == 1)
+    assert(out(2L).getInt(3) == 0 && out(2L).getInt(9) == 0, "short doc fails word count")
+    assert(out(3L).getInt(5) == 0, "hash-heavy doc fails hash ratio")
+    assert(out(4L).getInt(4) == 0, "2-char words fail mean length")
+    assert(out(5L).getInt(6) == 0, "ellipsis-heavy doc fails ellipsis ratio")
+    assert(out(6L).getInt(7) == 0, "digit words fail the alphabetic rule")
+    assert(out(7L).getInt(8) == 0, "stopword-free doc fails the stopword rule")
+  }
+
+  // ---------------------------------------------------------------- t83
+  test("t83 keyword tagging matches a naive recompute and never over-counts") {
+    val dict = TextOps.topicTaxonomy.toMap
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = docs.toSeq.flatMap { case (id, text) =>
+      val toks: Seq[String] = text.split(" ", -1).toSeq
+      val tagged: Seq[(Long, String)] =
+        toks.flatMap(t => dict.get(t).map(topic => (id, topic)))
+      tagged.groupBy(identity).toSeq.map { case ((i, topic), hits) =>
+        (i, topic, hits.length.toLong,
+          BigDecimal(hits.length.toDouble / toks.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }.sortBy(x => (x._1, x._2))
+    val rows = TextOps.t83KeywordTags(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows == want, "per-(doc, topic) hits and coverage must match the naive tagger")
+    assert(rows.forall(_._4 <= 1.0), "coverage is a fraction of the doc's tokens")
+  }
+
+  // ---------------------------------------------------------------- m69
+  test("m69 aligns every frame to the active caption: cap = min(floor(t/130), last)") {
+    val rows = Multimodal.m69CaptionAlign(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // payload sizes drive the caption-track length
+    val pb = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id"), length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (id, frameMs, capNo) = (r.getLong(0), r.getLong(2), r.getInt(3))
+      val lastCap = math.ceil(pb(id) / 75.0).toInt - 1
+      val wantCap = math.min(frameMs / 130L, lastCap.toLong)
+      assert(capNo.toLong == wantCap, s"media $id frame_ms $frameMs")
+      val lag = r.getLong(4)
+      assert(lag >= 0, "active caption never starts after the frame")
+      assert(lag < 130 || capNo == lastCap, "lag exceeds cadence only past the last caption")
+    }
+  }
+
+  // ---------------------------------------------------------------- c85
+  test("c85 apportionment is exact and temperature favors small sources") {
+    val rows = Curation.c85EpochSchedule(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val budget = rows.head._3
+    assert(rows.forall(_._3 == budget))
+    // largest-remainder apportionment: allocations sum EXACTLY to budget
+    assert(rows.map(_._4).sum == budget)
+    // α = 0.7 temperature: epochs (= alloc/n) non-increasing in source
+    // size, up to the ±1-token apportionment granularity
+    val byN = rows.sortBy(_._2)
+    byN.sliding(2).foreach { case Array(smaller, larger) =>
+      assert(smaller._5 + 1.0 / smaller._2 >= larger._5 - 1.0 / larger._2,
+        s"${smaller._1} vs ${larger._1}: temperature must not favor the larger source")
+    }
   }
 }
