@@ -1539,10 +1539,91 @@ object Audits {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q117: distributed decision-stump split finding — the best Gini-gain
+  // threshold on a continuous feature for a binary label (events.value
+  // predicting event_type = 'purchase'), the inner-loop primitive of
+  // every distributed tree learner (MLlib/XGBoost-style): histogram the
+  // feature on its cents grid, prefix-sum (count, positives) over the
+  // sorted distinct values, score every candidate threshold from the two
+  // prefix pairs, keep the top 5.
+  //
+  // Scale shape: one scan hash-aggregate to the distinct-value frame,
+  // prefix sums via the q91 slice machinery (never a single-partition
+  // window even when the feature has corpus-many distinct values), and
+  // the top-5 is an orderBy+limit → TakeOrdered, per-partition heads
+  // only. Determinism: all counts are exact BIGINTs; the gain is double
+  // algebra on identical integers SNAPPED to 6 dp BEFORE ordering (the
+  // t54 rounded-sort-key discipline), ties broken by threshold.
+  // ---------------------------------------------------------------------
+  private val GiniTopK = 5
+
+  def q117GiniSplit(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(spark, dir).select(
+      floor(col("value") * lit(100.0) + lit(0.5)).cast(LongType).as("v"),
+      when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L)).as("y"))
+    val g = b.groupBy(col("v")).agg(count(lit(1)).as("nv"), sum(col("y")).as("pv"))
+    val pre = Relational.prefixSumByRange(g, Nil, Seq(col("v")),
+      Seq("cum_n" -> col("nv"), "cum_p" -> col("pv")))
+    val tot = g.agg(sum(col("nv")).as("tn"), sum(col("pv")).as("tp"))
+    def gini(p: Column, n: Column): Column = {
+      val q = p.cast(DoubleType) / n.cast(DoubleType)
+      lit(1.0) - q * q - (lit(1.0) - q) * (lit(1.0) - q)
+    }
+    pre.crossJoin(broadcast(tot))
+      .filter(col("cum_n") < col("tn")) // a full-left split is no split
+      .select(col("v").as("threshold_cents"),
+        col("cum_n").as("n_left"), col("cum_p").as("pos_left"),
+        round(
+          gini(col("tp"), col("tn"))
+            - (col("cum_n").cast(DoubleType) / col("tn")) * gini(col("cum_p"), col("cum_n"))
+            - ((col("tn") - col("cum_n")).cast(DoubleType) / col("tn"))
+              * gini(col("tp") - col("cum_p"), col("tn") - col("cum_n")),
+          6).as("gain"))
+      .orderBy(col("gain").desc, col("threshold_cents"))
+      .limit(GiniTopK)
+  }
+
+  val q117GiniSplitSql: String =
+    s"""WITH b AS (
+       |  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM events),
+       |g AS (
+       |  SELECT v, COUNT(*) AS nv, CAST(SUM(y) AS BIGINT) AS pv
+       |  FROM b GROUP BY v),
+       |pre AS (
+       |  SELECT v,
+       |    CAST(SUM(nv) OVER w AS BIGINT) AS cum_n,
+       |    CAST(SUM(pv) OVER w AS BIGINT) AS cum_p,
+       |    CAST((SELECT SUM(nv) FROM g) AS BIGINT) AS tn,
+       |    CAST((SELECT SUM(pv) FROM g) AS BIGINT) AS tp
+       |  FROM g
+       |  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+       |q AS (
+       |  SELECT v, cum_n, cum_p, tn, tp,
+       |    CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE) AS qa,
+       |    CAST(cum_p AS DOUBLE) / CAST(cum_n AS DOUBLE) AS ql,
+       |    CAST(tp - cum_p AS DOUBLE) / CAST(tn - cum_n AS DOUBLE) AS qr
+       |  FROM pre WHERE cum_n < tn)
+       |SELECT v AS threshold_cents, cum_n AS n_left, cum_p AS pos_left,
+       |  ROUND(
+       |    (1.0 - qa * qa - (1.0 - qa) * (1.0 - qa))
+       |    - (CAST(cum_n AS DOUBLE) / CAST(tn AS DOUBLE))
+       |      * (1.0 - ql * ql - (1.0 - ql) * (1.0 - ql))
+       |    - (CAST(tn - cum_n AS DOUBLE) / CAST(tn AS DOUBLE))
+       |      * (1.0 - qr * qr - (1.0 - qr) * (1.0 - qr)),
+       |    6) AS gain
+       |FROM q
+       |WHERE cum_n < tn
+       |ORDER BY gain DESC, threshold_cents
+       |LIMIT $GiniTopK""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
     QueryDef.sql("q113_spearman", q113Spearman _, q113SpearmanSql),
     QueryDef.sql("q114_dp_counts", q114DpCounts _, q114DpCountsSql),
+    QueryDef.sql("q117_gini_split", q117GiniSplit _, q117GiniSplitSql),
     QueryDef.sql("q103_kruskal_wallis", q103KruskalWallis _, q103KruskalWallisSql),
     QueryDef.sql("q109_bh_fdr", q109BhFdr _, q109BhFdrSql),
     QueryDef.sql("q110_bootstrap_ci", q110BootstrapCi _, q110BootstrapCiSql),

@@ -573,9 +573,94 @@ object Graph {
        |LIMIT $HitsTopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q116: k-core peeling over the undirected co-purchase graph — the
+  // degeneracy/dense-subgraph primitive (Seidman 1983; the "core
+  // decomposition" every graph-cleaning pipeline runs to strip sparse
+  // periphery before community/embedding work). k is data-derived —
+  // 0.7× the mean degree, in integer arithmetic — so the gate bites at
+  // every scale factor without a hand-tuned constant; 8 peeling rounds
+  // are unrolled (convergence by round ~6 on the testdata; the operator
+  // is DEFINED as 8 rounds, so both engines run the identical
+  // computation whether or not the graph has stabilized).
+  //
+  // Scale shape per round: degree = one hash aggregate over the
+  // (shrinking) edge set; the alive set is node-sized → both
+  // endpoint-membership filters are BROADCAST semi-joins, edges shuffle
+  // only for their group-by; each round's survivor edge set is
+  // localCheckpoint'ed (the d45/q63 iteration idiom — 8 rounds of
+  // lineage would otherwise replay the order self-join per round).
+  // Pure integer counts everywhere — nothing to snap.
+  // ---------------------------------------------------------------------
+  private val KCoreRounds = 8
+
+  def q116KCore(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("d"))
+      .distinct()
+    // symmetric closure: per-node degree = COUNT over outgoing rows
+    var e = und.union(und.select(col("d").as("s"), col("s").as("d")))
+      .localCheckpoint(true)
+    // k = (7 · 2|E|) div (10 · |N|) — one bounded aggregate, broadcast back
+    val kv = e.agg((count(lit(1)) * lit(7L)).as("ke"),
+        (countDistinct(col("s")) * lit(10L)).as("kn"))
+      .select(expr("ke div kn").as("k"))
+    var alive: DataFrame = null
+    for (_ <- 1 to KCoreRounds) {
+      val deg = e.groupBy(col("s")).agg(count(lit(1)).as("c"))
+      alive = deg.crossJoin(broadcast(kv)).filter(col("c") >= col("k"))
+        .select(col("s").as("n"))
+      e = e.join(broadcast(alive.select(col("n").as("s"))), "s")
+        .join(broadcast(alive.select(col("n").as("d"))), "d")
+        .select(col("s"), col("d"))
+        .localCheckpoint(true)
+    }
+    val finalDeg = e.groupBy(col("s").as("n")).agg(count(lit(1)).as("core_degree"))
+    alive.join(finalDeg, Seq("n"), "left")
+      .crossJoin(broadcast(kv))
+      .select(col("n").as("node"), coalesce(col("core_degree"), lit(0L)).as("core_degree"),
+        col("k"))
+      .orderBy(col("node"))
+  }
+
+  val q116KCoreSql: String = {
+    // every e_{r-1} has TWO consumers (the degree count and the survivor
+    // filter) — AS MATERIALIZED stops DuckDB inlining the reference,
+    // which would otherwise expand the 8-round chain to 2^8 copies of
+    // the order self-join
+    val rounds = (1 to KCoreRounds).map { r =>
+      s""",
+         |d$r AS (SELECT s AS n, COUNT(*) AS c FROM e${r - 1} GROUP BY s),
+         |a$r AS MATERIALIZED (SELECT n FROM d$r WHERE c >= (SELECT k FROM kv)),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.s, e.d FROM e${r - 1} e
+         |  JOIN a$r x ON e.s = x.n
+         |  JOIN a$r y ON e.d = y.n)""".stripMargin
+    }.mkString
+    s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e0 AS MATERIALIZED (SELECT s, d FROM und UNION ALL SELECT d AS s, s AS d FROM und),
+       |kv AS (
+       |  SELECT (COUNT(*) * 7) // (10 * COUNT(DISTINCT s)) AS k FROM e0)$rounds,
+       |fd AS (SELECT s AS n, COUNT(*) AS c FROM e$KCoreRounds GROUP BY s)
+       |SELECT a.n AS node,
+       |  CAST(COALESCE(fd.c, 0) AS BIGINT) AS core_degree,
+       |  CAST((SELECT k FROM kv) AS BIGINT) AS k
+       |FROM a$KCoreRounds a LEFT JOIN fd USING (n)
+       |ORDER BY node""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
     QueryDef.sql("q115_hits", q115Hits _, q115HitsSql),
+    QueryDef.sql("q116_kcore", q116KCore _, q116KCoreSql),
     QueryDef.sql("q107_assortativity", q107Assortativity _, q107AssortativitySql),
     QueryDef.sql("q66_triangles", q66Triangles _, q66TrianglesSql),
     QueryDef.sql("q67_khop_reach", q67KHopReach _, q67KHopReachSql),

@@ -2197,10 +2197,115 @@ object TextOps {
        |ORDER BY doc_id, topic""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t84: winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003,
+  // "Winnowing: Local Algorithms for Document Fingerprinting" — the
+  // MOSS algorithm) — t53 keeps only the global min-shingle; winnowing
+  // keeps the RIGHTMOST-MINIMUM of every w-window of shingle hashes and
+  // records it when the selection changes, giving the guarantee that
+  // any shared substring of >= w + k - 1 chars shares a fingerprint.
+  //
+  // The whole selection runs as per-row ARRAY expressions over t53's
+  // Rabin-Karp hash lane (base-257 Horner mod a 50-bit prime — exact
+  // BIGINT in both engines): hashes → per-window minima → rightmost
+  // argmin → change flags → fingerprint count + an order-free digest
+  // (Σ selected hashes mod the same prime, accumulated in decimal /
+  // HUGEINT so a book-length doc can't overflow). Zero shuffles before
+  // the output sort; scan-bound like t51-t53, the right 100 TB shape
+  // for a fingerprint extractor.
+  // -------------------------------------------------------------------
+  private val WinnowW = 8
+
+  def t84Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val codes = slice(transform(split(col("norm"), ""), c => ascii(c).cast(LongType)),
+      lit(1), length(col("norm")))
+    def windowHash(i: Column): Column =
+      (1 until WindowChars).foldLeft(coalesce(try_element_at(col("codes"), i), lit(0L))) {
+        (h, k) => (h * PolyBase + coalesce(try_element_at(col("codes"), i + k), lit(0L))) % PolyMod
+      }
+    docs(spark, dir)
+      .withColumn("norm", norm)
+      .withColumn("codes", codes)
+      .withColumn("m", greatest(length(col("norm")) - (WindowChars - 1), lit(1)))
+      .withColumn("h", transform(sequence(lit(1), col("m")), i => windowHash(i)))
+      .withColumn("wc", greatest(col("m") - (WinnowW - 1), lit(1)))
+      .withColumn("minh", transform(sequence(lit(1), col("wc")),
+        j => array_min(slice(col("h"), j, least(lit(WinnowW), col("m") - j + 1)))))
+      // rightmost argmin: ascending k fold keeps the LAST matching index
+      .withColumn("selpos", transform(sequence(lit(1), col("wc")),
+        j => aggregate(sequence(lit(0), lit(WinnowW - 1)), lit(0L), (acc, k) =>
+          when(j + k <= col("m") &&
+            try_element_at(col("h"), (j + k).cast(IntegerType)) === element_at(col("minh"), j.cast(IntegerType)),
+            (j + k).cast(LongType)).otherwise(acc))))
+      // a fingerprint is recorded when the selected position changes
+      .withColumn("flags", transform(sequence(lit(1), col("wc")), j =>
+        when(j === 1 ||
+          element_at(col("selpos"), j.cast(IntegerType)) =!=
+            element_at(col("selpos"), (j - 1).cast(IntegerType)), lit(1L))
+          .otherwise(lit(0L))))
+      .select(col("doc_id"),
+        col("wc").cast(LongType).as("n_windows"),
+        aggregate(sequence(lit(1), col("wc")), lit(0L), (acc, j) =>
+          acc + element_at(col("flags"), j.cast(IntegerType))).as("n_fingerprints"),
+        expr(s"""CAST(aggregate(sequence(1, wc), CAST(0 AS DECIMAL(38,0)), (acc, j) ->
+          acc + CAST(element_at(flags, CAST(j AS INT)) * element_at(minh, CAST(j AS INT)) AS DECIMAL(38,0)))
+          % ${PolyMod}L AS BIGINT)""").as("fp_digest"),
+        array_min(col("minh")).as("fp_min"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t84WinnowingSql: String = {
+    val fold = (1 until WindowChars).foldLeft("coalesce(codes[i], 0)") {
+      (h, k) => s"(($h) * $PolyBase + coalesce(codes[i + $k], 0)) % $PolyMod"
+    }
+    s"""WITH n AS (
+       |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, length(norm) + 1),
+       |      i -> ord(substr(norm, i::INT, 1))::BIGINT) AS codes,
+       |    greatest(length(norm) - ${WindowChars - 1}, 1) AS m
+       |  FROM n),
+       |hh AS (
+       |  SELECT doc_id, m,
+       |    list_transform(range(1, m + 1), i -> $fold) AS h,
+       |    greatest(m - ${WinnowW - 1}, 1) AS wc
+       |  FROM c),
+       |s AS (
+       |  SELECT doc_id, m, h, wc,
+       |    list_transform(range(1, wc + 1),
+       |      j -> list_min(list_slice(h, j, least(j + ${WinnowW - 1}, m)))) AS minh
+       |  FROM hh),
+       |p AS (
+       |  SELECT doc_id, m, h, wc, minh,
+       |    list_transform(range(1, wc + 1), j ->
+       |      list_max(list_transform(range(0, $WinnowW), k ->
+       |        CASE WHEN j + k <= m AND h[(j + k)::INT] = minh[j::INT]
+       |             THEN j + k ELSE 0 END))) AS selpos
+       |  FROM s),
+       |f AS (
+       |  SELECT doc_id, wc, minh,
+       |    list_transform(range(1, wc + 1), j ->
+       |      CASE WHEN j = 1 OR selpos[j::INT] <> selpos[(j - 1)::INT]
+       |           THEN 1::BIGINT ELSE 0::BIGINT END) AS flags
+       |  FROM p)
+       |SELECT doc_id, CAST(wc AS BIGINT) AS n_windows,
+       |  CAST(list_sum(flags) AS BIGINT) AS n_fingerprints,
+       |  CAST(list_sum(list_transform(range(1, wc + 1),
+       |    j -> flags[j::INT] * minh[j::INT])) % $PolyMod AS BIGINT) AS fp_digest,
+       |  list_min(minh) AS fp_min
+       |FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
     QueryDef.sql("t83_keyword_tags", t83KeywordTags _, t83KeywordTagsSql),
+    QueryDef.sql("t84_winnowing", t84Winnowing _, t84WinnowingSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

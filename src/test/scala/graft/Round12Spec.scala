@@ -192,6 +192,110 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- q116
+  test("q116 k-core matches a naive driver-side peeling recompute") {
+    val und = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).values.flatMap { grp =>
+        val ps: Seq[Long] = grp.map(_._2).distinct.toSeq
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }.toSet
+    var e: Set[(Long, Long)] = und.flatMap(p => Seq(p, p.swap))
+    val k = (e.size.toLong * 7) / (10 * e.map(_._1).size)
+    var alive: Set[Long] = Set.empty
+    for (_ <- 1 to 8) {
+      val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      alive = deg.filter(_._2 >= k).keySet
+      e = e.filter(p => alive(p._1) && alive(p._2))
+    }
+    val finalDeg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val want = alive.toSeq.sorted.map(n => (n, finalDeg.getOrElse(n, 0L), k))
+    val got = Graph.q116KCore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"peeling mismatch: got ${got.size} want ${want.size} rows")
+    assert(got.nonEmpty, "k = 0.7·mean must not collapse the testdata core")
+  }
+
+  // ---------------------------------------------------------------- q117
+  test("q117 split gains are non-negative and match a naive recompute") {
+    val rows = Tables.events(spark, dir)
+      .select(floor(col("value") * 100.0 + 0.5).cast("long"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val tn = rows.length.toDouble
+    val tp = rows.map(_._2).sum.toDouble
+    def gini(p: Double, n: Double) = { val q = p / n; 1.0 - q * q - (1.0 - q) * (1.0 - q) }
+    val byV = rows.groupBy(_._1).view
+      .mapValues(g => (g.length.toLong, g.map(_._2).sum)).toMap
+    var (cn, cp) = (0L, 0L)
+    val cands = byV.keys.toSeq.sorted.flatMap { v =>
+      cn += byV(v)._1; cp += byV(v)._2
+      if (cn < tn) Some((v, cn, cp,
+        BigDecimal(gini(tp, tn) - (cn / tn) * gini(cp.toDouble, cn.toDouble)
+          - ((tn - cn) / tn) * gini(tp - cp, tn - cn))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }
+    val want = cands.sortBy(c => (-c._4, c._1)).take(5)
+    val got = Audits.q117GiniSplit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // weighted child impurity never exceeds the parent's (concavity)
+    assert(got.forall(_._4 >= -1e-9))
+  }
+
+  test("q117 finds a planted perfect split with gain = parent gini") {
+    val d = java.nio.file.Files.createTempDirectory("graft-gini").toString
+    val s = spark; import s.implicits._
+    // value <= 5.00 → never purchase; value > 5.00 → always purchase
+    val ev = (1 to 40).map(i => (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+      i.toLong, if (i % 2 == 0) "purchase" else "click",
+      if (i % 2 == 0) 7.0 + i * 0.01 else 3.0 + i * 0.01, "{}"))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$d/events.parquet")
+    val top = Audits.q117GiniSplit(spark, d).collect().head
+    // parent is 50/50 → gini 0.5; the boundary threshold separates perfectly
+    assert(math.abs(top.getDouble(3) - 0.5) < 1e-9)
+    // split is x <= t: the best threshold is the largest click-side value
+    assert(top.getLong(0) == 339L)
+    assert(top.getLong(1) == 20L && top.getLong(2) == 0L)
+  }
+
+  // ---------------------------------------------------------------- t84
+  test("t84 winnowing matches a naive recompute on every sf0.001 doc") {
+    val P = 999999999999989L
+    def naive(text: String): (Long, Long, Long, Long) = {
+      val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+      val m = math.max(norm.length - 7, 1)
+      val h = (1 to m).map { i =>
+        (1 until 8).foldLeft(if (i <= norm.length) norm(i - 1).toLong else 0L) { (acc, k) =>
+          val c = if (i + k <= norm.length) norm(i + k - 1).toLong else 0L
+          (acc * 257L + c) % P
+        }
+      }
+      val wc = math.max(m - 7, 1)
+      val sel: IndexedSeq[(Int, Long)] = (1 to wc).map { j =>
+        val win: Seq[Int] = (j to math.min(j + 7, m)).toSeq
+        val mn = win.map(p => h(p - 1)).min
+        (win.filter(p => h(p - 1) == mn).max, mn) // rightmost min
+      }
+      val flags = sel.indices.map(i => i == 0 || sel(i)._1 != sel(i - 1)._1)
+      val digest = sel.indices.filter(i => flags(i)).map(i => BigInt(sel(i)._2)).sum % P
+      (wc.toLong, flags.count(identity).toLong, digest.toLong, h.min)
+    }
+    val texts = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val got = TextOps.t84Winnowing(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    texts.foreach { case (id, text) =>
+      assert(got(id) == naive(text), s"doc $id")
+    }
+    // winnowing density: roughly 2/(w+1) of windows are recorded, never more
+    // than one per window
+    got.values.foreach { case (wcN, nFps, _, _) => assert(nFps >= 1 && nFps <= wcN) }
+  }
+
   // ---------------------------------------------------------------- c85
   test("c85 apportionment is exact and temperature favors small sources") {
     val rows = Curation.c85EpochSchedule(spark, dir).collect()
