@@ -12,7 +12,7 @@ object SparkEntry {
     Relational.defs ++ EventWindows.defs ++ StatsOps.defs ++ Dedup.defs ++
       Similarity.defs ++ TextOps.defs ++ Multimodal.defs ++ Curation.defs ++
       AsOfJoin.defs ++ Sampling.defs ++ TypedOps.defs ++ Graph.defs ++
-      Audits.defs ++ Temporal.defs
+      Audits.defs ++ Temporal.defs ++ Storage.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1196,6 +1196,117 @@ object EventWindows {
       .orderBy(col("channel"))
   }
 
+  // ---------------------------------------------------------------------
+  // q118: Shapley-value attribution (Shapley 1953; the game-theoretic
+  // multi-touch model of Zhao et al. 2018, "Shapley Value Methods for
+  // Attribution Modeling") — q112's axiomatic sibling: instead of a
+  // Markov removal effect, each channel gets its average marginal
+  // contribution over all orderings of the channel coalition. Coalition
+  // worth v(S) = converted users whose pre-conversion channel SET ⊆ S.
+  //
+  // Exactness: channel sets are bitmasks (SUM(DISTINCT 1<<i) per user),
+  // v(S) is an integer subset-sum over the ≤16-row exact-set table, and
+  // with |N| = 4 the permutation weights |S|!·(3−|S|)! ∈ {6,2,2,6} put
+  // every Shapley value on an exact 1/24 integer grid (phi24) — zero
+  // floating point until the two ROUND-6 report columns. The efficiency
+  // axiom Σφ = v(N) − v(∅) holds EXACTLY on that grid (spec-pinned).
+  //
+  // Scale shape: corpus-sized work is one user-keyed window pass (the
+  // q61/q112 exchange) + one hash aggregate to ≤16 mask rows; the
+  // subset-sum, the 4×8 marginal table and the phi aggregation are all
+  // domain-bounded (2^|channels|), data-independent.
+  // ---------------------------------------------------------------------
+  def q118ShapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+    val ranked = e.withColumn("rk", row_number().over(w))
+    val pRank = ranked.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("rk")).as("prk"))
+    val chanIdx = AttrChannels.zipWithIndex.foldLeft(lit(-1)) {
+      case (acc, (ch, i)) => when(col("event_type") === ch, lit(i)).otherwise(acc)
+    }
+    val touches = ranked.join(pRank, Seq("user_id"), "inner") // converted users only
+      .filter(col("rk") < col("prk"))
+      .filter(col("event_type").isin(AttrChannels: _*))
+      .select(col("user_id"), chanIdx.as("i"))
+    val masks = touches.groupBy(col("user_id"))
+      .agg(sum_distinct(expr("shiftleft(CAST(1 AS BIGINT), i)")).as("mask"))
+    // every converter contributes a mask row — touchless ones as ∅
+    val r = pRank.join(masks, Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("mask"))
+      .groupBy(col("mask")).agg(count(lit(1)).as("r"))
+    val subsets = spark.range(1 << AttrChannels.length)
+      .select(col("id").cast(LongType).as("s"))
+    val v = subsets.join(broadcast(r), expr("(mask & s) = mask"), "left")
+      .groupBy(col("s")).agg(coalesce(sum(col("r")), lit(0L)).as("v"))
+    val s2 = spark
+    import s2.implicits._
+    val chan = AttrChannels.zipWithIndex.toDF("channel", "i")
+    val marg = chan
+      .join(v.select(col("s"), col("v").as("v_s")), expr("(s & shiftleft(CAST(1 AS BIGINT), i)) = 0"))
+      .join(v.select(col("s").as("si"), col("v").as("v_si")),
+        expr("si = (s | shiftleft(CAST(1 AS BIGINT), i))"))
+      .withColumn("w24",
+        when(expr("bit_count(s)") === 0, lit(6L))
+          .when(expr("bit_count(s)") === 3, lit(6L)).otherwise(lit(2L)))
+    val phi = marg.groupBy(col("channel"))
+      .agg(sum(col("w24") * (col("v_si") - col("v_s"))).as("phi24"))
+      .withColumn("tot24", sum(col("phi24")).over(Window.partitionBy()))
+    phi.select(col("channel"),
+        round(col("phi24") / lit(24.0), 6).as("shapley"),
+        when(col("tot24") > 0L,
+          round(col("phi24").cast(DoubleType) / col("tot24").cast(DoubleType), 6))
+          .otherwise(lit(0.0)).as("share"))
+      .orderBy(col("channel"))
+  }
+
+  val q118ShapleyAttributionSql: String = {
+    val chanCase = AttrChannels.zipWithIndex
+      .map { case (ch, i) => s"WHEN '$ch' THEN $i" }.mkString(" ")
+    val chanRows = AttrChannels.zipWithIndex
+      .map { case (ch, i) => s"('$ch', $i)" }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS rk
+       |  FROM e),
+       |pr AS (SELECT user_id, MIN(rk) AS prk FROM rk WHERE event_type = 'purchase' GROUP BY 1),
+       |touch AS (
+       |  SELECT rk.user_id, CASE event_type $chanCase END AS i
+       |  FROM rk JOIN pr USING (user_id)
+       |  WHERE rk.rk < prk AND event_type IN (${AttrChannels.map(c => s"'$c'").mkString(", ")})),
+       |masks AS (
+       |  SELECT user_id, CAST(SUM(DISTINCT (1::BIGINT << i)) AS BIGINT) AS mask
+       |  FROM touch GROUP BY 1),
+       |r AS (
+       |  SELECT COALESCE(mask, 0) AS mask, COUNT(*) AS r
+       |  FROM pr LEFT JOIN masks USING (user_id) GROUP BY 1),
+       |s AS (SELECT unnest(range(0, ${1 << AttrChannels.length})) AS s),
+       |v AS (
+       |  SELECT s.s, CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS v
+       |  FROM s LEFT JOIN r ON (r.mask & s.s) = r.mask GROUP BY s.s),
+       |ch(channel, i) AS (VALUES $chanRows),
+       |m AS (
+       |  SELECT channel,
+       |    v0.v AS v_s, v1.v AS v_si,
+       |    CASE WHEN bit_count(v0.s) IN (0, 3) THEN 6 ELSE 2 END AS w24
+       |  FROM ch
+       |  JOIN v v0 ON (v0.s & (1::BIGINT << i)) = 0
+       |  JOIN v v1 ON v1.s = (v0.s | (1::BIGINT << i))),
+       |phi AS (
+       |  SELECT channel, CAST(SUM(w24 * (v_si - v_s)) AS BIGINT) AS phi24 FROM m GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(phi24) AS BIGINT) AS tot24 FROM phi)
+       |SELECT channel,
+       |  ROUND(phi24 / 24.0, 6) AS shapley,
+       |  CASE WHEN tot24 > 0
+       |       THEN ROUND(CAST(phi24 AS DOUBLE) / CAST(tot24 AS DOUBLE), 6)
+       |       ELSE 0.0 END AS share
+       |FROM phi, tot
+       |ORDER BY channel""".stripMargin
+  }
+
   val q112MarkovAttributionSql: String = {
     val states = ("start" +: AttrChannels) ++ Seq("conv", "null")
     val stateRows = states.map(s => s"SELECT '$s' AS state").mkString(" UNION ALL ")
@@ -1275,6 +1386,7 @@ object EventWindows {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q112_markov_attribution", q112MarkovAttribution _, q112MarkovAttributionSql),
+    QueryDef.sql("q118_shapley_attribution", q118ShapleyAttribution _, q118ShapleyAttributionSql),
     QueryDef.sql("q16_session_window", q16SessionWindow _, q16SessionWindowSql),
     QueryDef.sql("q17_sliding_window", q17SlidingWindow _, q17SlidingWindowSql),
     QueryDef.sql("q37_stream_join_shape", q37StreamJoinShape _, q37StreamJoinShapeSql),

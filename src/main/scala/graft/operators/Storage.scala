@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{QueryDef, Tables}
 
 /** Storage-layout operators — the write-side half of the 100 TB story.
   * Both are spec-verified by plan shape (StorageSpec) rather than the
@@ -122,4 +122,57 @@ object Storage {
           .cast(org.apache.spark.sql.types.DoubleType).as("revenue"))
       .orderBy(col("o_orderpriority"))
   }
+
+  // -------------------------------------------------------------------
+  // c86: ANALYZE-style column statistics — the optimizer-stats surface
+  // (count, exact NDV, min/max, equi-height histogram bounds) a
+  // catalog's ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS builds,
+  // as one engine query: stack the profiled columns into a
+  // (col_name, value) lane, one hash aggregate for the scalar stats,
+  // and the q19 slice-rank machinery for EXACT interpolated quantiles —
+  // never a per-column whole-table sort, never a value buffer; the
+  // stacked lane costs one extra scan per profiled column and column
+  // pruning keeps each scan to its own 8 bytes/row.
+  // -------------------------------------------------------------------
+  private val StatCols = Seq("l_extendedprice", "l_quantity")
+
+  def c86ColumnStats(spark: SparkSession, dir: String): DataFrame = {
+    val stacked = StatCols.map { c =>
+      Tables.lineitem(spark, dir)
+        .select(lit(c).as("col_name"), col(c).cast("double").as("v"))
+    }.reduce(_ unionByName _)
+    val scalar = stacked.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("v")).as("ndv"),
+      min(col("v")).as("min_v"),
+      max(col("v")).as("max_v"))
+    val quant = Relational.rankQuantiles(stacked, "col_name", "v",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+      .drop("__n")
+    scalar.join(quant, "col_name")
+      .select(col("col_name"), col("n"), col("ndv"), col("min_v"), col("max_v"),
+        col("p25"), col("p50"), col("p75"), col("p95"))
+      .orderBy(col("col_name"))
+  }
+
+  val c86ColumnStatsSql: String = {
+    val lanes = StatCols.map(c =>
+      s"SELECT '$c' AS col_name, CAST($c AS DOUBLE) AS v FROM lineitem")
+      .mkString("\n  UNION ALL ")
+    s"""WITH stacked AS (
+       |  $lanes)
+       |SELECT col_name, COUNT(*) AS n, COUNT(DISTINCT v) AS ndv,
+       |  MIN(v) AS min_v, MAX(v) AS max_v,
+       |  ROUND(quantile_cont(v, 0.25), 6) AS p25,
+       |  ROUND(quantile_cont(v, 0.5), 6) AS p50,
+       |  ROUND(quantile_cont(v, 0.75), 6) AS p75,
+       |  ROUND(quantile_cont(v, 0.95), 6) AS p95
+       |FROM stacked
+       |GROUP BY col_name
+       |ORDER BY col_name""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef.sql("c86_column_stats", c86ColumnStats _, c86ColumnStatsSql),
+  )
 }

@@ -2098,7 +2098,15 @@ object TextOps {
   // projection over the scan — zero shuffles before the output sort, the
   // same 100 TB shape as t51.
   // -------------------------------------------------------------------
-  def t82GopherRules(spark: SparkSession, dir: String): DataFrame = {
+  def t82GopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesFrom(docs(spark, dir)).orderBy(col("doc_id"))
+
+  /** t82's rule gate over any (doc_id, text) frame, without the
+    * presentation sort: pure per-row projection, so the SAME tree gates
+    * a stream in Append mode (StreamingSpec pins stream ≡ batch) — the
+    * ingest-time quality filter runs on documents as they arrive.
+    */
+  private[graft] def gopherRulesFrom(df: DataFrame): DataFrame = {
     val nW = size(toks)
     val sumLen = aggregate(transform(toks, t => length(t).cast(LongType)),
       lit(0L), (acc, x) => acc + x)
@@ -2107,7 +2115,7 @@ object TextOps {
     val nAlpha = size(filter(toks, t => t.rlike("[a-z]")))
     val nStop = size(filter(toks, t => t.isin(stopwords("en"): _*)))
     def flag(c: Column): Column = when(c, lit(1)).otherwise(lit(0))
-    docs(spark, dir)
+    df
       .select(col("doc_id"),
         nW.cast(LongType).as("n_words"),
         round(sumLen / nW.cast(DoubleType), 6).as("mean_word_len"),
@@ -2120,7 +2128,6 @@ object TextOps {
       .withColumn("pass", col("r_word_count") * col("r_mean_len") *
         col("r_hash_ratio") * col("r_ellipsis_ratio") *
         col("r_alpha_words") * col("r_stopwords"))
-      .orderBy(col("doc_id"))
   }
 
   val t82GopherRulesSql: String =

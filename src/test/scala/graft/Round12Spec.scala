@@ -296,6 +296,95 @@ class Round12Spec extends AnyFunSuite {
     got.values.foreach { case (wcN, nFps, _, _) => assert(nFps >= 1 && nFps <= wcN) }
   }
 
+  // ---------------------------------------------------------------- q118
+  test("q118 Shapley matches a naive permutation average and is efficient") {
+    val channels = Seq("click", "error", "signup", "view")
+    // replicate the path model: converted users' pre-purchase channel sets
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    val convSets = byUser.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._4))
+      val p = ordered.indexWhere(_._2 == "purchase")
+      if (p < 0) None
+      else Some(ordered.take(p).map(_._2).filter(channels.contains).toSet)
+    }.toSeq
+    def v(s: Set[String]): Long = convSets.count(_.subsetOf(s)).toLong
+    // exact Shapley over all 24 orderings of the 4 channels
+    val perms = channels.permutations.toSeq
+    val phi = channels.map { ch =>
+      val m = perms.map { p =>
+        val before = p.takeWhile(_ != ch).toSet
+        v(before + ch) - v(before)
+      }.sum
+      ch -> m.toDouble / perms.length
+    }.toMap
+    val rows = graft.operators.EventWindows.q118ShapleyAttribution(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    channels.foreach { ch =>
+      assert(math.abs(rows(ch)._1 - phi(ch)) < 5e-7, s"$ch: ${rows(ch)._1} vs ${phi(ch)}")
+    }
+    // efficiency: Σφ = v(N) − v(∅) exactly on the 1/24 grid
+    val tot = phi.values.sum
+    assert(math.abs(tot - (v(channels.toSet) - v(Set.empty))) < 1e-9)
+    // shares sum to ~1 when any credit exists
+    if (tot > 0) assert(math.abs(rows.values.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  // ---------------------------------------------------------------- c86
+  test("c86 column stats agree with the buffered percentile aggregate") {
+    val rows = graft.operators.Storage.c86ColumnStats(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_extendedprice", "l_quantity"))
+    val li = Tables.lineitem(spark, dir)
+    val n = li.count()
+    for ((cn, r) <- rows) {
+      assert(r.getLong(1) == n)
+      val exact = li.select(
+        countDistinct(col(cn)), min(col(cn)).cast("double"), max(col(cn)).cast("double"),
+        round(expr(s"percentile($cn, 0.25)"), 6), round(expr(s"percentile($cn, 0.5)"), 6),
+        round(expr(s"percentile($cn, 0.75)"), 6), round(expr(s"percentile($cn, 0.95)"), 6))
+        .collect().head
+      assert(r.getLong(2) == exact.getLong(0), s"$cn ndv")
+      assert(r.getDouble(3) == exact.getDouble(1) && r.getDouble(4) == exact.getDouble(2))
+      // the slice-rank plan mirrors quantile_cont's lo + frac·(hi−lo)
+      // algebra (the oracle gate pins THAT bit-for-bit); Spark's buffered
+      // percentile interpolates as (1−frac)·lo + frac·hi, whose last-ulp
+      // divergence can flip the 6-dp rounding — so this cross-check is
+      // tolerance-based, not exact
+      assert(Seq(5, 6, 7, 8).forall(i =>
+        math.abs(r.getDouble(i) - exact.getDouble(i - 2)) < 2e-6),
+        s"$cn quantiles: slice-rank plan must match the buffered aggregate")
+    }
+  }
+
+  // ---------------------------------------------------------------- t82 stream
+  test("t82 Gopher gate runs stateless on a stream, identical to batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, (1 to 48).map(_ => "word").mkString(" ") + " the a"),
+      (2L, "too short"))
+    val input = MemoryStream[(Long, String)]
+    val q = TextOps.gopherRulesFrom(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_gate")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        r.getLong(0) -> (3 to 9).map(r.getInt)
+      val streamed = spark.table("gopher_gate").collect().map(key).toMap
+      val batch = TextOps.gopherRulesFrom(docs.toDF("doc_id", "text"))
+        .collect().map(key).toMap
+      assert(streamed == batch)
+      assert(streamed(1L).last == 1 && streamed(2L).last == 0)
+    } finally q.stop()
+  }
+
   // ---------------------------------------------------------------- c85
   test("c85 apportionment is exact and temperature favors small sources") {
     val rows = Curation.c85EpochSchedule(spark, dir).collect()
