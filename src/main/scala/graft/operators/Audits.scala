@@ -1619,11 +1619,104 @@ object Audits {
        |ORDER BY gain DESC, threshold_cents
        |LIMIT $GiniTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q119: Brown-Forsythe test (Levene's test with median centers —
+  // Brown & Forsythe 1974, the robust standard) for variance
+  // homogeneity of order totals across priorities, per order status —
+  // the battery member that JUSTIFIES the choice between q90's Welch
+  // and a pooled t: heteroscedasticity detection. The statistic is a
+  // one-way ANOVA (q100's machinery) over z = |x − med_group|.
+  //
+  // Exactness: group medians come from the q19 slice-rank machinery on
+  // the CENTS grid — for p50 the interpolation fraction is 0 or ½, so
+  // 2·median is an exact integer and z2 = |2·cents − med2| stays on an
+  // integer grid (F is a ratio of quadratics in z, so the factor 2
+  // cancels). Moment sums are BIGINT/DECIMAL; the F algebra is q100's
+  // fixed-textual-order double arithmetic on identical integers.
+  //
+  // Scale shape: one rank pass for the ≤|status|·|priority| medians
+  // (bounded side table, broadcast back), one scan aggregate to the
+  // |status|-row moment frame. The medians map joins by key — never a
+  // whole-group buffer.
+  // ---------------------------------------------------------------------
+  def q119Levene(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"))
+      .withColumn("gkey", concat_ws("|", col("o_orderstatus"), col("o_orderpriority")))
+    val med = Relational.rankQuantiles(b, "gkey", "cents", Seq("med" -> 0.5))
+      .select(col("gkey"), floor(col("med") * 2 + lit(0.5)).cast(LongType).as("med2"))
+    val z = b.join(broadcast(med), "gkey")
+      .withColumn("z2", abs(lit(2L) * col("cents") - col("med2")))
+    val aggs = Priorities.zipWithIndex.flatMap { case (p, i) =>
+      Seq(sum(when(col("o_orderpriority") === p, 1L).otherwise(0L)).as(s"n_$i"),
+        sum(when(col("o_orderpriority") === p, col("z2")).otherwise(0L)).as(s"s_$i"))
+    }
+    val m = z.groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        (Seq(sum(col("z2")).as("s"),
+          sum(col("z2").cast(DecimalType(38, 0)) * col("z2")).as("ss")) ++ aggs): _*)
+    val dn = col("n").cast(DoubleType)
+    val terms = Priorities.indices.map { i =>
+      when(col(s"n_$i") > 0L,
+        col(s"s_$i").cast(DoubleType) * col(s"s_$i").cast(DoubleType)
+          / col(s"n_$i").cast(DoubleType)).otherwise(lit(0.0))
+    }
+    val sumTerm = terms.reduceLeft(_ + _)
+    val k = Priorities.indices.map(i =>
+      when(col(s"n_$i") > 0L, 1L).otherwise(0L)).reduceLeft(_ + _)
+    val ssb = sumTerm - col("s").cast(DoubleType) * col("s").cast(DoubleType) / dn
+    val ssw = col("ss").cast(DoubleType) - sumTerm
+    m.select(col("o_orderstatus"), col("n").as("n_orders"), k.as("k_groups"),
+        round((ssb / (k - lit(1L)).cast(DoubleType))
+          / (ssw / (col("n") - k).cast(DoubleType)), 6).as("f_bf"))
+      .filter(col("k_groups") >= 2L && col("n_orders") > col("k_groups"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  val q119LeveneSql: String = {
+    val nAggs = Priorities.zipWithIndex.map { case (p, i) =>
+      s"""    CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS n_$i,
+         |    CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN z2 ELSE 0 END) AS BIGINT) AS s_$i""".stripMargin
+    }.mkString(",\n")
+    val terms = Priorities.indices.map(i =>
+      s"CASE WHEN n_$i > 0 THEN CAST(s_$i AS DOUBLE) * CAST(s_$i AS DOUBLE) / CAST(n_$i AS DOUBLE) ELSE 0.0 END")
+      .mkString("(", " + ", ")")
+    val k = Priorities.indices.map(i => s"CASE WHEN n_$i > 0 THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+    val ssb = s"($terms - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    val ssw = s"(CAST(ss AS DOUBLE) - $terms)"
+    s"""WITH b AS (
+       |  SELECT o_orderstatus, o_orderpriority,
+       |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |med AS (
+       |  SELECT o_orderstatus, o_orderpriority,
+       |    CAST(floor(ROUND(quantile_cont(cents, 0.5), 6) * 2 + 0.5) AS BIGINT) AS med2
+       |  FROM b GROUP BY 1, 2),
+       |z AS (
+       |  SELECT b.o_orderstatus, b.o_orderpriority,
+       |    abs(2 * cents - med2) AS z2
+       |  FROM b JOIN med USING (o_orderstatus, o_orderpriority)),
+       |m AS (
+       |  SELECT o_orderstatus, COUNT(*) AS n,
+       |    CAST(SUM(z2) AS BIGINT) AS s,
+       |    CAST(SUM(CAST(z2 AS HUGEINT) * z2) AS HUGEINT) AS ss,
+       |$nAggs
+       |  FROM z GROUP BY o_orderstatus)
+       |SELECT o_orderstatus, n AS n_orders, $k AS k_groups,
+       |  ROUND(($ssb / ($k - 1.0)) / ($ssw / CAST(n - $k AS DOUBLE)), 6) AS f_bf
+       |FROM m
+       |WHERE $k >= 2 AND n > $k
+       |ORDER BY o_orderstatus""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
     QueryDef.sql("q113_spearman", q113Spearman _, q113SpearmanSql),
     QueryDef.sql("q114_dp_counts", q114DpCounts _, q114DpCountsSql),
     QueryDef.sql("q117_gini_split", q117GiniSplit _, q117GiniSplitSql),
+    QueryDef.sql("q119_levene", q119Levene _, q119LeveneSql),
     QueryDef.sql("q103_kruskal_wallis", q103KruskalWallis _, q103KruskalWallisSql),
     QueryDef.sql("q109_bh_fdr", q109BhFdr _, q109BhFdrSql),
     QueryDef.sql("q110_bootstrap_ci", q110BootstrapCi _, q110BootstrapCiSql),

@@ -102,7 +102,12 @@ class PlanShapeSpec extends AnyFunSuite {
       // by key — these pins keep it that way.
       ("q103", graft.operators.Audits.q103KruskalWallis(spark, dir), 1),
       ("q104", graft.operators.Temporal.q104KaplanMeier(spark, dir), 2),
-      ("q106", graft.operators.Temporal.q106PsiDrift(spark, dir), 1))
+      ("q106", graft.operators.Temporal.q106PsiDrift(spark, dir), 1),
+      // round-12 prefix/rank users: q113's four rank maps, q117's
+      // histogram prefix pair, c86's stacked-lane quantiles
+      ("q113", graft.operators.Audits.q113Spearman(spark, dir), 4),
+      ("q117", graft.operators.Audits.q117GiniSplit(spark, dir), 1),
+      ("c86", graft.operators.Storage.c86ColumnStats(spark, dir), 1))
     for ((name, df, sites) <- frames) {
       df.collect() // reuse is decided during adaptive execution
       val plan = df.queryExecution.executedPlan.toString

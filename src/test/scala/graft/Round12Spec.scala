@@ -385,6 +385,54 @@ class Round12Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  // ---------------------------------------------------------------- q119
+  test("q119 Brown-Forsythe matches a naive recompute and flags planted heteroscedasticity") {
+    // naive recompute on the real data
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = Audits.q119Levene(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for ((st, grp) <- rows.groupBy(_._1)) {
+      val byP = grp.groupBy(_._2).view.mapValues(_.map(_._3).toSeq).toMap
+      def med2(vs: Seq[Long]): Long = {
+        val s = vs.sorted
+        val pos = 0.5 * (s.length - 1)
+        val lo = s(pos.toInt)
+        val hi = s(math.min(pos.toInt + 1, s.length - 1))
+        math.floor((lo + (pos - pos.toInt) * (hi - lo)) * 2 + 0.5).toLong
+      }
+      val z = byP.toSeq.flatMap { case (_, vs) =>
+        val m2 = med2(vs); vs.map(v => math.abs(2 * v - m2).toDouble)
+      }
+      val zg = byP.toSeq.map { case (_, vs) =>
+        val m2 = med2(vs); vs.map(v => math.abs(2 * v - m2).toDouble)
+      }
+      val n = z.length.toDouble
+      val k = zg.length.toDouble
+      val gm = z.sum / n
+      val ssb = zg.map(g => g.length * math.pow(g.sum / g.length - gm, 2)).sum
+      val ssw = zg.map(g => { val m = g.sum / g.length; g.map(x => (x - m) * (x - m)).sum }).sum
+      val f = (ssb / (k - 1)) / (ssw / (n - k))
+      assert(math.abs(got(st)._3 - f) < 1e-4, s"$st: got ${got(st)._3} want $f")
+      assert(got(st)._1 == grp.length && got(st)._2 == byP.size)
+    }
+    // planted heteroscedasticity: one priority with 100× the spread → huge F
+    val d = java.nio.file.Files.createTempDirectory("graft-levene").toString
+    val s = spark; import s.implicits._
+    val tight = (1 to 50).map(i => (i.toLong, 1L, "O", 100.0 + (i % 5) * 0.01,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "1-URGENT"))
+    val wide = (1 to 50).map(i => (100L + i, 1L, "O", 100.0 + (i % 5) * 25.0,
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "2-HIGH"))
+    (tight ++ wide)
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+      .coalesce(1).write.parquet(s"$d/orders.parquet")
+    val planted = Audits.q119Levene(spark, d).collect()
+    assert(planted.length == 1 && planted.head.getDouble(3) > 50.0,
+      "a 2500x variance ratio must produce a large Brown-Forsythe F")
+  }
+
   // ---------------------------------------------------------------- c85
   test("c85 apportionment is exact and temperature favors small sources") {
     val rows = Curation.c85EpochSchedule(spark, dir).collect()
