@@ -2308,11 +2308,108 @@ object TextOps {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t85: calibration audit / Expected Calibration Error (Naeini et al.
+  // 2015; Guo et al. 2017's reliability-diagram formulation) — how well
+  // the LEARNED quality gate's probabilities (t75's logistic score)
+  // track an independent ground truth (t82's Gopher rule gate): bin
+  // scores into 10 equal-width confidence buckets, compare per-bucket
+  // mean confidence against observed pass rate, and report
+  // ECE = Σ_b (n_b/N)·|conf_b − acc_b|.
+  //
+  // Exactness: t75's score is ALREADY an integer (nano-sigmoid), so
+  // buckets are integer division, per-bucket sums are exact, and the
+  // ECE numerator collapses to Σ_b |Σscore_n9 − 1e9·Σpass| — a pure
+  // integer (accumulated in decimal for the 100 TB bound) with ONE
+  // double division at the edge. No order-dependent double sum
+  // anywhere, including across buckets.
+  //
+  // Scale shape: two scans of the corpus (score features + rule
+  // metrics) joined on doc_id, one hash aggregate to ≤10 bucket rows;
+  // the reliability table and ECE arithmetic are bucket-bounded.
+  // -------------------------------------------------------------------
+  private val CalibBuckets = 10
+
+  def t85Calibration(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val scores = qualityScoresFrom(docs(spark, dir)).select(col("doc_id"), col("score_n9"))
+    val labels = gopherRulesFrom(docs(spark, dir)).select(col("doc_id"), col("pass"))
+    val g = scores.join(labels, "doc_id")
+      .withColumn("bucket",
+        least(expr(s"score_n9 * $CalibBuckets div 1000000000"), lit(CalibBuckets - 1L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_n9").cast(d38)).as("s9"),
+        sum(col("pass").cast(LongType)).as("np"))
+    val wN = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g
+      .withColumn("gap9sum",
+        sum(abs(col("s9") - col("np").cast(d38) * lit(1000000000L))).over(wN))
+      .withColumn("n_total", sum(col("n_docs")).over(wN))
+      .select(col("bucket"), col("n_docs"),
+        round(col("s9").cast(DoubleType) / (lit(1e9) * col("n_docs")), 6).as("confidence"),
+        round(col("np").cast(DoubleType) / col("n_docs"), 6).as("accuracy"),
+        round(abs(col("s9").cast(DoubleType) - col("np").cast(DoubleType) * lit(1e9))
+          / (lit(1e9) * col("n_docs")), 6).as("abs_gap"),
+        round(col("gap9sum").cast(DoubleType)
+          / (lit(1e9) * col("n_total").cast(DoubleType)), 6).as("ece"))
+      .orderBy(col("bucket"))
+  }
+
+  val t85CalibrationSql: String = {
+    val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |$featCols
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, ${sigmoidN9Sql(qcMarginSql(QcWeights, QcBias))} AS score_n9
+       |  FROM f),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+       |    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    ${langScoreSql("en")} AS n_stop
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_ell <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass
+       |  FROM gm),
+       |g AS (
+       |  SELECT LEAST(score_n9 * $CalibBuckets // 1000000000, ${CalibBuckets - 1}) AS bucket,
+       |    COUNT(*) AS n_docs,
+       |    CAST(SUM(score_n9) AS HUGEINT) AS s9,
+       |    CAST(SUM(pass) AS BIGINT) AS np
+       |  FROM sc JOIN lab USING (doc_id)
+       |  GROUP BY 1),
+       |t AS (
+       |  SELECT *,
+       |    CAST(SUM(abs(s9 - CAST(np AS HUGEINT) * 1000000000)) OVER () AS HUGEINT) AS gap9sum,
+       |    CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total
+       |  FROM g)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs,
+       |  ROUND(CAST(s9 AS DOUBLE) / (1e9 * n_docs), 6) AS confidence,
+       |  ROUND(CAST(np AS DOUBLE) / n_docs, 6) AS accuracy,
+       |  ROUND(abs(CAST(s9 AS DOUBLE) - CAST(np AS DOUBLE) * 1e9) / (1e9 * n_docs), 6) AS abs_gap,
+       |  ROUND(CAST(gap9sum AS DOUBLE) / (1e9 * CAST(n_total AS DOUBLE)), 6) AS ece
+       |FROM t
+       |ORDER BY bucket""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
     QueryDef.sql("t83_keyword_tags", t83KeywordTags _, t83KeywordTagsSql),
     QueryDef.sql("t84_winnowing", t84Winnowing _, t84WinnowingSql),
+    QueryDef.sql("t85_calibration", t85Calibration _, t85CalibrationSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

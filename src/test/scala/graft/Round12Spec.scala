@@ -433,6 +433,38 @@ class Round12Spec extends AnyFunSuite {
       "a 2500x variance ratio must produce a large Brown-Forsythe F")
   }
 
+  // ---------------------------------------------------------------- t85
+  test("t85 calibration matches a naive recompute from t75 scores × t82 labels") {
+    val scores = graft.operators.TextOps.t75QualityClassifier(spark, dir)
+      .select("doc_id", "score_n9").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = graft.operators.TextOps.t82GopherRules(spark, dir)
+      .select("doc_id", "pass").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(scores.keySet == labels.keySet)
+    val binned = scores.toSeq.map { case (id, s9) =>
+      (math.min(s9 * 10 / 1000000000L, 9L), s9, labels(id))
+    }.groupBy(_._1)
+    val n = scores.size.toLong
+    val gap9 = binned.values.map(g =>
+      (BigInt(g.map(_._2).sum) - BigInt(g.map(_._3).sum) * 1000000000L).abs).sum
+    val wantEce = BigDecimal((gap9.toDouble) / (1e9 * n))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = graft.operators.TextOps.t85Calibration(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSet == binned.keySet)
+    rows.foreach { r =>
+      val g = binned(r.getLong(0))
+      assert(r.getLong(1) == g.length)
+      val conf = g.map(_._2).sum.toDouble / (1e9 * g.length)
+      val acc = g.map(_._3).sum.toDouble / g.length
+      assert(math.abs(r.getDouble(2) - conf) < 1e-6)
+      assert(math.abs(r.getDouble(3) - acc) < 1e-6)
+      assert(math.abs(r.getDouble(4) - math.abs(conf - acc)) < 1e-6)
+      assert(r.getDouble(5) == wantEce, "ECE identical on every bucket row")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
   // ---------------------------------------------------------------- c85
   test("c85 apportionment is exact and temperature favors small sources") {
     val rows = Curation.c85EpochSchedule(spark, dir).collect()
