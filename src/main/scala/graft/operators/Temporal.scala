@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 import graft.{QueryDef, Tables}
 
@@ -422,9 +422,232 @@ object Temporal {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
 
+  // ---------------------------------------------------------------------
+  // q120: autocorrelation function (lags 1..7) + Ljung-Box Q of the
+  // daily revenue series — the standard "is there serial structure
+  // left" diagnostic a forecasting/monitoring pipeline runs after
+  // q105's decomposition (Box & Jenkins; Ljung & Box 1978):
+  //   r_k = Σ_t (x_t − x̄)(x_{t−k} − x̄) / Σ_t (x_t − x̄)²
+  //   Q_k = n(n+2) Σ_{j≤k} r_j² / (n−j)
+  // over the row-sequence of observed days (rank index, so a missing
+  // calendar day shortens the series instead of injecting a phantom
+  // zero — the observed-sequence ACF convention).
+  //
+  // Scale shape: ONE corpus shuffle (groupBy day, map-side combined)
+  // collapses everything to the |calendar-days| frame — bounded by the
+  // date domain at ANY scale factor (q105's axis) — so the row_number
+  // and the seven lag() reads ride one unpartitioned pass over ~2.4k
+  // rows; the seven lag columns stack to a (lag, d, d_lag) frame and
+  // the rest is a 7-row grid.
+  //
+  // Exactness: deviations stay integral by scaling — d_t = n·x_t − S
+  // (cents·n grid, BIGINT); products widen to DECIMAL(38,0) before
+  // summing (q90's discipline; d² ~ 5e24 at sf0.1, Σ ~ 1e28 — wide
+  // headroom); r_k nano-snaps from ONE double division of two exact
+  // decimals; each Ljung-Box term is pure BIGINT arithmetic on the
+  // snapped grid ((r9² div (1e9·(n−k))) — exact integer division) and
+  // Q's cumulative sum is an integer prefix over the 7-row lag frame.
+  // Finals are one fixed-shape double expression each, rounded once.
+  // ---------------------------------------------------------------------
+  private[operators] val AcfMaxLag = 7
+
+  def q120Acf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    acfFrom(daily)
+  }
+
+  /** ACF + Ljung-Box over any (day: DATE, rev_c: BIGINT) daily series —
+    * spec entry point.
+    */
+  private[graft] def acfFrom(daily: DataFrame): DataFrame = {
+    // domain-bounded axis: |days| rows at any SF (q105's precedent);
+    // checkpointed because idx fans out to the stats scalar, the
+    // deviation frame, and the lag pass — without it each consumer
+    // re-runs the corpus groupBy (q106's multi-consumer idiom)
+    val wi = Window.orderBy(col("day"))
+    val idx = daily.withColumn("i", row_number().over(wi).cast(LongType))
+      .localCheckpoint(false)
+    val st = idx.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("s"))
+    val d = idx.crossJoin(broadcast(st))
+      .select(col("i"), col("n"),
+        (col("n") * col("rev_c") - col("s")).as("dv"))
+    val wl = Window.orderBy(col("i"))
+    val withLags = (1 to AcfMaxLag).foldLeft(d) { (df, k) =>
+      df.withColumn(s"dl$k", lag(col("dv"), k).over(wl))
+    }
+    val stacked = withLags.select(col("dv"),
+        explode(array((1 to AcfMaxLag).map(k =>
+          struct(lit(k.toLong).as("lag"), col(s"dl$k").as("dl"))): _*)).as("p"))
+      .select(col("dv"), col("p.lag").as("lag"), col("p.dl").as("dl"))
+      .filter(col("dl").isNotNull)
+    val den = d.agg(
+      sum(col("dv").cast(DecimalType(38, 0)) * col("dv")).as("den"))
+    val num = stacked.groupBy(col("lag"))
+      .agg(sum(col("dv").cast(DecimalType(38, 0)) * col("dl")).as("num"))
+    val wq = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    num.crossJoin(broadcast(den)).crossJoin(broadcast(st.select(col("n"))))
+      .withColumn("r9", floor(col("num").cast(DoubleType)
+        / col("den").cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType))
+      .withColumn("term9", expr("(r9 * r9) div (1000000000L * (n - lag))"))
+      .withColumn("q9", sum(col("term9")).over(wq))
+      .select(col("lag"),
+        round(col("r9").cast(DoubleType) / lit(1e9), 6).as("acf"),
+        round((col("n") * (col("n") + lit(2L)) * col("q9")).cast(DoubleType)
+          / lit(1e9), 4).as("lb_q"))
+      .orderBy(col("lag"))
+  }
+
+  val q120AcfSql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1),
+       |idx AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, rev_c FROM daily),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_c) AS BIGINT) AS s
+       |  FROM idx),
+       |d AS (SELECT i, n, n * rev_c - s AS dv FROM idx CROSS JOIN st),
+       |den AS (SELECT SUM(CAST(dv AS HUGEINT) * dv) AS den FROM d),
+       |num AS (
+       |  SELECT a.i - b.i AS lag, SUM(CAST(a.dv AS HUGEINT) * b.dv) AS num,
+       |    CAST(MAX(a.n) AS BIGINT) AS n
+       |  FROM d a JOIN d b ON b.i < a.i AND a.i - b.i <= $AcfMaxLag
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT lag, n,
+       |    CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS r9
+       |  FROM num CROSS JOIN den),
+       |t AS (
+       |  SELECT lag, n, r9,
+       |    (r9 * r9) // (1000000000 * (n - lag)) AS term9
+       |  FROM r),
+       |q AS (
+       |  SELECT *, CAST(SUM(term9) OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING) AS BIGINT) AS q9
+       |  FROM t)
+       |SELECT lag, ROUND(CAST(r9 AS DOUBLE) / 1e9, 6) AS acf,
+       |  ROUND(CAST(n * (n + 2) * q9 AS DOUBLE) / 1e9, 4) AS lb_q
+       |FROM q ORDER BY lag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q121: Theil-Sen robust trend of the daily revenue series (Theil
+  // 1950; Sen 1968) — the median of all pairwise slopes, with the
+  // matching median-residual intercept: the outlier-resistant sibling
+  // of q56's least-squares fit (one corrupted day moves OLS, not this).
+  //
+  // Scale shape: the corpus collapses to the calendar-bounded daily
+  // frame in ONE shuffle (q120's axis); the pairwise self-join is
+  // |days|² — a constant of the DATE DOMAIN, not the corpus (~2.9M
+  // pairs for 8 years of days at ANY scale factor) — and the slope
+  // median rides `prefixSumByRange` over the distinct-slope grid, so
+  // no single-partition sort ever sees the pair frame.
+  //
+  // Exactness: each pair's slope snaps once to the micro grid
+  // (floor(Δrev/Δi·1e6 + 0.5) — identical IEEE division in both
+  // engines); the median is BOTH middle order statistics summed on the
+  // 2× grid (exact for even counts); residuals live on the integral
+  // 2e6·rev − med2·i grid in DECIMAL(38,0); finals are one double
+  // division each, rounded once.
+  // ---------------------------------------------------------------------
+  def q121TheilSen(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    theilSenFrom(daily)
+  }
+
+  /** Theil-Sen fit over any (day: DATE, rev_c: BIGINT) daily series —
+    * spec entry point.
+    */
+  private[graft] def theilSenFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val wi = Window.orderBy(col("day"))
+    // calendar-bounded frame; three consumers (pairs×2, residuals)
+    val idx = daily.select(col("day"), col("rev_c"))
+      .withColumn("i", row_number().over(wi).cast(LongType))
+      .localCheckpoint(false)
+    val a = idx.select(col("i").as("ia"), col("rev_c").as("ra"))
+    val b = idx.select(col("i").as("ib"), col("rev_c").as("rb"))
+    val slopes = a.join(b, col("ib") > col("ia"))
+      .select(floor((col("rb") - col("ra")).cast(DoubleType)
+        / (col("ib") - col("ia")).cast(DoubleType) * lit(1e6) + lit(0.5))
+        .cast(LongType).as("s6"))
+    val g = slopes.groupBy(col("s6")).agg(count(lit(1)).as("cnt"))
+    val pre = Relational.prefixSumByRange(g, Nil, Seq(col("s6")),
+      Seq("cum" -> col("cnt")))
+    val np = g.agg(sum(col("cnt")).as("n_pairs"))
+    val med = pre.crossJoin(broadcast(np))
+      .agg(
+        (min(when(col("cum") >= expr("(n_pairs + 1L) div 2L"), col("s6")))
+          + min(when(col("cum") >= expr("n_pairs div 2L + 1L"), col("s6"))))
+          .as("med2"),
+        max(col("n_pairs")).as("n_pairs"))
+    // residuals on the integral 2e6·rev − med2·i grid; |days| rows
+    val res = idx.crossJoin(broadcast(med))
+      .select(col("med2"), col("n_pairs"),
+        (col("rev_c").cast(d38) * lit(2000000L)
+          - col("med2").cast(d38) * col("i")).as("r2"))
+    val wr = Window.orderBy(col("r2"))
+    val rc = res
+      .withColumn("crank", row_number().over(wr).cast(LongType))
+      .withColumn("n_days", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    rc.agg(
+        max(col("n_days")).as("n_days"),
+        max(col("n_pairs")).as("n_pairs"),
+        max(col("med2")).as("med2"),
+        (min(when(col("crank") === expr("(n_days + 1L) div 2L"), col("r2")))
+          + min(when(col("crank") === expr("n_days div 2L + 1L"), col("r2"))))
+          .as("int2"))
+      .select(col("n_days"), col("n_pairs"),
+        round(col("med2").cast(DoubleType) / lit(2e6), 6).as("slope_cents_per_day"),
+        round(col("int2").cast(DoubleType) / lit(4e6), 6).as("intercept_cents"))
+  }
+
+  val q121TheilSenSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, rev_c FROM daily),
+      |pairs AS (
+      |  SELECT CAST(floor(CAST(b.rev_c - a.rev_c AS DOUBLE) / (b.i - a.i) * 1e6 + 0.5) AS BIGINT) AS s6
+      |  FROM idx a JOIN idx b ON b.i > a.i),
+      |g AS (SELECT s6, COUNT(*) AS cnt FROM pairs GROUP BY 1),
+      |cum AS (
+      |  SELECT s6,
+      |    SUM(cnt) OVER (ORDER BY s6 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(cnt) OVER () AS np
+      |  FROM g),
+      |med AS (
+      |  SELECT MIN(CASE WHEN cum >= (np + 1) // 2 THEN s6 END)
+      |       + MIN(CASE WHEN cum >= np // 2 + 1 THEN s6 END) AS med2,
+      |    CAST(MAX(np) AS BIGINT) AS n_pairs
+      |  FROM cum),
+      |res AS (
+      |  SELECT med2, n_pairs,
+      |    CAST(rev_c AS HUGEINT) * 2000000 - CAST(med2 AS HUGEINT) * i AS r2
+      |  FROM idx CROSS JOIN med),
+      |rc AS (
+      |  SELECT *, ROW_NUMBER() OVER (ORDER BY r2) AS crank,
+      |    COUNT(*) OVER () AS n_days
+      |  FROM res)
+      |SELECT CAST(MAX(n_days) AS BIGINT) AS n_days, MAX(n_pairs) AS n_pairs,
+      |  ROUND(CAST(MAX(med2) AS DOUBLE) / 2e6, 6) AS slope_cents_per_day,
+      |  ROUND(CAST(MIN(CASE WHEN crank = (n_days + 1) // 2 THEN r2 END)
+      |    + MIN(CASE WHEN crank = n_days // 2 + 1 THEN r2 END) AS DOUBLE) / 4e6, 6) AS intercept_cents
+      |FROM rc""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
     QueryDef.sql("q106_psi_drift", q106PsiDrift _, q106PsiDriftSql),
+    QueryDef.sql("q120_acf", q120Acf _, q120AcfSql),
+    QueryDef.sql("q121_theil_sen", q121TheilSen _, q121TheilSenSql),
   )
 }

@@ -2404,12 +2404,249 @@ object TextOps {
        |ORDER BY bucket""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t86: ROC/AUC audit of the learned quality gate — the discrimination
+  // sibling of t85's calibration audit (Hanley & McNeil 1982): ECE asks
+  // "are t75's probabilities honest", AUC asks "does the score RANK
+  // rule-passing docs above failing ones at all", via the Mann-Whitney
+  // identity AUC = U/(n_pos·n_neg) with midranks for tied scores
+  // (q99's tie discipline, here on the score grid). Rows are the 10
+  // score-decile operating points (threshold = bucket floor) with
+  // their exact TPR/FPR — the ROC polyline a gate-tuning run reads.
+  //
+  // Scale shape: two corpus scans join on doc_id, then ONE hash
+  // aggregate collapses to the distinct-score grid (bounded by
+  // distinct feature vectors, not corpus rows; localCheckpoint'd — two
+  // consumers). The rank prefix rides prefixSumByRange over that grid
+  // (range slices + broadcast offsets — never a single-reducer
+  // window); the ROC table and AUC reduction are grid/bucket-bounded.
+  //
+  // Exactness: scores are already integers (nano-sigmoid), midranks
+  // live on the DOUBLED rank grid 2·cum_n − n + 1 (ties' half-ranks
+  // stay integral), Σ_pos·rank2 accumulates in DECIMAL(38,0), and
+  //   AUC = (Σ_pos rank2 − n_pos(n_pos+1)) / (2·n_pos·n_neg)
+  // is ONE double division rounded once; TPR/FPR are single divisions
+  // of exact integers from the same grid.
+  // -------------------------------------------------------------------
+  private val RocBuckets = 10
+
+  def t86RocAuc(spark: SparkSession, dir: String): DataFrame = {
+    val scores = qualityScoresFrom(docs(spark, dir)).select(col("doc_id"), col("score_n9"))
+    val labels = gopherRulesFrom(docs(spark, dir)).select(col("doc_id"), col("pass"))
+    rocAucFrom(scores.join(labels, "doc_id"))
+  }
+
+  /** ROC deciles + AUC over any (score_n9: BIGINT, pass: 0/1) frame —
+    * spec entry point.
+    */
+  private[graft] def rocAucFrom(j: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = j.groupBy(col("score_n9"))
+      .agg(count(lit(1)).as("n"), sum(col("pass").cast(LongType)).as("np"))
+      .localCheckpoint(false)
+    val pre = Relational.prefixSumByRange(g, Nil, Seq(col("score_n9")),
+      Seq("cum_n" -> col("n"), "cum_p" -> col("np")))
+    val auc = pre.agg(
+        sum(col("np").cast(d38) *
+          (lit(2L) * col("cum_n") - col("n") + lit(1L))).as("r2pos"),
+        sum(col("n")).as("n_total"), sum(col("np")).as("n_pos"))
+      .select(col("n_pos"), (col("n_total") - col("n_pos")).as("n_neg"),
+        ((col("r2pos") - col("n_pos").cast(d38) * (col("n_pos") + lit(1L)))
+          .cast(DoubleType)
+          / (lit(2.0) * col("n_pos").cast(DoubleType)
+            * (col("n_total") - col("n_pos")).cast(DoubleType))).as("auc_raw"))
+    val buckets = g
+      .withColumn("bucket",
+        least(expr(s"score_n9 * $RocBuckets div 1000000000"), lit(RocBuckets - 1L)))
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("np")).as("np_b"))
+    // 10-row frame: the unpartitioned window is bucket-bounded by construction
+    val wDesc = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("tp", sum(col("np_b")).over(wDesc))
+      .withColumn("fp", sum(col("n_docs") - col("np_b")).over(wDesc))
+      .crossJoin(broadcast(auc))
+      .select(col("bucket"), col("n_docs"),
+        round(col("tp").cast(DoubleType) / col("n_pos").cast(DoubleType), 6).as("tpr"),
+        round(col("fp").cast(DoubleType) / col("n_neg").cast(DoubleType), 6).as("fpr"),
+        round(col("auc_raw"), 6).as("auc"))
+      .orderBy(col("bucket"))
+  }
+
+  val t86RocAucSql: String = {
+    val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |$featCols
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, ${sigmoidN9Sql(qcMarginSql(QcWeights, QcBias))} AS score_n9
+       |  FROM f),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+       |    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    ${langScoreSql("en")} AS n_stop
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_ell <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass
+       |  FROM gm),
+       |g AS (
+       |  SELECT score_n9, COUNT(*) AS n, CAST(SUM(pass) AS BIGINT) AS np
+       |  FROM sc JOIN lab USING (doc_id)
+       |  GROUP BY 1),
+       |pre AS (
+       |  SELECT *,
+       |    CAST(SUM(n) OVER (ORDER BY score_n9 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+       |  FROM g),
+       |a AS (
+       |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+       |    CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
+       |    CAST(SUM(CAST(np AS HUGEINT) * (2 * cum_n - n + 1))
+       |        - CAST(SUM(np) AS HUGEINT) * (SUM(np) + 1) AS DOUBLE)
+       |      / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(n) - SUM(np) AS DOUBLE)) AS auc_raw
+       |  FROM pre),
+       |b AS (
+       |  SELECT LEAST(score_n9 * $RocBuckets // 1000000000, ${RocBuckets - 1}) AS bucket,
+       |    CAST(SUM(n) AS BIGINT) AS n_docs, CAST(SUM(np) AS BIGINT) AS np_b
+       |  FROM g GROUP BY 1),
+       |c AS (
+       |  SELECT *,
+       |    CAST(SUM(np_b) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+       |    CAST(SUM(n_docs - np_b) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+       |  FROM b)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs,
+       |  ROUND(CAST(tp AS DOUBLE) / n_pos, 6) AS tpr,
+       |  ROUND(CAST(fp AS DOUBLE) / n_neg, 6) AS fpr,
+       |  ROUND(auc_raw, 6) AS auc
+       |FROM c CROSS JOIN a ORDER BY bucket""".stripMargin
+  }
+
+  // -------------------------------------------------------------------
+  // t87: paired gate-agreement audit — McNemar's test (1947) + Cohen's
+  // kappa (1960) between the LEARNED keep decision (t75's z ≥ 0) and
+  // the RULE gate (t82's Gopher pass) on the same documents. t85 asks
+  // "are the probabilities honest", t86 "does the score rank well";
+  // t87 asks the deployment question: do the two gates DISAGREE
+  // systematically (McNemar: is the b↔c discordance asymmetric), and
+  // how much agreement is beyond chance (kappa)? This is the audit a
+  // team runs before swapping the rule gate for the learned one.
+  //
+  // Scale shape: two corpus scans join on doc_id and collapse in ONE
+  // scalar aggregate to the 2×2 contingency counts — four integers at
+  // any corpus size; every statistic is driver-free arithmetic on that
+  // single row.
+  //
+  // Exactness: all four cells are exact longs; kappa's numerator/
+  // denominator stay integral in DECIMAL(38,0)
+  //   κ = (n·(n11+n00) − (r1·c1 + r0·c0)) / (n² − (r1·c1 + r0·c0))
+  // and McNemar's χ² = (b−c)²/(b+c); each is ONE double division
+  // rounded once.
+  // -------------------------------------------------------------------
+  def t87GateAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val learned = qualityScoresFrom(docs(spark, dir)).select(col("doc_id"), col("keep"))
+    val rule = gopherRulesFrom(docs(spark, dir)).select(col("doc_id"), col("pass"))
+    gateAgreementFrom(learned.join(rule, "doc_id"))
+  }
+
+  /** 2×2 agreement statistics over any (keep: 0/1, pass: 0/1) frame —
+    * spec entry point.
+    */
+  private[graft] def gateAgreementFrom(j: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val k = col("keep").cast(LongType)
+    val p = col("pass").cast(LongType)
+    j.agg(
+        count(lit(1)).as("n_docs"),
+        sum(k * p).as("n11"),
+        sum((lit(1L) - k) * (lit(1L) - p)).as("n00"),
+        sum(k * (lit(1L) - p)).as("n10"),
+        sum((lit(1L) - k) * p).as("n01"))
+      .select(col("n_docs"), col("n11"), col("n00"), col("n10"), col("n01"),
+        round((col("n11") + col("n00")).cast(DoubleType)
+          / col("n_docs").cast(DoubleType), 6).as("agree_rate"),
+        round(((col("n_docs").cast(d38) * (col("n11") + col("n00"))
+            - ((col("n11") + col("n10")).cast(d38) * (col("n11") + col("n01"))
+              + (col("n00") + col("n01")).cast(d38) * (col("n00") + col("n10"))))
+          .cast(DoubleType))
+          / ((col("n_docs").cast(d38) * col("n_docs")
+            - ((col("n11") + col("n10")).cast(d38) * (col("n11") + col("n01"))
+              + (col("n00") + col("n01")).cast(d38) * (col("n00") + col("n10"))))
+          .cast(DoubleType)), 6).as("kappa"),
+        round(when(col("n10") + col("n01") > 0L,
+          ((col("n10") - col("n01")).cast(d38) * (col("n10") - col("n01")))
+            .cast(DoubleType)
+            / (col("n10") + col("n01")).cast(DoubleType))
+          .otherwise(lit(0.0)), 4).as("mcnemar_chi2"))
+  }
+
+  val t87GateAgreementSql: String = {
+    val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |$featCols
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${qcMarginSql(QcWeights, QcBias)} >= 0 THEN 1 ELSE 0 END AS keep
+       |  FROM f),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+       |    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    ${langScoreSql("en")} AS n_stop
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_ell <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass
+       |  FROM gm),
+       |cells AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(keep * pass) AS BIGINT) AS n11,
+       |    CAST(SUM((1 - keep) * (1 - pass)) AS BIGINT) AS n00,
+       |    CAST(SUM(keep * (1 - pass)) AS BIGINT) AS n10,
+       |    CAST(SUM((1 - keep) * pass) AS BIGINT) AS n01
+       |  FROM sc JOIN lab USING (doc_id))
+       |SELECT n_docs, n11, n00, n10, n01,
+       |  ROUND(CAST(n11 + n00 AS DOUBLE) / n_docs, 6) AS agree_rate,
+       |  ROUND(CAST(CAST(n_docs AS HUGEINT) * (n11 + n00)
+       |      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+       |        + CAST(n00 + n01 AS HUGEINT) * (n00 + n10)) AS DOUBLE)
+       |    / CAST(CAST(n_docs AS HUGEINT) * n_docs
+       |      - (CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+       |        + CAST(n00 + n01 AS HUGEINT) * (n00 + n10)) AS DOUBLE), 6) AS kappa,
+       |  ROUND(CASE WHEN n10 + n01 > 0 THEN
+       |      CAST(CAST(n10 - n01 AS HUGEINT) * (n10 - n01) AS DOUBLE) / (n10 + n01)
+       |    ELSE 0.0 END, 4) AS mcnemar_chi2
+       |FROM cells""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
     QueryDef.sql("t83_keyword_tags", t83KeywordTags _, t83KeywordTagsSql),
     QueryDef.sql("t84_winnowing", t84Winnowing _, t84WinnowingSql),
     QueryDef.sql("t85_calibration", t85Calibration _, t85CalibrationSql),
+    QueryDef.sql("t86_roc_auc", t86RocAuc _, t86RocAucSql),
+    QueryDef.sql("t87_gate_agreement", t87GateAgreement _, t87GateAgreementSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

@@ -481,4 +481,86 @@ class Round12Spec extends AnyFunSuite {
         s"${smaller._1} vs ${larger._1}: temperature must not favor the larger source")
     }
   }
+  // ---------------------------------------------------------------- t86
+  test("t86 AUC matches a naive midrank recompute on sf0.001") {
+    val rows = TextOps.t86RocAuc(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 10) // only populated score deciles appear
+    val auc = rows.head.getDouble(4)
+    assert(rows.forall(r => math.abs(r.getDouble(4) - auc) < 1e-12), "auc constant across rows")
+    // naive: collect (score, pass), midrank AUC in driver Scala
+    val scored = TextOps.t75QualityClassifier(spark, dir)
+      .select(col("doc_id"), col("score_n9")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val passed = TextOps.t82GopherRules(spark, dir)
+      .select(col("doc_id"), col("pass")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val xs = scored.toSeq.map { case (id, s) => (s, passed(id)) }.sortBy(_._1)
+    val nPos = xs.count(_._2 == 1).toDouble
+    val nNeg = xs.length - nPos
+    // midranks over tie groups
+    var i = 0; var rPos = 0.0
+    while (i < xs.length) {
+      var j = i
+      while (j < xs.length && xs(j)._1 == xs(i)._1) j += 1
+      val mid = (i + 1 + j).toDouble / 2.0 // avg of ranks i+1..j
+      rPos += mid * (i until j).count(k => xs(k)._2 == 1)
+      i = j
+    }
+    val want = (rPos - nPos * (nPos + 1) / 2.0) / (nPos * nNeg)
+    assert(math.abs(auc - want) < 1e-6, s"auc $auc want $want")
+    // ROC endpoints: lowest threshold bucket predicts everything positive
+    val b0 = rows.minBy(_.getLong(0))
+    assert(b0.getDouble(2) == 1.0 && b0.getDouble(3) == 1.0, "bucket-0 operating point is (1,1)")
+  }
+
+  test("t86 AUC hits 1 / 0 / 0.5 on planted separable, inverted, and all-tied frames") {
+    import spark.implicits._
+    def frame(ps: Seq[(Long, Int)]) = ps.toDF("score_n9", "pass")
+    val sep = frame((1 to 50).map(i => (i + 1000L, if (i > 25) 1 else 0)))
+    assert(TextOps.rocAucFrom(sep).head().getDouble(4) == 1.0)
+    val inv = frame((1 to 50).map(i => (i + 1000L, if (i > 25) 0 else 1)))
+    assert(TextOps.rocAucFrom(inv).head().getDouble(4) == 0.0)
+    val tied = frame((1 to 40).map(i => (777L, i % 2)))
+    assert(TextOps.rocAucFrom(tied).head().getDouble(4) == 0.5)
+  }
+
+  // ---------------------------------------------------------------- t87
+  test("t87 agreement stats match a naive 2x2 recompute on sf0.001") {
+    val keep = TextOps.t75QualityClassifier(spark, dir)
+      .select(col("doc_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pass = TextOps.t82GopherRules(spark, dir)
+      .select(col("doc_id"), col("pass")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val cells = keep.toSeq.map { case (id, k) => (k, pass(id)) }
+    val n = cells.size.toDouble
+    val n11 = cells.count(c => c._1 == 1 && c._2 == 1).toDouble
+    val n00 = cells.count(c => c._1 == 0 && c._2 == 0).toDouble
+    val n10 = cells.count(c => c._1 == 1 && c._2 == 0).toDouble
+    val n01 = cells.count(c => c._1 == 0 && c._2 == 1).toDouble
+    val po = (n11 + n00) / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n00 + n01) * (n00 + n10)) / (n * n)
+    val r = TextOps.t87GateAgreement(spark, dir).head()
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == n11.toLong
+      && r.getLong(2) == n00.toLong && r.getLong(3) == n10.toLong
+      && r.getLong(4) == n01.toLong)
+    assert(math.abs(r.getDouble(5) - po) < 1e-6)
+    assert(math.abs(r.getDouble(6) - (po - pe) / (1 - pe)) < 1e-6,
+      s"kappa ${r.getDouble(6)} want ${(po - pe) / (1 - pe)}")
+    assert(math.abs(r.getDouble(7) - (n10 - n01) * (n10 - n01) / (n10 + n01)) < 1e-3)
+  }
+
+  test("t87 kappa is exactly 1 on perfect agreement and ~0 on independence") {
+    import spark.implicits._
+    val perfect = (1 to 60).map(i => (i % 3 min 1, i % 3 min 1)).toDF("keep", "pass")
+    val p = TextOps.gateAgreementFrom(perfect).head()
+    assert(p.getDouble(5) == 1.0 && p.getDouble(6) == 1.0)
+    // independent coin flips (deterministic interleave): kappa ~ 0
+    val indep = (0 until 400).map(i => ((i / 2) % 2, i % 2)).toDF("keep", "pass")
+    val q = TextOps.gateAgreementFrom(indep).head()
+    assert(math.abs(q.getDouble(6)) < 1e-9, s"independent kappa ${q.getDouble(6)}")
+    // symmetric discordance: McNemar 0; asymmetric: (b-c)^2/(b+c)
+    assert(math.abs(q.getDouble(7)) < 1e-12)
+  }
+
 }

@@ -287,4 +287,90 @@ class TemporalSpec extends AnyFunSuite {
     assert(math.abs(got.getDouble(2) - want) < 1e-6,
       s"got ${got.getDouble(2)} want $want")
   }
+  // ---------------------------------------------------------------- q120
+  test("q120 ACF matches a naive recompute on the sf0.001 daily series") {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("day")).agg(sum(col("pc")).as("rev_c"))
+    val xs = daily.orderBy(col("day")).collect().map(_.getLong(1).toDouble)
+    val n = xs.length
+    val mean = xs.sum / n
+    val dev = xs.map(_ - mean)
+    val den = dev.map(d => d * d).sum
+    val got = Temporal.q120Acf(spark, dir).collect()
+    assert(got.length == 7)
+    var q = 0.0
+    for (r <- got) {
+      val k = r.getLong(0).toInt
+      val num = (k until n).map(t => dev(t) * dev(t - k)).sum
+      val rk = num / den
+      assert(math.abs(r.getDouble(1) - rk) < 1e-5, s"lag $k acf: ${r.getDouble(1)} vs $rk")
+      q += rk * rk / (n - k)
+      val lb = n.toDouble * (n + 2) * q
+      // the engine's Q accumulates on the snapped-integer grid: each of
+      // the ≤7 terms truncates up to one 1e-9 unit, and the n(n+2)
+      // prefactor amplifies that to ~7·n(n+2)/1e9 ≈ 0.04 at n≈2400 —
+      // 0.1 absolute is the honest bound for "same law, snapped grid"
+      assert(math.abs(r.getDouble(2) - lb) < 0.1,
+        s"lag $k lb_q: ${r.getDouble(2)} vs $lb")
+    }
+  }
+
+  test("q120 ACF spikes at the period of a planted period-7 signal, and Q is monotone") {
+    import spark.implicits._
+    // 280 days: strong weekday cycle + small deterministic jitter
+    val daily = (0 until 280).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+        100000L + 50000L * (if (i % 7 == 0) 1L else 0L) + (i * 37 % 11).toLong)
+    }.toDF("day", "rev_c")
+    val rows = Temporal.acfFrom(daily).collect()
+    val byLag = rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byLag(7L) > 0.9, s"lag-7 acf ${byLag(7L)} should be ~1 for a period-7 signal")
+    assert(byLag(7L) > byLag(1L) + 0.5, "period lag must dominate lag 1")
+    val qs = rows.sortBy(_.getLong(0)).map(_.getDouble(2))
+    assert(qs.zip(qs.tail).forall { case (a, b) => b >= a - 1e-9 }, "Ljung-Box Q monotone")
+  }
+
+  // ---------------------------------------------------------------- q121
+  test("q121 Theil-Sen matches a naive pairwise-median recompute on sf0.001") {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("day")).agg(sum(col("pc")).as("rev_c"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val n = daily.length
+    val slopes = (for {
+      i <- 0 until n; j <- i + 1 until n
+    } yield math.floor((daily(j) - daily(i)).toDouble / (j - i) * 1e6 + 0.5).toLong).sorted
+    val np = slopes.length
+    val med2 = slopes((np + 1) / 2 - 1) + slopes(np / 2)
+    val wantSlope = med2.toDouble / 2e6
+    // residuals on the same doubled grid (i is 1-based in the engine)
+    val res = (0 until n).map(i =>
+      BigInt(daily(i)) * 2000000 - BigInt(med2) * (i + 1)).sorted
+    val int2 = res((n + 1) / 2 - 1) + res(n / 2)
+    val wantIcept = int2.toDouble / 4e6
+    val r = Temporal.q121TheilSen(spark, dir).head()
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == np.toLong)
+    assert(math.abs(r.getDouble(2) - wantSlope) < 1e-6,
+      s"slope ${r.getDouble(2)} want $wantSlope")
+    assert(math.abs(r.getDouble(3) - wantIcept) < 1e-4,
+      s"intercept ${r.getDouble(3)} want $wantIcept")
+  }
+
+  test("q121 recovers a planted line exactly and ignores a single outlier") {
+    import spark.implicits._
+    def series(vs: Seq[Long]) = vs.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(i)), v)
+    }.toDF("day", "rev_c")
+    val clean = Temporal.theilSenFrom(series((1 to 100).map(i => 5000L + 300L * i))).head()
+    assert(clean.getDouble(2) == 300.0, s"slope ${clean.getDouble(2)}")
+    assert(clean.getDouble(3) == 5000.0, s"intercept ${clean.getDouble(3)}")
+    // one corrupted day: the pairwise-median slope must not move
+    val dirty = Temporal.theilSenFrom(series(
+      (1 to 100).map(i => if (i == 50) 99999999L else 5000L + 300L * i))).head()
+    assert(dirty.getDouble(2) == 300.0, s"robust slope ${dirty.getDouble(2)}")
+  }
+
 }
