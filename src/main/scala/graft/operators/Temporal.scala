@@ -643,11 +643,183 @@ object Temporal {
       |    + MIN(CASE WHEN crank = n_days // 2 + 1 THEN r2 END) AS DOUBLE) / 4e6, 6) AS intercept_cents
       |FROM rc""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q122: Mann-Kendall trend test of the daily revenue series (Mann
+  // 1945; Kendall 1975) — the nonparametric "is there ANY monotone
+  // trend" significance test that pairs with q121's Theil-Sen slope
+  // (the textbook pairing: MK decides IF a trend exists, Theil-Sen
+  // says how steep it is):
+  //   S = Σ_{i<j} sgn(x_j − x_i)
+  //   Var(S)·18 = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)   (tie groups g)
+  //   Z = (S − sgn(S)) / sqrt(Var(S))
+  //
+  // Scale shape: q121's axis exactly — the corpus collapses to the
+  // calendar-bounded daily frame in ONE shuffle, the |days|² pair
+  // frame is a constant of the DATE DOMAIN, and both reductions (sign
+  // sum, tie-group mass) are scalar aggregates over domain-bounded
+  // frames. Nothing here ever sees corpus-sized data after the first
+  // groupBy.
+  //
+  // Exactness: S and the tie-corrected 18·Var(S) are exact BIGINTs
+  // (revenue cents compare exactly; tie groups count exactly); Z is
+  // ONE double expression — (S∓1)/sqrt(var18/18) — rounded once.
+  // ---------------------------------------------------------------------
+  def q122MannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    mannKendallFrom(daily)
+  }
+
+  /** Mann-Kendall statistics over any (day: DATE, rev_c: BIGINT) daily
+    * series — spec entry point.
+    */
+  private[graft] def mannKendallFrom(daily: DataFrame): DataFrame = {
+    val wi = Window.orderBy(col("day"))
+    // calendar-bounded frame; two consumers (pair frame ×2 sides, ties)
+    val idx = daily.select(col("day"), col("rev_c"))
+      .withColumn("i", row_number().over(wi).cast(LongType))
+      .localCheckpoint(false)
+    val a = idx.select(col("i").as("ia"), col("rev_c").as("ra"))
+    val b = idx.select(col("i").as("ib"), col("rev_c").as("rb"))
+    val s = a.join(b, col("ib") > col("ia"))
+      .agg(sum(signum(col("rb") - col("ra")).cast(LongType)).as("s_stat"))
+    val ties = idx.groupBy(col("rev_c")).agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - lit(1L)) * (lit(2L) * col("t") + lit(5L)))
+        .as("tie18"),
+        sum(col("t")).as("n_days"))
+    s.crossJoin(broadcast(ties))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - lit(1L)) * (lit(2L) * col("n_days") + lit(5L))
+          - col("tie18"))
+      .select(col("n_days"), col("s_stat"), col("var18"),
+        round(when(col("s_stat") > 0L,
+            (col("s_stat") - lit(1L)).cast(DoubleType)
+              / sqrt(col("var18").cast(DoubleType) / lit(18.0)))
+          .when(col("s_stat") < 0L,
+            (col("s_stat") + lit(1L)).cast(DoubleType)
+              / sqrt(col("var18").cast(DoubleType) / lit(18.0)))
+          .otherwise(lit(0.0)), 6).as("z"))
+  }
+
+  val q122MannKendallSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, rev_c FROM daily),
+      |s AS (
+      |  SELECT CAST(SUM(CASE WHEN b.rev_c > a.rev_c THEN 1
+      |                       WHEN b.rev_c < a.rev_c THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM idx a JOIN idx b ON b.i > a.i),
+      |ties AS (
+      |  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18,
+      |    CAST(SUM(t) AS BIGINT) AS n_days
+      |  FROM (SELECT COUNT(*) AS t FROM idx GROUP BY rev_c)),
+      |v AS (
+      |  SELECT n_days, s_stat,
+      |    n_days * (n_days - 1) * (2 * n_days + 5) - tie18 AS var18
+      |  FROM s CROSS JOIN ties)
+      |SELECT n_days, s_stat, var18,
+      |  ROUND(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var18 / 18.0)
+      |             WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var18 / 18.0)
+      |             ELSE 0.0 END, 6) AS z
+      |FROM v""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q123: CUSUM change-point scan of the daily revenue series (Page
+  // 1954; the Pettitt-style single-change localization): the cumulative
+  // deviation path C_t = Σ_{s≤t}(x_s − x̄) peaks (in absolute value) at
+  // the most likely level-shift day; the report row carries the argmax
+  // day, the normalized peak mass, and the exact before/after means the
+  // monitoring runbook compares. q106 asks "did the DISTRIBUTION move
+  // vs a reference"; q123 asks "WHEN did the level shift inside this
+  // window" — the other half of a drift investigation.
+  //
+  // Scale shape: ONE corpus shuffle to the calendar-bounded daily frame
+  // (q120's axis), then every pass — deviation prefix, argmax, the two
+  // segment means — lives on |days| rows; the argmax is a 1-row
+  // TakeOrdered (|C| desc, day asc — total order), never a full sort.
+  //
+  // Exactness: deviations live on the integral n·x − S grid (q120's
+  // discipline) and the path prefix accumulates in DECIMAL(38,0), so
+  // C'_t = n·C_t is exact; the argmax compares exact decimals with a
+  // deterministic day tiebreak; segment means and the normalized peak
+  // are one double division each, rounded once (the degenerate
+  // peak-at-last-day case defines mean_after as 0 in both engines).
+  // ---------------------------------------------------------------------
+  def q123Cusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    cusumFrom(daily)
+  }
+
+  /** CUSUM change-point over any (day: DATE, rev_c: BIGINT) daily series
+    * — spec entry point.
+    */
+  private[graft] def cusumFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val wi = Window.orderBy(col("day"))
+    val idx = daily.select(col("day"), col("rev_c"))
+      .withColumn("i", row_number().over(wi).cast(LongType))
+      .localCheckpoint(false)
+    val st = idx.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("s"))
+    // integral scaled path: c_t = Σ_{s≤t} (n·x_s − S) over |days| rows
+    val wc = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val path = idx.crossJoin(broadcast(st))
+      .withColumn("dv", (col("n") * col("rev_c") - col("s")).cast(d38))
+      .withColumn("c", sum(col("dv")).over(wc))
+      .withColumn("cum_rev", sum(col("rev_c")).over(wc))
+    path
+      .orderBy(abs(col("c")).desc, col("day").asc)
+      .limit(1)
+      .select(
+        col("n").as("n_days"),
+        col("day").as("cp_day"), col("i").as("cp_i"),
+        round(abs(col("c")).cast(DoubleType) / col("n").cast(DoubleType), 4)
+          .as("peak_cents"),
+        round(col("cum_rev").cast(DoubleType) / col("i").cast(DoubleType), 4)
+          .as("mean_before_cents"),
+        when(col("n") > col("i"),
+          round((col("s") - col("cum_rev")).cast(DoubleType)
+            / (col("n") - col("i")).cast(DoubleType), 4))
+          .otherwise(lit(0.0)).as("mean_after_cents"))
+  }
+
+  val q123CusumSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |idx AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, day, rev_c FROM daily),
+      |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_c) AS BIGINT) AS s FROM idx),
+      |path AS (
+      |  SELECT i, day, n, s,
+      |    SUM(CAST(n AS HUGEINT) * rev_c - s) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS c,
+      |    CAST(SUM(rev_c) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev
+      |  FROM idx CROSS JOIN st),
+      |peak AS (SELECT * FROM path ORDER BY abs(c) DESC, day ASC LIMIT 1)
+      |SELECT n AS n_days, day AS cp_day, i AS cp_i,
+      |  ROUND(CAST(abs(c) AS DOUBLE) / n, 4) AS peak_cents,
+      |  ROUND(CAST(cum_rev AS DOUBLE) / i, 4) AS mean_before_cents,
+      |  CASE WHEN n > i
+      |    THEN ROUND(CAST(s - cum_rev AS DOUBLE) / (n - i), 4)
+      |    ELSE 0.0 END AS mean_after_cents
+      |FROM peak""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
     QueryDef.sql("q106_psi_drift", q106PsiDrift _, q106PsiDriftSql),
     QueryDef.sql("q120_acf", q120Acf _, q120AcfSql),
     QueryDef.sql("q121_theil_sen", q121TheilSen _, q121TheilSenSql),
+    QueryDef.sql("q122_mann_kendall", q122MannKendall _, q122MannKendallSql),
+    QueryDef.sql("q123_cusum", q123Cusum _, q123CusumSql),
   )
 }

@@ -373,4 +373,77 @@ class TemporalSpec extends AnyFunSuite {
     assert(dirty.getDouble(2) == 300.0, s"robust slope ${dirty.getDouble(2)}")
   }
 
+  // ---------------------------------------------------------------- q122
+  test("q122 Mann-Kendall matches a naive pairwise recompute on sf0.001") {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("day")).agg(sum(col("pc")).as("rev_c"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val n = daily.length
+    val s = (for { i <- 0 until n; j <- i + 1 until n }
+      yield java.lang.Long.signum(daily(j) - daily(i)).toLong).sum
+    val tie18 = daily.groupBy(identity).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val var18 = n.toLong * (n - 1) * (2L * n + 5) - tie18
+    val z =
+      if (s > 0) (s - 1).toDouble / math.sqrt(var18 / 18.0)
+      else if (s < 0) (s + 1).toDouble / math.sqrt(var18 / 18.0)
+      else 0.0
+    val r = Temporal.q122MannKendall(spark, dir).head()
+    assert(r.getLong(0) == n.toLong && r.getLong(1) == s && r.getLong(2) == var18)
+    assert(math.abs(r.getDouble(3) - z) < 1e-6, s"z ${r.getDouble(3)} want $z")
+  }
+
+  test("q122 is maximal on a strict ramp and exactly zero on a constant series") {
+    import spark.implicits._
+    def series(vs: Seq[Long]) = vs.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(i)), v)
+    }.toDF("day", "rev_c")
+    val up = Temporal.mannKendallFrom(series((1 to 60).map(i => 100L + i))).head()
+    assert(up.getLong(1) == 60L * 59 / 2, "strict ramp: every pair concordant")
+    assert(up.getDouble(3) > 7.0, s"ramp z ${up.getDouble(3)} must be strongly positive")
+    val const = Temporal.mannKendallFrom(series(Seq.fill(60)(777L))).head()
+    assert(const.getLong(1) == 0L && const.getLong(2) == 0L && const.getDouble(3) == 0.0,
+      "constant series: S = 0, tie-corrected variance 0, z defined 0")
+  }
+
+  // ---------------------------------------------------------------- q123
+  test("q123 CUSUM matches a naive path recompute on sf0.001") {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("day")).agg(sum(col("pc")).as("rev_c"))
+      .orderBy(col("day")).collect().map(r => (r.getDate(0), r.getLong(1)))
+    val n = daily.length
+    val s = daily.map(_._2).sum
+    // scaled integral path c_t = sum(n*x - s); argmax |c| with day-asc tiebreak
+    var c = BigInt(0)
+    val path = daily.map { case (_, v) => c += BigInt(n) * v - s; c }
+    val best = path.zipWithIndex.maxBy { case (ci, i) => (ci.abs, -i) }._2
+    val r = Temporal.q123Cusum(spark, dir).head()
+    assert(r.getLong(0) == n.toLong)
+    assert(r.getDate(1) == daily(best)._1 && r.getLong(2) == (best + 1).toLong)
+    // peak_cents = |n·C|/n = |C| on the cents grid
+    assert(math.abs(r.getDouble(3) - (path(best).abs.toDouble / n)) < 1e-2)
+    val before = daily.take(best + 1).map(_._2)
+    assert(math.abs(r.getDouble(4) - before.sum.toDouble / before.length) < 1e-3)
+    val after = daily.drop(best + 1).map(_._2)
+    assert(math.abs(r.getDouble(5) - after.sum.toDouble / after.length) < 1e-3)
+  }
+
+  test("q123 localizes a planted level shift exactly") {
+    import spark.implicits._
+    val vs = Seq.fill(100)(100000L) ++ Seq.fill(100)(200000L)
+    val daily = vs.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)), v)
+    }.toDF("day", "rev_c")
+    val r = Temporal.cusumFrom(daily).head()
+    assert(r.getLong(2) == 100L, s"change point at the shift, got i=${r.getLong(2)}")
+    assert(r.getDouble(4) == 100000.0 && r.getDouble(5) == 200000.0,
+      "segment means are the planted levels exactly")
+    // peak mass: |C_100| = 100·|100000−150000| = 5e6 cents
+    assert(math.abs(r.getDouble(3) - 5e6) < 1e-6, s"peak ${r.getDouble(3)}")
+  }
+
 }
