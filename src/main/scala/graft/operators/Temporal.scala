@@ -813,6 +813,213 @@ object Temporal {
       |    ELSE 0.0 END AS mean_after_cents
       |FROM peak""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q124: Wald-Wolfowitz runs test of the daily revenue series against
+  // its own median (Wald & Wolfowitz 1940) — "is the sequence of
+  // above/below-median days random, or does it clump?" The third leg of
+  // the serial-structure battery: q120 measures linear autocorrelation,
+  // q122 monotone trend, q124 catches ANY clumping (regime-switching,
+  // level persistence) with no distributional assumption.
+  //   R = #maximal same-sign runs, n1/n2 = #above/#below (ties dropped)
+  //   E[R] = 1 + 2·n1·n2/n,  Var·n²(n−1) = 2n1n2(2n1n2−n),  n = n1+n2
+  //   Z = (R − E[R]) / sqrt(Var)
+  //
+  // Scale shape: ONE corpus shuffle to the calendar-bounded daily frame
+  // (q120's axis); the median lives on that |days| frame (2×median is
+  // an exact integer — the house even-count discipline), the run-start
+  // flags are one lag() pass over the same frame, and the test reduces
+  // to a single scalar row.
+  //
+  // Exactness: classification compares 2·rev_c to the integer med2
+  // exactly; R, n1, n2 are exact longs; Z is ONE double expression of
+  // those integers — written with the same association order in both
+  // engines — rounded once.
+  // ---------------------------------------------------------------------
+  def q124RunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    runsTestFrom(daily)
+  }
+
+  /** Runs-vs-median test over any (day: DATE, rev_c: BIGINT) daily
+    * series — spec entry point.
+    */
+  private[graft] def runsTestFrom(daily: DataFrame): DataFrame = {
+    val wv = Window.orderBy(col("rev_c"), col("day"))
+    // |days| frame; two consumers (median scalar, signed sequence)
+    val idx = daily.select(col("day"), col("rev_c"))
+      .localCheckpoint(false)
+    val nRow = idx.agg(count(lit(1)).as("n_days"))
+    val med = idx.withColumn("vrank", row_number().over(wv).cast(LongType))
+      .crossJoin(broadcast(nRow))
+      .agg((min(when(col("vrank") === expr("(n_days + 1L) div 2L"), col("rev_c")))
+        + min(when(col("vrank") === expr("n_days div 2L + 1L"), col("rev_c"))))
+        .as("med2"))
+    val signed = idx.crossJoin(broadcast(med))
+      .filter(lit(2L) * col("rev_c") =!= col("med2"))
+      .withColumn("sgn", when(lit(2L) * col("rev_c") > col("med2"), 1L).otherwise(-1L))
+    val wd = Window.orderBy(col("day"))
+    signed
+      .withColumn("newRun",
+        when(lag(col("sgn"), 1).over(wd).isNull
+          || lag(col("sgn"), 1).over(wd) =!= col("sgn"), 1L).otherwise(0L))
+      .agg(
+        sum(when(col("sgn") === 1L, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("sgn") === -1L, 1L).otherwise(0L)).as("n_below"),
+        sum(col("newRun")).as("runs"))
+      .withColumn("n", col("n_above") + col("n_below"))
+      .select(col("n").as("n_used"), col("n_above"), col("n_below"), col("runs"),
+        round((col("runs").cast(DoubleType)
+          - (lit(1.0) + lit(2.0) * col("n_above").cast(DoubleType)
+            * col("n_below").cast(DoubleType) / col("n").cast(DoubleType)))
+          / sqrt(lit(2.0) * col("n_above").cast(DoubleType)
+            * col("n_below").cast(DoubleType)
+            * (lit(2.0) * col("n_above").cast(DoubleType)
+              * col("n_below").cast(DoubleType) - col("n").cast(DoubleType))
+            / (col("n").cast(DoubleType) * col("n").cast(DoubleType)
+              * (col("n").cast(DoubleType) - lit(1.0)))), 6).as("z"))
+  }
+
+  val q124RunsTestSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1),
+      |nrow AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+      |vr AS (
+      |  SELECT rev_c, ROW_NUMBER() OVER (ORDER BY rev_c, day) AS vrank
+      |  FROM daily),
+      |med AS (
+      |  SELECT MIN(CASE WHEN vrank = (n_days + 1) // 2 THEN rev_c END)
+      |       + MIN(CASE WHEN vrank = n_days // 2 + 1 THEN rev_c END) AS med2
+      |  FROM vr CROSS JOIN nrow),
+      |signed AS (
+      |  SELECT day, CASE WHEN 2 * rev_c > med2 THEN 1 ELSE -1 END AS sgn
+      |  FROM daily CROSS JOIN med
+      |  WHERE 2 * rev_c <> med2),
+      |runs AS (
+      |  SELECT sgn,
+      |    CASE WHEN LAG(sgn) OVER (ORDER BY day) IS NULL
+      |           OR LAG(sgn) OVER (ORDER BY day) <> sgn THEN 1 ELSE 0 END AS newRun
+      |  FROM signed),
+      |agg AS (
+      |  SELECT CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+      |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+      |    CAST(SUM(newRun) AS BIGINT) AS runs
+      |  FROM runs)
+      |SELECT n_above + n_below AS n_used, n_above, n_below, runs,
+      |  ROUND((CAST(runs AS DOUBLE)
+      |    - (1.0 + 2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      |      / CAST(n_above + n_below AS DOUBLE)))
+      |    / sqrt(2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      |      * (2.0 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+      |        - CAST(n_above + n_below AS DOUBLE))
+      |      / (CAST(n_above + n_below AS DOUBLE) * CAST(n_above + n_below AS DOUBLE)
+      |        * (CAST(n_above + n_below AS DOUBLE) - 1.0))), 6) AS z
+      |FROM agg""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q125: fixed-frequency periodogram of the daily revenue series — the
+  // variance fraction a weekly/monthly/quarterly/annual harmonic
+  // explains (Schuster 1898; the screening companion to q105: q105
+  // ASSUMES the weekday period, q125 asks which candidate period the
+  // data actually supports):
+  //   a_p = Σ_t d_t·cos(2π(t mod p)/p),  b_p = Σ_t d_t·sin(…)
+  //   power_p = 2(a_p² + b_p²) / (n·Σ d_t²)
+  //
+  // Scale shape: ONE corpus shuffle to the calendar-bounded daily frame
+  // (q120's axis); the 4-period fan-out is a literal explode, so the
+  // trig pass is 4·|days| rows collapsing straight into a 4-row hash
+  // aggregate. Nothing downstream of the first groupBy scales with the
+  // corpus.
+  //
+  // Exactness: deviations d_t live on the integral n·x − S grid;
+  // cos/sin take the SMALL argument 2π·(t mod p)/p (bit-identical arg
+  // in both engines — integer mod, one division, one multiply) and
+  // micro-snap to the 1e6 grid, so a_p/b_p accumulate as exact
+  // DECIMAL(38,0) sums of integer products; the power is ONE double
+  // expression over those exact sums, rounded once.
+  // ---------------------------------------------------------------------
+  private[operators] val PeriodogramPeriods = Seq(7L, 30L, 91L, 365L)
+
+  def q125Periodogram(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    periodogramFrom(daily)
+  }
+
+  /** Candidate-period spectral powers over any (day: DATE, rev_c:
+    * BIGINT) daily series — spec entry point.
+    */
+  private[graft] def periodogramFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val wi = Window.orderBy(col("day"))
+    val idx = daily.select(col("day"), col("rev_c"))
+      .withColumn("i", row_number().over(wi).cast(LongType))
+      .localCheckpoint(false)
+    val st = idx.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("s"))
+    val d = idx.crossJoin(broadcast(st))
+      .select(col("i"), col("n"),
+        (col("n") * col("rev_c") - col("s")).as("dv"))
+    val den = d.agg(sum(col("dv").cast(d38) * col("dv")).as("den"),
+      max(col("n")).as("n"))
+    val fan = d.select(col("i"), col("dv"),
+        explode(array(PeriodogramPeriods.map(p => lit(p)): _*)).as("p"))
+      .withColumn("arg",
+        lit(2.0) * lit(math.Pi) * (col("i") % col("p")).cast(DoubleType)
+          / col("p").cast(DoubleType))
+      .withColumn("c6", floor(cos(col("arg")) * lit(1e6) + lit(0.5)).cast(LongType))
+      .withColumn("s6", floor(sin(col("arg")) * lit(1e6) + lit(0.5)).cast(LongType))
+    fan.groupBy(col("p"))
+      .agg(sum(col("dv").cast(d38) * col("c6")).as("a6"),
+        sum(col("dv").cast(d38) * col("s6")).as("b6"))
+      .crossJoin(broadcast(den))
+      .select(col("p").as("period"),
+        round((col("a6").cast(DoubleType) * col("a6").cast(DoubleType)
+          + col("b6").cast(DoubleType) * col("b6").cast(DoubleType)) * lit(2.0)
+          / (col("n").cast(DoubleType) * col("den").cast(DoubleType) * lit(1e12)), 6)
+          .as("power"))
+      .orderBy(col("period"))
+  }
+
+  val q125PeriodogramSql: String = {
+    val periods = PeriodogramPeriods.mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1),
+       |idx AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, rev_c FROM daily),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_c) AS BIGINT) AS s
+       |  FROM idx),
+       |d AS (SELECT i, n, n * rev_c - s AS dv FROM idx CROSS JOIN st),
+       |den AS (SELECT SUM(CAST(dv AS HUGEINT) * dv) AS den, CAST(MAX(n) AS BIGINT) AS n
+       |  FROM d),
+       |fan AS (
+       |  SELECT d.i, d.dv, p.p,
+       |    2.0 * pi() * CAST(d.i % p.p AS DOUBLE) / CAST(p.p AS DOUBLE) AS arg
+       |  FROM d CROSS JOIN (SELECT UNNEST(ARRAY[$periods]) AS p) p),
+       |snapped AS (
+       |  SELECT p, dv,
+       |    CAST(floor(cos(arg) * 1e6 + 0.5) AS BIGINT) AS c6,
+       |    CAST(floor(sin(arg) * 1e6 + 0.5) AS BIGINT) AS s6
+       |  FROM fan),
+       |g AS (
+       |  SELECT p, SUM(CAST(dv AS HUGEINT) * c6) AS a6,
+       |    SUM(CAST(dv AS HUGEINT) * s6) AS b6
+       |  FROM snapped GROUP BY 1)
+       |SELECT CAST(p AS BIGINT) AS period,
+       |  ROUND((CAST(a6 AS DOUBLE) * CAST(a6 AS DOUBLE)
+       |    + CAST(b6 AS DOUBLE) * CAST(b6 AS DOUBLE)) * 2.0
+       |    / (CAST(n AS DOUBLE) * CAST(den AS DOUBLE) * 1e12), 6) AS power
+       |FROM g CROSS JOIN den ORDER BY period""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
@@ -821,5 +1028,7 @@ object Temporal {
     QueryDef.sql("q121_theil_sen", q121TheilSen _, q121TheilSenSql),
     QueryDef.sql("q122_mann_kendall", q122MannKendall _, q122MannKendallSql),
     QueryDef.sql("q123_cusum", q123Cusum _, q123CusumSql),
+    QueryDef.sql("q124_runs_test", q124RunsTest _, q124RunsTestSql),
+    QueryDef.sql("q125_periodogram", q125Periodogram _, q125PeriodogramSql),
   )
 }

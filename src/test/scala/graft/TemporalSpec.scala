@@ -446,4 +446,81 @@ class TemporalSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 5e6) < 1e-6, s"peak ${r.getDouble(3)}")
   }
 
+  // ---------------------------------------------------------------- q124
+  test("q124 runs test matches a naive recompute on sf0.001") {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("day")).agg(sum(col("pc")).as("rev_c"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val n = daily.length
+    val sv = daily.sorted
+    val med2 = sv((n + 1) / 2 - 1) + sv(n / 2)
+    val sgns = daily.map(v => java.lang.Long.signum(2 * v - med2)).filter(_ != 0)
+    val n1 = sgns.count(_ == 1).toLong
+    val n2 = sgns.count(_ == -1).toLong
+    val nn = n1 + n2
+    val runs = 1L + sgns.zip(sgns.tail).count { case (a, b) => a != b }
+    val e = 1.0 + 2.0 * n1 * n2 / nn
+    val v = 2.0 * n1 * n2 * (2.0 * n1 * n2 - nn) / (nn.toDouble * nn * (nn - 1))
+    val r = Temporal.q124RunsTest(spark, dir).head()
+    assert(r.getLong(0) == nn && r.getLong(1) == n1 && r.getLong(2) == n2
+      && r.getLong(3) == runs)
+    assert(math.abs(r.getDouble(4) - (runs - e) / math.sqrt(v)) < 1e-6,
+      s"z ${r.getDouble(4)} want ${(runs - e) / math.sqrt(v)}")
+  }
+
+  test("q124 reads alternation as positive z and blocking as negative z") {
+    import spark.implicits._
+    def series(vs: Seq[Long]) = vs.zipWithIndex.map { case (v, i) =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2021, 1, 1).plusDays(i)), v)
+    }.toDF("day", "rev_c")
+    // perfect alternation: every step starts a run → R = n, z strongly +
+    val alt = Temporal.runsTestFrom(series((0 until 80).map(i =>
+      if (i % 2 == 0) 100L else 200L))).head()
+    assert(alt.getLong(3) == 80L && alt.getDouble(4) > 8.0,
+      s"alternating: R=${alt.getLong(3)}, z=${alt.getDouble(4)}")
+    // two homogeneous blocks: R = 2, z strongly −
+    val blk = Temporal.runsTestFrom(series(
+      Seq.fill(40)(100L) ++ Seq.fill(40)(200L))).head()
+    assert(blk.getLong(3) == 2L && blk.getDouble(4) < -8.0,
+      s"blocked: R=${blk.getLong(3)}, z=${blk.getDouble(4)}")
+  }
+
+  // ---------------------------------------------------------------- q125
+  test("q125 periodogram matches a naive recompute on sf0.001") {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("day")).agg(sum(col("pc")).as("rev_c"))
+      .orderBy(col("day")).collect().map(_.getLong(1))
+    val n = daily.length
+    val s = daily.sum
+    val dv = daily.map(v => BigInt(n) * v - s)
+    val den = dv.map(d => d * d).sum
+    val got = Temporal.q125Periodogram(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (p <- Seq(7L, 30L, 91L, 365L)) {
+      val a = dv.zipWithIndex.map { case (d, i) =>
+        d * math.floor(math.cos(2 * math.Pi * ((i + 1) % p) / p) * 1e6 + 0.5).toLong }.sum
+      val b = dv.zipWithIndex.map { case (d, i) =>
+        d * math.floor(math.sin(2 * math.Pi * ((i + 1) % p) / p) * 1e6 + 0.5).toLong }.sum
+      val want = (a * a + b * b).toDouble * 2.0 / (n.toDouble * den.toDouble * 1e12)
+      assert(math.abs(got(p) - want) < 1e-6, s"period $p: ${got(p)} want $want")
+    }
+  }
+
+  test("q125 concentrates power at a planted period-7 harmonic") {
+    import spark.implicits._
+    val daily = (0 until 280).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2020, 1, 1).plusDays(i)),
+        math.round(1e6 * math.cos(2 * math.Pi * ((i + 1) % 7) / 7.0)))
+    }.toDF("day", "rev_c")
+    val got = Temporal.periodogramFrom(daily).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(7L) > 0.99, s"pure weekly harmonic: power ${got(7L)} must be ~1")
+    assert(got(30L) < 0.02 && got(91L) < 0.02 && got(365L) < 0.02,
+      s"off-period powers stay small: $got")
+  }
+
 }
