@@ -1020,6 +1020,115 @@ object Temporal {
        |FROM g CROSS JOIN den ORDER BY period""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q126: Page-Hinkley drift scan of the daily revenue series (Page
+  // 1954) — the sequential-monitoring statistic the ONLINE detector
+  // would have computed, replayed in batch: a frozen reference window
+  // (first RefDays observed days) fixes μ0, then over the monitor tail
+  //   m_t = Σ_{s≤t} (x_s − μ0),   PH↑_t = m_t − min_{s≤t} m_s,
+  //   PH↓_t = max_{s≤t} m_s − m_t
+  // and the report row carries both peak excursions and their days.
+  // q123 localizes a shift against the FULL-window mean
+  // (retrospective); q126 is the frozen-reference deployment shape —
+  // the same statistic `streaming.PageHinkley` emits online, state
+  // carried across micro-batches (stream ≡ batch pinned in
+  // TemporalSpec).
+  //
+  // Scale shape: ONE corpus shuffle to the calendar-bounded daily
+  // frame (q120's axis); the reference sum is a broadcast scalar and
+  // the monitor path (prefix sum + running extrema + two 1-row
+  // TakeOrdered argmaxes) lives on |days| rows.
+  //
+  // Exactness: deviations live on the integral RefDays·x − S_ref grid;
+  // the path and extrema accumulate in DECIMAL(38,0); peaks rescale by
+  // ONE double division each, rounded once.
+  // ---------------------------------------------------------------------
+  private[operators] val RefDays = 365L
+
+  def q126PageHinkley(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    pageHinkleySummaryFrom(pageHinkleyPathFrom(daily, RefDays))
+  }
+
+  /** Den-scaled PH path over any (day: DATE, rev_c: BIGINT) daily
+    * series: monitor rows (day, seq, ph_up, ph_dn) on the refN-scaled
+    * cents grid — the exact frame `streaming.PageHinkley` emits, and
+    * the spec's stream ≡ batch pivot.
+    */
+  private[graft] def pageHinkleyPathFrom(daily: DataFrame, refN: Long): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val wi = Window.orderBy(col("day"))
+    val idx = daily.select(col("day"), col("rev_c"))
+      .withColumn("i", row_number().over(wi).cast(LongType))
+      .localCheckpoint(false)
+    val ref = idx.filter(col("i") <= refN)
+      .agg(sum(col("rev_c")).as("s_ref"), count(lit(1)).as("n_ref"))
+    val wc = Window.orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx.filter(col("i") > refN).crossJoin(broadcast(ref))
+      .withColumn("dev", (col("n_ref") * col("rev_c") - col("s_ref")).cast(d38))
+      .withColumn("m", sum(col("dev")).over(wc))
+      .select(col("day"), col("i").as("seq"), col("n_ref"), col("s_ref"),
+        (col("m") - min(col("m")).over(wc)).cast(LongType).as("ph_up"),
+        (max(col("m")).over(wc) - col("m")).cast(LongType).as("ph_dn"))
+  }
+
+  /** One-row report from a PH path frame — spec entry point. */
+  private[graft] def pageHinkleySummaryFrom(path: DataFrame): DataFrame = {
+    val up = path.orderBy(col("ph_up").desc, col("day").asc).limit(1)
+      .select(col("n_ref"), col("s_ref"), col("day").as("up_peak_day"),
+        col("ph_up").as("up_peak"))
+    val dn = path.orderBy(col("ph_dn").desc, col("day").asc).limit(1)
+      .select(col("day").as("dn_peak_day"), col("ph_dn").as("dn_peak"))
+    val nm = path.agg(count(lit(1)).as("n_mon"))
+    up.crossJoin(broadcast(dn)).crossJoin(broadcast(nm))
+      .select(col("n_ref").as("n_ref"), col("n_mon"),
+        round(col("s_ref").cast(DoubleType) / col("n_ref").cast(DoubleType), 4)
+          .as("mu0_cents"),
+        col("up_peak_day"),
+        round(col("up_peak").cast(DoubleType) / col("n_ref").cast(DoubleType), 4)
+          .as("max_ph_up_cents"),
+        col("dn_peak_day"),
+        round(col("dn_peak").cast(DoubleType) / col("n_ref").cast(DoubleType), 4)
+          .as("max_ph_dn_cents"))
+  }
+
+  val q126PageHinkleySql: String =
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1),
+       |idx AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, day, rev_c FROM daily),
+       |ref AS (
+       |  SELECT CAST(SUM(rev_c) AS BIGINT) AS s_ref, CAST(COUNT(*) AS BIGINT) AS n_ref
+       |  FROM idx WHERE i <= $RefDays),
+       |path AS (
+       |  SELECT day, i, n_ref, s_ref,
+       |    SUM(CAST(n_ref AS HUGEINT) * rev_c - s_ref)
+       |      OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS m
+       |  FROM idx CROSS JOIN ref WHERE i > $RefDays),
+       |ph AS (
+       |  SELECT day, n_ref, s_ref,
+       |    m - MIN(m) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) AS ph_up,
+       |    MAX(m) OVER (ORDER BY i ROWS UNBOUNDED PRECEDING) - m AS ph_dn
+       |  FROM path),
+       |up AS (SELECT n_ref, s_ref, day AS up_peak_day, ph_up AS up_peak
+       |  FROM ph ORDER BY ph_up DESC, day ASC LIMIT 1),
+       |dn AS (SELECT day AS dn_peak_day, ph_dn AS dn_peak
+       |  FROM ph ORDER BY ph_dn DESC, day ASC LIMIT 1),
+       |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_mon FROM ph)
+       |SELECT n_ref, n_mon,
+       |  ROUND(CAST(s_ref AS DOUBLE) / n_ref, 4) AS mu0_cents,
+       |  up_peak_day,
+       |  ROUND(CAST(up_peak AS DOUBLE) / n_ref, 4) AS max_ph_up_cents,
+       |  dn_peak_day,
+       |  ROUND(CAST(dn_peak AS DOUBLE) / n_ref, 4) AS max_ph_dn_cents
+       |FROM up CROSS JOIN dn CROSS JOIN nm""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
@@ -1030,5 +1139,6 @@ object Temporal {
     QueryDef.sql("q123_cusum", q123Cusum _, q123CusumSql),
     QueryDef.sql("q124_runs_test", q124RunsTest _, q124RunsTestSql),
     QueryDef.sql("q125_periodogram", q125Periodogram _, q125PeriodogramSql),
+    QueryDef.sql("q126_page_hinkley", q126PageHinkley _, q126PageHinkleySql),
   )
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{Audits, Graph, Temporal}
+import graft.streaming.{PageHinkley, SeriesPoint}
 
 /** Semantics of the temporal/drift batch (q103-q107): Kruskal-Wallis and
   * assortativity against naive driver-side recomputes, Kaplan-Meier
@@ -521,6 +522,75 @@ class TemporalSpec extends AnyFunSuite {
     assert(got(7L) > 0.99, s"pure weekly harmonic: power ${got(7L)} must be ~1")
     assert(got(30L) < 0.02 && got(91L) < 0.02 && got(365L) < 0.02,
       s"off-period powers stay small: $got")
+  }
+
+  // ---------------------------------------------------------------- q126
+  test("q126 Page-Hinkley matches a naive sequential replay on sf0.001") {
+    val rows = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("day")).agg(sum(col("pc")).as("rev_c"))
+      .orderBy(col("day")).collect().map(r => (r.getDate(0), r.getLong(1)))
+    val ref = 365
+    val sref = rows.take(ref).map(_._2).sum
+    var m = BigInt(0); var mn = BigInt(Long.MaxValue); var mx = BigInt(Long.MinValue)
+    var bestUp = (BigInt(-1), null: java.sql.Date); var bestDn = (BigInt(-1), null: java.sql.Date)
+    for ((d, v) <- rows.drop(ref)) {
+      m += BigInt(ref) * v - sref
+      mn = mn.min(m); mx = mx.max(m)
+      if (m - mn > bestUp._1) bestUp = (m - mn, d)
+      if (mx - m > bestDn._1) bestDn = (mx - m, d)
+    }
+    val r = Temporal.q126PageHinkley(spark, dir).head()
+    assert(r.getLong(0) == ref.toLong && r.getLong(1) == (rows.length - ref).toLong)
+    assert(math.abs(r.getDouble(2) - sref.toDouble / ref) < 1e-3)
+    assert(r.getDate(3) == bestUp._2 && r.getDate(5) == bestDn._2,
+      s"peak days ${r.getDate(3)}/${r.getDate(5)} want ${bestUp._2}/${bestDn._2}")
+    assert(math.abs(r.getDouble(4) - bestUp._1.toDouble / ref) < 1e-2)
+    assert(math.abs(r.getDouble(6) - bestDn._1.toDouble / ref) < 1e-2)
+  }
+
+  test("streaming Page-Hinkley ≡ batch path, state straddling micro-batches") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val daily = Tables.orders(spark, dir)
+        .select(to_date(col("o_orderdate")).as("day"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+        .groupBy(col("day")).agg(sum(col("pc")).as("rev_c"))
+      val batch = Temporal.pageHinkleyPathFrom(daily, 365L)
+        .select(col("seq"), col("ph_up"), col("ph_dn")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val series = daily.orderBy(col("day")).collect().map(_.getLong(1))
+      val sref = series.take(365).sum
+      val monitor = series.drop(365).zipWithIndex.map { case (v, i) =>
+        SeriesPoint("rev", 366L + i, v)
+      }
+      // 3 in-order chunks: the cumulative deviation and both extrema must
+      // flow through ValueState at each boundary
+      val chunks = monitor.grouped(math.max(1, (monitor.length + 2) / 3)).toSeq
+      assert(chunks.length == 3)
+      val input = MemoryStream[SeriesPoint]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ph").toString
+      val q = PageHinkley(input.toDF(), sref, 365L)
+        .writeStream.format("memory").queryName("ph_path")
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      try {
+        chunks.foreach { c => input.addData(c: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val streamed = spark.table("ph_path").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(streamed.length == batch.length && batch.nonEmpty)
+      assert(streamed.sameElements(batch),
+        s"first diff: ${streamed.zip(batch).find { case (a, b) => a != b }}")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
 }
