@@ -1711,9 +1711,97 @@ object Audits {
        |ORDER BY o_orderstatus""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q127: Kendall's tau-b between quantity and discount (Kendall 1938;
+  // tau-b tie correction, Kendall 1945) — the pair-concordance rank
+  // correlation that complements q113's Spearman: Spearman correlates
+  // average ranks, tau-b asks directly "of all item pairs, how many
+  // move together vs against", the standard choice for small-
+  // cardinality ordinal columns like these.
+  //   τ_b = (C − D) / sqrt((n0 − T_q)(n0 − T_d)),   n0 = n(n−1)/2
+  //
+  // Scale shape: the corpus collapses to the JOINT HISTOGRAM in ONE
+  // map-side-combined shuffle — ≤ 50×11 cells, a constant of the VALUE
+  // DOMAIN, not the corpus — and every pair statistic (concordant /
+  // discordant cross-products, tie masses) is arithmetic on that
+  // broadcast grid. The O(n²) pair semantics costs O(cells²) ≈ 3·10⁵
+  // products at ANY corpus size: the same histogram trick as q117's
+  // split scan.
+  //
+  // Exactness: C, D, and both tie masses are exact DECIMAL(38,0) sums
+  // of count products; τ_b is ONE double expression over them,
+  // rounded once.
+  // ---------------------------------------------------------------------
+  def q127KendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(floor(col("l_quantity") + lit(0.5)).cast(LongType).as("q"),
+        floor(col("l_discount") * lit(100.0) + lit(0.5)).cast(LongType).as("d"))
+    kendallTauFrom(li)
+  }
+
+  /** Tau-b over any two small-cardinality integer columns (q, d) —
+    * spec entry point.
+    */
+  private[graft] def kendallTauFrom(pairsDf: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val h = pairsDf.groupBy(col("q"), col("d"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val tot = h.agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_cells"))
+    val a = h.select(col("q").as("qa"), col("d").as("da"), col("cnt").as("ca"))
+    val b = h.select(col("q").as("qb"), col("d").as("db"), col("cnt").as("cb"))
+    val cd = a.join(broadcast(b),
+        col("qb") > col("qa") && col("db") =!= col("da"))
+      .agg(
+        sum(when(col("db") > col("da"),
+          col("ca").cast(d38) * col("cb")).otherwise(lit(0L).cast(d38))).as("c_pairs"),
+        sum(when(col("db") < col("da"),
+          col("ca").cast(d38) * col("cb")).otherwise(lit(0L).cast(d38))).as("d_pairs"))
+    val tq = h.groupBy(col("q")).agg(sum(col("cnt")).as("m"))
+      .agg(sum(col("m").cast(d38) * (col("m") - lit(1L))).as("tq2"))
+    val td = h.groupBy(col("d")).agg(sum(col("cnt")).as("m"))
+      .agg(sum(col("m").cast(d38) * (col("m") - lit(1L))).as("td2"))
+    cd.crossJoin(broadcast(tot)).crossJoin(broadcast(tq)).crossJoin(broadcast(td))
+      .withColumn("n02", col("n").cast(d38) * (col("n") - lit(1L)))
+      .select(col("n").as("n_rows"), col("n_cells"),
+        col("c_pairs").cast(LongType).as("c_pairs"),
+        col("d_pairs").cast(LongType).as("d_pairs"),
+        round((col("c_pairs") - col("d_pairs")).cast(DoubleType)
+          / sqrt((col("n02") - col("tq2")).cast(DoubleType) / lit(2.0)
+            * ((col("n02") - col("td2")).cast(DoubleType) / lit(2.0))), 6)
+          .as("tau_b"))
+  }
+
+  val q127KendallTauSql: String =
+    """WITH pairs AS (
+      |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+      |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d
+      |  FROM lineitem),
+      |h AS (SELECT q, d, COUNT(*) AS cnt FROM pairs GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_cells
+      |  FROM h),
+      |cd AS (
+      |  SELECT
+      |    SUM(CASE WHEN b.d > a.d THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END) AS c_pairs,
+      |    SUM(CASE WHEN b.d < a.d THEN CAST(a.cnt AS HUGEINT) * b.cnt ELSE 0 END) AS d_pairs
+      |  FROM h a JOIN h b ON b.q > a.q AND b.d <> a.d),
+      |tq AS (
+      |  SELECT SUM(CAST(m AS HUGEINT) * (m - 1)) AS tq2
+      |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS m FROM h GROUP BY q)),
+      |td AS (
+      |  SELECT SUM(CAST(m AS HUGEINT) * (m - 1)) AS td2
+      |  FROM (SELECT CAST(SUM(cnt) AS BIGINT) AS m FROM h GROUP BY d))
+      |SELECT n AS n_rows, n_cells,
+      |  CAST(c_pairs AS BIGINT) AS c_pairs, CAST(d_pairs AS BIGINT) AS d_pairs,
+      |  ROUND(CAST(c_pairs - d_pairs AS DOUBLE)
+      |    / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - tq2 AS DOUBLE) / 2.0
+      |      * (CAST(CAST(n AS HUGEINT) * (n - 1) - td2 AS DOUBLE) / 2.0)), 6) AS tau_b
+      |FROM cd CROSS JOIN tot CROSS JOIN tq CROSS JOIN td""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
     QueryDef.sql("q113_spearman", q113Spearman _, q113SpearmanSql),
+    QueryDef.sql("q127_kendall_tau", q127KendallTau _, q127KendallTauSql),
     QueryDef.sql("q114_dp_counts", q114DpCounts _, q114DpCountsSql),
     QueryDef.sql("q117_gini_split", q117GiniSplit _, q117GiniSplitSql),
     QueryDef.sql("q119_levene", q119Levene _, q119LeveneSql),

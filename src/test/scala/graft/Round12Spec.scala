@@ -563,4 +563,37 @@ class Round12Spec extends AnyFunSuite {
     assert(math.abs(q.getDouble(7)) < 1e-12)
   }
 
+  // ---------------------------------------------------------------- q127
+  test("q127 Kendall tau-b matches a naive cell-pair recompute on sf0.001") {
+    val rows = Tables.lineitem(spark, dir)
+      .select(floor(col("l_quantity") + lit(0.5)).cast("long"),
+        floor(col("l_discount") * lit(100.0) + lit(0.5)).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = rows.length.toLong
+    val h = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cells = h.toSeq
+    var c = BigInt(0); var d = BigInt(0)
+    for (((qa, da), ca) <- cells; ((qb, db), cb) <- cells if qb > qa) {
+      if (db > da) c += BigInt(ca) * cb
+      else if (db < da) d += BigInt(ca) * cb
+    }
+    val tq2 = rows.groupBy(_._1).values.map(g => { val m = g.size.toLong; BigInt(m) * (m - 1) }).sum
+    val td2 = rows.groupBy(_._2).values.map(g => { val m = g.size.toLong; BigInt(m) * (m - 1) }).sum
+    val n02 = BigInt(n) * (n - 1)
+    val tau = (c - d).toDouble /
+      math.sqrt((n02 - tq2).toDouble / 2.0 * ((n02 - td2).toDouble / 2.0))
+    val r = Audits.q127KendallTau(spark, dir).head()
+    assert(r.getLong(0) == n && r.getLong(1) == cells.length.toLong)
+    assert(r.getLong(2) == c.toLong && r.getLong(3) == d.toLong)
+    assert(math.abs(r.getDouble(4) - tau) < 1e-6, s"tau ${r.getDouble(4)} want $tau")
+  }
+
+  test("q127 hits ±1 on planted perfect concordance and inversion") {
+    import spark.implicits._
+    val con = (1L to 10L).map(i => (i, i)).toDF("q", "d")
+    assert(Audits.kendallTauFrom(con).head().getDouble(4) == 1.0)
+    val inv = (1L to 10L).map(i => (i, 11L - i)).toDF("q", "d")
+    assert(Audits.kendallTauFrom(inv).head().getDouble(4) == -1.0)
+  }
+
 }
