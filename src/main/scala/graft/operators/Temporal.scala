@@ -577,7 +577,12 @@ object Temporal {
       .select(floor((col("rb") - col("ra")).cast(DoubleType)
         / (col("ib") - col("ia")).cast(DoubleType) * lit(1e6) + lit(0.5))
         .cast(LongType).as("s6"))
+    // the |days|²/2 pair expansion is the expensive pass and the slope
+    // grid has THREE consumers (both prefix passes + the pair-count
+    // scalar) — checkpoint the grid (date-domain-bounded, ~2.9M rows at
+    // 8 years of days regardless of SF) so the expansion runs ONCE
     val g = slopes.groupBy(col("s6")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val pre = Relational.prefixSumByRange(g, Nil, Seq(col("s6")),
       Seq("cum" -> col("cnt")))
     val np = g.agg(sum(col("cnt")).as("n_pairs"))
