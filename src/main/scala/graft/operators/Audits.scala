@@ -1798,10 +1798,190 @@ object Audits {
       |      * (CAST(CAST(n AS HUGEINT) * (n - 1) - td2 AS DOUBLE) / 2.0)), 6) AS tau_b
       |FROM cd CROSS JOIN tot CROSS JOIN tq CROSS JOIN td""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q128: Wasserstein-1 (earth-mover) distance between the early-era
+  // (< 1998) and late-era order-value distributions, per order status —
+  // the MAGNITUDE companion to q91's KS sup-statistic and q106's PSI:
+  // KS says "the worst ECDF gap is D", W₁ says "moving one
+  // distribution onto the other costs this many cents per order"
+  // (Villani 2003; the standard drift-size metric):
+  //   W₁ = ∫ |F_A(x) − F_B(x)| dx
+  //      = Σ_grid |F_A(v) − F_B(v)| · (next_v − v)
+  //
+  // Scale shape: q91's axis — ONE shuffle to the per-(status, cents)
+  // count grid, cumulative counts via `prefixSumByRange` (range slices
+  // + broadcast offsets), and the successor gap comes from an
+  // EQUI-join on (status, rank+1) — no corpus-sized window anywhere;
+  // the last grid row has F_A = F_B = 1, so dropping it (no successor)
+  // is exact, not an approximation.
+  //
+  // Exactness: ECDF gaps live on the cross-multiplied integer grid
+  // |cum_a·n_b − cum_b·n_a| (q91's discipline), the cents gap is an
+  // exact integer, their products accumulate in DECIMAL(38,0), and W₁
+  // is ONE double division by n_a·n_b, rounded once.
+  // ---------------------------------------------------------------------
+  def q128Wasserstein(spark: SparkSession, dir: String): DataFrame =
+    wassersteinFrom(eraSplitFrom(spark, dir))
+
+  /** Shared (grp, cents, is_a) era-split frame for the ECDF-drift pair. */
+  private[graft] def eraSplitFrom(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"),
+        when(col("o_orderdate") < lit("1998-01-01"), 1L).otherwise(0L).as("is_a"))
+
+  /** W1 per grp over any (grp, cents, is_a) frame — spec entry point. */
+  private[graft] def wassersteinFrom(o: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = o.groupBy(col("grp"), col("cents"))
+      .agg(sum(col("is_a")).as("c_a"), sum(lit(1L) - col("is_a")).as("c_b"))
+    val cums = Relational.prefixSumByRange(g, Seq("grp"),
+        Seq(col("cents")),
+        Seq("cum_a" -> col("c_a"), "cum_b" -> col("c_b"), "rnk" -> lit(1L)))
+      .localCheckpoint(false)
+    val tot = cums.groupBy(col("grp"))
+      .agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
+    val nxt = cums.select(col("grp"),
+      (col("rnk") - lit(1L)).as("rnk"), col("cents").as("next_v"))
+    cums.join(nxt, Seq("grp", "rnk"))
+      .join(broadcast(tot), "grp")
+      .select(col("grp"), col("n_a"), col("n_b"),
+        (abs(col("cum_a").cast(d38) * col("n_b") - col("cum_b").cast(d38) * col("n_a"))
+          * (col("next_v") - col("cents"))).as("mass"))
+      .groupBy(col("grp"), col("n_a"), col("n_b"))
+      .agg(sum(col("mass")).as("mass"))
+      .filter(col("n_a") >= 1L && col("n_b") >= 1L)
+      .select(col("grp"), col("n_a"), col("n_b"),
+        round(col("mass").cast(DoubleType)
+          / (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)), 4)
+          .as("w1_cents"))
+      .orderBy(col("grp"))
+  }
+
+  val q128WassersteinSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS grp,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS is_a
+      |  FROM orders),
+      |g AS (
+      |  SELECT grp, cents,
+      |    CAST(SUM(is_a) AS BIGINT) AS c_a, CAST(SUM(1 - is_a) AS BIGINT) AS c_b
+      |  FROM o GROUP BY 1, 2),
+      |c AS (
+      |  SELECT grp, cents,
+      |    CAST(SUM(c_a) OVER w AS BIGINT) AS cum_a,
+      |    CAST(SUM(c_b) OVER w AS BIGINT) AS cum_b,
+      |    LEAD(cents) OVER (PARTITION BY grp ORDER BY cents) AS next_v
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY grp ORDER BY cents
+      |               ROWS UNBOUNDED PRECEDING)),
+      |t AS (
+      |  SELECT grp,
+      |    CAST(MAX(cum_a) AS BIGINT) AS n_a, CAST(MAX(cum_b) AS BIGINT) AS n_b
+      |  FROM c GROUP BY 1),
+      |m AS (
+      |  SELECT grp, n_a, n_b,
+      |    SUM(abs(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)
+      |      * (next_v - cents)) AS mass
+      |  FROM c JOIN t USING (grp)
+      |  WHERE next_v IS NOT NULL
+      |  GROUP BY 1, 2, 3)
+      |SELECT grp, n_a, n_b,
+      |  ROUND(CAST(mass AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 4)
+      |    AS w1_cents
+      |FROM m WHERE n_a >= 1 AND n_b >= 1
+      |ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q129: Cramér-von Mises two-sample statistic between the same
+  // early/late-era order-value distributions (Anderson 1962) — the
+  // INTEGRAL-square member of the ECDF family: q91's KS reacts to the
+  // single worst gap (tail-blind), CvM accumulates (F_A − F_B)² over
+  // EVERY pooled observation, so broad small divergence registers even
+  // when no single gap is large:
+  //   T = n_a·n_b / N² · Σ_pooled (F_A(x) − F_B(x))²
+  //     = Σ_grid cnt_v · (cum_a·n_b − cum_b·n_a)² / (n_a·n_b·N²)
+  //
+  // Scale shape: exactly q91's — the same (status, cents) count grid,
+  // the same `prefixSumByRange` cumulative pass, and ONE hash
+  // aggregate over the grid; no successor join even needed (the sum is
+  // over pooled points, not value gaps).
+  //
+  // Exactness: cnt·(cum_a·n_b − cum_b·n_a)² accumulates in
+  // DECIMAL(38,0) (bounded ≈ N·(n_a·n_b)² — inside 38 digits at both
+  // SFs with wide margin); T is ONE double division, rounded once.
+  // ---------------------------------------------------------------------
+  def q129CramerVonMises(spark: SparkSession, dir: String): DataFrame =
+    cramerVonMisesFrom(eraSplitFrom(spark, dir))
+
+  /** CvM T per grp over any (grp, cents, is_a) frame — spec entry point. */
+  private[graft] def cramerVonMisesFrom(o: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = o.groupBy(col("grp"), col("cents"))
+      .agg(sum(col("is_a")).as("c_a"), sum(lit(1L) - col("is_a")).as("c_b"))
+    val cums = Relational.prefixSumByRange(g, Seq("grp"),
+      Seq(col("cents")), Seq("cum_a" -> col("c_a"), "cum_b" -> col("c_b")))
+    val tot = cums.groupBy(col("grp"))
+      .agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
+    cums.join(broadcast(tot), "grp")
+      .select(col("grp"), col("n_a"), col("n_b"),
+        ((col("c_a") + col("c_b")).cast(d38)
+          * (col("cum_a").cast(d38) * col("n_b") - col("cum_b").cast(d38) * col("n_a"))
+          * (col("cum_a").cast(d38) * col("n_b") - col("cum_b").cast(d38) * col("n_a")))
+          .as("m2"))
+      .groupBy(col("grp"), col("n_a"), col("n_b"))
+      .agg(sum(col("m2")).as("m2"))
+      .filter(col("n_a") >= 1L && col("n_b") >= 1L)
+      .select(col("grp"), col("n_a"), col("n_b"),
+        round(col("m2").cast(DoubleType)
+          / (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)
+            * (col("n_a") + col("n_b")).cast(DoubleType)
+            * (col("n_a") + col("n_b")).cast(DoubleType)), 6).as("cvm_t"))
+      .orderBy(col("grp"))
+  }
+
+  val q129CramerVonMisesSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS grp,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS is_a
+      |  FROM orders),
+      |g AS (
+      |  SELECT grp, cents,
+      |    CAST(SUM(is_a) AS BIGINT) AS c_a, CAST(SUM(1 - is_a) AS BIGINT) AS c_b
+      |  FROM o GROUP BY 1, 2),
+      |c AS (
+      |  SELECT grp, c_a, c_b,
+      |    CAST(SUM(c_a) OVER w AS BIGINT) AS cum_a,
+      |    CAST(SUM(c_b) OVER w AS BIGINT) AS cum_b
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY grp ORDER BY cents
+      |               ROWS UNBOUNDED PRECEDING)),
+      |t AS (
+      |  SELECT grp,
+      |    CAST(MAX(cum_a) AS BIGINT) AS n_a, CAST(MAX(cum_b) AS BIGINT) AS n_b
+      |  FROM c GROUP BY 1),
+      |m AS (
+      |  SELECT grp, n_a, n_b,
+      |    SUM(CAST(c_a + c_b AS HUGEINT)
+      |      * (CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)
+      |      * (CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a)) AS m2
+      |  FROM c JOIN t USING (grp)
+      |  GROUP BY 1, 2, 3)
+      |SELECT grp, n_a, n_b,
+      |  ROUND(CAST(m2 AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+      |      * CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)), 6) AS cvm_t
+      |FROM m WHERE n_a >= 1 AND n_b >= 1
+      |ORDER BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
     QueryDef.sql("q113_spearman", q113Spearman _, q113SpearmanSql),
     QueryDef.sql("q127_kendall_tau", q127KendallTau _, q127KendallTauSql),
+    QueryDef.sql("q128_wasserstein", q128Wasserstein _, q128WassersteinSql),
+    QueryDef.sql("q129_cvm", q129CramerVonMises _, q129CramerVonMisesSql),
     QueryDef.sql("q114_dp_counts", q114DpCounts _, q114DpCountsSql),
     QueryDef.sql("q117_gini_split", q117GiniSplit _, q117GiniSplitSql),
     QueryDef.sql("q119_levene", q119Levene _, q119LeveneSql),

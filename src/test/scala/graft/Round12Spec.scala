@@ -596,4 +596,77 @@ class Round12Spec extends AnyFunSuite {
     assert(Audits.kendallTauFrom(inv).head().getDouble(4) == -1.0)
   }
 
+  // ---------------------------------------------------------------- q128
+  test("q128 Wasserstein matches a naive ECDF-integral recompute on sf0.001") {
+    val rows = Audits.eraSplitFrom(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Audits.q128Wasserstein(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((st, grp) <- rows.groupBy(_._1)) {
+      val xs = grp.filter(_._3 == 1L).map(_._2).sorted
+      val ys = grp.filter(_._3 == 0L).map(_._2).sorted
+      val grid = (xs ++ ys).distinct.sorted
+      var w1 = BigInt(0)
+      for (i <- 0 until grid.length - 1) {
+        val fa = xs.count(_ <= grid(i)).toLong
+        val fb = ys.count(_ <= grid(i)).toLong
+        w1 += (BigInt(fa) * ys.length - BigInt(fb) * xs.length).abs *
+          (grid(i + 1) - grid(i))
+      }
+      val want = w1.toDouble / (xs.length.toLong * ys.length)
+      val r = got(st)
+      assert(r.getLong(1) == xs.length.toLong && r.getLong(2) == ys.length.toLong)
+      assert(math.abs(r.getDouble(3) - want) < 1e-2, s"$st: ${r.getDouble(3)} want $want")
+    }
+  }
+
+  test("q128 reads a pure location shift as exactly the shift size") {
+    import spark.implicits._
+    val a = (1L to 100L).map(v => ("g", v * 10L, 1L))
+    val b = (1L to 100L).map(v => ("g", v * 10L + 37L, 0L))
+    val r = Audits.wassersteinFrom((a ++ b).toDF("grp", "cents", "is_a")).head()
+    assert(r.getDouble(3) == 37.0, s"shift-37 series: W1 ${r.getDouble(3)}")
+    // identical distributions: zero transport
+    val same = Audits.wassersteinFrom(
+      ((1L to 50L).map(v => ("g", v, 1L)) ++ (1L to 50L).map(v => ("g", v, 0L)))
+        .toDF("grp", "cents", "is_a")).head()
+    assert(same.getDouble(3) == 0.0)
+  }
+
+  // ---------------------------------------------------------------- q129
+  test("q129 Cramer-von Mises matches a naive pooled-ECDF recompute on sf0.001") {
+    val rows = Audits.eraSplitFrom(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Audits.q129CramerVonMises(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    for ((st, grp) <- rows.groupBy(_._1)) {
+      val xs = grp.filter(_._3 == 1L).map(_._2).sorted
+      val ys = grp.filter(_._3 == 0L).map(_._2).sorted
+      val cnt = grp.map(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      var t = BigInt(0)
+      for (v <- cnt.keys) {
+        val fa = xs.count(_ <= v).toLong
+        val fb = ys.count(_ <= v).toLong
+        val d = BigInt(fa) * ys.length - BigInt(fb) * xs.length
+        t += cnt(v) * d * d
+      }
+      val na = xs.length.toLong; val nb = ys.length.toLong; val nn = na + nb
+      val want = t.toDouble / (na.toDouble * nb * nn * nn)
+      val r = got(st)
+      assert(r.getLong(1) == na && r.getLong(2) == nb)
+      assert(math.abs(r.getDouble(3) - want) < 1e-6, s"$st: ${r.getDouble(3)} want $want")
+    }
+  }
+
+  test("q129 is zero on identical samples and large under complete separation") {
+    import spark.implicits._
+    val same = ((1L to 50L).map(v => ("g", v, 1L)) ++ (1L to 50L).map(v => ("g", v, 0L)))
+      .toDF("grp", "cents", "is_a")
+    assert(Audits.cramerVonMisesFrom(same).head().getDouble(3) == 0.0)
+    val sep = ((1L to 50L).map(v => ("g", v, 1L)) ++ (1L to 50L).map(v => ("g", v + 1000L, 0L)))
+      .toDF("grp", "cents", "is_a")
+    // disjoint supports: T approaches n/ (4 n) scale — just assert it is large
+    assert(Audits.cramerVonMisesFrom(sep).head().getDouble(3) > 0.2)
+  }
+
 }
