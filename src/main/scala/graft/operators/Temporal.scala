@@ -1134,6 +1134,151 @@ object Temporal {
        |  ROUND(CAST(dn_peak AS DOUBLE) / n_ref, 4) AS max_ph_dn_cents
        |FROM up CROSS JOIN dn CROSS JOIN nm""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q130: log-rank test comparing the click→purchase survival curves of
+  // the two user cohorts (even vs odd user_id) — the INFERENCE sibling
+  // of q104's Kaplan-Meier ESTIMATE (Mantel 1966; Peto & Peto 1972):
+  // q104 draws each curve, the log-rank test asks "are these two curves
+  // the same curve", the first question any conversion-latency A/B
+  // readout answers. At each pooled event time t_i with d_i events and
+  // n_i at risk (n_1i of them in cohort 1):
+  //   E_1i = d_i·n_1i/n_i                         (hypergeometric mean)
+  //   V_i  = d_i·(n_1i/n_i)·(1−n_1i/n_i)·(n_i−d_i)/(n_i−1)
+  //   Z    = (O_1 − ΣE_1i)/√(ΣV_i),   O_1 = Σd_1i
+  //
+  // Scale shape: exactly q104's — two user-keyed shuffles build one
+  // (grp, dur_s, obs) row per user, then the corpus is GONE: the risk
+  // table lives on the pooled distinct-seconds grid, both cohorts'
+  // risk-set depletions ride ONE `prefixSumByRange` pass (two measures,
+  // same slices), and the reduction is a single scalar aggregate.
+  //
+  // Exactness: risk/event counts are exact integers; E and V have
+  // varying denominators (n_i resp. n_i²(n_i−1)) so each step's value
+  // nano-snaps from a fixed-shape double expression (q104's term9
+  // discipline) and accumulates in DECIMAL(38,0); Z is ONE double
+  // division of the two snapped sums, rounded once. Ties follow q104's
+  // convention (censored-at-t users are still at risk at t).
+  // ---------------------------------------------------------------------
+  def q130LogRank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val u = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "click", col("tus"))).as("c"),
+        max(col("tus")).as("l"))
+      .filter(col("c").isNotNull)
+    val p = e.filter(col("event_type") === "purchase")
+      .join(u.select(col("user_id"), col("c")), "user_id")
+      .filter(col("tus") >= col("c"))
+      .groupBy(col("user_id")).agg(min(col("tus")).as("pmin"))
+    val dur = u.join(p, Seq("user_id"), "left")
+      .select(
+        (col("user_id") % lit(2L)).as("grp"),
+        expr("(coalesce(pmin, l) - c) div 1000000L").cast(LongType).as("dur_s"),
+        when(col("pmin").isNotNull, 1L).otherwise(0L).as("obs"))
+    logRankFrom(dur)
+  }
+
+  /** Log-rank Z over any (grp: 0/1, dur_s, obs) frame — spec entry
+    * point. Cohort 1 = grp == 1.
+    */
+  private[graft] def logRankFrom(dur: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = dur.groupBy(col("dur_s"))
+      .agg(sum(col("obs")).as("d"), sum(lit(1L) - col("obs")).as("w"),
+        sum(col("obs") * col("grp")).as("d1"),
+        sum((lit(1L) - col("obs")) * col("grp")).as("w1"))
+    val tot = g.agg(sum(col("d") + col("w")).as("n_total"),
+      sum(col("d1") + col("w1")).as("n1_total"))
+    val steps = Relational.prefixSumByRange(g, Nil, Seq(col("dur_s")),
+        Seq("cum" -> (col("d") + col("w")), "cum1" -> (col("d1") + col("w1"))))
+      .crossJoin(broadcast(tot))
+      .withColumn("nr", col("n_total") - col("cum") + col("d") + col("w"))
+      .withColumn("n1r", col("n1_total") - col("cum1") + col("d1") + col("w1"))
+      .filter(col("d") > 0L)
+      // fixed-shape snapped step terms: both engines evaluate the SAME
+      // left-associated double expression before the one floor
+      .withColumn("e9", floor(
+        col("d").cast(DoubleType) * col("n1r").cast(DoubleType)
+          / col("nr").cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType))
+      .withColumn("v9", when(col("nr") > 1L, floor(
+        col("d").cast(DoubleType)
+          * (col("n1r").cast(DoubleType) / col("nr").cast(DoubleType))
+          * (lit(1.0) - col("n1r").cast(DoubleType) / col("nr").cast(DoubleType))
+          * ((col("nr") - col("d")).cast(DoubleType)
+            / (col("nr") - lit(1L)).cast(DoubleType))
+          * lit(1e9) + lit(0.5)).cast(LongType)).otherwise(0L))
+    steps.agg(count(lit(1)).as("n_steps"), sum(col("d1")).as("o1"),
+        sum(col("e9").cast(d38)).as("e9s"), sum(col("v9").cast(d38)).as("v9s"))
+      .select(col("n_steps"), col("o1"),
+        round(col("e9s").cast(DoubleType) / lit(1e9), 6).as("e1"),
+        round(col("v9s").cast(DoubleType) / lit(1e9), 6).as("v1"),
+        when(col("v9s") > lit(0),
+          round((col("o1").cast(DoubleType)
+              - col("e9s").cast(DoubleType) / lit(1e9))
+            / sqrt(col("v9s").cast(DoubleType) / lit(1e9)), 6))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
+  val q130LogRankSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'click' THEN tus END) AS c,
+      |    CAST(MAX(tus) AS BIGINT) AS l
+      |  FROM e GROUP BY 1
+      |  HAVING MIN(CASE WHEN event_type = 'click' THEN tus END) IS NOT NULL),
+      |p AS (
+      |  SELECT e.user_id, CAST(MIN(tus) AS BIGINT) AS pmin
+      |  FROM e JOIN u USING (user_id)
+      |  WHERE event_type = 'purchase' AND tus >= c
+      |  GROUP BY 1),
+      |dur AS (
+      |  SELECT user_id % 2 AS grp,
+      |    CAST((COALESCE(pmin, l) - c) // 1000000 AS BIGINT) AS dur_s,
+      |    CASE WHEN pmin IS NOT NULL THEN 1 ELSE 0 END AS obs
+      |  FROM u LEFT JOIN p USING (user_id)),
+      |g AS (
+      |  SELECT dur_s,
+      |    CAST(SUM(obs) AS BIGINT) AS d, CAST(SUM(1 - obs) AS BIGINT) AS w,
+      |    CAST(SUM(obs * grp) AS BIGINT) AS d1,
+      |    CAST(SUM((1 - obs) * grp) AS BIGINT) AS w1
+      |  FROM dur GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(SUM(d + w) AS BIGINT) AS n_total,
+      |    CAST(SUM(d1 + w1) AS BIGINT) AS n1_total FROM g),
+      |c2 AS (
+      |  SELECT dur_s, d, w, d1, w1,
+      |    CAST(SUM(d + w) OVER (ORDER BY dur_s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(SUM(d1 + w1) OVER (ORDER BY dur_s ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum1
+      |  FROM g),
+      |s AS (
+      |  SELECT d, d1,
+      |    n_total - cum + d + w AS nr, n1_total - cum1 + d1 + w1 AS n1r
+      |  FROM c2 CROSS JOIN t
+      |  WHERE d > 0),
+      |v AS (
+      |  SELECT d, d1, nr, n1r,
+      |    CAST(floor(CAST(d AS DOUBLE) * CAST(n1r AS DOUBLE)
+      |      / CAST(nr AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS e9,
+      |    CASE WHEN nr > 1 THEN
+      |      CAST(floor(CAST(d AS DOUBLE)
+      |        * (CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE))
+      |        * (1.0 - CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE))
+      |        * (CAST(nr - d AS DOUBLE) / CAST(nr - 1 AS DOUBLE))
+      |        * 1e9 + 0.5) AS BIGINT)
+      |    ELSE 0 END AS v9
+      |  FROM s)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_steps,
+      |  CAST(SUM(d1) AS BIGINT) AS o1,
+      |  ROUND(CAST(SUM(e9) AS DOUBLE) / 1e9, 6) AS e1,
+      |  ROUND(CAST(SUM(v9) AS DOUBLE) / 1e9, 6) AS v1,
+      |  CASE WHEN SUM(v9) > 0 THEN
+      |    ROUND((CAST(SUM(d1) AS DOUBLE) - CAST(SUM(e9) AS DOUBLE) / 1e9)
+      |      / sqrt(CAST(SUM(v9) AS DOUBLE) / 1e9), 6)
+      |  ELSE 0.0 END AS z
+      |FROM v""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
@@ -1145,5 +1290,6 @@ object Temporal {
     QueryDef.sql("q124_runs_test", q124RunsTest _, q124RunsTestSql),
     QueryDef.sql("q125_periodogram", q125Periodogram _, q125PeriodogramSql),
     QueryDef.sql("q126_page_hinkley", q126PageHinkley _, q126PageHinkleySql),
+    QueryDef.sql("q130_log_rank", q130LogRank _, q130LogRankSql),
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Audits, Curation, Graph, Multimodal, TextOps}
+import graft.operators.{Audits, Curation, Graph, Multimodal, Temporal, TextOps}
 
 /** Semantics of the round-12 additions: q113 Spearman against a naive
   * driver-side average-rank + Pearson recompute, q114 DP counts against
@@ -667,6 +667,63 @@ class Round12Spec extends AnyFunSuite {
       .toDF("grp", "cents", "is_a")
     // disjoint supports: T approaches n/ (4 n) scale — just assert it is large
     assert(Audits.cramerVonMisesFrom(sep).head().getDouble(3) > 0.2)
+  }
+
+  // ---------------------------------------------------------------- q130
+  test("q130 log-rank matches a naive risk-table recompute on sf0.001") {
+    val e = graft.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byU = e.groupBy(_._1)
+    val dur = byU.flatMap { case (uid, evs) =>
+      val clicks = evs.filter(_._2 == "click").map(_._3)
+      if (clicks.isEmpty) None else {
+        val c = clicks.min
+        val ps = evs.filter(x => x._2 == "purchase" && x._3 >= c).map(_._3)
+        val (end, obs) = if (ps.nonEmpty) (ps.min, 1L) else (evs.map(_._3).max, 0L)
+        Some((uid % 2, (end - c) / 1000000L, obs))
+      }
+    }.toSeq
+    // naive risk table on the pooled grid
+    val times = dur.map(_._2).distinct.sorted
+    var (o1, e9s, v9s) = (0L, BigInt(0), BigInt(0))
+    var nSteps = 0L
+    for (t <- times) {
+      val nr = dur.count(_._2 >= t).toLong
+      val n1r = dur.count(x => x._2 >= t && x._1 == 1L).toLong
+      val d = dur.count(x => x._2 == t && x._3 == 1L).toLong
+      val d1 = dur.count(x => x._2 == t && x._3 == 1L && x._1 == 1L).toLong
+      if (d > 0) {
+        nSteps += 1; o1 += d1
+        e9s += BigInt(math.floor(d.toDouble * n1r / nr * 1e9 + 0.5).toLong)
+        if (nr > 1)
+          v9s += BigInt(math.floor(d.toDouble * (n1r.toDouble / nr)
+            * (1.0 - n1r.toDouble / nr)
+            * ((nr - d).toDouble / (nr - 1).toDouble) * 1e9 + 0.5).toLong)
+      }
+    }
+    val r = Temporal.q130LogRank(spark, dir).head()
+    assert(r.getLong(0) == nSteps && r.getLong(1) == o1)
+    val wantZ = if (v9s > 0)
+      BigDecimal((o1.toDouble - e9s.toDouble / 1e9) / math.sqrt(v9s.toDouble / 1e9))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else 0.0
+    assert(math.abs(r.getDouble(4) - wantZ) < 1e-9, s"z ${r.getDouble(4)} want $wantZ")
+  }
+
+  test("q130 is exactly zero on mirrored cohorts and detects a slower cohort") {
+    import spark.implicits._
+    // perfectly mirrored cohorts: every step has d1 = d/2, n1r = nr/2
+    val sym = (1L to 40L).flatMap(i => Seq((0L, i, 1L), (1L, i, 1L)))
+      .toDF("grp", "dur_s", "obs")
+    val rs = Temporal.logRankFrom(sym).head()
+    assert(rs.getDouble(4) == 0.0, s"symmetric cohorts: z ${rs.getDouble(4)}")
+    // cohort 1 converts much later: at early steps its risk set is full
+    // but its event count is zero, so O1 falls far below E1 and Z << 0
+    val sep = ((1L to 40L).map(i => (0L, i, 1L)) ++
+      (1L to 40L).map(i => (1L, i + 100L, 1L))).toDF("grp", "dur_s", "obs")
+    val rz = Temporal.logRankFrom(sep).head()
+    assert(rz.getDouble(4) < -3.0, s"separated cohorts: z ${rz.getDouble(4)}")
   }
 
 }
