@@ -2639,6 +2639,113 @@ object TextOps {
        |FROM cells""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t88: average-precision (PR-AUC) audit of the learned quality gate —
+  // the IMBALANCE-robust discrimination sibling of t86's ROC/AUC (Davis
+  // & Goadrich 2006): when rule-passing docs are rare, ROC-AUC stays
+  // flattering (FPR's denominator is the huge negative class) while
+  // precision collapses; AP reads the precision-recall trade directly.
+  // Tie-corrected on the distinct-score grid with BLOCK-END precision
+  // (every tied doc sees the precision after the whole tie block is
+  // admitted — the pessimistic convention, stated here because AP under
+  // ties is convention-dependent):
+  //   AP = Σ_blocks np_b · (TP_b / ALL_b) / n_pos
+  // descending by score, TP_b/ALL_b cumulative through block b.
+  //
+  // Scale shape: t86's exactly — two corpus scans join on doc_id, ONE
+  // hash aggregate collapses to the distinct-score grid, the
+  // descending cumulative rides the SAME ascending `prefixSumByRange`
+  // pass via n_total − cum + n, and the reduction is one scalar
+  // aggregate. No windows touch anything corpus-sized.
+  //
+  // Exactness: block precision nano-snaps from the fixed-shape double
+  // TP/ALL (both engines, same associativity), np·r9 products
+  // accumulate in DECIMAL(38,0), and AP is ONE double division rounded
+  // once; prevalence is a single division of exact integers.
+  // -------------------------------------------------------------------
+  def t88AveragePrecision(spark: SparkSession, dir: String): DataFrame = {
+    val scores = qualityScoresFrom(docs(spark, dir)).select(col("doc_id"), col("score_n9"))
+    val labels = gopherRulesFrom(docs(spark, dir)).select(col("doc_id"), col("pass"))
+    averagePrecisionFrom(scores.join(labels, "doc_id"))
+  }
+
+  /** Tie-corrected AP over any (score_n9: BIGINT, pass: 0/1) frame —
+    * spec entry point.
+    */
+  private[graft] def averagePrecisionFrom(j: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = j.groupBy(col("score_n9"))
+      .agg(count(lit(1)).as("n"), sum(col("pass").cast(LongType)).as("np"))
+      .localCheckpoint(false)
+    val pre = Relational.prefixSumByRange(g, Nil, Seq(col("score_n9")),
+      Seq("cum_n" -> col("n"), "cum_p" -> col("np")))
+    val tot = g.agg(sum(col("n")).as("n_total"), sum(col("np")).as("n_pos"))
+    pre.crossJoin(broadcast(tot))
+      .withColumn("tp", col("n_pos") - col("cum_p") + col("np"))
+      .withColumn("all_b", col("n_total") - col("cum_n") + col("n"))
+      .withColumn("r9", floor(col("tp").cast(DoubleType)
+        / col("all_b").cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType))
+      .groupBy(col("n_total"), col("n_pos"))
+      .agg(sum((col("np") * col("r9")).cast(d38)).as("mass"))
+      .select(col("n_pos"), (col("n_total") - col("n_pos")).as("n_neg"),
+        round(col("n_pos").cast(DoubleType) / col("n_total").cast(DoubleType), 6)
+          .as("prevalence"),
+        round(col("mass").cast(DoubleType)
+          / (lit(1e9) * col("n_pos").cast(DoubleType)), 6).as("ap"))
+  }
+
+  val t88AveragePrecisionSql: String = {
+    val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |$featCols
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, ${sigmoidN9Sql(qcMarginSql(QcWeights, QcBias))} AS score_n9
+       |  FROM f),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+       |    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    ${langScoreSql("en")} AS n_stop
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_ell <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass
+       |  FROM gm),
+       |g AS (
+       |  SELECT score_n9, COUNT(*) AS n, CAST(SUM(pass) AS BIGINT) AS np
+       |  FROM sc JOIN lab USING (doc_id)
+       |  GROUP BY 1),
+       |pre AS (
+       |  SELECT *,
+       |    CAST(SUM(n) OVER (ORDER BY score_n9 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+       |    CAST(SUM(np) OVER (ORDER BY score_n9 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_p
+       |  FROM g),
+       |t AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_total, CAST(SUM(np) AS BIGINT) AS n_pos
+       |  FROM g),
+       |b AS (
+       |  SELECT np,
+       |    CAST(floor(CAST(n_pos - cum_p + np AS DOUBLE)
+       |      / CAST(n_total - cum_n + n AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS r9,
+       |    n_total, n_pos
+       |  FROM pre CROSS JOIN t)
+       |SELECT n_pos, n_total - n_pos AS n_neg,
+       |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS prevalence,
+       |  ROUND(CAST(SUM(np * r9) AS DOUBLE) / (1e9 * CAST(n_pos AS DOUBLE)), 6) AS ap
+       |FROM b
+       |GROUP BY n_pos, n_total""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
@@ -2647,6 +2754,7 @@ object TextOps {
     QueryDef.sql("t85_calibration", t85Calibration _, t85CalibrationSql),
     QueryDef.sql("t86_roc_auc", t86RocAuc _, t86RocAucSql),
     QueryDef.sql("t87_gate_agreement", t87GateAgreement _, t87GateAgreementSql),
+    QueryDef.sql("t88_avg_precision", t88AveragePrecision _, t88AveragePrecisionSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

@@ -726,4 +726,43 @@ class Round12Spec extends AnyFunSuite {
     assert(rz.getDouble(4) < -3.0, s"separated cohorts: z ${rz.getDouble(4)}")
   }
 
+  // ---------------------------------------------------------------- t88
+  test("t88 average precision matches a naive block recompute on sf0.001") {
+    val scored = TextOps.t75QualityClassifier(spark, dir)
+      .select(col("doc_id"), col("score_n9")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val passed = TextOps.t82GopherRules(spark, dir)
+      .select(col("doc_id"), col("pass")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val blocks = scored.toSeq.map { case (id, s) => (s, passed(id)) }
+      .groupBy(_._1).toSeq.sortBy(-_._1)
+      .map { case (s, rows) => (s, rows.length.toLong, rows.map(_._2).sum) }
+    val nPos = blocks.map(_._3).sum
+    var (all, tp, mass) = (0L, 0L, BigInt(0))
+    for ((_, n, np) <- blocks) {
+      all += n; tp += np
+      mass += np * math.floor(tp.toDouble / all * 1e9 + 0.5).toLong
+    }
+    val want = BigDecimal(mass.toDouble / (1e9 * nPos))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = TextOps.t88AveragePrecision(spark, dir).head()
+    assert(r.getLong(0) == nPos && r.getLong(1) == all - nPos)
+    assert(math.abs(r.getDouble(3) - want) < 1e-9, s"ap ${r.getDouble(3)} want $want")
+  }
+
+  test("t88 hits 1 on perfect separation and prevalence on a constant score") {
+    import spark.implicits._
+    // positives strictly above negatives: every block precision is 1
+    val sep = ((1L to 30L).map(i => (900000000L + i, 1L)) ++
+      (1L to 70L).map(i => (100000000L + i, 0L))).toDF("score_n9", "pass")
+    val rs = TextOps.averagePrecisionFrom(sep).head()
+    assert(rs.getDouble(3) == 1.0, s"separable: ap ${rs.getDouble(3)}")
+    // one tie block: AP = prevalence exactly
+    val flat = ((1L to 25L).map(_ => (500000000L, 1L)) ++
+      (1L to 75L).map(_ => (500000000L, 0L))).toDF("score_n9", "pass")
+    val rf = TextOps.averagePrecisionFrom(flat).head()
+    assert(rf.getDouble(3) == 0.25 && rf.getDouble(2) == 0.25,
+      s"flat: ap ${rf.getDouble(3)} prevalence ${rf.getDouble(2)}")
+  }
+
 }
