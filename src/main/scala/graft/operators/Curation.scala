@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -1342,6 +1342,120 @@ object Curation {
        |FROM r
        |ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c87: pairwise Jensen-Shannon divergence matrix between source
+  // domains — the SYMMETRIC, bounded companion of c75's KL-to-mixture
+  // (Lin 1991): c75 scores each domain against the corpus mixture
+  // (asymmetric, unbounded), c87 scores every domain PAIR on [0, ln 2]
+  // — the distance matrix a mixture planner clusters before assigning
+  // sampling weights, and the standard "did snapshot N drift from
+  // snapshot M" corpus comparison.
+  //   JSD(a,b) = ½·KL(p_a‖m) + ½·KL(p_b‖m),  m = (p_a + p_b)/2
+  //
+  // Shape: ONE corpus explode → the vocabulary-bounded (source, w)
+  // count table (localCheckpoint'd — three consumers), then a
+  // vocab-bounded self-join on w builds shared-word pair rows; words
+  // private to either side never join — their whole contribution is
+  // (1 − shared_mass)·ln 2, recovered from the pair's shared-count
+  // sums. The 190-row pair scaffold (|domains|² — broadcast) left-joins
+  // the aggregate so zero-overlap pairs still report (JSD = ln 2
+  // exactly). No corpus-sized join, window, or sort anywhere.
+  //
+  // Exactness: both log ratios collapse to integer-argument forms
+  //   ln(p_a/m) = ln(2·c_a·n_b / (c_a·n_b + c_b·n_a))
+  // nano-snapped per shared row (the integer products are exact in
+  // double far below 2^53); weights c_a·n_b are exact integers;
+  // products accumulate in DECIMAL(38,0) (c·n·ln9 ≈ 10^24 at corpus
+  // scale — int64 is NOT the production sum type); the private-word
+  // masses multiply the SHARED constant LN2_9 = ⌊ln 2·10⁹ + ½⌋; and
+  // JSD is ONE double division by 2·n_a·n_b·10⁹, rounded once.
+  // -------------------------------------------------------------------
+  private val Ln2Nanos = 693147181L // floor(ln(2)·1e9 + 0.5), both engines
+
+  def c87DomainJsd(spark: SparkSession, dir: String): DataFrame = {
+    val cs = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+    jsDivergenceFrom(cs)
+  }
+
+  /** JSD matrix over any (source, w, cnt) unigram table — spec entry
+    * point.
+    */
+  private[graft] def jsDivergenceFrom(csRaw: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val cs = csRaw.localCheckpoint(false)
+    val ns = cs.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
+    val csn = cs.join(broadcast(ns), "source")
+    val a = csn.select(col("source").as("src_a"), col("w"),
+      col("cnt").as("c_a"), col("n_s").as("n_a"))
+    val b = csn.select(col("source").as("src_b"), col("w"),
+      col("cnt").as("c_b"), col("n_s").as("n_b"))
+    def ln9(cx: Column, nx: Column, cy: Column, ny: Column): Column =
+      floor(log((lit(2.0) * cx.cast(DoubleType) * ny.cast(DoubleType))
+          / (cx.cast(DoubleType) * ny.cast(DoubleType)
+            + cy.cast(DoubleType) * nx.cast(DoubleType)))
+        * lit(1e9) + lit(0.5)).cast(LongType)
+    val shared = a.join(b, "w").filter(col("src_a") < col("src_b"))
+      .withColumn("la9", ln9(col("c_a"), col("n_a"), col("c_b"), col("n_b")))
+      .withColumn("lb9", ln9(col("c_b"), col("n_b"), col("c_a"), col("n_a")))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum((col("c_a").cast(d38) * col("n_b") * col("la9"))
+          + (col("c_b").cast(d38) * col("n_a") * col("lb9"))).as("tsum"),
+        sum(col("c_a")).as("s_a"), sum(col("c_b")).as("s_b"))
+    val scaffold = ns.select(col("source").as("src_a"), col("n_s").as("n_a"))
+      .crossJoin(ns.select(col("source").as("src_b"), col("n_s").as("n_b")))
+      .filter(col("src_a") < col("src_b"))
+    scaffold.join(broadcast(shared), Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round((coalesce(col("tsum"), lit(0L).cast(d38)).cast(DoubleType)
+            + ((lit(2L) * col("n_a").cast(d38) * col("n_b")
+              - coalesce(col("s_a"), lit(0L)).cast(d38) * col("n_b")
+              - coalesce(col("s_b"), lit(0L)).cast(d38) * col("n_a"))
+              * lit(Ln2Nanos)).cast(DoubleType))
+          / (lit(2.0) * col("n_a").cast(DoubleType)
+            * col("n_b").cast(DoubleType) * lit(1e9)), 6).as("jsd"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val c87DomainJsdSql: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cs AS (SELECT source, w, COUNT(*) AS cnt FROM tok GROUP BY source, w),
+      |ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_s FROM cs GROUP BY source),
+      |csn AS (SELECT cs.source, w, cnt, n_s FROM cs JOIN ns USING (source)),
+      |sh AS (
+      |  SELECT x.source AS src_a, y.source AS src_b,
+      |    COUNT(*) AS n_shared,
+      |    SUM(CAST(x.cnt AS HUGEINT) * y.n_s
+      |      * CAST(floor(ln((2.0 * CAST(x.cnt AS DOUBLE) * CAST(y.n_s AS DOUBLE))
+      |          / (CAST(x.cnt AS DOUBLE) * CAST(y.n_s AS DOUBLE)
+      |            + CAST(y.cnt AS DOUBLE) * CAST(x.n_s AS DOUBLE)))
+      |        * 1000000000.0 + 0.5) AS BIGINT)
+      |      + CAST(y.cnt AS HUGEINT) * x.n_s
+      |      * CAST(floor(ln((2.0 * CAST(y.cnt AS DOUBLE) * CAST(x.n_s AS DOUBLE))
+      |          / (CAST(y.cnt AS DOUBLE) * CAST(x.n_s AS DOUBLE)
+      |            + CAST(x.cnt AS DOUBLE) * CAST(y.n_s AS DOUBLE)))
+      |        * 1000000000.0 + 0.5) AS BIGINT)) AS tsum,
+      |    CAST(SUM(x.cnt) AS BIGINT) AS s_a, CAST(SUM(y.cnt) AS BIGINT) AS s_b
+      |  FROM csn x JOIN csn y ON x.w = y.w AND x.source < y.source
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, a.n_s AS n_a, b.n_s AS n_b
+      |  FROM ns a CROSS JOIN ns b WHERE a.source < b.source)
+      |SELECT src_a, src_b,
+      |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+      |  ROUND((CAST(COALESCE(tsum, 0) AS DOUBLE)
+      |      + CAST((2 * CAST(n_a AS HUGEINT) * n_b
+      |        - CAST(COALESCE(s_a, 0) AS HUGEINT) * n_b
+      |        - CAST(COALESCE(s_b, 0) AS HUGEINT) * n_a) * 693147181 AS DOUBLE))
+      |    / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) * 1000000000.0), 6)
+      |    AS jsd
+      |FROM sc LEFT JOIN sh USING (src_a, src_b)
+      |ORDER BY src_a, src_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("c70_curation", c70Curation _, c70CurationSql),
     QueryDef.sql("c85_epoch_schedule", c85EpochSchedule _, c85EpochScheduleSql),
@@ -1351,6 +1465,7 @@ object Curation {
     QueryDef.sql("c73_quality_audit", c73QualityAudit _, c73QualityAuditSql),
     QueryDef.sql("c74_scd2_merge", c74Scd2Merge _, Relational.q59Scd2Sql),
     QueryDef.sql("c75_domain_kl", c75DomainKl _, c75DomainKlSql),
+    QueryDef.sql("c87_domain_jsd", c87DomainJsd _, c87DomainJsdSql),
     QueryDef.sql("c76_cdc_apply", c76CdcApply _, c76CdcApplySql),
     QueryDef.sql("c77_source_datasheet", c77SourceDatasheet _, c77SourceDatasheetSql),
     QueryDef.sql("c79_split_leakage", c79SplitLeakage _, c79SplitLeakageSql),

@@ -765,4 +765,52 @@ class Round12Spec extends AnyFunSuite {
       s"flat: ap ${rf.getDouble(3)} prevalence ${rf.getDouble(2)}")
   }
 
+  // ---------------------------------------------------------------- c87
+  test("c87 pairwise JSD matches a naive recompute on sf0.001") {
+    val toks = graft.Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrc = toks.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    val got = Curation.c87DomainJsd(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == bySrc.size * (bySrc.size - 1) / 2)
+    val srcs = bySrc.keys.toSeq.sorted
+    for (i <- srcs.indices; j <- (i + 1) until srcs.length) {
+      val (sa, sb) = (srcs(i), srcs(j))
+      val (ca, cb) = (bySrc(sa), bySrc(sb))
+      val (na, nb) = (ca.values.sum, cb.values.sum)
+      def ln9(cx: Long, nx: Long, cy: Long, ny: Long): Long =
+        math.floor(math.log((2.0 * cx * ny) / (cx.toDouble * ny + cy.toDouble * nx))
+          * 1e9 + 0.5).toLong
+      var tsum = BigInt(0); var (saM, sbM) = (0L, 0L); var nSh = 0L
+      for (w <- ca.keySet.intersect(cb.keySet)) {
+        nSh += 1; saM += ca(w); sbM += cb(w)
+        tsum += BigInt(ca(w)) * nb * ln9(ca(w), na, cb(w), nb) +
+          BigInt(cb(w)) * na * ln9(cb(w), nb, ca(w), na)
+      }
+      val num = tsum + (BigInt(2) * na * nb - BigInt(saM) * nb - BigInt(sbM) * na) *
+        693147181L
+      val want = BigDecimal(num.toDouble / (2.0 * na * nb * 1e9))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val r = got((sa, sb))
+      assert(r.getLong(2) == nSh, s"$sa-$sb shared ${r.getLong(2)} want $nSh")
+      assert(math.abs(r.getDouble(3) - want) < 1e-9,
+        s"$sa-$sb jsd ${r.getDouble(3)} want $want")
+    }
+  }
+
+  test("c87 is exactly 0 on identical domains and ln 2 on disjoint vocabularies") {
+    import spark.implicits._
+    val same = Seq(("a", "x", 7L), ("a", "y", 3L), ("b", "x", 7L), ("b", "y", 3L))
+      .toDF("source", "w", "cnt")
+    val rs = Curation.jsDivergenceFrom(same).head()
+    assert(rs.getDouble(3) == 0.0, s"identical: jsd ${rs.getDouble(3)}")
+    val disj = Seq(("a", "x", 5L), ("a", "y", 5L), ("b", "u", 4L), ("b", "v", 6L))
+      .toDF("source", "w", "cnt")
+    val rd = Curation.jsDivergenceFrom(disj).head()
+    assert(rd.getLong(2) == 0L && rd.getDouble(3) == 0.693147,
+      s"disjoint: jsd ${rd.getDouble(3)}")
+  }
+
 }
