@@ -1976,12 +1976,127 @@ object Audits {
       |FROM m WHERE n_a >= 1 AND n_b >= 1
       |ORDER BY grp""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q131: Cochran-Mantel-Haenszel stratified association test — the
+  // confounder-adjusted sibling of q101's pooled chi-square (Mantel &
+  // Haenszel 1959): q101 asks "are segment and solvency associated in
+  // the pooled table" — which Simpson's paradox can invert — q131 asks
+  // "are they associated WITHIN nation strata", summing each stratum's
+  // hypergeometric evidence instead of pooling rows. Per stratum k with
+  // 2×2 cells (a,b,c,d), n = a+b+c+d:
+  //   E_k = (a+b)(a+c)/n
+  //   V_k = (a+b)(c+d)(a+c)(b+d)/(n²(n−1))
+  //   χ²  = (Σa − ΣE_k)²/ΣV_k            (no continuity correction)
+  //   OR_MH = Σ(a·d/n) / Σ(b·c/n)        (common odds ratio)
+  //
+  // Scale shape: ONE corpus scan, ONE hash aggregate to the |strata|-
+  // row 2×2 table (25 nations — bounded output regardless of input
+  // scale), then all test arithmetic runs on that bounded frame. No
+  // joins, no windows.
+  //
+  // Exactness: cells are exact integers; each stratum's E, V, a·d/n,
+  // b·c/n nano-snap from fixed-shape double expressions (integer
+  // arguments exact in double far below 2^53) and accumulate in
+  // DECIMAL(38,0); χ² and OR_MH are single double expressions over the
+  // snapped sums, rounded once.
+  // ---------------------------------------------------------------------
+  def q131CmhTest(spark: SparkSession, dir: String): DataFrame =
+    cmhFrom(Tables.customer(spark, dir).select(
+      col("c_nationkey").as("stratum"),
+      when(col("c_mktsegment") === lit("AUTOMOBILE"), 1L).otherwise(0L).as("e"),
+      when(col("c_acctbal") > lit(0.0), 1L).otherwise(0L).as("y")))
+
+  /** CMH χ² + MH common odds ratio over any (stratum, e: 0/1, y: 0/1)
+    * frame — spec entry point.
+    */
+  private[graft] def cmhFrom(s: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = s.groupBy(col("stratum"))
+      .agg(sum(col("e") * col("y")).as("a"),
+        sum(col("e") * (lit(1L) - col("y"))).as("b"),
+        sum((lit(1L) - col("e")) * col("y")).as("c"),
+        sum((lit(1L) - col("e")) * (lit(1L) - col("y"))).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("e9", floor(
+        (col("a") + col("b")).cast(DoubleType) * (col("a") + col("c")).cast(DoubleType)
+          / col("n").cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType))
+      .withColumn("v9", when(col("n") > 1L, floor(
+        ((col("a") + col("b")).cast(DoubleType) * (col("c") + col("d")).cast(DoubleType)
+          / col("n").cast(DoubleType))
+          * ((col("a") + col("c")).cast(DoubleType) * (col("b") + col("d")).cast(DoubleType)
+            / col("n").cast(DoubleType))
+          / (col("n") - lit(1L)).cast(DoubleType) * lit(1e9) + lit(0.5))
+        .cast(LongType)).otherwise(0L))
+      .withColumn("ad9", floor(col("a").cast(DoubleType) * col("d").cast(DoubleType)
+        / col("n").cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType))
+      .withColumn("bc9", floor(col("b").cast(DoubleType) * col("c").cast(DoubleType)
+        / col("n").cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType))
+    g.agg(count(lit(1)).as("n_strata"), sum(col("a")).as("o_sum"),
+        sum(col("e9").cast(d38)).as("e9s"), sum(col("v9").cast(d38)).as("v9s"),
+        sum(col("ad9").cast(d38)).as("ad9s"), sum(col("bc9").cast(d38)).as("bc9s"))
+      .select(col("n_strata"), col("o_sum"),
+        round(col("e9s").cast(DoubleType) / lit(1e9), 6).as("e_sum"),
+        when(col("v9s") > lit(0), round(
+          (col("o_sum").cast(DoubleType) - col("e9s").cast(DoubleType) / lit(1e9))
+            * (col("o_sum").cast(DoubleType) - col("e9s").cast(DoubleType) / lit(1e9))
+            / (col("v9s").cast(DoubleType) / lit(1e9)), 6)).otherwise(lit(0.0))
+          .as("chi2"),
+        when(col("bc9s") > lit(0), round(
+          col("ad9s").cast(DoubleType) / col("bc9s").cast(DoubleType), 6))
+          .as("or_mh"))
+  }
+
+  val q131CmhTestSql: String =
+    """WITH s AS (
+      |  SELECT c_nationkey AS stratum,
+      |    CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS e,
+      |    CASE WHEN c_acctbal > 0.0 THEN 1 ELSE 0 END AS y
+      |  FROM customer),
+      |g AS (
+      |  SELECT stratum,
+      |    CAST(SUM(e * y) AS BIGINT) AS a,
+      |    CAST(SUM(e * (1 - y)) AS BIGINT) AS b,
+      |    CAST(SUM((1 - e) * y) AS BIGINT) AS c,
+      |    CAST(SUM((1 - e) * (1 - y)) AS BIGINT) AS d
+      |  FROM s GROUP BY 1),
+      |t AS (
+      |  SELECT a, b, c, d, a + b + c + d AS n FROM g),
+      |v AS (
+      |  SELECT a,
+      |    CAST(floor(CAST(a + b AS DOUBLE) * CAST(a + c AS DOUBLE)
+      |      / CAST(n AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS e9,
+      |    CASE WHEN n > 1 THEN
+      |      CAST(floor((CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+      |          / CAST(n AS DOUBLE))
+      |        * (CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)
+      |          / CAST(n AS DOUBLE))
+      |        / CAST(n - 1 AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+      |    ELSE 0 END AS v9,
+      |    CAST(floor(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+      |      / CAST(n AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS ad9,
+      |    CAST(floor(CAST(b AS DOUBLE) * CAST(c AS DOUBLE)
+      |      / CAST(n AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS bc9
+      |  FROM t)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+      |  CAST(SUM(a) AS BIGINT) AS o_sum,
+      |  ROUND(CAST(SUM(e9) AS DOUBLE) / 1e9, 6) AS e_sum,
+      |  CASE WHEN SUM(v9) > 0 THEN
+      |    ROUND((CAST(SUM(a) AS DOUBLE) - CAST(SUM(e9) AS DOUBLE) / 1e9)
+      |      * (CAST(SUM(a) AS DOUBLE) - CAST(SUM(e9) AS DOUBLE) / 1e9)
+      |      / (CAST(SUM(v9) AS DOUBLE) / 1e9), 6)
+      |  ELSE 0.0 END AS chi2,
+      |  CASE WHEN SUM(bc9) > 0 THEN
+      |    ROUND(CAST(SUM(ad9) AS DOUBLE) / CAST(SUM(bc9) AS DOUBLE), 6)
+      |  END AS or_mh
+      |FROM v""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
     QueryDef.sql("q113_spearman", q113Spearman _, q113SpearmanSql),
     QueryDef.sql("q127_kendall_tau", q127KendallTau _, q127KendallTauSql),
     QueryDef.sql("q128_wasserstein", q128Wasserstein _, q128WassersteinSql),
     QueryDef.sql("q129_cvm", q129CramerVonMises _, q129CramerVonMisesSql),
+    QueryDef.sql("q131_cmh", q131CmhTest _, q131CmhTestSql),
     QueryDef.sql("q114_dp_counts", q114DpCounts _, q114DpCountsSql),
     QueryDef.sql("q117_gini_split", q117GiniSplit _, q117GiniSplitSql),
     QueryDef.sql("q119_levene", q119Levene _, q119LeveneSql),

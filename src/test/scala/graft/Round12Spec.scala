@@ -813,4 +813,56 @@ class Round12Spec extends AnyFunSuite {
       s"disjoint: jsd ${rd.getDouble(3)}")
   }
 
+  // ---------------------------------------------------------------- q131
+  test("q131 CMH matches a naive per-stratum recompute on sf0.001") {
+    val rows = graft.Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      .collect().map(r => (r.getInt(0).toLong,
+        if (r.getString(1) == "AUTOMOBILE") 1L else 0L,
+        if (r.getDouble(2) > 0.0) 1L else 0L))
+    var (oSum, e9s, v9s, ad9s, bc9s, nStr) = (0L, BigInt(0), BigInt(0), BigInt(0), BigInt(0), 0L)
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      val a = grp.count(x => x._2 == 1L && x._3 == 1L).toLong
+      val b = grp.count(x => x._2 == 1L && x._3 == 0L).toLong
+      val c = grp.count(x => x._2 == 0L && x._3 == 1L).toLong
+      val d = grp.count(x => x._2 == 0L && x._3 == 0L).toLong
+      val n = a + b + c + d
+      nStr += 1; oSum += a
+      e9s += math.floor((a + b).toDouble * (a + c) / n * 1e9 + 0.5).toLong
+      if (n > 1)
+        v9s += math.floor(((a + b).toDouble * (c + d) / n)
+          * ((a + c).toDouble * (b + d) / n) / (n - 1) * 1e9 + 0.5).toLong
+      ad9s += math.floor(a.toDouble * d / n * 1e9 + 0.5).toLong
+      bc9s += math.floor(b.toDouble * c / n * 1e9 + 0.5).toLong
+    }
+    val r = Audits.q131CmhTest(spark, dir).head()
+    assert(r.getLong(0) == nStr && r.getLong(1) == oSum)
+    val wantChi2 = BigDecimal((oSum.toDouble - e9s.toDouble / 1e9)
+        * (oSum.toDouble - e9s.toDouble / 1e9) / (v9s.toDouble / 1e9))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(3) - wantChi2) < 1e-9, s"chi2 ${r.getDouble(3)} want $wantChi2")
+    val wantOr = BigDecimal(ad9s.toDouble / bc9s.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r.getDouble(4) - wantOr) < 1e-9, s"or ${r.getDouble(4)} want $wantOr")
+  }
+
+  test("q131 reads through a planted Simpson reversal and is exactly 0 under independence") {
+    import spark.implicits._
+    // within BOTH strata exposure helps (OR > 1); pooled it looks harmful
+    def cells(st: Long, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((st, 1L, 1L)) ++ Seq.fill(b)((st, 1L, 0L)) ++
+        Seq.fill(c)((st, 0L, 1L)) ++ Seq.fill(d)((st, 0L, 0L))
+    val simpson = (cells(1L, 81, 6, 234, 36) ++ cells(2L, 192, 71, 55, 25))
+      .toDF("stratum", "e", "y")
+    val rs = Audits.cmhFrom(simpson).head()
+    assert(rs.getDouble(4) > 1.0, s"stratified OR ${rs.getDouble(4)} must exceed 1")
+    val pooledOr = (273.0 * 61.0) / (77.0 * 289.0) // the misleading pooled read
+    assert(pooledOr < 1.0 && rs.getDouble(4) > 1.2)
+    // exact independence in every stratum: a = E exactly, chi2 snaps to 0
+    val indep = (cells(1L, 25, 25, 25, 25) ++ cells(2L, 10, 10, 10, 10))
+      .toDF("stratum", "e", "y")
+    val ri = Audits.cmhFrom(indep).head()
+    assert(ri.getDouble(3) == 0.0 && ri.getDouble(4) == 1.0)
+  }
+
 }
