@@ -2090,6 +2090,114 @@ object Audits {
       |  END AS or_mh
       |FROM v""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q132: partial correlation of quantity and price CONTROLLING for
+  // discount — the continuous-variable member of the confounder-
+  // adjusted pair (q131 adjusts a 2×2 association by stratification;
+  // q132 adjusts a correlation by regression, Yule 1907):
+  //   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))
+  // — the correlation left between x and y after projecting out the
+  // part each shares with z. A pooled r_xy can be pure confounding
+  // (both driven by z); r_xy·z is the standard first check.
+  //
+  // Scale shape: ONE map-side-combined hash aggregate over the scan —
+  // ten integer moments (n, three sums, three squares, three cross
+  // products), one output row. q56's moment discipline: no second
+  // pass, no join, no window; the correlation algebra runs on the
+  // 1-row result.
+  //
+  // Exactness: all moments are exact integers on the quantity/cents
+  // grids summed in DECIMAL(38,0) (n·Sxy ≈ 10^31 at 100 TB — inside 38
+  // digits, far beyond int64); each pairwise r nano-snaps from the
+  // same decimal→double casts in both engines, and the partial formula
+  // is ONE fixed-shape double expression over the three SNAPPED r's,
+  // rounded once — so cross-engine equality is inherited from the
+  // snap, not from transcendental luck.
+  // ---------------------------------------------------------------------
+  def q132PartialCorr(spark: SparkSession, dir: String): DataFrame =
+    partialCorrFrom(Tables.lineitem(spark, dir).select(
+      floor(col("l_quantity") + lit(0.5)).cast(LongType).as("x"),
+      floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast(LongType).as("y"),
+      floor(col("l_discount") * lit(100.0) + lit(0.5)).cast(LongType).as("z")))
+
+  /** r_xy, r_xz, r_yz (nano-snapped) and r_xy·z over any integer
+    * (x, y, z) frame — spec entry point.
+    */
+  private[graft] def partialCorrFrom(v: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def m(c: Column): Column = sum(c.cast(d38))
+    val g = v.agg(count(lit(1)).cast(d38).as("n"),
+      m(col("x")).as("sx"), m(col("y")).as("sy"), m(col("z")).as("sz"),
+      m(col("x") * col("x")).as("sxx"), m(col("y") * col("y")).as("syy"),
+      m(col("z") * col("z")).as("szz"), m(col("x") * col("y")).as("sxy"),
+      m(col("x") * col("z")).as("sxz"), m(col("y") * col("z")).as("syz"))
+    def r9(num: Column, daa: Column, dbb: Column): Column =
+      floor(num.cast(DoubleType)
+        / sqrt(daa.cast(DoubleType) * dbb.cast(DoubleType))
+        * lit(1e9) + lit(0.5)).cast(LongType)
+    val c = g
+      .withColumn("dxx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dyy", col("n") * col("syy") - col("sy") * col("sy"))
+      .withColumn("dzz", col("n") * col("szz") - col("sz") * col("sz"))
+      .withColumn("nxy", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("nxz", col("n") * col("sxz") - col("sx") * col("sz"))
+      .withColumn("nyz", col("n") * col("syz") - col("sy") * col("sz"))
+      .withColumn("rxy9", r9(col("nxy"), col("dxx"), col("dyy")))
+      .withColumn("rxz9", r9(col("nxz"), col("dxx"), col("dzz")))
+      .withColumn("ryz9", r9(col("nyz"), col("dyy"), col("dzz")))
+      .withColumn("den2", (lit(1e18) - col("rxz9").cast(DoubleType) * col("rxz9"))
+        * (lit(1e18) - col("ryz9").cast(DoubleType) * col("ryz9")))
+    c.select(col("n").cast(LongType).as("n_rows"),
+      round(col("rxy9").cast(DoubleType) / lit(1e9), 6).as("r_xy"),
+      round(col("rxz9").cast(DoubleType) / lit(1e9), 6).as("r_xz"),
+      round(col("ryz9").cast(DoubleType) / lit(1e9), 6).as("r_yz"),
+      when(col("den2") > lit(0.0), round(
+        (col("rxy9").cast(DoubleType) * lit(1e9)
+          - col("rxz9").cast(DoubleType) * col("ryz9"))
+          / sqrt(col("den2")), 6)).as("r_partial"))
+  }
+
+  val q132PartialCorrSql: String =
+    """WITH v AS (
+      |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+      |    CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS z
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(z) AS HUGEINT) AS sz,
+      |    CAST(SUM(x * x) AS HUGEINT) AS sxx, CAST(SUM(y * y) AS HUGEINT) AS syy,
+      |    CAST(SUM(z * z) AS HUGEINT) AS szz, CAST(SUM(x * y) AS HUGEINT) AS sxy,
+      |    CAST(SUM(x * z) AS HUGEINT) AS sxz, CAST(SUM(y * z) AS HUGEINT) AS syz
+      |  FROM v),
+      |c AS (
+      |  SELECT n,
+      |    CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS rxy9,
+      |    CAST(floor(CAST(n * sxz - sx * sz AS DOUBLE)
+      |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS rxz9,
+      |    CAST(floor(CAST(n * syz - sy * sz AS DOUBLE)
+      |      / sqrt(CAST(n * syy - sy * sy AS DOUBLE) * CAST(n * szz - sz * sz AS DOUBLE))
+      |      * 1e9 + 0.5) AS BIGINT) AS ryz9
+      |  FROM g),
+      |d AS (
+      |  SELECT n, rxy9, rxz9, ryz9,
+      |    (1e18 - CAST(rxz9 AS DOUBLE) * rxz9) * (1e18 - CAST(ryz9 AS DOUBLE) * ryz9)
+      |      AS den2
+      |  FROM c)
+      |SELECT CAST(n AS BIGINT) AS n_rows,
+      |  ROUND(CAST(rxy9 AS DOUBLE) / 1e9, 6) AS r_xy,
+      |  ROUND(CAST(rxz9 AS DOUBLE) / 1e9, 6) AS r_xz,
+      |  ROUND(CAST(ryz9 AS DOUBLE) / 1e9, 6) AS r_yz,
+      |  CASE WHEN den2 > 0.0 THEN
+      |    ROUND((CAST(rxy9 AS DOUBLE) * 1e9 - CAST(rxz9 AS DOUBLE) * ryz9)
+      |      / sqrt(den2), 6)
+      |  END AS r_partial
+      |FROM d""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
     QueryDef.sql("q113_spearman", q113Spearman _, q113SpearmanSql),
@@ -2097,6 +2205,7 @@ object Audits {
     QueryDef.sql("q128_wasserstein", q128Wasserstein _, q128WassersteinSql),
     QueryDef.sql("q129_cvm", q129CramerVonMises _, q129CramerVonMisesSql),
     QueryDef.sql("q131_cmh", q131CmhTest _, q131CmhTestSql),
+    QueryDef.sql("q132_partial_corr", q132PartialCorr _, q132PartialCorrSql),
     QueryDef.sql("q114_dp_counts", q114DpCounts _, q114DpCountsSql),
     QueryDef.sql("q117_gini_split", q117GiniSplit _, q117GiniSplitSql),
     QueryDef.sql("q119_levene", q119Levene _, q119LeveneSql),

@@ -107,7 +107,13 @@ class PlanShapeSpec extends AnyFunSuite {
       // histogram prefix pair, c86's stacked-lane quantiles
       ("q113", graft.operators.Audits.q113Spearman(spark, dir), 4),
       ("q117", graft.operators.Audits.q117GiniSplit(spark, dir), 1),
-      ("c86", graft.operators.Storage.c86ColumnStats(spark, dir), 1))
+      ("c86", graft.operators.Storage.c86ColumnStats(spark, dir), 1),
+      // the ECDF-drift / survival / AP additions all ride the same
+      // slice machinery: prefix inputs stay exactly (keys, measures)
+      ("q128", graft.operators.Audits.q128Wasserstein(spark, dir), 1),
+      ("q129", graft.operators.Audits.q129CramerVonMises(spark, dir), 1),
+      ("q130", graft.operators.Temporal.q130LogRank(spark, dir), 1),
+      ("t88", graft.operators.TextOps.t88AveragePrecision(spark, dir), 1))
     for ((name, df, sites) <- frames) {
       df.collect() // reuse is decided during adaptive execution
       val plan = df.queryExecution.executedPlan.toString

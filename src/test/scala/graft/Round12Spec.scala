@@ -865,4 +865,50 @@ class Round12Spec extends AnyFunSuite {
     assert(ri.getDouble(3) == 0.0 && ri.getDouble(4) == 1.0)
   }
 
+  // ---------------------------------------------------------------- q132
+  test("q132 partial correlation matches a naive moment recompute on sf0.001") {
+    val rows = graft.Tables.lineitem(spark, dir)
+      .select(floor(col("l_quantity") + lit(0.5)).cast("long"),
+        floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"),
+        floor(col("l_discount") * lit(100.0) + lit(0.5)).cast("long"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1)), BigInt(r.getLong(2))))
+    val n = BigInt(rows.length)
+    def s(f: ((BigInt, BigInt, BigInt)) => BigInt): BigInt = rows.map(f).sum
+    val (sx, sy, sz) = (s(_._1), s(_._2), s(_._3))
+    val (sxx, syy, szz) = (s(t => t._1 * t._1), s(t => t._2 * t._2), s(t => t._3 * t._3))
+    val (sxy, sxz, syz) = (s(t => t._1 * t._2), s(t => t._1 * t._3), s(t => t._2 * t._3))
+    def r9(num: BigInt, daa: BigInt, dbb: BigInt): Long =
+      math.floor(num.toDouble / math.sqrt(daa.toDouble * dbb.toDouble) * 1e9 + 0.5).toLong
+    val (dxx, dyy, dzz) = (n * sxx - sx * sx, n * syy - sy * sy, n * szz - sz * sz)
+    val rxy9 = r9(n * sxy - sx * sy, dxx, dyy)
+    val rxz9 = r9(n * sxz - sx * sz, dxx, dzz)
+    val ryz9 = r9(n * syz - sy * sz, dyy, dzz)
+    val den2 = (1e18 - rxz9.toDouble * rxz9) * (1e18 - ryz9.toDouble * ryz9)
+    val want = BigDecimal((rxy9.toDouble * 1e9 - rxz9.toDouble * ryz9) / math.sqrt(den2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = Audits.q132PartialCorr(spark, dir).head()
+    assert(r.getLong(0) == rows.length.toLong)
+    assert(math.abs(r.getDouble(1) - BigDecimal(rxy9 / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(math.abs(r.getDouble(4) - want) < 1e-9, s"rp ${r.getDouble(4)} want $want")
+  }
+
+  test("q132 is exactly 1 when y duplicates x and strips a planted confounder") {
+    import spark.implicits._
+    // y == x: r_xy = 1 and r_xz == r_yz, so the partial collapses to 1
+    val dup = (1L to 60L).map(i => (i, i, (i * 7) % 13)).toDF("x", "y", "z")
+    assert(Audits.partialCorrFrom(dup).head().getDouble(4) == 1.0)
+    // x and y only comove through z (independent small noises on top):
+    // the partial correlation given z must collapse toward zero while
+    // the pooled correlation still reads strong
+    val conf = (1L to 200L).map { i =>
+      val z = i % 50
+      (z + (if (i % 2 == 0) 3L else -3L), z + (i % 3), z)
+    }.toDF("x", "y", "z")
+    val rc = Audits.partialCorrFrom(conf).head()
+    assert(rc.getDouble(1) > 0.9, s"pooled r_xy ${rc.getDouble(1)} should look strong")
+    assert(!rc.isNullAt(4) && math.abs(rc.getDouble(4)) < 0.2,
+      s"partial must collapse once z is controlled")
+  }
+
 }
