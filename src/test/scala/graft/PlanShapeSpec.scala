@@ -109,8 +109,10 @@ class PlanShapeSpec extends AnyFunSuite {
       ("q117", graft.operators.Audits.q117GiniSplit(spark, dir), 1),
       ("c86", graft.operators.Storage.c86ColumnStats(spark, dir), 1),
       // the ECDF-drift / survival / AP additions all ride the same
-      // slice machinery: prefix inputs stay exactly (keys, measures)
-      ("q128", graft.operators.Audits.q128Wasserstein(spark, dir), 1),
+      // slice machinery: prefix inputs stay exactly (keys, measures).
+      // q128 is pinned separately below — its prefix frame is
+      // localCheckpoint'd (THREE consumers: totals, successor table,
+      // main join), so there is no live range exchange to reuse.
       ("q129", graft.operators.Audits.q129CramerVonMises(spark, dir), 1),
       ("q130", graft.operators.Temporal.q130LogRank(spark, dir), 1),
       ("t88", graft.operators.TextOps.t88AveragePrecision(spark, dir), 1))
@@ -122,6 +124,22 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(reused >= sites,
         s"$name: expected >= $sites reused exchange(s) for its rank site(s), got $reused:\n$plan")
     }
+    // q128's boundary determinism is by MATERIALIZATION, not reuse: the
+    // prefix frame has three consumers (totals, rnk+1 successor table,
+    // main join), so it is localCheckpoint'd once and every consumer
+    // reads the same frozen ranks. Pin that form: the executed plan
+    // must scan the checkpointed RDD and must NOT range-partition the
+    // slice frame again downstream of it.
+    val w = graft.operators.Audits.q128Wasserstein(spark, dir)
+    w.collect()
+    val wPlan = w.queryExecution.executedPlan.toString
+    assert(wPlan.contains("Scan ExistingRDD"),
+      s"q128: expected the localCheckpoint'd prefix frame (Scan ExistingRDD) in:\n$wPlan")
+    // toString prints Final AND Initial plans — pin the final one only
+    val finalSection = wPlan.split("== Initial Plan ==")(0)
+    val rangeExchanges = finalSection.linesIterator.count(_.contains("Exchange rangepartitioning"))
+    assert(rangeExchanges <= 1, // only the final ORDER BY may range-partition
+      s"q128: prefix slices must come from the checkpoint, not a re-sort; got $rangeExchanges range exchanges:\n$wPlan")
   }
 
   test("d58 election is a combinable aggregate; span merge windows per doc — text never moves") {
