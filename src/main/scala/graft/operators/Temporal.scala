@@ -1279,6 +1279,126 @@ object Temporal {
       |  ELSE 0.0 END AS z
       |FROM v""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q133: Durbin-Watson serial-correlation test of the per-status daily
+  // OLS residuals (Durbin & Watson 1950) — the residual-diagnostic
+  // member of the serial-structure battery: q120's ACF asks "does the
+  // RAW series autocorrelate", DW asks "after the trend fit, do the
+  // RESIDUALS still drag" — the check that decides whether q56-style
+  // OLS standard errors are trustworthy at all:
+  //   DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ_t e_t²   (≈ 2(1 − ρ₁))
+  //
+  // Scale shape: q120's axis — ONE corpus shuffle collapses orders to
+  // the |status × calendar-days| frame (domain-bounded at ANY SF);
+  // the fit moments come from one hash aggregate over that frame, the
+  // residual pass is a broadcast join of the 3-row moment table back
+  // onto it, and the lag differences ride a per-status window over the
+  // bounded frame. Nothing corpus-sized ever sorts or windows.
+  //
+  // Exactness: residuals stay EXACT on the common n·V denominator —
+  //   E_i = n·V·y_i − V·Σy + N·Σi − n·N·i   (DECIMAL(38,0); ≤ ~1e25)
+  // with V = nΣi² − (Σi)², N = nΣiy − ΣiΣy — then snap ONCE to the
+  // milli-cent grid via the same fixed-shape double division in both
+  // engines; the DW numerator/denominator are pure integer sums of
+  // squared snapped residuals (≤ ~1e27, DECIMAL(38,0) / HUGEINT) and
+  // DW itself is ONE double division, rounded once. Groups need n ≥ 3
+  // (guarantees V > 0); a zero-variance residual vector nulls out via
+  // the den > 0 guard (q56's discipline).
+  // ---------------------------------------------------------------------
+  def q133DurbinWatson(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"),
+        to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("grp"), col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    durbinWatsonFrom(daily)
+  }
+
+  /** DW over any (grp, day: DATE, rev_c: BIGINT) daily series — spec
+    * entry point.
+    */
+  private[graft] def durbinWatsonFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val wi = Window.partitionBy(col("grp")).orderBy(col("day"))
+    // |grp × days| frame, two consumers (moment agg + residual pass)
+    val idx = daily.withColumn("i", row_number().over(wi).cast(LongType))
+      .localCheckpoint(false)
+    val st = idx.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("i")).as("si"),
+        sum(col("rev_c")).as("sy"),
+        sum(col("i") * col("i")).as("sii"),
+        sum(col("i").cast(d38) * col("rev_c")).as("siy"))
+      .filter(col("n") >= lit(3L))
+      .select(col("grp"), col("n"), col("si"), col("sy"),
+        (col("sii").cast(d38) * col("n") - col("si").cast(d38) * col("si")).as("v"),
+        (col("siy") * col("n") - col("si").cast(d38) * col("sy")).as("nm"))
+    val r = idx.join(broadcast(st), "grp")
+      .select(col("grp"), col("i"),
+        floor((col("rev_c").cast(d38) * col("v") * col("n")
+            - col("v") * col("sy") + col("nm") * col("si")
+            - col("nm") * col("n") * col("i")).cast(DoubleType)
+          / (col("v") * col("n")).cast(DoubleType) * lit(1000.0) + lit(0.5))
+          .cast(LongType).as("r3"))
+    val wl = Window.partitionBy(col("grp")).orderBy(col("i"))
+    val dnum = col("num").cast(DoubleType)
+    val dden = col("den").cast(DoubleType)
+    r.withColumn("pr3", lag(col("r3"), 1).over(wl))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("r3").cast(d38) * col("r3")).as("den"),
+        sum(when(col("pr3").isNotNull,
+            (col("r3") - col("pr3")).cast(d38) * (col("r3") - col("pr3")))
+          .otherwise(lit(0L).cast(d38))).as("num"))
+      .select(col("grp"), col("n_days"),
+        when(col("den") > 0, round(dnum / dden, 6)).as("dw"),
+        when(col("den") > 0,
+          round(lit(1.0) - dnum / dden / lit(2.0), 6)).as("rho1"))
+      .orderBy(col("grp"))
+  }
+
+  val q133DurbinWatsonSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderstatus AS grp, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS i, rev_c
+      |  FROM daily),
+      |st AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(i) AS BIGINT) AS si,
+      |    CAST(SUM(rev_c) AS BIGINT) AS sy, CAST(SUM(i * i) AS BIGINT) AS sii,
+      |    SUM(CAST(i AS HUGEINT) * rev_c) AS siy
+      |  FROM idx GROUP BY 1
+      |  HAVING COUNT(*) >= 3),
+      |vd AS (
+      |  SELECT grp, n, si, sy,
+      |    CAST(sii AS HUGEINT) * n - CAST(si AS HUGEINT) * si AS v,
+      |    siy * n - CAST(si AS HUGEINT) * sy AS nm
+      |  FROM st),
+      |r AS (
+      |  SELECT grp, i,
+      |    CAST(floor(CAST(CAST(rev_c AS HUGEINT) * v * n - v * sy + nm * si
+      |        - nm * n * i AS DOUBLE)
+      |      / CAST(v * n AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS r3
+      |  FROM idx JOIN vd USING (grp)),
+      |l AS (
+      |  SELECT grp, r3, LAG(r3) OVER (PARTITION BY grp ORDER BY i) AS pr3
+      |  FROM r),
+      |s AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |    SUM(CAST(r3 AS HUGEINT) * r3) AS den,
+      |    SUM(CASE WHEN pr3 IS NOT NULL
+      |      THEN CAST(r3 - pr3 AS HUGEINT) * (r3 - pr3) ELSE 0 END) AS num
+      |  FROM l GROUP BY 1)
+      |SELECT grp, n_days,
+      |  CASE WHEN den > 0
+      |    THEN ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) END AS dw,
+      |  CASE WHEN den > 0
+      |    THEN ROUND(1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2.0, 6)
+      |    END AS rho1
+      |FROM s ORDER BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
@@ -1291,5 +1411,6 @@ object Temporal {
     QueryDef.sql("q125_periodogram", q125Periodogram _, q125PeriodogramSql),
     QueryDef.sql("q126_page_hinkley", q126PageHinkley _, q126PageHinkleySql),
     QueryDef.sql("q130_log_rank", q130LogRank _, q130LogRankSql),
+    QueryDef.sql("q133_durbin_watson", q133DurbinWatson _, q133DurbinWatsonSql),
   )
 }

@@ -593,4 +593,62 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- q133
+  test("q133 DW reads ~4 on alternating, small on smooth, null on exact-line residuals") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong))
+    val n = 60
+    val rows =
+      (0 until n).map(i => ("ALT", day(i),
+        100000L + 500L * i + (if (i % 2 == 0) 20000L else -20000L))) ++
+      (0 until n).map(i => ("SMO", day(i),
+        100000L + 100L * (i - 30).toLong * (i - 30).toLong)) ++
+      (0 until n).map(i => ("LIN", day(i), 1000L + 777L * i))
+    val got = Temporal.durbinWatsonFrom(rows.toDF("grp", "day", "rev_c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // alternating residuals: e_t ≈ ±c, diffs ≈ ∓2c → DW ≈ 4
+    assert(got("ALT").getDouble(2) > 3.5, s"ALT dw ${got("ALT").getDouble(2)}")
+    // parabolic residual arc: adjacent residuals nearly equal → DW ≈ 0
+    assert(got("SMO").getDouble(2) < 1.0, s"SMO dw ${got("SMO").getDouble(2)}")
+    // exact line: every snapped residual is 0 → den = 0 → guarded null
+    assert(got("LIN").isNullAt(2) && got("LIN").isNullAt(3))
+    // rho1 mirrors dw: 1 - dw/2, so ALT ≈ -1, SMO ≈ +1
+    assert(got("ALT").getDouble(3) < -0.75 && got("SMO").getDouble(3) > 0.5)
+  }
+
+  test("q133 matches a naive BigInt residual recompute on sf0.001") {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"), to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("grp"), col("day")).agg(sum(col("pc")).as("rev_c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val want = daily.groupBy(_._1).filter(_._2.length >= 3).map { case (g, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3).zipWithIndex
+        .map { case (y, i0) => (BigInt(i0 + 1), BigInt(y)) }
+      val n = BigInt(ys.length)
+      val si = ys.map(_._1).sum; val sy = ys.map(_._2).sum
+      val sii = ys.map(p => p._1 * p._1).sum
+      val siy = ys.map(p => p._1 * p._2).sum
+      val v = sii * n - si * si
+      val nm = siy * n - si * sy
+      val r3 = ys.map { case (i, y) =>
+        val e = y * v * n - v * sy + nm * si - nm * n * i
+        math.floor(e.toDouble / (v * n).toDouble * 1000.0 + 0.5).toLong
+      }
+      val den = r3.map(x => BigInt(x) * x).sum
+      val num = r3.zip(r3.tail).map { case (a, b) => BigInt(b - a) * (b - a) }.sum
+      val dw = BigDecimal(num.toDouble / den.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      g -> (ys.length.toLong, dw)
+    }
+    val got = Temporal.q133DurbinWatson(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    for ((g, (wn, wdw)) <- want) {
+      assert(got(g)._1 == wn, s"$g n_days ${got(g)._1} want $wn")
+      assert(math.abs(got(g)._2 - wdw) < 1e-9, s"$g dw ${got(g)._2} want $wdw")
+    }
+  }
+
 }
