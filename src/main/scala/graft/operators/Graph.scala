@@ -664,8 +664,125 @@ object Graph {
        |ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q134: rich-club coefficient ladder over the undirected co-purchase
+  // graph (Zhou & Mondragon 2004; Colizza et al. 2006) — "do the hubs
+  // preferentially wire to each other": at each degree threshold k,
+  //   phi(k) = 2·E_k / (N_k·(N_k − 1))
+  // with N_k = |{v : deg(v) > k}| and E_k the edges with BOTH endpoints
+  // above k — the density of the subgraph induced by the >k club. The
+  // structural sibling of q107's assortativity: r says "degrees at edge
+  // ends correlate", phi(k) says "the top club is this close to a
+  // clique" — the two disagree exactly when hubs interlink only through
+  // low-degree brokers. Thresholds are the exact degree deciles (j/10
+  // of nodes at or below k_j), so the ladder stays informative at any
+  // SF; j = 0 anchors the whole-graph density.
+  //
+  // Scale shape: degrees are node-sized and BROADCAST onto the edge
+  // list (q66/q107's idiom — edges never shuffle to learn endpoint
+  // degrees); each edge then collapses to its MIN endpoint degree and
+  // the corpus is GONE: the node-degree and edge-min-degree histograms
+  // are both bounded by max degree, the decile thresholds come from a
+  // cumulative sum over that bounded histogram, and the club counts are
+  // broadcast non-equi joins of the 10-row ladder × histogram.
+  //
+  // Exactness: pure integer counts end to end (targets via integer
+  // `div`, thresholds via min-over-cum — no quantile estimators); phi
+  // is ONE double division per ladder row, identical in both engines,
+  // rounded once; N_k < 2 nulls out via the q56 guard.
+  // ---------------------------------------------------------------------
+  private val RichClubDeciles = 10
+
+  def q134RichClub(spark: SparkSession, dir: String): DataFrame = {
+    val (und, _) = orientedCoPurchase(spark, dir)
+    richClubFrom(spark, und)
+  }
+
+  /** Rich-club decile ladder over any undirected (src, dst) edge frame —
+    * spec entry point.
+    */
+  private[graft] def richClubFrom(spark: SparkSession, und: DataFrame): DataFrame = {
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // two consumers (threshold scan + club counts) of a degree-bounded frame
+    val degHist = deg.groupBy(col("d")).agg(count(lit(1)).as("nd"))
+      .localCheckpoint(false)
+    val edgeHist = und
+      .join(broadcast(deg.select(col("node").as("src"), col("d").as("ds"))), "src")
+      .join(broadcast(deg.select(col("node").as("dst"), col("d").as("dd"))), "dst")
+      .select(least(col("ds"), col("dd")).as("md"))
+      .groupBy(col("md")).agg(count(lit(1)).as("ne"))
+    // exact decile thresholds from the cumulative degree histogram; the
+    // unpartitioned window is degree-bounded, never corpus-sized
+    val cum = degHist
+      .withColumn("cum", sum(col("nd")).over(Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("nd")).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val ladder = spark.range(1L, RichClubDeciles.toLong).select(col("id").as("j"))
+      .join(broadcast(cum),
+        col("cum") >= expr(s"(j * n + ${RichClubDeciles - 1}) div $RichClubDeciles"))
+      .groupBy(col("j")).agg(min(col("d")).as("k"))
+      .union(spark.range(1L).select(lit(0L).as("j"), lit(0L).as("k")))
+    val nk = ladder.join(broadcast(degHist), col("d") > col("k"), "left")
+      .groupBy(col("j"), col("k")).agg(coalesce(sum(col("nd")), lit(0L)).as("n_k"))
+    val ek = ladder.join(broadcast(edgeHist), col("md") > col("k"), "left")
+      .groupBy(col("j"), col("k")).agg(coalesce(sum(col("ne")), lit(0L)).as("e_k"))
+    nk.join(ek, Seq("j", "k"))
+      .select(col("j"), col("k"), col("n_k"), col("e_k"),
+        when(col("n_k") >= 2L,
+          round(lit(2.0) * col("e_k").cast(DoubleType)
+            / (col("n_k").cast(DoubleType)
+              * (col("n_k") - lit(1L)).cast(DoubleType)), 6)).as("phi"))
+      .orderBy(col("j"))
+  }
+
+  val q134RichClubSql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |deg AS MATERIALIZED (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+       |  GROUP BY node),
+       |dh AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS nd FROM deg GROUP BY 1),
+       |eh AS (
+       |  SELECT LEAST(ds.d, dd.d) AS md, CAST(COUNT(*) AS BIGINT) AS ne
+       |  FROM und
+       |  JOIN deg ds ON ds.node = und.src
+       |  JOIN deg dd ON dd.node = und.dst
+       |  GROUP BY 1),
+       |cum AS (
+       |  SELECT d, CAST(SUM(nd) OVER (ORDER BY d) AS BIGINT) AS cum,
+       |    CAST(SUM(nd) OVER () AS BIGINT) AS n
+       |  FROM dh),
+       |js AS (SELECT CAST(unnest(range(1, $RichClubDeciles)) AS BIGINT) AS j),
+       |th AS (
+       |  SELECT j, MIN(d) AS k FROM js
+       |  JOIN cum ON cum.cum >= (j * cum.n + ${RichClubDeciles - 1}) // $RichClubDeciles
+       |  GROUP BY j),
+       |ladder AS (
+       |  SELECT j, k FROM th
+       |  UNION ALL SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)),
+       |nk AS (
+       |  SELECT j, k, CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS n_k
+       |  FROM ladder LEFT JOIN dh ON dh.d > ladder.k GROUP BY j, k),
+       |ek AS (
+       |  SELECT j, k, CAST(COALESCE(SUM(ne), 0) AS BIGINT) AS e_k
+       |  FROM ladder LEFT JOIN eh ON eh.md > ladder.k GROUP BY j, k)
+       |SELECT j, k, n_k, e_k,
+       |  CASE WHEN n_k >= 2 THEN
+       |    ROUND(2.0 * CAST(e_k AS DOUBLE)
+       |      / (CAST(n_k AS DOUBLE) * CAST(n_k - 1 AS DOUBLE)), 6) END AS phi
+       |FROM nk JOIN ek USING (j, k)
+       |ORDER BY j""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
+    QueryDef.sql("q134_rich_club", q134RichClub _, q134RichClubSql),
     QueryDef.sql("q115_hits", q115Hits _, q115HitsSql),
     QueryDef.sql("q116_kcore", q116KCore _, q116KCoreSql),
     QueryDef.sql("q107_assortativity", q107Assortativity _, q107AssortativitySql),

@@ -85,4 +85,52 @@ class GraphPhashSpec extends AnyFunSuite {
     assert(!rows.exists { case (a, b, h) => Set(a, b) != Set(1L, 2L) && h == 0 },
       "distinct payloads must not report hamming 0")
   }
+
+  // ---------------------------------------------------------------- q134
+  test("q134 rich-club: planted hub clique reads phi=1; j=0 anchors whole-graph density") {
+    import spark.implicits._
+    // 5-hub clique (10 edges), each hub with 6 pendant leaves: deg(hub)=10,
+    // deg(leaf)=1, 35 nodes / 40 edges total
+    val hubs = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
+    val leaves = for (h <- 1 to 5; l <- 0 until 6)
+      yield (h.toLong, (100 + h * 10 + l).toLong)
+    val got = Graph.richClubFrom(spark, (hubs ++ leaves).toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 10)
+    // j=0: whole graph, phi = 2*40/(35*34)
+    assert(got(0L).getLong(2) == 35 && got(0L).getLong(3) == 40)
+    assert(math.abs(got(0L).getDouble(4) - 80.0 / (35.0 * 34.0)) < 1e-6)
+    // j=8: target=ceil(8*35/10)=28 ≤ 30 leaves → k=1 → club = 5 hubs, a clique
+    assert(got(8L).getLong(1) == 1 && got(8L).getLong(2) == 5
+      && got(8L).getLong(3) == 10 && got(8L).getDouble(4) == 1.0)
+    // j=9: target=32 lands on the hub degree → empty >k club → guarded null
+    assert(got(9L).getLong(2) == 0 && got(9L).isNullAt(4))
+  }
+
+  test("q134 matches a naive ladder recompute on sf0.001") {
+    val (und, _) = Graph.orientedCoPurchase(spark, dir)
+    val edges = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val degm = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val n = degm.size.toLong
+    val degs = degm.values.toSeq.sorted
+    val ladder = (0L, 0L) +: (1L to 9L).map { j =>
+      val target = (j * n + 9) / 10
+      j -> degs((target - 1).toInt)
+    }
+    val want = ladder.map { case (j, k) =>
+      val nk = degm.values.count(_ > k).toLong
+      val ek = edges.count { case (a, b) => degm(a) > k && degm(b) > k }.toLong
+      val phi = if (nk >= 2)
+        Some(BigDecimal(2.0 * ek / (nk.toDouble * (nk - 1).toDouble))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+      j -> ((k, nk, ek, phi))
+    }.toMap
+    val got = Graph.q134RichClub(spark, dir).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
 }
