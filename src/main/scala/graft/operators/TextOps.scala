@@ -2746,6 +2746,70 @@ object TextOps {
        |GROUP BY n_pos, n_total""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t89: species-richness / coverage estimate of the per-language
+  // vocabulary — Chao1 (Chao 1984, bias-corrected form) plus the
+  // Good-Turing unseen-mass estimate (Good 1953): from the frequency-
+  // of-frequencies margins f1 (singletons) and f2 (doubletons),
+  //   chao1   = S_obs + f1·(f1−1) / (2·(f2+1))   (est. TRUE vocab size)
+  //   p0      = f1 / N                            (unseen token mass)
+  //   coverage = 1 − p0                           (Turing sample coverage)
+  // — the capacity-planning companion to t80's Heaps fit: Heaps says how
+  // fast vocab GROWS with more data, Chao1 says how much vocabulary the
+  // corpus has NOT yet shown at all (tokenizer/vocab-size sizing, and
+  // the stop-crawling signal when coverage saturates).
+  //
+  // Scale shape: ONE corpus shuffle to the (lang, word) vocabulary frame
+  // (map-side combined), then a vocabulary-sized aggregate collapses to
+  // |langs| rows — the t54/t66 discipline; nothing corpus-sized sorts.
+  //
+  // Exactness: S_obs/N/f1/f2 are pure integer counts; chao1/p0/coverage
+  // are single fixed-shape double expressions over those integers,
+  // identical in DuckDB, each rounded once. f2 = 0 is safe (the +1 in
+  // the bias-corrected denominator is exactly why that form is used).
+  // -------------------------------------------------------------------
+  def t89VocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageFrom(docs(spark, dir))
+
+  /** Chao1 + Good-Turing coverage over any (lang, text) frame — spec
+    * entry point.
+    */
+  private[graft] def vocabCoverageFrom(d: DataFrame): DataFrame = {
+    val wc = d.select(col("lang"), explode(toks).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("f"))
+    def dd(c: String) = col(c).cast(DoubleType)
+    wc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("s_obs"),
+        sum(col("f")).as("n_tokens"),
+        sum(when(col("f") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("f") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("lang"), col("n_tokens"), col("s_obs"), col("f1"), col("f2"),
+        round(dd("s_obs")
+          + dd("f1") * (col("f1") - lit(1L)).cast(DoubleType)
+            / (lit(2.0) * (col("f2") + lit(1L)).cast(DoubleType)), 6).as("chao1"),
+        round(dd("f1") / dd("n_tokens"), 6).as("gt_unseen_mass"),
+        round(lit(1.0) - dd("f1") / dd("n_tokens"), 6).as("coverage"))
+      .orderBy(col("lang"))
+  }
+
+  val t89VocabCoverageSql: String =
+    """WITH w AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS f FROM w GROUP BY 1, 2),
+      |s AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS s_obs,
+      |    CAST(SUM(f) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM wc GROUP BY 1)
+      |SELECT lang, n_tokens, s_obs, f1, f2,
+      |  ROUND(CAST(s_obs AS DOUBLE)
+      |    + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE)
+      |      / (2.0 * CAST(f2 + 1 AS DOUBLE)), 6) AS chao1,
+      |  ROUND(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS gt_unseen_mass,
+      |  ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS coverage
+      |FROM s ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
@@ -2755,6 +2819,7 @@ object TextOps {
     QueryDef.sql("t86_roc_auc", t86RocAuc _, t86RocAucSql),
     QueryDef.sql("t87_gate_agreement", t87GateAgreement _, t87GateAgreementSql),
     QueryDef.sql("t88_avg_precision", t88AveragePrecision _, t88AveragePrecisionSql),
+    QueryDef.sql("t89_vocab_coverage", t89VocabCoverage _, t89VocabCoverageSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

@@ -911,4 +911,47 @@ class Round12Spec extends AnyFunSuite {
       s"partial must collapse once z is controlled")
   }
 
+  // ---------------------------------------------------------------- t89
+  test("t89 Chao1/Good-Turing read planted margins; saturated vocab has zero unseen mass") {
+    import spark.implicits._
+    val d = Seq(
+      ("aa", "x y z z w w w"),   // S=4, N=7, f1=2, f2=1
+      ("bb", "p p p q q q")      // f1=f2=0: chao1 collapses to S_obs
+    ).toDF("lang", "text")
+    val got = TextOps.vocabCoverageFrom(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val aa = got("aa")
+    assert((aa.getLong(1), aa.getLong(2), aa.getLong(3), aa.getLong(4))
+      == ((7L, 4L, 2L, 1L)))
+    assert(aa.getDouble(5) == 4.5, s"chao1 = 4 + 2·1/(2·2) = 4.5, got ${aa.getDouble(5)}")
+    assert(math.abs(aa.getDouble(6) - 2.0 / 7) < 1e-6)
+    assert(math.abs(aa.getDouble(7) - 5.0 / 7) < 1e-6)
+    val bb = got("bb")
+    assert(bb.getLong(3) == 0L && bb.getDouble(5) == bb.getLong(2).toDouble)
+    assert(bb.getDouble(6) == 0.0 && bb.getDouble(7) == 1.0)
+  }
+
+  test("t89 matches a naive tokenize-and-count recompute on sf0.001") {
+    val raw = Tables.documents(spark, dir).select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = raw.groupBy(_._1).map { case (lang, ds) =>
+      // split(-1) keeps trailing empties — the engine's split() semantics
+      val f = ds.flatMap(_._2.split(" ", -1)).groupBy(identity)
+        .map(_._2.length.toLong)
+      val sObs = f.size.toLong; val n = f.sum
+      val f1 = f.count(_ == 1L).toLong; val f2 = f.count(_ == 2L).toLong
+      lang -> ((n, sObs, f1, f2,
+        r6(sObs.toDouble + f1.toDouble * (f1 - 1).toDouble
+          / (2.0 * (f2 + 1).toDouble)),
+        r6(f1.toDouble / n.toDouble), r6(1.0 - f1.toDouble / n.toDouble)))
+    }
+    val got = TextOps.t89VocabCoverage(spark, dir).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
+
 }
