@@ -2810,6 +2810,133 @@ object TextOps {
       |  ROUND(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS coverage
       |FROM s ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t90: Hosmer-Lemeshow goodness-of-fit chi-square of the learned
+  // quality gate (Hosmer & Lemeshow 1980, the H statistic — fixed
+  // cutpoints rather than deciles of risk; the cutpoints are t85's 10
+  // equal-width score buckets): per bucket,
+  //   term_b = n_b·(O_b − E_b)² / (E_b·(n_b − E_b)/n_b · n_b)
+  //          = n_b·(O_b·1e9 − s9)² / (s9·(n_b·1e9 − s9))
+  // and H = Σ_b term_b ~ χ²(bins − 2) under "the probabilities fit".
+  // The TEST sibling of t85's ECE: ECE reports the calibration gap's
+  // magnitude, H says whether that gap is explainable by binomial
+  // noise at this corpus size — the gate-refit trigger.
+  //
+  // Scale shape: t85's axis exactly — two corpus scans join on doc_id,
+  // one hash aggregate to ≤10 bucket rows; every downstream step is
+  // bucket-bounded (the unpartitioned window runs over ≤10 rows).
+  //
+  // Exactness: bucket margins (n_b, O_b, s9) are exact integers
+  // (DECIMAL(38,0) sums); each term is ONE fixed-shape double
+  // expression over those integers — identical parenthesization in
+  // DuckDB — micro-snapped (×1e6) per bucket, so H is an exact integer
+  // sum with ONE division at the edge. Degenerate bins (s9 = 0 or
+  // s9 = n_b·1e9: zero binomial variance) null out and drop from both
+  // H and the χ² degrees of freedom, per the standard treatment.
+  // -------------------------------------------------------------------
+  def t90HosmerLemeshow(spark: SparkSession, dir: String): DataFrame =
+    hosmerLemeshowFrom(hlJoinedForSpec(spark, dir))
+
+  /** The (doc_id, score_n9, pass) frame t90 buckets — spec access. */
+  private[graft] def hlJoinedForSpec(spark: SparkSession, dir: String): DataFrame = {
+    val scores = qualityScoresFrom(docs(spark, dir)).select(col("doc_id"), col("score_n9"))
+    val labels = gopherRulesFrom(docs(spark, dir))
+      .select(col("doc_id"), col("pass").cast(LongType).as("pass"))
+    scores.join(labels, "doc_id")
+  }
+
+  /** HL H-statistic over any (score_n9: BIGINT in [0,1e9], pass: 0/1)
+    * frame — spec entry point.
+    */
+  private[graft] def hosmerLemeshowFrom(j: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = j.withColumn("bucket",
+        least(expr(s"score_n9 * $CalibBuckets div 1000000000"), lit(CalibBuckets - 1L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_n9").cast(d38)).as("s9"),
+        sum(col("pass").cast(LongType)).as("obs"))
+    val gap = col("obs").cast(d38) * lit(1000000000L) - col("s9")
+    val nine = col("n_docs").cast(d38) * lit(1000000000L)
+    val term = col("n_docs").cast(DoubleType)
+      .multiply(gap.cast(DoubleType)).multiply(gap.cast(DoubleType))
+      .divide(col("s9").cast(DoubleType)
+        * (nine.cast(DoubleType) - col("s9").cast(DoubleType)))
+    val t = g.withColumn("term_u6",
+      when(col("s9") > lit(0L) && col("s9") < nine,
+        floor(term * lit(1e6) + lit(0.5)).cast(LongType)))
+    val wN = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.withColumn("hl_u6", sum(col("term_u6")).over(wN))
+      .withColumn("n_bins",
+        sum(when(col("term_u6").isNotNull, 1L).otherwise(0L)).over(wN))
+      .select(col("bucket"), col("n_docs"), col("obs"),
+        round(col("s9").cast(DoubleType) / lit(1e9), 6).as("expected"),
+        round(col("term_u6").cast(DoubleType) / lit(1e6), 6).as("term"),
+        round(col("hl_u6").cast(DoubleType) / lit(1e6), 6).as("hl"),
+        (col("n_bins") - lit(2L)).as("df"))
+      .orderBy(col("bucket"))
+  }
+
+  val t90HosmerLemeshowSql: String = {
+    val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |$featCols
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, ${sigmoidN9Sql(qcMarginSql(QcWeights, QcBias))} AS score_n9
+       |  FROM f),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+       |    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    ${langScoreSql("en")} AS n_stop
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_ell <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass
+       |  FROM gm),
+       |g AS (
+       |  SELECT LEAST(score_n9 * $CalibBuckets // 1000000000, ${CalibBuckets - 1}) AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(score_n9) AS HUGEINT) AS s9,
+       |    CAST(SUM(pass) AS BIGINT) AS obs
+       |  FROM sc JOIN lab USING (doc_id)
+       |  GROUP BY 1),
+       |t AS (
+       |  SELECT *,
+       |    CASE WHEN s9 > 0 AND s9 < CAST(n_docs AS HUGEINT) * 1000000000 THEN
+       |      CAST(floor(
+       |        CAST(n_docs AS DOUBLE)
+       |          * CAST(CAST(obs AS HUGEINT) * 1000000000 - s9 AS DOUBLE)
+       |          * CAST(CAST(obs AS HUGEINT) * 1000000000 - s9 AS DOUBLE)
+       |          / (CAST(s9 AS DOUBLE)
+       |            * (CAST(CAST(n_docs AS HUGEINT) * 1000000000 AS DOUBLE)
+       |              - CAST(s9 AS DOUBLE)))
+       |        * 1e6 + 0.5) AS BIGINT) END AS term_u6
+       |  FROM g),
+       |w AS (
+       |  SELECT *,
+       |    CAST(SUM(term_u6) OVER () AS BIGINT) AS hl_u6,
+       |    CAST(SUM(CASE WHEN term_u6 IS NOT NULL THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_bins
+       |  FROM t)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, obs,
+       |  ROUND(CAST(s9 AS DOUBLE) / 1e9, 6) AS expected,
+       |  ROUND(CAST(term_u6 AS DOUBLE) / 1e6, 6) AS term,
+       |  ROUND(CAST(hl_u6 AS DOUBLE) / 1e6, 6) AS hl,
+       |  n_bins - 2 AS df
+       |FROM w
+       |ORDER BY bucket""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
@@ -2820,6 +2947,7 @@ object TextOps {
     QueryDef.sql("t87_gate_agreement", t87GateAgreement _, t87GateAgreementSql),
     QueryDef.sql("t88_avg_precision", t88AveragePrecision _, t88AveragePrecisionSql),
     QueryDef.sql("t89_vocab_coverage", t89VocabCoverage _, t89VocabCoverageSql),
+    QueryDef.sql("t90_hosmer_lemeshow", t90HosmerLemeshow _, t90HosmerLemeshowSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

@@ -954,4 +954,57 @@ class Round12Spec extends AnyFunSuite {
     assert(got == want, s"got $got\nwant $want")
   }
 
+  // ---------------------------------------------------------------- t90
+  test("t90 HL: zero on exact calibration, 12 on a planted miss, degenerate bins drop") {
+    import spark.implicits._
+    val rows =
+      // bucket 2: 4 docs at p=0.25, exactly 1 passes → O = E → term 0
+      Seq.tabulate(4)(i => (250000000L, if (i == 0) 1L else 0L)) ++
+      // bucket 7: 4 docs at p=0.75, none pass → term = 4·(3e9)²/(3e9·1e9) = 12
+      Seq.fill(4)((750000000L, 0L)) ++
+      // bucket 0: score 0 → zero binomial variance → excluded from H and df
+      Seq.fill(2)((0L, 0L))
+    val got = TextOps.hosmerLemeshowFrom(rows.toDF("score_n9", "pass"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(0L, 2L, 7L))
+    assert(got(2L).getDouble(4) == 0.0, s"calibrated bin term ${got(2L).getDouble(4)}")
+    assert(got(7L).getDouble(4) == 12.0, s"missed bin term ${got(7L).getDouble(4)}")
+    assert(got(0L).isNullAt(4), "zero-variance bin must be excluded")
+    // H sums only the two live bins; df = live bins − 2 = 0
+    assert(got(2L).getDouble(5) == 12.0 && got(2L).getLong(6) == 0L)
+  }
+
+  test("t90 matches a naive bucket recompute on sf0.001") {
+    val base = TextOps.t90HosmerLemeshow(spark, dir)
+    val raw = TextOps.hlJoinedForSpec(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val want = raw.groupBy { case (s, _) => math.min(s * 10 / 1000000000L, 9L) }
+      .map { case (b, xs) =>
+        val n = xs.length.toLong; val s9 = xs.map(x => BigInt(x._1)).sum
+        val obs = xs.map(_._2).sum
+        val g = BigInt(obs) * 1000000000L - s9
+        val termU6 =
+          if (s9 > 0 && s9 < BigInt(n) * 1000000000L)
+            Some(math.floor(n.toDouble * g.toDouble * g.toDouble
+              / (s9.toDouble * (BigInt(n * 1000000000L).toDouble - s9.toDouble))
+              * 1e6 + 0.5).toLong)
+          else None
+        b -> ((n, obs, termU6))
+      }
+    val hlU6 = want.values.flatMap(_._3).sum
+    val nBins = want.values.count(_._3.isDefined).toLong
+    val got = base.collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == want.keySet)
+    for ((b, (n, obs, termU6)) <- want) {
+      val r = got(b)
+      assert(r.getLong(1) == n && r.getLong(2) == obs, s"bucket $b margins")
+      termU6 match {
+        case Some(t) => assert(math.abs(r.getDouble(4) - t / 1e6) < 1e-9, s"bucket $b term")
+        case None => assert(r.isNullAt(4))
+      }
+      assert(math.abs(r.getDouble(5) - hlU6 / 1e6) < 1e-9, s"hl at bucket $b")
+      assert(r.getLong(6) == nBins - 2, s"df at bucket $b")
+    }
+  }
+
 }
