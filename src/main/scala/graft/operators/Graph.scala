@@ -780,9 +780,109 @@ object Graph {
        |FROM nk JOIN ek USING (j, k)
        |ORDER BY j""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q135: Newman-Girvan modularity of the brand partition over the
+  // undirected co-purchase graph (Newman & Girvan 2004) — "does the
+  // catalog's brand taxonomy explain the purchase structure":
+  //   Q = Σ_c [ e_c/m − (d_c/(2m))² ]
+  // with e_c the intra-community edge count, d_c the total degree of
+  // community c, m the edge count — the community-QUALITY metric that
+  // closes the graph battery: q63/q115 rank nodes, q66/q82 count local
+  // structure, q107/q134 read degree mixing, Q scores a PARTITION.
+  // Communities here are p_brand (25-way, domain-bounded).
+  //
+  // Scale shape: the brand map and degree frame are node-sized and
+  // BROADCAST onto the edge list (q66's idiom — edges never shuffle to
+  // learn endpoint attributes); one hash aggregate collapses to the
+  // |brands| frame and everything downstream (window sum, divisions)
+  // is 25-row bounded.
+  //
+  // Exactness: per-community numerator 4·m·e_c − d_c² is pure integer
+  // (DECIMAL(38,0); ≤ ~4e24 even at 1e12 edges), Q's numerator is an
+  // exact integer SUM over communities (never a float accumulation),
+  // and contribution/Q are each ONE double division by 4m², rounded
+  // once — identical shape in DuckDB.
+  // ---------------------------------------------------------------------
+  def q135Modularity(spark: SparkSession, dir: String): DataFrame = {
+    val (und, _) = orientedCoPurchase(spark, dir)
+    val comm = Tables.part(spark, dir)
+      .select(col("p_partkey").as("node"), col("p_brand").as("comm"))
+    modularityFrom(und, comm)
+  }
+
+  /** Modularity of any (node, comm) partition over any undirected
+    * (src, dst) edge frame — spec entry point. Nodes outside the edge
+    * set carry no degree and no edges, so they cannot shift Q.
+    */
+  private[graft] def modularityFrom(und: DataFrame, comm: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val dc = deg.join(broadcast(comm), "node")
+      .groupBy(col("comm"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_c"))
+    val ec = und
+      .join(broadcast(comm.select(col("node").as("src"), col("comm").as("cs"))), "src")
+      .join(broadcast(comm.select(col("node").as("dst"), col("comm").as("cd"))), "dst")
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("comm")).agg(count(lit(1)).as("e_c"))
+    val m = und.agg(count(lit(1)).as("m"))
+    val wN = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val qn = (col("m").cast(d38) * lit(4L) * col("e_c")
+      - col("d_c").cast(d38) * col("d_c"))
+    val m2x4 = lit(4.0) * col("m").cast(DoubleType) * col("m").cast(DoubleType)
+    dc.join(ec, Seq("comm"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m))
+      .withColumn("q_num", qn)
+      .withColumn("q_num_sum", sum(col("q_num")).over(wN))
+      .select(col("comm"), col("n_nodes"), col("d_c"), col("e_c"),
+        round(col("q_num").cast(DoubleType) / m2x4, 6).as("contribution"),
+        round(col("q_num_sum").cast(DoubleType) / m2x4, 6).as("q"))
+      .orderBy(col("comm"))
+  }
+
+  val q135ModularitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |cm AS (SELECT p_partkey AS node, p_brand AS comm FROM part),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+      |  GROUP BY node),
+      |dc AS (
+      |  SELECT comm, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |    CAST(SUM(d) AS BIGINT) AS d_c
+      |  FROM deg JOIN cm USING (node) GROUP BY 1),
+      |ec AS (
+      |  SELECT cs.comm, CAST(COUNT(*) AS BIGINT) AS e_c
+      |  FROM und
+      |  JOIN cm cs ON cs.node = und.src
+      |  JOIN cm cd ON cd.node = und.dst
+      |  WHERE cs.comm = cd.comm
+      |  GROUP BY 1),
+      |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+      |j AS (
+      |  SELECT dc.comm, dc.n_nodes, dc.d_c, COALESCE(ec.e_c, 0) AS e_c, mm.m,
+      |    CAST(mm.m AS HUGEINT) * 4 * COALESCE(ec.e_c, 0)
+      |      - CAST(dc.d_c AS HUGEINT) * dc.d_c AS q_num
+      |  FROM dc LEFT JOIN ec USING (comm) CROSS JOIN mm),
+      |w AS (SELECT *, CAST(SUM(q_num) OVER () AS HUGEINT) AS q_num_sum FROM j)
+      |SELECT comm, n_nodes, d_c, e_c,
+      |  ROUND(CAST(q_num AS DOUBLE)
+      |    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS contribution,
+      |  ROUND(CAST(q_num_sum AS DOUBLE)
+      |    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q
+      |FROM w ORDER BY comm""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
     QueryDef.sql("q134_rich_club", q134RichClub _, q134RichClubSql),
+    QueryDef.sql("q135_modularity", q135Modularity _, q135ModularitySql),
     QueryDef.sql("q115_hits", q115Hits _, q115HitsSql),
     QueryDef.sql("q116_kcore", q116KCore _, q116KCoreSql),
     QueryDef.sql("q107_assortativity", q107Assortativity _, q107AssortativitySql),

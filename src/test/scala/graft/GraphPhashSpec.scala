@@ -133,4 +133,53 @@ class GraphPhashSpec extends AnyFunSuite {
     }.toMap
     assert(got == want, s"got $got\nwant $want")
   }
+
+  // ---------------------------------------------------------------- q135
+  test("q135 modularity: clique-aligned partition reads 0.5, odd/even anti-partition -0.1") {
+    import spark.implicits._
+    val c1 = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
+    val c2 = for (a <- 6 to 10; b <- (a + 1) to 10) yield (a.toLong, b.toLong)
+    val und = (c1 ++ c2).toDF("src", "dst")
+    // communities = the cliques: e_c=10, d_c=20, m=20 → per-clique 0.25, Q=0.5
+    val aligned = (1 to 10).map(i => (i.toLong, if (i <= 5) "A" else "B"))
+      .toDF("node", "comm")
+    val ga = Graph.modularityFrom(und, aligned).collect()
+    assert(ga.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5))).toSet ==
+      Set(("A", 5L, 20L, 10L, 0.25, 0.5), ("B", 5L, 20L, 10L, 0.25, 0.5)))
+    // communities cutting across both cliques: e_c=4 each → Q = -0.1
+    val anti = (1 to 10).map(i => (i.toLong, if (i % 2 == 1) "O" else "E"))
+      .toDF("node", "comm")
+    val gb = Graph.modularityFrom(und, anti).collect()
+    assert(gb.forall(r => r.getDouble(5) == -0.1), gb.mkString(","))
+  }
+
+  test("q135 matches a naive recompute on sf0.001") {
+    val (und, _) = Graph.orientedCoPurchase(spark, dir)
+    val edges = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brand = Tables.part(spark, dir).select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m = edges.length.toLong
+    val degm = (edges.map(_._1) ++ edges.map(_._2)).groupBy(identity)
+      .map { case (k, v) => k -> v.length.toLong }
+    val dc = degm.toSeq.groupBy { case (n, _) => brand(n) }
+      .map { case (c, xs) => c -> ((xs.length.toLong, xs.map(_._2).sum)) }
+    val ec = edges.filter { case (a, b) => brand(a) == brand(b) }
+      .groupBy { case (a, _) => brand(a) }.map { case (c, xs) => c -> xs.length.toLong }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qn = dc.map { case (c, (_, d)) =>
+      c -> (BigInt(4) * m * BigInt(ec.getOrElse(c, 0L)) - BigInt(d) * d)
+    }
+    val qTot = r6(qn.values.sum.toDouble / (4.0 * m.toDouble * m.toDouble))
+    val want = dc.map { case (c, (nn, d)) =>
+      c -> ((nn, d, ec.getOrElse(c, 0L),
+        r6(qn(c).toDouble / (4.0 * m.toDouble * m.toDouble)), qTot))
+    }
+    val got = Graph.q135Modularity(spark, dir).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    }.toMap
+    assert(got == want, s"got $got\nwant $want")
+  }
 }
