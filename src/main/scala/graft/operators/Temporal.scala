@@ -1315,10 +1315,11 @@ object Temporal {
     durbinWatsonFrom(daily)
   }
 
-  /** DW over any (grp, day: DATE, rev_c: BIGINT) daily series — spec
-    * entry point.
+  /** Exact per-group OLS residual pass shared by q133/q136: (grp, i, n,
+    * r3) with r3 the milli-cent-snapped residual of the linear day-index
+    * fit (groups need n ≥ 3 observed days; V > 0 guaranteed).
     */
-  private[graft] def durbinWatsonFrom(daily: DataFrame): DataFrame = {
+  private[graft] def olsResiduals(daily: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
     val wi = Window.partitionBy(col("grp")).orderBy(col("day"))
     // |grp × days| frame, two consumers (moment agg + residual pass)
@@ -1333,13 +1334,21 @@ object Temporal {
       .select(col("grp"), col("n"), col("si"), col("sy"),
         (col("sii").cast(d38) * col("n") - col("si").cast(d38) * col("si")).as("v"),
         (col("siy") * col("n") - col("si").cast(d38) * col("sy")).as("nm"))
-    val r = idx.join(broadcast(st), "grp")
-      .select(col("grp"), col("i"),
+    idx.join(broadcast(st), "grp")
+      .select(col("grp"), col("i"), col("n"),
         floor((col("rev_c").cast(d38) * col("v") * col("n")
             - col("v") * col("sy") + col("nm") * col("si")
             - col("nm") * col("n") * col("i")).cast(DoubleType)
           / (col("v") * col("n")).cast(DoubleType) * lit(1000.0) + lit(0.5))
           .cast(LongType).as("r3"))
+  }
+
+  /** DW over any (grp, day: DATE, rev_c: BIGINT) daily series — spec
+    * entry point.
+    */
+  private[graft] def durbinWatsonFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val r = olsResiduals(daily)
     val wl = Window.partitionBy(col("grp")).orderBy(col("i"))
     val dnum = col("num").cast(DoubleType)
     val dden = col("den").cast(DoubleType)
@@ -1399,6 +1408,133 @@ object Temporal {
       |    END AS rho1
       |FROM s ORDER BY grp""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q136: Breusch-Pagan heteroscedasticity test (Breusch & Pagan 1979,
+  // Koenker 1981's studentized LM form) of the per-status daily OLS
+  // fit — the variance sibling of q133: DW asks "do the residuals still
+  // DRAG after the trend fit", BP asks "does their VARIANCE drift with
+  // the regressor" — the check that decides between plain and robust
+  // (White) standard errors. Auxiliary regression of the squared
+  // standardized residual z² on the day index i:
+  //   LM = n·R²_aux ~ χ²(1) under homoscedasticity.
+  //
+  // Scale shape: q133's axis — the corpus collapses to the bounded
+  // |status × days| frame in ONE shuffle; residuals ride the shared
+  // olsResiduals pass (broadcast moment join), the standardizing σ̂ is
+  // a per-group scalar broadcast back, and the auxiliary R² comes from
+  // one hash aggregate of integer moments over the bounded frame.
+  //
+  // Exactness: r3 is q133's exactly-snapped residual; z micro-snaps
+  // (×1e6) from ONE fixed-shape double expression r3/√(Σr3²/n) —
+  // identical in DuckDB — so the auxiliary moments Σz², Σi·z², Σz⁴
+  // are pure integers (DECIMAL(38,0); z⁴ ≤ ~1.3e27 per row at a 6σ
+  // residual, Σ bounded by the day domain, NOT the corpus). R² and LM
+  // are each one double expression over those integers, rounded once.
+  // Groups whose residuals are all zero (σ̂ = 0) drop, as do zero-
+  // variance auxiliary vectors (vu ≤ 0) — the q56 degenerate guard.
+  // ---------------------------------------------------------------------
+  def q136BreuschPagan(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"),
+        to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("grp"), col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    breuschPaganFrom(daily)
+  }
+
+  /** Koenker-BP over any (grp, day: DATE, rev_c: BIGINT) daily series —
+    * spec entry point.
+    */
+  private[graft] def breuschPaganFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val r = olsResiduals(daily)
+    val ss = r.groupBy(col("grp"))
+      .agg(sum(col("r3").cast(d38) * col("r3")).as("ss2"), max(col("n")).as("nn"))
+      .filter(col("ss2") > lit(0L))
+    val z = r.join(broadcast(ss), "grp")
+      .select(col("grp"), col("i"), col("nn").as("n"),
+        floor(col("r3").cast(DoubleType)
+            / sqrt(col("ss2").cast(DoubleType) / col("nn").cast(DoubleType))
+          * lit(1e6) + lit(0.5)).cast(LongType).as("zu6"))
+    val u = col("zu6").cast(d38) * col("zu6")
+    val mo = z.groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), sum(col("i")).as("si"),
+        sum((col("i") * col("i")).cast(d38)).as("sii"),
+        sum(u).as("su"),
+        sum(col("i").cast(d38) * col("zu6") * col("zu6")).as("siu"),
+        sum(u * u).as("suu"))
+      .select(col("grp"), col("n"),
+        (col("sii") * col("n") - col("si").cast(d38) * col("si")).as("vi"),
+        (col("siu") * col("n") - col("si").cast(d38) * col("su")).as("nm"),
+        (col("suu") * col("n") - col("su") * col("su")).as("vu"))
+      .filter(col("vu") > lit(0L))
+    val r2 = ((col("nm").cast(DoubleType) * col("nm").cast(DoubleType))
+      / (col("vi").cast(DoubleType) * col("vu").cast(DoubleType)))
+    mo.select(col("grp"), col("n").as("n_days"),
+        round(r2, 6).as("r2_aux"),
+        round(col("n").cast(DoubleType) * r2, 6).as("bp_lm"))
+      .orderBy(col("grp"))
+  }
+
+  val q136BreuschPaganSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderstatus AS grp, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS i, rev_c
+      |  FROM daily),
+      |st AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(i) AS BIGINT) AS si,
+      |    CAST(SUM(rev_c) AS BIGINT) AS sy, CAST(SUM(i * i) AS BIGINT) AS sii,
+      |    SUM(CAST(i AS HUGEINT) * rev_c) AS siy
+      |  FROM idx GROUP BY 1
+      |  HAVING COUNT(*) >= 3),
+      |vd AS (
+      |  SELECT grp, n, si, sy,
+      |    CAST(sii AS HUGEINT) * n - CAST(si AS HUGEINT) * si AS v,
+      |    siy * n - CAST(si AS HUGEINT) * sy AS nm
+      |  FROM st),
+      |r AS (
+      |  SELECT grp, i, n,
+      |    CAST(floor(CAST(CAST(rev_c AS HUGEINT) * v * n - v * sy + nm * si
+      |        - nm * n * i AS DOUBLE)
+      |      / CAST(v * n AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS r3
+      |  FROM idx JOIN vd USING (grp)),
+      |ss AS (
+      |  SELECT grp, SUM(CAST(r3 AS HUGEINT) * r3) AS ss2,
+      |    CAST(MAX(n) AS BIGINT) AS nn
+      |  FROM r GROUP BY 1
+      |  HAVING SUM(CAST(r3 AS HUGEINT) * r3) > 0),
+      |z AS (
+      |  SELECT r.grp, r.i, ss.nn AS n,
+      |    CAST(floor(CAST(r3 AS DOUBLE)
+      |        / sqrt(CAST(ss2 AS DOUBLE) / CAST(ss.nn AS DOUBLE))
+      |      * 1e6 + 0.5) AS BIGINT) AS zu6
+      |  FROM r JOIN ss USING (grp)),
+      |mo AS (
+      |  SELECT grp, CAST(MAX(n) AS BIGINT) AS n, CAST(SUM(i) AS BIGINT) AS si,
+      |    SUM(CAST(i * i AS HUGEINT)) AS sii,
+      |    SUM(CAST(zu6 AS HUGEINT) * zu6) AS su,
+      |    SUM(CAST(i AS HUGEINT) * zu6 * zu6) AS siu,
+      |    SUM((CAST(zu6 AS HUGEINT) * zu6) * (CAST(zu6 AS HUGEINT) * zu6)) AS suu
+      |  FROM z GROUP BY 1),
+      |vv AS (
+      |  SELECT grp, n,
+      |    sii * n - CAST(si AS HUGEINT) * si AS vi,
+      |    siu * n - CAST(si AS HUGEINT) * su AS nm,
+      |    suu * n - su * su AS vu
+      |  FROM mo)
+      |SELECT grp, n AS n_days,
+      |  ROUND(CAST(nm AS DOUBLE) * CAST(nm AS DOUBLE)
+      |    / (CAST(vi AS DOUBLE) * CAST(vu AS DOUBLE)), 6) AS r2_aux,
+      |  ROUND(CAST(n AS DOUBLE) * (CAST(nm AS DOUBLE) * CAST(nm AS DOUBLE)
+      |    / (CAST(vi AS DOUBLE) * CAST(vu AS DOUBLE))), 6) AS bp_lm
+      |FROM vv
+      |WHERE vu > 0
+      |ORDER BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
@@ -1412,5 +1548,6 @@ object Temporal {
     QueryDef.sql("q126_page_hinkley", q126PageHinkley _, q126PageHinkleySql),
     QueryDef.sql("q130_log_rank", q130LogRank _, q130LogRankSql),
     QueryDef.sql("q133_durbin_watson", q133DurbinWatson _, q133DurbinWatsonSql),
+    QueryDef.sql("q136_breusch_pagan", q136BreuschPagan _, q136BreuschPaganSql),
   )
 }

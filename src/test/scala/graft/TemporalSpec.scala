@@ -651,4 +651,79 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- q136
+  test("q136 BP: growing residual amplitude reads high, stable amplitude low, flat drops") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong))
+    val n = 80
+    val rows =
+      // heteroscedastic: residual amplitude grows linearly with i →
+      // z² correlates strongly with i → R²_aux high, LM ≈ n·R²
+      (0 until n).map(i => ("HET", day(i),
+        500000L + 1000L * i + (if (i % 2 == 0) 300L * i else -300L * i))) ++
+      // homoscedastic: near-constant amplitude with a small aperiodic
+      // wobble (keeps the auxiliary variance positive) → R²_aux ≈ 0
+      (0 until n).map(i => ("HOM", day(i),
+        500000L + 1000L * i + (if (i % 2 == 0) 20000L + 100L * (i % 7)
+          else -20000L - 100L * (i % 5)))) ++
+      // exact line: σ̂ = 0 → excluded from the output entirely
+      (0 until n).map(i => ("LIN", day(i), 1000L + 777L * i))
+    val got = Temporal.breuschPaganFrom(rows.toDF("grp", "day", "rev_c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("HET", "HOM"), s"keys ${got.keySet}")
+    assert(got("HET").getDouble(2) > 0.5, s"HET r2 ${got("HET").getDouble(2)}")
+    assert(got("HOM").getDouble(2) < 0.1, s"HOM r2 ${got("HOM").getDouble(2)}")
+    assert(got("HET").getDouble(3) > got("HOM").getDouble(3) * 10,
+      "LM must separate the planted variance drift by an order of magnitude")
+  }
+
+  test("q136 matches a naive standardized-residual recompute on sf0.001") {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"), to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("grp"), col("day")).agg(sum(col("pc")).as("rev_c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val want = daily.groupBy(_._1).filter(_._2.length >= 3).flatMap { case (g, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3).zipWithIndex
+        .map { case (y, i0) => (BigInt(i0 + 1), BigInt(y)) }
+      val n = BigInt(ys.length)
+      val si = ys.map(_._1).sum; val sy = ys.map(_._2).sum
+      val sii = ys.map(p => p._1 * p._1).sum
+      val siy = ys.map(p => p._1 * p._2).sum
+      val v = sii * n - si * si
+      val nm0 = siy * n - si * sy
+      val r3 = ys.map { case (i, y) =>
+        val e = y * v * n - v * sy + nm0 * si - nm0 * n * i
+        math.floor(e.toDouble / (v * n).toDouble * 1000.0 + 0.5).toLong
+      }
+      val ss2 = r3.map(x => BigInt(x) * x).sum
+      if (ss2 <= 0) None else {
+        val sigma = math.sqrt(ss2.toDouble / n.toDouble)
+        val zu6 = r3.map(x => math.floor(x.toDouble / sigma * 1e6 + 0.5).toLong)
+        val u = zu6.map(z => BigInt(z) * z)
+        val su = u.sum
+        val siu = u.zipWithIndex.map { case (x, i0) => BigInt(i0 + 1) * x }.sum
+        val suu = u.map(x => x * x).sum
+        val vi = sii * n - si * si
+        val nm = siu * n - si * su
+        val vu = suu * n - su * su
+        if (vu <= 0) None else {
+          val r2 = nm.toDouble * nm.toDouble / (vi.toDouble * vu.toDouble)
+          def r6(x: Double) =
+            BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some(g -> ((ys.length.toLong, r6(r2), r6(n.toDouble * r2))))
+        }
+      }
+    }
+    val got = Temporal.q136BreuschPagan(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((g, (wn, wr2, wbp)) <- want) {
+      assert(got(g)._1 == wn, s"$g n_days")
+      assert(math.abs(got(g)._2 - wr2) < 1e-9, s"$g r2 ${got(g)._2} want $wr2")
+      assert(math.abs(got(g)._3 - wbp) < 1e-9, s"$g bp ${got(g)._3} want $wbp")
+    }
+  }
+
 }
