@@ -2937,6 +2937,110 @@ object TextOps {
        |ORDER BY bucket""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t91: Friedman rank test (Friedman 1937) of "does mean document
+  // quality differ by LANGUAGE once the SOURCE is held fixed" — the
+  // within-block nonparametric sibling of q100's one-way ANOVA and
+  // q103's Kruskal-Wallis: KW pools all docs and a strong source can
+  // masquerade as a strong language; Friedman ranks languages WITHIN
+  // each source (the block), so source-level shifts cancel exactly.
+  // Blocks must be complete: sources missing any language drop (the
+  // standard treatment; both engines apply the same filter).
+  //   χ²_F = 12/(b·k·(k+1))·Σ_j R_j² − 3·b·(k+1) ~ χ²(k−1)
+  // with R_j the rank sum of language j over b complete blocks,
+  // midranks on ties.
+  //
+  // Scale shape: ONE corpus shuffle collapses docs to the
+  // |sources × langs| cell frame (domain-bounded at any SF); ranking,
+  // completeness, and the χ² reduction all ride that bounded frame.
+  //
+  // Exactness: cell sums are integers; the rank key is the ONE double
+  // division s9/cnt (identical in DuckDB, so ordering and tie groups
+  // agree exactly); midranks live on the DOUBLED grid 2·rank + ties − 1
+  // (q99's tie discipline — always integral), rank sums and Σ R²
+  // accumulate as integers, and χ² is one fixed-shape double
+  // expression rounded once.
+  // -------------------------------------------------------------------
+  def t91Friedman(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sc = qualityScoresFrom(d).select(col("doc_id"), col("score_n9"))
+    val cells = d.select(col("doc_id"), col("lang"), col("source"))
+      .join(sc, "doc_id")
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("score_n9")).as("s9"), count(lit(1)).as("cnt"))
+    friedmanFrom(cells)
+  }
+
+  /** Friedman over any (source, lang, s9, cnt) cell frame — spec entry
+    * point.
+    */
+  private[graft] def friedmanFrom(cells: DataFrame): DataFrame = {
+    val kk = cells.select(col("lang")).distinct().agg(count(lit(1)).as("k"))
+    val full = cells.withColumn("mean_d",
+      col("s9").cast(DoubleType) / col("cnt").cast(DoubleType))
+    val bsz = full.groupBy(col("source")).agg(count(lit(1)).as("cells"))
+    val comp = full.join(bsz, "source").crossJoin(broadcast(kk))
+      .filter(col("cells") === col("k"))
+    val wr = Window.partitionBy(col("source")).orderBy(col("mean_d"))
+    val wt = Window.partitionBy(col("source"), col("mean_d"))
+    val ranked = comp
+      .withColumn("mn", rank().over(wr).cast(LongType))
+      .withColumn("tc", count(lit(1)).over(wt))
+      .withColumn("rd", lit(2L) * col("mn") + col("tc") - lit(1L))
+    val rj = ranked.groupBy(col("lang"))
+      .agg(count(lit(1)).as("b"), sum(col("rd")).as("r2sum"), max(col("k")).as("k"))
+    val wN = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def dd(c: String) = col(c).cast(DoubleType)
+    val kp1 = (col("k") + lit(1L)).cast(DoubleType)
+    rj.withColumn("ssq", sum(col("r2sum") * col("r2sum")).over(wN))
+      .select(col("lang"), col("b"), col("k"),
+        round(dd("r2sum") / (lit(2.0) * dd("b")), 6).as("mean_rank"),
+        round(lit(3.0) * dd("ssq") / (dd("b") * dd("k") * kp1)
+          - lit(3.0) * dd("b") * kp1, 6).as("chi2"),
+        (col("k") - lit(1L)).as("df"))
+      .orderBy(col("lang"))
+  }
+
+  val t91FriedmanSql: String = {
+    val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |$featCols
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, ${sigmoidN9Sql(qcMarginSql(QcWeights, QcBias))} AS score_n9
+       |  FROM f),
+       |cells AS (
+       |  SELECT d.source, d.lang, CAST(SUM(sc.score_n9) AS BIGINT) AS s9,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM documents d JOIN sc USING (doc_id) GROUP BY 1, 2),
+       |kk AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS k FROM cells),
+       |fl AS (
+       |  SELECT source, lang, CAST(s9 AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean_d
+       |  FROM cells),
+       |bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cells FROM fl GROUP BY 1),
+       |comp AS (
+       |  SELECT fl.*, kk.k FROM fl JOIN bs USING (source) CROSS JOIN kk
+       |  WHERE bs.cells = kk.k),
+       |rk AS (
+       |  SELECT source, lang, k,
+       |    2 * RANK() OVER (PARTITION BY source ORDER BY mean_d)
+       |      + COUNT(*) OVER (PARTITION BY source, mean_d) - 1 AS rd
+       |  FROM comp),
+       |rj AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS b, CAST(SUM(rd) AS BIGINT) AS r2sum,
+       |    CAST(MAX(k) AS BIGINT) AS k
+       |  FROM rk GROUP BY 1),
+       |w AS (SELECT *, CAST(SUM(r2sum * r2sum) OVER () AS BIGINT) AS ssq FROM rj)
+       |SELECT lang, b, k,
+       |  ROUND(CAST(r2sum AS DOUBLE) / (2.0 * CAST(b AS DOUBLE)), 6) AS mean_rank,
+       |  ROUND(3.0 * CAST(ssq AS DOUBLE)
+       |      / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+       |    - 3.0 * CAST(b AS DOUBLE) * CAST(k + 1 AS DOUBLE), 6) AS chi2,
+       |  k - 1 AS df
+       |FROM w ORDER BY lang""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
@@ -2948,6 +3052,7 @@ object TextOps {
     QueryDef.sql("t88_avg_precision", t88AveragePrecision _, t88AveragePrecisionSql),
     QueryDef.sql("t89_vocab_coverage", t89VocabCoverage _, t89VocabCoverageSql),
     QueryDef.sql("t90_hosmer_lemeshow", t90HosmerLemeshow _, t90HosmerLemeshowSql),
+    QueryDef.sql("t91_friedman", t91Friedman _, t91FriedmanSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

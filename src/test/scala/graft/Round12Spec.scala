@@ -1007,4 +1007,74 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- t91
+  test("t91 Friedman: planted block ranks give 7.125; incomplete blocks drop") {
+    import spark.implicits._
+    val cells =
+      // three blocks with the consistent order A < B < C
+      (1 to 3).flatMap(s => Seq(
+        (s"s$s", "A", 100L, 100L), (s"s$s", "B", 200L, 100L),
+        (s"s$s", "C", 300L, 100L))) ++
+      // one block with an A=B tie at the bottom (midrank 1.5 → rd 3)
+      Seq(("s4", "A", 100L, 100L), ("s4", "B", 100L, 100L),
+        ("s4", "C", 200L, 100L)) ++
+      // incomplete block: only 2 of 3 langs → must be excluded
+      Seq(("s5", "A", 999L, 1L), ("s5", "C", 1L, 1L))
+    val got = TextOps.friedmanFrom(cells.toDF("source", "lang", "s9", "cnt"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // R2: A = 2+2+2+3 = 9, B = 4+4+4+3 = 15, C = 24; Σ R2² = 882
+    // chi2 = 3·882/(4·3·4) − 3·4·4 = 7.125
+    assert(got.keySet == Set("A", "B", "C"))
+    for (l <- Seq("A", "B", "C")) {
+      assert(got(l).getLong(1) == 4L && got(l).getLong(2) == 3L, s"$l b/k")
+      assert(got(l).getDouble(4) == 7.125, s"$l chi2 ${got(l).getDouble(4)}")
+      assert(got(l).getLong(5) == 2L)
+    }
+    assert(got("A").getDouble(3) == 1.125 && got("B").getDouble(3) == 1.875
+      && got("C").getDouble(3) == 3.0)
+  }
+
+  test("t91 matches a naive within-block midrank recompute on sf0.001") {
+    val meta = Tables.documents(spark, dir).select("doc_id", "lang", "source")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    val sc = TextOps.t75QualityClassifier(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_n9"))
+    val cells = sc.groupBy { case (id, _) => meta(id) }
+      .map { case ((lang, source), xs) =>
+        ((source, lang), (xs.map(_._2).sum, xs.length.toLong))
+      }
+    val k = cells.keys.map(_._2).toSet.size.toLong
+    val bySource = cells.groupBy(_._1._1).filter(_._2.size.toLong == k)
+    val rds = bySource.toSeq.flatMap { case (_, cs) =>
+      val means = cs.toSeq.map { case ((_, lang), (s9, cnt)) =>
+        lang -> (s9.toDouble / cnt.toDouble)
+      }
+      means.map { case (lang, m) =>
+        val less = means.count(_._2 < m).toLong
+        val eq = means.count(_._2 == m).toLong
+        lang -> (2L * less + eq + 1L)
+      }
+    }
+    val rj = rds.groupBy(_._1).map { case (l, xs) =>
+      l -> ((xs.length.toLong, xs.map(_._2).sum))
+    }
+    val b = bySource.size.toLong
+    val ssq = rj.values.map { case (_, r2) => r2 * r2 }.sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val chi2 = r6(3.0 * ssq.toDouble
+      / (b.toDouble * k.toDouble * (k + 1).toDouble)
+      - 3.0 * b.toDouble * (k + 1).toDouble)
+    val got = TextOps.t91Friedman(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))).toMap
+    assert(got.keySet == rj.keySet)
+    for ((l, (bl, r2)) <- rj) {
+      assert(got(l)._1 == b && got(l)._1 == bl && got(l)._2 == k, s"$l b/k")
+      assert(got(l)._3 == r6(r2.toDouble / (2.0 * b.toDouble)), s"$l mean_rank")
+      assert(got(l)._4 == chi2, s"$l chi2 ${got(l)._4} want $chi2")
+      assert(got(l)._5 == k - 1)
+    }
+  }
+
 }
