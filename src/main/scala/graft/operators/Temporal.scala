@@ -1443,20 +1443,28 @@ object Temporal {
     breuschPaganFrom(daily)
   }
 
-  /** Koenker-BP over any (grp, day: DATE, rev_c: BIGINT) daily series —
-    * spec entry point.
+  /** RMS-standardized residuals shared by q136/q137: (grp, i, n, zu6)
+    * with zu6 = r3/√(Σr3²/n) micro-snapped; zero-variance groups drop.
     */
-  private[graft] def breuschPaganFrom(daily: DataFrame): DataFrame = {
+  private[graft] def standardizedResiduals(daily: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
     val r = olsResiduals(daily)
     val ss = r.groupBy(col("grp"))
       .agg(sum(col("r3").cast(d38) * col("r3")).as("ss2"), max(col("n")).as("nn"))
       .filter(col("ss2") > lit(0L))
-    val z = r.join(broadcast(ss), "grp")
+    r.join(broadcast(ss), "grp")
       .select(col("grp"), col("i"), col("nn").as("n"),
         floor(col("r3").cast(DoubleType)
             / sqrt(col("ss2").cast(DoubleType) / col("nn").cast(DoubleType))
           * lit(1e6) + lit(0.5)).cast(LongType).as("zu6"))
+  }
+
+  /** Koenker-BP over any (grp, day: DATE, rev_c: BIGINT) daily series —
+    * spec entry point.
+    */
+  private[graft] def breuschPaganFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val z = standardizedResiduals(daily)
     val u = col("zu6").cast(d38) * col("zu6")
     val mo = z.groupBy(col("grp"))
       .agg(max(col("n")).as("n"), sum(col("i")).as("si"),
@@ -1535,6 +1543,122 @@ object Temporal {
       |WHERE vu > 0
       |ORDER BY grp""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q137: Jarque-Bera normality test (Jarque & Bera 1980) of the
+  // per-status standardized OLS residuals — the distribution-SHAPE
+  // member of the residual-diagnostic triple: q133's DW reads serial
+  // drag, q136's BP reads variance drift, JB reads skew/fat tails —
+  // the check that decides whether the χ²/t thresholds the other tests
+  // quote are even meaningful:
+  //   S = m₃/m₂^{3/2},  K = m₄/m₂²,  JB = n·(S²/6 + (K−3)²/24) ~ χ²(2)
+  //
+  // Scale shape: identical to q136 — the corpus collapses to the
+  // bounded |status × days| frame once, residuals ride the shared
+  // olsResiduals + standardizedResiduals passes (broadcast moment
+  // joins), and S/K/JB come from ONE hash aggregate of integer moment
+  // sums over the bounded frame.
+  //
+  // Exactness: zu6 is the shared micro-snapped standardized residual,
+  // so Σz², Σz³ (signed), Σz⁴ are pure integers (DECIMAL(38,0); z⁴ ≤
+  // ~1.3e27 per row at 6σ, Σ day-domain-bounded). m₂^{3/2} is written
+  // m₂·√m₂ — sqrt is IEEE-correctly-rounded in BOTH engines, unlike
+  // pow(x, 1.5), which is deliberately avoided. S, K, JB are each one
+  // fixed-shape double expression over the exact sums, rounded once.
+  // ---------------------------------------------------------------------
+  def q137JarqueBera(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"),
+        to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("grp"), col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    jarqueBeraFrom(daily)
+  }
+
+  /** JB over any (grp, day: DATE, rev_c: BIGINT) daily series — spec
+    * entry point.
+    */
+  private[graft] def jarqueBeraFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val z2 = col("zu6").cast(d38) * col("zu6")
+    val mo = standardizedResiduals(daily).groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), sum(z2).as("sz2"),
+        sum(z2 * col("zu6")).as("sz3"), sum(z2 * z2).as("sz4"))
+    def dd(c: String) = col(c).cast(DoubleType)
+    val m2 = dd("sz2") / dd("n")
+    val m3 = dd("sz3") / dd("n")
+    val m4 = dd("sz4") / dd("n")
+    // S and K are dimensionless, so the micro grid cancels exactly:
+    // m₃ᵘ/(m₂ᵘ)^{3/2} = 1e18·m₃ / (1e18·m₂^{3/2}) = S
+    val s = m3 / (m2 * sqrt(m2))
+    val kk = m4 / (m2 * m2)
+    mo.select(col("grp"), col("n").as("n_days"),
+        round(s, 6).as("skewness"),
+        round(kk, 6).as("kurtosis"),
+        round(dd("n") * (s * s / lit(6.0)
+          + (kk - lit(3.0)) * (kk - lit(3.0)) / lit(24.0)), 6).as("jb"))
+      .orderBy(col("grp"))
+  }
+
+  val q137JarqueBeraSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderstatus AS grp, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS i, rev_c
+      |  FROM daily),
+      |st AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(i) AS BIGINT) AS si,
+      |    CAST(SUM(rev_c) AS BIGINT) AS sy, CAST(SUM(i * i) AS BIGINT) AS sii,
+      |    SUM(CAST(i AS HUGEINT) * rev_c) AS siy
+      |  FROM idx GROUP BY 1
+      |  HAVING COUNT(*) >= 3),
+      |vd AS (
+      |  SELECT grp, n, si, sy,
+      |    CAST(sii AS HUGEINT) * n - CAST(si AS HUGEINT) * si AS v,
+      |    siy * n - CAST(si AS HUGEINT) * sy AS nm
+      |  FROM st),
+      |r AS (
+      |  SELECT grp, i, n,
+      |    CAST(floor(CAST(CAST(rev_c AS HUGEINT) * v * n - v * sy + nm * si
+      |        - nm * n * i AS DOUBLE)
+      |      / CAST(v * n AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS r3
+      |  FROM idx JOIN vd USING (grp)),
+      |ss AS (
+      |  SELECT grp, SUM(CAST(r3 AS HUGEINT) * r3) AS ss2,
+      |    CAST(MAX(n) AS BIGINT) AS nn
+      |  FROM r GROUP BY 1
+      |  HAVING SUM(CAST(r3 AS HUGEINT) * r3) > 0),
+      |z AS (
+      |  SELECT r.grp, ss.nn AS n,
+      |    CAST(floor(CAST(r3 AS DOUBLE)
+      |        / sqrt(CAST(ss2 AS DOUBLE) / CAST(ss.nn AS DOUBLE))
+      |      * 1e6 + 0.5) AS BIGINT) AS zu6
+      |  FROM r JOIN ss USING (grp)),
+      |mo AS (
+      |  SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+      |    SUM(CAST(zu6 AS HUGEINT) * zu6) AS sz2,
+      |    SUM(CAST(zu6 AS HUGEINT) * zu6 * zu6) AS sz3,
+      |    SUM((CAST(zu6 AS HUGEINT) * zu6) * (CAST(zu6 AS HUGEINT) * zu6)) AS sz4
+      |  FROM z GROUP BY 1),
+      |e AS (
+      |  SELECT grp, n,
+      |    (CAST(sz3 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / ((CAST(sz2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * sqrt(CAST(sz2 AS DOUBLE) / CAST(n AS DOUBLE))) AS s,
+      |    (CAST(sz4 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / ((CAST(sz2 AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sz2 AS DOUBLE) / CAST(n AS DOUBLE))) AS kk
+      |  FROM mo)
+      |SELECT grp, n AS n_days,
+      |  ROUND(s, 6) AS skewness,
+      |  ROUND(kk, 6) AS kurtosis,
+      |  ROUND(CAST(n AS DOUBLE) * (s * s / 6.0
+      |    + (kk - 3.0) * (kk - 3.0) / 24.0), 6) AS jb
+      |FROM e
+      |ORDER BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
@@ -1549,5 +1673,6 @@ object Temporal {
     QueryDef.sql("q130_log_rank", q130LogRank _, q130LogRankSql),
     QueryDef.sql("q133_durbin_watson", q133DurbinWatson _, q133DurbinWatsonSql),
     QueryDef.sql("q136_breusch_pagan", q136BreuschPagan _, q136BreuschPaganSql),
+    QueryDef.sql("q137_jarque_bera", q137JarqueBera _, q137JarqueBeraSql),
   )
 }

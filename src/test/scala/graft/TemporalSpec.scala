@@ -726,4 +726,73 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- q137
+  test("q137 JB: symmetric residuals read S~0, one-sided spikes read S>1, platykurtic K<3") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong))
+    val n = 90
+    val rows =
+      // symmetric alternating residuals: S ≈ 0, two-point K ≈ 1 → JB from tails
+      (0 until n).map(i => ("SYM", day(i),
+        100000L + 500L * i + (if (i % 2 == 0) 10000L else -10000L))) ++
+      // rare large POSITIVE spikes over a flat base: strong right skew
+      (0 until n).map(i => ("SKW", day(i),
+        100000L + 500L * i + (if (i % 15 == 0) 90000L else 0L)))
+    val got = Temporal.jarqueBeraFrom(rows.toDF("grp", "day", "rev_c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(math.abs(got("SYM").getDouble(2)) < 0.05, s"SYM S ${got("SYM").getDouble(2)}")
+    assert(got("SYM").getDouble(3) < 1.5, s"SYM K ${got("SYM").getDouble(3)}")
+    assert(got("SKW").getDouble(2) > 1.0, s"SKW S ${got("SKW").getDouble(2)}")
+    // both depart normality hard — JB far above the χ²(2) 5% bar (~6)
+    assert(got("SYM").getDouble(4) > 6.0 && got("SKW").getDouble(4) > 6.0)
+  }
+
+  test("q137 matches a naive standardized-moment recompute on sf0.001") {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"), to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("grp"), col("day")).agg(sum(col("pc")).as("rev_c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = daily.groupBy(_._1).filter(_._2.length >= 3).flatMap { case (g, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3).zipWithIndex
+        .map { case (y, i0) => (BigInt(i0 + 1), BigInt(y)) }
+      val n = BigInt(ys.length)
+      val si = ys.map(_._1).sum; val sy = ys.map(_._2).sum
+      val sii = ys.map(p => p._1 * p._1).sum
+      val siy = ys.map(p => p._1 * p._2).sum
+      val v = sii * n - si * si
+      val nm0 = siy * n - si * sy
+      val r3 = ys.map { case (i, y) =>
+        val e = y * v * n - v * sy + nm0 * si - nm0 * n * i
+        math.floor(e.toDouble / (v * n).toDouble * 1000.0 + 0.5).toLong
+      }
+      val ss2 = r3.map(x => BigInt(x) * x).sum
+      if (ss2 <= 0) None else {
+        val sigma = math.sqrt(ss2.toDouble / n.toDouble)
+        val zu6 = r3.map(x => math.floor(x.toDouble / sigma * 1e6 + 0.5).toLong)
+        val sz2 = zu6.map(z => BigInt(z) * z).sum
+        val sz3 = zu6.map(z => BigInt(z) * z * z).sum
+        val sz4 = zu6.map(z => BigInt(z) * z * (BigInt(z) * z)).sum
+        val m2 = sz2.toDouble / n.toDouble
+        val s = (sz3.toDouble / n.toDouble) / (m2 * math.sqrt(m2))
+        val k = (sz4.toDouble / n.toDouble) / (m2 * m2)
+        val jb = n.toDouble * (s * s / 6.0 + (k - 3.0) * (k - 3.0) / 24.0)
+        Some(g -> ((ys.length.toLong, r6(s), r6(k), r6(jb))))
+      }
+    }
+    val got = Temporal.q137JarqueBera(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((g, (wn, ws, wk, wjb)) <- want) {
+      assert(got(g)._1 == wn, s"$g n_days")
+      assert(math.abs(got(g)._2 - ws) < 1e-9, s"$g S ${got(g)._2} want $ws")
+      assert(math.abs(got(g)._3 - wk) < 1e-9, s"$g K ${got(g)._3} want $wk")
+      assert(math.abs(got(g)._4 - wjb) < 1e-9, s"$g JB ${got(g)._4} want $wjb")
+    }
+  }
+
 }
