@@ -131,23 +131,30 @@ object Graph {
   // Determinism: pure integer joins and counts — nothing to snap. The
   // (deg, id) order is total, so the orientation is identical in DuckDB.
   // ---------------------------------------------------------------------
-  /** Undirected distinct co-purchase edges (src < dst) and their
-    * degree-ordered orientation — exposed for GraphPhashSpec's
-    * out-degree-bound pin.
+  /** Undirected distinct co-purchase edges (src < dst) only — the
+    * und-side consumers (q107/q134/q135) call this directly so the eager
+    * orientation build below never runs for them.
     */
-  private[graft] def orientedCoPurchase(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+  private[graft] def undirectedCoPurchase(spark: SparkSession, dir: String): DataFrame = {
     // build the undirected pair set directly (a.partkey < b.partkey in
     // the order self-join) rather than via projection() — that helper
     // eagerly materializes the directed edges, node list and out-degrees
     // q63/q67 need, none of which this path uses
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val und = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct().localCheckpoint(true)
+  }
+
+  /** Undirected co-purchase edges and their degree-ordered orientation —
+    * exposed for GraphPhashSpec's out-degree-bound pin.
+    */
+  private[graft] def orientedCoPurchase(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val und = undirectedCoPurchase(spark, dir)
     // undirected degree (each endpoint sees the edge once) — node-sized,
     // so both orientation lookups are BROADCAST joins: the edge set is
     // never shuffled to learn its endpoint degrees
@@ -437,7 +444,7 @@ object Graph {
   // ever exists, so r is bit-identical across engines and partitionings.
   // ---------------------------------------------------------------------
   def q107Assortativity(spark: SparkSession, dir: String): DataFrame = {
-    val (und, _) = orientedCoPurchase(spark, dir)
+    val und = undirectedCoPurchase(spark, dir)
     assortativityFrom(und)
   }
 
@@ -694,7 +701,7 @@ object Graph {
   private val RichClubDeciles = 10
 
   def q134RichClub(spark: SparkSession, dir: String): DataFrame = {
-    val (und, _) = orientedCoPurchase(spark, dir)
+    val und = undirectedCoPurchase(spark, dir)
     richClubFrom(spark, und)
   }
 
@@ -804,7 +811,7 @@ object Graph {
   // once — identical shape in DuckDB.
   // ---------------------------------------------------------------------
   def q135Modularity(spark: SparkSession, dir: String): DataFrame = {
-    val (und, _) = orientedCoPurchase(spark, dir)
+    val und = undirectedCoPurchase(spark, dir)
     val comm = Tables.part(spark, dir)
       .select(col("p_partkey").as("node"), col("p_brand").as("comm"))
     modularityFrom(und, comm)
