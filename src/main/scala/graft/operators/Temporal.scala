@@ -1659,6 +1659,125 @@ object Temporal {
       |FROM e
       |ORDER BY grp""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q138: Engle's ARCH LM test (Engle 1982) — does the residual
+  // VARIANCE cluster in time: the serial sibling of q136 (BP reads
+  // variance drifting with the REGRESSOR, ARCH reads variance
+  // following its own YESTERDAY — volatility clustering). First-order
+  // auxiliary regression of the squared standardized residual on its
+  // lag, u_t = a + b·u_{t−1}:
+  //   LM = (n−1)·R²_aux ~ χ²(1) under "no ARCH effect".
+  //
+  // Scale shape: identical to q136/q137 — the corpus collapses to the
+  // bounded |status × days| frame once; the lag pair rides one window
+  // pass over the bounded frame and R² comes from ONE hash aggregate
+  // of integer moments.
+  //
+  // Exactness: u = zu6² is the shared exact integer (≤ ~1.3e27-scale
+  // fourth powers in the moment sums, DECIMAL(38,0), day-domain-
+  // bounded); the five auxiliary moments are pure integer sums, R²/LM
+  // are each one fixed-shape double expression rounded once, and
+  // degenerate variance vectors (vx or vy ≤ 0) drop per the q56 guard.
+  // ---------------------------------------------------------------------
+  def q138ArchLm(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"),
+        to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("grp"), col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    archLmFrom(daily)
+  }
+
+  /** ARCH(1) LM over any (grp, day: DATE, rev_c: BIGINT) daily series —
+    * spec entry point.
+    */
+  private[graft] def archLmFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val wl = Window.partitionBy(col("grp")).orderBy(col("i"))
+    val pairs = standardizedResiduals(daily)
+      .withColumn("u", col("zu6").cast(d38) * col("zu6"))
+      .withColumn("ul", lag(col("u"), 1).over(wl))
+      .filter(col("ul").isNotNull)
+    val mo = pairs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("u")).as("sy"), sum(col("ul")).as("sx"),
+        sum(col("u") * col("ul")).as("sxy"),
+        sum(col("u") * col("u")).as("syy"),
+        sum(col("ul") * col("ul")).as("sxx"))
+      .select(col("grp"), col("np"),
+        (col("sxx") * col("np") - col("sx") * col("sx")).as("vx"),
+        (col("syy") * col("np") - col("sy") * col("sy")).as("vy"),
+        (col("sxy") * col("np") - col("sx") * col("sy")).as("nm"))
+      .filter(col("vx") > lit(0L) && col("vy") > lit(0L))
+    val r2 = ((col("nm").cast(DoubleType) * col("nm").cast(DoubleType))
+      / (col("vx").cast(DoubleType) * col("vy").cast(DoubleType)))
+    mo.select(col("grp"), col("np").as("n_pairs"),
+        round(r2, 6).as("r2_aux"),
+        round(col("np").cast(DoubleType) * r2, 6).as("arch_lm"))
+      .orderBy(col("grp"))
+  }
+
+  val q138ArchLmSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderstatus AS grp, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS i, rev_c
+      |  FROM daily),
+      |st AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(i) AS BIGINT) AS si,
+      |    CAST(SUM(rev_c) AS BIGINT) AS sy, CAST(SUM(i * i) AS BIGINT) AS sii,
+      |    SUM(CAST(i AS HUGEINT) * rev_c) AS siy
+      |  FROM idx GROUP BY 1
+      |  HAVING COUNT(*) >= 3),
+      |vd AS (
+      |  SELECT grp, n, si, sy,
+      |    CAST(sii AS HUGEINT) * n - CAST(si AS HUGEINT) * si AS v,
+      |    siy * n - CAST(si AS HUGEINT) * sy AS nm
+      |  FROM st),
+      |r AS (
+      |  SELECT grp, i, n,
+      |    CAST(floor(CAST(CAST(rev_c AS HUGEINT) * v * n - v * sy + nm * si
+      |        - nm * n * i AS DOUBLE)
+      |      / CAST(v * n AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS r3
+      |  FROM idx JOIN vd USING (grp)),
+      |ss AS (
+      |  SELECT grp, SUM(CAST(r3 AS HUGEINT) * r3) AS ss2,
+      |    CAST(MAX(n) AS BIGINT) AS nn
+      |  FROM r GROUP BY 1
+      |  HAVING SUM(CAST(r3 AS HUGEINT) * r3) > 0),
+      |z AS (
+      |  SELECT r.grp, r.i,
+      |    CAST(floor(CAST(r3 AS DOUBLE)
+      |        / sqrt(CAST(ss2 AS DOUBLE) / CAST(ss.nn AS DOUBLE))
+      |      * 1e6 + 0.5) AS BIGINT) AS zu6
+      |  FROM r JOIN ss USING (grp)),
+      |p AS (
+      |  SELECT grp, CAST(zu6 AS HUGEINT) * zu6 AS u,
+      |    LAG(CAST(zu6 AS HUGEINT) * zu6) OVER (PARTITION BY grp ORDER BY i) AS ul
+      |  FROM z),
+      |mo AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS np,
+      |    SUM(u) AS sy, SUM(ul) AS sx, SUM(u * ul) AS sxy,
+      |    SUM(u * u) AS syy, SUM(ul * ul) AS sxx
+      |  FROM p WHERE ul IS NOT NULL GROUP BY 1),
+      |vv AS (
+      |  SELECT grp, np,
+      |    sxx * np - sx * sx AS vx,
+      |    syy * np - sy * sy AS vy,
+      |    sxy * np - sx * sy AS nm
+      |  FROM mo)
+      |SELECT grp, np AS n_pairs,
+      |  ROUND(CAST(nm AS DOUBLE) * CAST(nm AS DOUBLE)
+      |    / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) AS r2_aux,
+      |  ROUND(CAST(np AS DOUBLE) * (CAST(nm AS DOUBLE) * CAST(nm AS DOUBLE)
+      |    / (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE))), 6) AS arch_lm
+      |FROM vv
+      |WHERE vx > 0 AND vy > 0
+      |ORDER BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
@@ -1674,5 +1793,6 @@ object Temporal {
     QueryDef.sql("q133_durbin_watson", q133DurbinWatson _, q133DurbinWatsonSql),
     QueryDef.sql("q136_breusch_pagan", q136BreuschPagan _, q136BreuschPaganSql),
     QueryDef.sql("q137_jarque_bera", q137JarqueBera _, q137JarqueBeraSql),
+    QueryDef.sql("q138_arch_lm", q138ArchLm _, q138ArchLmSql),
   )
 }

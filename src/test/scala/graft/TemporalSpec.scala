@@ -795,4 +795,85 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- q138
+  test("q138 ARCH LM: regime-switching volatility reads high, shuffled amplitudes low") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong))
+    val n = 96
+    // calm/volatile regimes of 16 days each: |residual| persists → u_t
+    // tracks u_{t−1} → R²_aux high
+    def ampC(i: Int) = if ((i / 16) % 2 == 0) 2000L else 40000L
+    // hash-scrambled amplitudes (murmur finalizer): u_t carries no
+    // information about u_{t−1} (neither positive nor negative structure)
+    def ampI(i: Int): Long = {
+      var x = i.toLong * 0x9E3779B97F4A7C15L
+      x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+      1000L + (x & 0x7FFFFFFFL) % 30000L
+    }
+    val rows =
+      (0 until n).map(i => ("CLU", day(i),
+        300000L + 800L * i + (if (i % 2 == 0) ampC(i) else -ampC(i)))) ++
+      (0 until n).map(i => ("IND", day(i),
+        300000L + 800L * i + (if (i % 2 == 0) ampI(i) else -ampI(i))))
+    val got = Temporal.archLmFrom(rows.toDF("grp", "day", "rev_c"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("CLU", "IND"))
+    assert(got("CLU").getLong(1) == (n - 1).toLong)
+    assert(got("CLU").getDouble(2) > 0.5, s"CLU r2 ${got("CLU").getDouble(2)}")
+    assert(got("IND").getDouble(2) < 0.2, s"IND r2 ${got("IND").getDouble(2)}")
+    assert(got("CLU").getDouble(3) > got("IND").getDouble(3) * 5,
+      "LM must separate persistent from interleaved volatility")
+  }
+
+  test("q138 matches a naive lag-pair recompute on sf0.001") {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"), to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("grp"), col("day")).agg(sum(col("pc")).as("rev_c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = daily.groupBy(_._1).filter(_._2.length >= 3).flatMap { case (g, rs) =>
+      val ys = rs.sortBy(_._2).map(_._3).zipWithIndex
+        .map { case (y, i0) => (BigInt(i0 + 1), BigInt(y)) }
+      val n = BigInt(ys.length)
+      val si = ys.map(_._1).sum; val sy0 = ys.map(_._2).sum
+      val sii = ys.map(p => p._1 * p._1).sum
+      val siy = ys.map(p => p._1 * p._2).sum
+      val v = sii * n - si * si
+      val nm0 = siy * n - si * sy0
+      val r3 = ys.map { case (i, y) =>
+        val e = y * v * n - v * sy0 + nm0 * si - nm0 * n * i
+        math.floor(e.toDouble / (v * n).toDouble * 1000.0 + 0.5).toLong
+      }
+      val ss2 = r3.map(x => BigInt(x) * x).sum
+      if (ss2 <= 0) None else {
+        val sigma = math.sqrt(ss2.toDouble / n.toDouble)
+        val u = r3.map(x => math.floor(x.toDouble / sigma * 1e6 + 0.5).toLong)
+          .map(z => BigInt(z) * z)
+        val pairs = u.tail.zip(u.init) // (u_t, u_{t-1})
+        val np = BigInt(pairs.length)
+        val sy = pairs.map(_._1).sum; val sx = pairs.map(_._2).sum
+        val sxy = pairs.map(p => p._1 * p._2).sum
+        val syy = pairs.map(p => p._1 * p._1).sum
+        val sxx = pairs.map(p => p._2 * p._2).sum
+        val vx = sxx * np - sx * sx; val vy = syy * np - sy * sy
+        val nm = sxy * np - sx * sy
+        if (vx <= 0 || vy <= 0) None else {
+          val r2 = nm.toDouble * nm.toDouble / (vx.toDouble * vy.toDouble)
+          Some(g -> ((pairs.length.toLong, r6(r2), r6(np.toDouble * r2))))
+        }
+      }
+    }
+    val got = Temporal.q138ArchLm(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((g, (wn, wr2, wlm)) <- want) {
+      assert(got(g)._1 == wn, s"$g n_pairs")
+      assert(math.abs(got(g)._2 - wr2) < 1e-9, s"$g r2 ${got(g)._2} want $wr2")
+      assert(math.abs(got(g)._3 - wlm) < 1e-9, s"$g lm ${got(g)._3} want $wlm")
+    }
+  }
+
 }
