@@ -1778,6 +1778,154 @@ object Temporal {
       |WHERE vx > 0 AND vy > 0
       |ORDER BY grp""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q139: Hurst exponent via rescaled-range (R/S) analysis (Hurst 1951;
+  // Mandelbrot & Wallis 1969) of the per-status daily revenue — the
+  // LONG-memory diagnostic the serial battery lacks: q120's ACF reads
+  // lag-by-lag correlation, q133's DW reads lag-1 drag, H reads whether
+  // deviations PERSIST across scales (H > ½ trending/persistent,
+  // H < ½ mean-reverting, H ≈ ½ memoryless). For each block size
+  // m ∈ {8,16,32,64}: tile the observed-day sequence into full blocks,
+  // R = range of the mean-adjusted partial sums, S = block std;
+  // H = slope of log E[R/S] on log m.
+  //
+  // Scale shape: the corpus collapses to the bounded |status × days|
+  // frame once; a 4-way literal size fan-out, block tiling by integer
+  // division, and the partial-sum window all live on that bounded
+  // frame; the log-log fit runs on ≤4 points per group.
+  //
+  // Exactness: within-block deviations stay integral on the m·cent
+  // grid (d_t = m·x_t − Σx), partial sums and the range R are exact
+  // integers, Σd² accumulates in DECIMAL(38,0), and R/S collapses to
+  // ONE fixed-shape double R·√m/√(Σd²) (identical in DuckDB; S never
+  // divides alone), micro-snapped per block so per-size means are
+  // exact integer ratios. The log points micro-snap (t66's discipline)
+  // and H is one double division of integer moments, rounded once.
+  // Zero-variance blocks drop; groups with < 2 surviving sizes drop.
+  // ---------------------------------------------------------------------
+  private val HurstSizes = Seq(8L, 16L, 32L, 64L)
+
+  def q139Hurst(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"),
+        to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("grp"), col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    hurstFrom(daily)
+  }
+
+  /** R/S Hurst fit over any (grp, day: DATE, rev_c: BIGINT) daily
+    * series — spec entry point.
+    */
+  private[graft] def hurstFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val wi = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val sized = daily.withColumn("i", row_number().over(wi).cast(LongType))
+      .select(col("grp"), col("i"), col("rev_c"),
+        explode(array(HurstSizes.map(lit): _*)).as("m"))
+      .withColumn("b", expr("(i - 1) div m"))
+      .localCheckpoint(false)
+    val blocks = sized.groupBy(col("grp"), col("m"), col("b"))
+      .agg(sum(col("rev_c")).as("bs"), count(lit(1)).as("bc"))
+      .filter(col("bc") === col("m"))
+    val wb = Window.partitionBy(col("grp"), col("m"), col("b")).orderBy(col("i"))
+    val stats = sized.join(blocks, Seq("grp", "m", "b"))
+      .withColumn("d", col("m") * col("rev_c") - col("bs"))
+      .withColumn("cum", sum(col("d")).over(wb))
+      .groupBy(col("grp"), col("m"), col("b"))
+      .agg((max(col("cum")) - min(col("cum"))).as("r"),
+        sum(col("d").cast(d38) * col("d")).as("sd2"))
+      .filter(col("sd2") > lit(0L))
+    val rs = stats.select(col("grp"), col("m"),
+      floor(col("r").cast(DoubleType) * sqrt(col("m").cast(DoubleType))
+        / sqrt(col("sd2").cast(DoubleType)) * lit(1e6) + lit(0.5))
+        .cast(LongType).as("rsu6"))
+    val perSize = rs.groupBy(col("grp"), col("m"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("rsu6")).as("srs"))
+      .filter(col("srs") > lit(0L))
+      .withColumn("x", floor(log(col("m").cast(DoubleType)) * lit(1e6) + lit(0.5))
+        .cast(LongType))
+      .withColumn("y", floor(log(col("srs").cast(DoubleType)
+          / col("n_blocks").cast(DoubleType) / lit(1e6)) * lit(1e6) + lit(0.5))
+        .cast(LongType))
+      .localCheckpoint(false)
+    val fit = perSize.groupBy(col("grp"))
+      .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .filter(col("np") >= lit(2L))
+      .select(col("grp"),
+        ((col("np") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / (col("np") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          .as("hraw"))
+    perSize.join(broadcast(fit), "grp")
+      .select(col("grp"), col("m"), col("n_blocks"),
+        round(col("srs").cast(DoubleType) / col("n_blocks").cast(DoubleType)
+          / lit(1e6), 6).as("mean_rs"),
+        round(col("hraw"), 6).as("h"))
+      .orderBy(col("grp"), col("m"))
+  }
+
+  val q139HurstSql: String = {
+    val sizes = HurstSizes.mkString(", ")
+    s"""WITH daily AS (
+       |  SELECT o_orderstatus AS grp, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1, 2),
+       |idx AS (
+       |  SELECT grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS i, rev_c
+       |  FROM daily),
+       |sized AS (
+       |  SELECT grp, i, rev_c, m, (i - 1) // m AS b
+       |  FROM idx CROSS JOIN (SELECT CAST(unnest([$sizes]) AS BIGINT) AS m)),
+       |blocks AS (
+       |  SELECT grp, m, b, CAST(SUM(rev_c) AS BIGINT) AS bs
+       |  FROM sized GROUP BY 1, 2, 3
+       |  HAVING COUNT(*) = MAX(m)),
+       |dev AS (
+       |  SELECT s.grp, s.m, s.b, s.i, s.m * s.rev_c - bl.bs AS d
+       |  FROM sized s JOIN blocks bl USING (grp, m, b)),
+       |cums AS (
+       |  SELECT grp, m, b,
+       |    CAST(SUM(d) OVER (PARTITION BY grp, m, b ORDER BY i
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, d
+       |  FROM dev),
+       |stats AS (
+       |  SELECT grp, m, b, CAST(MAX(cum) - MIN(cum) AS BIGINT) AS r,
+       |    SUM(CAST(d AS HUGEINT) * d) AS sd2
+       |  FROM cums GROUP BY 1, 2, 3
+       |  HAVING SUM(CAST(d AS HUGEINT) * d) > 0),
+       |rsb AS (
+       |  SELECT grp, m,
+       |    CAST(floor(CAST(r AS DOUBLE) * sqrt(CAST(m AS DOUBLE))
+       |      / sqrt(CAST(sd2 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS rsu6
+       |  FROM stats),
+       |ps AS (
+       |  SELECT grp, m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       |    CAST(SUM(rsu6) AS BIGINT) AS srs
+       |  FROM rsb GROUP BY 1, 2
+       |  HAVING SUM(rsu6) > 0),
+       |pts AS (
+       |  SELECT *,
+       |    CAST(floor(ln(CAST(m AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(srs AS DOUBLE) / CAST(n_blocks AS DOUBLE) / 1e6)
+       |      * 1e6 + 0.5) AS BIGINT) AS y
+       |  FROM ps),
+       |fit AS (
+       |  SELECT grp,
+       |    CAST(COUNT(*) AS BIGINT) AS np, CAST(SUM(x) AS BIGINT) AS sx,
+       |    CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM pts GROUP BY 1
+       |  HAVING COUNT(*) >= 2)
+       |SELECT grp, m, n_blocks,
+       |  ROUND(CAST(srs AS DOUBLE) / CAST(n_blocks AS DOUBLE) / 1e6, 6) AS mean_rs,
+       |  ROUND(CAST(np * sxy - sx * sy AS DOUBLE)
+       |    / CAST(np * sxx - sx * sx AS DOUBLE), 6) AS h
+       |FROM pts JOIN fit USING (grp)
+       |ORDER BY grp, m""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
@@ -1794,5 +1942,6 @@ object Temporal {
     QueryDef.sql("q136_breusch_pagan", q136BreuschPagan _, q136BreuschPaganSql),
     QueryDef.sql("q137_jarque_bera", q137JarqueBera _, q137JarqueBeraSql),
     QueryDef.sql("q138_arch_lm", q138ArchLm _, q138ArchLmSql),
+    QueryDef.sql("q139_hurst", q139Hurst _, q139HurstSql),
   )
 }

@@ -876,4 +876,75 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- q139
+  test("q139 Hurst: persistent ramp reads H near 1, alternating series reads low H") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong))
+    val n = 128
+    val rows =
+      // strong smooth trend: partial sums range grows ~linearly with m → H ≈ 1
+      (0 until n).map(i => ("PER", day(i), 100000L + 2000L * i)) ++
+      // alternating (maximally mean-reverting): range saturates → H ≈ 0
+      (0 until n).map(i => ("ANT", day(i),
+        100000L + (if (i % 2 == 0) 5000L else -5000L)))
+    val got = Temporal.hurstFrom(rows.toDF("grp", "day", "rev_c")).collect()
+    val h = got.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(h("PER") > 0.8, s"PER H ${h("PER")}")
+    assert(h("ANT") < 0.3, s"ANT H ${h("ANT")}")
+    // 4 sizes per group, block counts halve as m doubles (128 = 16·8 = 2·64)
+    val per = got.filter(_.getString(0) == "PER").map(r => (r.getLong(1), r.getLong(2)))
+    assert(per.toSeq == Seq((8L, 16L), (16L, 8L), (32L, 4L), (64L, 2L)))
+  }
+
+  test("q139 matches a naive blockwise R/S recompute on sf0.001") {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"), to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("grp"), col("day")).agg(sum(col("pc")).as("rev_c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = daily.groupBy(_._1).flatMap { case (g, rs0) =>
+      val xs = rs0.sortBy(_._2).map(_._3)
+      val pts = Seq(8, 16, 32, 64).flatMap { m =>
+        val rsu = xs.grouped(m).filter(_.length == m).flatMap { blk =>
+          val bs = blk.map(BigInt(_)).sum
+          val d = blk.map(x => BigInt(m) * x - bs)
+          val cum = d.scanLeft(BigInt(0))(_ + _).tail
+          val r = cum.max - cum.min
+          val sd2 = d.map(x => x * x).sum
+          if (sd2 <= 0) None
+          else Some(math.floor(r.toDouble * math.sqrt(m.toDouble)
+            / math.sqrt(sd2.toDouble) * 1e6 + 0.5).toLong)
+        }.toSeq
+        val srs = rsu.sum
+        if (rsu.isEmpty || srs <= 0) None
+        else Some((m.toLong, rsu.length.toLong, srs,
+          math.floor(math.log(m.toDouble) * 1e6 + 0.5).toLong,
+          math.floor(math.log(srs.toDouble / rsu.length.toDouble / 1e6)
+            * 1e6 + 0.5).toLong))
+      }
+      if (pts.length < 2) Nil else {
+        val np = pts.length.toLong
+        val sx = pts.map(_._4).sum; val sy = pts.map(_._5).sum
+        val sxy = pts.map(p => p._4 * p._5).sum
+        val sxx = pts.map(p => p._4 * p._4).sum
+        val h = r6((np * sxy - sx * sy).toDouble / (np * sxx - sx * sx).toDouble)
+        pts.map { case (m, nb, srs, _, _) =>
+          (g, m) -> ((nb, r6(srs.toDouble / nb.toDouble / 1e6), h))
+        }
+      }
+    }
+    val got = Temporal.q139Hurst(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, (wnb, wrs, wh)) <- want) {
+      assert(got(k)._1 == wnb, s"$k n_blocks")
+      assert(math.abs(got(k)._2 - wrs) < 1e-9, s"$k mean_rs ${got(k)._2} want $wrs")
+      assert(math.abs(got(k)._3 - wh) < 1e-9, s"$k h ${got(k)._3} want $wh")
+    }
+  }
+
 }
