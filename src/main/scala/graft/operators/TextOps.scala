@@ -3041,6 +3041,72 @@ object TextOps {
        |FROM w ORDER BY lang""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t92: tokenizer fertility audit by language — the per-LANGUAGE
+  // rollup of t81's encode (t81 reports per-doc compression; fertility
+  // is the cross-lingual EQUITY metric): fertility = BPE tokens per
+  // word, chars per token, and the share of words the tokenizer keeps
+  // whole. High-fertility languages pay more sequence length for the
+  // same text — the number that drives vocab-size and per-language
+  // token-budget decisions (and the standard multilingual-tokenizer
+  // fairness audit).
+  //
+  // Scale shape: t81's axis — the trained vocab (t79's fold, bounded)
+  // BROADCASTS onto the exploded corpus; ONE corpus shuffle collapses
+  // to |langs| rows. OOV words drop from the join, as in t81 (their
+  // rate is t67's query).
+  //
+  // Exactness: pure integer counts; fertility/chars-per-token/
+  // whole-word share are each one double division rounded once.
+  // -------------------------------------------------------------------
+  def t92Fertility(spark: SparkSession, dir: String): DataFrame = {
+    val trained = bpeTrainFold(spark, dir)._1
+      .withColumn("n_toks", size(split(col("spaced"), " ")).cast(LongType))
+      .select(col("w"), col("n_toks"))
+    fertilityFrom(docs(spark, dir), trained)
+  }
+
+  /** Fertility rollup over any (lang, text) frame and (w, n_toks)
+    * tokenizer table — spec entry point.
+    */
+  private[graft] def fertilityFrom(d: DataFrame, trained: DataFrame): DataFrame =
+    d.select(col("lang"), explode(toks).as("w"))
+      .join(broadcast(trained), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(length(col("w")).cast(LongType)).as("n_chars"),
+        sum(when(col("n_toks") === 1L, 1L).otherwise(0L)).as("n_whole"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast(DoubleType)
+          / col("n_words").cast(DoubleType), 6).as("fertility"),
+        round(col("n_chars").cast(DoubleType)
+          / col("n_tokens").cast(DoubleType), 6).as("chars_per_token"),
+        round(col("n_whole").cast(DoubleType)
+          / col("n_words").cast(DoubleType), 6).as("whole_word_ratio"))
+      .orderBy(col("lang"))
+
+  val t92FertilitySql: String =
+    s"""WITH $bpeStagesSql,
+       |trained AS (
+       |  SELECT w, CAST(len(string_split(spaced, ' ')) AS BIGINT) AS n_toks
+       |  FROM s$BpeRounds),
+       |corpus AS (
+       |  SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+       |g AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(len(w)) AS BIGINT) AS n_chars,
+       |    CAST(SUM(CASE WHEN n_toks = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole
+       |  FROM corpus JOIN trained USING (w)
+       |  GROUP BY lang)
+       |SELECT lang, n_words, n_tokens,
+       |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS fertility,
+       |  ROUND(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS chars_per_token,
+       |  ROUND(CAST(n_whole AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS whole_word_ratio
+       |FROM g
+       |ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
@@ -3053,6 +3119,7 @@ object TextOps {
     QueryDef.sql("t89_vocab_coverage", t89VocabCoverage _, t89VocabCoverageSql),
     QueryDef.sql("t90_hosmer_lemeshow", t90HosmerLemeshow _, t90HosmerLemeshowSql),
     QueryDef.sql("t91_friedman", t91Friedman _, t91FriedmanSql),
+    QueryDef.sql("t92_fertility", t92Fertility _, t92FertilitySql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

@@ -1077,4 +1077,32 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- t92
+  test("t92 fertility reads planted tokenizer margins exactly; OOV words drop") {
+    import spark.implicits._
+    val trained = Seq(("ab", 2L), ("c", 1L)).toDF("w", "n_toks")
+    val d = Seq(("aa", "ab c ab zz")).toDF("lang", "text")
+    val r = TextOps.fertilityFrom(d, trained).collect()
+    assert(r.length == 1)
+    val row = r.head
+    // zz is OOV → dropped; words = [ab, c, ab], tokens = 2+1+2
+    assert(row.getLong(1) == 3L && row.getLong(2) == 5L)
+    assert(math.abs(row.getDouble(3) - 5.0 / 3) < 1e-6, "fertility 5/3")
+    assert(row.getDouble(4) == 1.0, "5 chars over 5 tokens")
+    assert(math.abs(row.getDouble(5) - 1.0 / 3) < 1e-6, "only c is whole")
+  }
+
+  test("t92 per-lang rollup conserves t81's per-doc word and token totals on sf0.001") {
+    val perLang = TextOps.t92Fertility(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val perDoc = TextOps.t81BpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // same trained vocab, same OOV drop → the two rollups partition the
+    // same joined corpus
+    assert(perLang.map(_._1).sum == perDoc.map(_._1).sum, "word totals")
+    assert(perLang.map(_._2).sum == perDoc.map(_._2).sum, "token totals")
+    val ferts = TextOps.t92Fertility(spark, dir).collect().map(_.getDouble(3))
+    assert(ferts.forall(f => f >= 1.0), "every word is at least one token")
+  }
+
 }
