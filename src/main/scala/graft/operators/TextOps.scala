@@ -3107,6 +3107,105 @@ object TextOps {
        |FROM g
        |ORDER BY lang""".stripMargin
 
+  // -------------------------------------------------------------------
+  // c88: per-source gate funnel — the rejection datasheet a curation
+  // team reads before re-crawling: for every source, how many docs
+  // enter, how many clear each independent gate (t82's Gopher rule
+  // gate, t75's learned keep, d40's exact-dup keeper election), how
+  // many clear ALL of them, and what fraction of the token budget
+  // survives. c72 RUNS the composed pipeline; c88 is the per-gate
+  // attribution of what each stage costs each source — the number that
+  // says "this source is cheap but 80% of it dies at the dedup gate".
+  //
+  // Scale shape: the gates are pure projections over one corpus scan;
+  // the keeper election is d40's single shuffle on the content hash
+  // (only (hash, doc_id) moves); the final rollup is one hash aggregate
+  // to |sources| rows. Nothing corpus-sized sorts or collects.
+  //
+  // Exactness: all flags and token counts are integers; retention is
+  // one double division rounded once. Gate flags here are the
+  // INDEPENDENT per-gate reads (not conditional survival), so columns
+  // are individually auditable against t82/t75/d40.
+  // -------------------------------------------------------------------
+  def c88GateFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val rule = gopherRulesFrom(d).select(col("doc_id"), col("pass").cast(LongType).as("pass"))
+    val learned = qualityScoresFrom(d).select(col("doc_id"), col("keep"))
+    val base = d.select(col("doc_id"), col("source"),
+      size(toks).cast(LongType).as("n_words"), md5(col("text")).as("h"))
+    val keeper = base.groupBy(col("h")).agg(min(col("doc_id")).as("kid"))
+    base.join(rule, "doc_id").join(learned, "doc_id").join(keeper, "h")
+      .withColumn("uniq", (col("doc_id") === col("kid")).cast(LongType))
+      .withColumn("all_g", col("pass") * col("keep") * col("uniq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pass")).as("n_rule_pass"),
+        sum(col("keep")).as("n_learned_keep"),
+        sum(col("uniq")).as("n_unique"),
+        sum(col("all_g")).as("n_surviving"),
+        sum(col("n_words")).as("tokens_in"),
+        sum(col("n_words") * col("all_g")).as("tokens_out"))
+      .select(col("source"), col("n_docs"), col("n_rule_pass"),
+        col("n_learned_keep"), col("n_unique"), col("n_surviving"),
+        col("tokens_in"), col("tokens_out"),
+        round(col("tokens_out").cast(DoubleType)
+          / col("tokens_in").cast(DoubleType), 6).as("retention"))
+      .orderBy(col("source"))
+  }
+
+  val c88GateFunnelSql: String = {
+    val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |$featCols
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(${qcMarginSql(QcWeights, QcBias)} >= 0 AS BIGINT) AS keep
+       |  FROM f),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+       |    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    ${langScoreSql("en")} AS n_stop
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id, n_words,
+       |    (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_ell <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass
+       |  FROM gm),
+       |base AS (
+       |  SELECT doc_id, source, md5(text) AS h FROM documents),
+       |keeper AS (SELECT h, MIN(doc_id) AS kid FROM base GROUP BY 1),
+       |j AS (
+       |  SELECT b.source, lab.n_words, lab.pass, sc.keep,
+       |    CAST(b.doc_id = k.kid AS BIGINT) AS uniq,
+       |    lab.pass * sc.keep * CAST(b.doc_id = k.kid AS BIGINT) AS all_g
+       |  FROM base b
+       |  JOIN lab ON lab.doc_id = b.doc_id
+       |  JOIN sc ON sc.doc_id = b.doc_id
+       |  JOIN keeper k ON k.h = b.h)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(pass) AS BIGINT) AS n_rule_pass,
+       |  CAST(SUM(keep) AS BIGINT) AS n_learned_keep,
+       |  CAST(SUM(uniq) AS BIGINT) AS n_unique,
+       |  CAST(SUM(all_g) AS BIGINT) AS n_surviving,
+       |  CAST(SUM(n_words) AS BIGINT) AS tokens_in,
+       |  CAST(SUM(n_words * all_g) AS BIGINT) AS tokens_out,
+       |  ROUND(CAST(CAST(SUM(n_words * all_g) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(n_words) AS BIGINT) AS DOUBLE), 6) AS retention
+       |FROM j
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
@@ -3120,6 +3219,7 @@ object TextOps {
     QueryDef.sql("t90_hosmer_lemeshow", t90HosmerLemeshow _, t90HosmerLemeshowSql),
     QueryDef.sql("t91_friedman", t91Friedman _, t91FriedmanSql),
     QueryDef.sql("t92_fertility", t92Fertility _, t92FertilitySql),
+    QueryDef.sql("c88_gate_funnel", c88GateFunnel _, c88GateFunnelSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

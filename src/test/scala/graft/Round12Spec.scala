@@ -1105,4 +1105,31 @@ class Round12Spec extends AnyFunSuite {
     assert(ferts.forall(f => f >= 1.0), "every word is at least one token")
   }
 
+  // ---------------------------------------------------------------- c88
+  test("c88 funnel columns reconcile with the gates they attribute (sf0.001)") {
+    val rows = TextOps.c88GateFunnel(spark, dir).collect()
+    assert(rows.length == 20, "one row per source")
+    // per-source invariants: the composed gate can never beat any
+    // single gate, and token retention is a true fraction
+    for (r <- rows) {
+      val surv = r.getLong(5)
+      assert(surv <= r.getLong(2) && surv <= r.getLong(3) && surv <= r.getLong(4),
+        s"${r.getString(0)} surviving exceeds a single gate")
+      assert(r.getLong(7) <= r.getLong(6), s"${r.getString(0)} tokens_out > tokens_in")
+      assert(r.getDouble(8) >= 0.0 && r.getDouble(8) <= 1.0)
+    }
+    // corpus totals reconcile against the source gates
+    val docsN = Tables.documents(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum == docsN)
+    val rulePass = TextOps.t82GopherRules(spark, dir).collect()
+      .map(_.getAs[Int]("pass").toLong).sum
+    assert(rows.map(_.getLong(2)).sum == rulePass, "rule gate total")
+    val learnedKeep = TextOps.t75QualityClassifier(spark, dir).collect()
+      .map(_.getAs[Long]("keep")).sum
+    assert(rows.map(_.getLong(3)).sum == learnedKeep, "learned gate total")
+    val uniqueN = Tables.documents(spark, dir)
+      .select(md5(col("text"))).distinct().count()
+    assert(rows.map(_.getLong(4)).sum == uniqueN, "keeper election total")
+  }
+
 }
