@@ -1111,8 +1111,78 @@ object Dedup {
        |WHERE n_common * 10 >= s.n_shingles * 8
        |ORDER BY src_id, dst_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // t93: per-document n-gram novelty — the fraction of a doc's 8-gram
+  // windows that appear in NO other document (Lee et al. 2022's
+  // cross-document granularity, read per doc): d58 marks the repeated
+  // SPANS for removal, t55 reads WITHIN-doc repetition, t93 scores each
+  // doc's cross-corpus originality — the memorization-risk /
+  // novelty-filter signal a data-selection stage ranks on. Same-doc
+  // repeats deliberately do NOT count (that is t55's axis): a window is
+  // shared iff its hash occurs in ≥ 2 DISTINCT documents.
+  //
+  // Scale shape: the window fan-out is a per-row projection (d58's
+  // shape); only (doc_id, window-hash) tuples ever shuffle — once for
+  // the distinct-doc census, once for the join back (same hash
+  // partitioning, exchange reused) — text never moves. The census is
+  // bounded by distinct 8-grams, the output by doc count.
+  //
+  // Exactness: md5-keyed integer counts; novelty is one double division
+  // rounded once. Docs shorter than 8 tokens have no windows and emit
+  // no row (both engines).
+  // ---------------------------------------------------------------------
+  private val NoveltyL = 8
+
+  def t93NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyFrom(Tables.documents(spark, dir)
+      .repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("text")))
+
+  /** Cross-doc 8-gram novelty over any (doc_id, text) frame — spec
+    * entry point.
+    */
+  private[graft] def ngramNoveltyFrom(df: DataFrame): DataFrame = {
+    val toks = df.withColumn("t", tokens).filter(size(col("t")) >= NoveltyL)
+    // NOT checkpointed: the explode is recomputed per consumer on
+    // purpose — materializing corpus×len window rows would dwarf the
+    // recompute cost at any scale (d58's judgment call, shared here)
+    val wins = toks.select(col("doc_id"), posexplode(
+        transform(sequence(lit(1), size(col("t")) - (NoveltyL - 1)),
+          i => md5(concat_ws(" ",
+            (0 until NoveltyL).map(j => try_element_at(col("t"), i + lit(j))): _*)))))
+      .select(col("doc_id"), col("col").as("wh"))
+    val census = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    wins.join(census, "wh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("nd") >= 2L, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_windows"), col("n_shared"),
+        round(lit(1.0) - col("n_shared").cast(DoubleType)
+          / col("n_windows").cast(DoubleType), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t93NgramNoveltySql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |wins AS (
+       |  SELECT doc_id, md5(array_to_string(t[i : i + ${NoveltyL - 1}], ' ')) AS wh
+       |  FROM toks, unnest(range(1, len(t) - $NoveltyL + 2)) AS u(i)
+       |  WHERE len(t) >= $NoveltyL),
+       |census AS (
+       |  SELECT wh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+       |  FROM wins GROUP BY 1)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  ROUND(1.0 - CAST(CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE), 6) AS novelty
+       |FROM wins JOIN census USING (wh)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("d40_dedup_exact", d40ExactGroups _, d40ExactGroupsSql),
+    QueryDef.sql("t93_ngram_novelty", t93NgramNovelty _, t93NgramNoveltySql),
     QueryDef.sql("d41_ngram_jaccard", d41NgramJaccard _, d41NgramJaccardSql),
     QueryDef.sql("d42_minhash_lsh", d42MinhashLsh _, d42MinhashLshSql),
     QueryDef.sql("d43_simhash", d43Simhash _, d43SimhashSql),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Audits, Curation, Graph, Multimodal, Temporal, TextOps}
+import graft.operators.{Audits, Curation, Dedup, Graph, Multimodal, Temporal, TextOps}
 
 /** Semantics of the round-12 additions: q113 Spearman against a naive
   * driver-side average-rank + Pearson recompute, q114 DP counts against
@@ -1130,6 +1130,51 @@ class Round12Spec extends AnyFunSuite {
     val uniqueN = Tables.documents(spark, dir)
       .select(md5(col("text"))).distinct().count()
     assert(rows.map(_.getLong(4)).sum == uniqueN, "keeper election total")
+  }
+
+  // ---------------------------------------------------------------- t93
+  test("t93 novelty: shared 8-gram marks both docs, unique doc reads 1, short doc drops") {
+    import spark.implicits._
+    val shared = (1 to 8).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, shared),                        // exactly one window, shared with 2
+      (2L, s"pre $shared post"),           // 3 windows, the middle one shared
+      (3L, (1 to 12).map(i => s"u$i").mkString(" ")), // 5 windows, all unique
+      (4L, "too short")                    // < 8 tokens → no row
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramNoveltyFrom(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(1L) == ((1L, 1L, 0.0)), s"doc1 ${got(1L)}")
+    assert(got(2L)._1 == 3L && got(2L)._2 == 1L, s"doc2 ${got(2L)}")
+    assert(math.abs(got(2L)._3 - (1.0 - 1.0 / 3)) < 1e-6)
+    assert(got(3L) == ((5L, 0L, 1.0)), s"doc3 ${got(3L)}")
+  }
+
+  test("t93 matches a naive cross-doc 8-gram census on sf0.001") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val grams = docs.flatMap { case (id, t) =>
+      if (t.length < 8) Nil
+      else (0 to t.length - 8).map(i => (id, t.slice(i, i + 8).mkString(" ")))
+    }
+    val census = grams.groupBy(_._2).map { case (g, xs) =>
+      g -> xs.map(_._1).distinct.length
+    }
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = grams.groupBy(_._1).map { case (id, xs) =>
+      val nw = xs.length.toLong
+      val ns = xs.count(x => census(x._2) >= 2).toLong
+      id -> ((nw, ns, r6(1.0 - ns.toDouble / nw.toDouble)))
+    }
+    val got = Dedup.t93NgramNovelty(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == want.keySet)
+    for ((id, w) <- want)
+      assert(got(id) == w, s"doc $id got ${got(id)} want $w")
+    // the synthetic corpus plants exact duplicates: some doc must be non-novel
+    assert(want.values.exists(_._3 < 1.0), "expected at least one shared window")
   }
 
 }
