@@ -460,10 +460,10 @@ object Temporal {
     acfFrom(daily)
   }
 
-  /** ACF + Ljung-Box over any (day: DATE, rev_c: BIGINT) daily series —
-    * spec entry point.
+  /** The nano-snapped autocorrelations (lag, r9, n) shared by q120 and
+    * q140's Durbin-Levinson recursion.
     */
-  private[graft] def acfFrom(daily: DataFrame): DataFrame = {
+  private def acfR9From(daily: DataFrame): DataFrame = {
     // domain-bounded axis: |days| rows at any SF (q105's precedent);
     // checkpointed because idx fans out to the stats scalar, the
     // deviation frame, and the lag pass — without it each consumer
@@ -488,11 +488,18 @@ object Temporal {
       sum(col("dv").cast(DecimalType(38, 0)) * col("dv")).as("den"))
     val num = stacked.groupBy(col("lag"))
       .agg(sum(col("dv").cast(DecimalType(38, 0)) * col("dl")).as("num"))
-    val wq = Window.orderBy(col("lag"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     num.crossJoin(broadcast(den)).crossJoin(broadcast(st.select(col("n"))))
       .withColumn("r9", floor(col("num").cast(DoubleType)
         / col("den").cast(DoubleType) * lit(1e9) + lit(0.5)).cast(LongType))
+  }
+
+  /** ACF + Ljung-Box over any (day: DATE, rev_c: BIGINT) daily series —
+    * spec entry point.
+    */
+  private[graft] def acfFrom(daily: DataFrame): DataFrame = {
+    val wq = Window.orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    acfR9From(daily)
       .withColumn("term9", expr("(r9 * r9) div (1000000000L * (n - lag))"))
       .withColumn("q9", sum(col("term9")).over(wq))
       .select(col("lag"),
@@ -1926,6 +1933,112 @@ object Temporal {
        |ORDER BY grp, m""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q140: partial autocorrelation function via the Durbin-Levinson
+  // recursion (Durbin 1960; Box & Jenkins' identification toolkit) —
+  // q120's missing half: the ACF says an AR(1) process correlates at
+  // EVERY lag (geometric decay), the PACF says only lag 1 matters once
+  // intermediate lags are regressed out. ACF-cuts-off ⇒ MA order,
+  // PACF-cuts-off ⇒ AR order — together they are the Box-Jenkins model
+  // identification pair. φ_kk comes from the standard recursion
+  //   φ_kk = (r_k − Σ_j φ_{k−1,j}·r_{k−j}) / (1 − Σ_j φ_{k−1,j}·r_j)
+  //   φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j}
+  // unrolled to lag 7 over q120's snapped autocorrelations.
+  //
+  // Scale shape: everything after acfR9From's bounded-frame work is a
+  // SEVEN-value pivot — one row of named φ columns; corpus size is
+  // irrelevant past the shared one-shuffle daily collapse.
+  //
+  // Exactness: inputs are the exact nano-snapped r9 integers; the
+  // recursion is pure double arithmetic whose expression TREES are
+  // generated from the same fold in both engines (left-associated
+  // Σ-subtraction, identical parenthesization), so every φ is
+  // bit-identical cross-engine; rounded once at the edge.
+  // ---------------------------------------------------------------------
+  def q140Pacf(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    pacfFrom(daily)
+  }
+
+  /** PACF over any (day: DATE, rev_c: BIGINT) daily series — spec entry
+    * point.
+    */
+  private[graft] def pacfFrom(daily: DataFrame): DataFrame = {
+    val L = AcfMaxLag
+    val aggs = (1 to L).map(k =>
+      max(when(col("lag") === k, col("r9"))).as(s"r9_$k"))
+    var df = acfR9From(daily).agg(aggs.head, aggs.tail: _*)
+    for (k <- 1 to L)
+      df = df.withColumn(s"r_$k", col(s"r9_$k").cast(DoubleType) / lit(1e9))
+    df = df.withColumn("p_1_1", col("r_1"))
+    for (k <- 2 to L) {
+      val num = (1 until k).foldLeft(col(s"r_$k"))((acc, j) =>
+        acc - col(s"p_${k - 1}_$j") * col(s"r_${k - j}"))
+      val den = (1 until k).foldLeft(lit(1.0): org.apache.spark.sql.Column)((acc, j) =>
+        acc - col(s"p_${k - 1}_$j") * col(s"r_$j"))
+      df = df.withColumn(s"p_${k}_$k", num / den)
+      for (j <- 1 until k)
+        df = df.withColumn(s"p_${k}_$j",
+          col(s"p_${k - 1}_$j") - col(s"p_${k}_$k") * col(s"p_${k - 1}_${k - j}"))
+    }
+    df.select(explode(array((1 to L).map(k =>
+        struct(lit(k.toLong).as("lag"),
+          col(s"r_$k").as("acf"), col(s"p_${k}_$k").as("pacf"))): _*)).as("s"))
+      .select(col("s.lag").as("lag"),
+        round(col("s.acf"), 6).as("acf"), round(col("s.pacf"), 6).as("pacf"))
+      .orderBy(col("lag"))
+  }
+
+  val q140PacfSql: String = {
+    val L = AcfMaxLag
+    val piv = (1 to L).map(k =>
+      s"MAX(CASE WHEN lag = $k THEN r9 END) AS r9_$k").mkString(", ")
+    val rcols = (1 to L).map(k =>
+      s"CAST(r9_$k AS DOUBLE) / 1e9 AS r_$k").mkString(", ")
+    val sb = new StringBuilder
+    sb ++= s"pv AS (SELECT $piv FROM r),\n"
+    sb ++= s"c0 AS (SELECT *, $rcols FROM pv),\n"
+    sb ++= "cj1 AS (SELECT *, r_1 AS p_1_1 FROM c0)"
+    for (k <- 2 to L) {
+      val num = (1 until k).foldLeft(s"r_$k")((acc, j) =>
+        s"($acc - p_${k - 1}_$j * r_${k - j})")
+      val den = (1 until k).foldLeft("1.0")((acc, j) =>
+        s"($acc - p_${k - 1}_$j * r_$j)")
+      sb ++= s",\nck$k AS (SELECT *, $num / $den AS p_${k}_$k FROM cj${k - 1})"
+      val pjs = (1 until k).map(j =>
+        s"p_${k - 1}_$j - p_${k}_$k * p_${k - 1}_${k - j} AS p_${k}_$j").mkString(", ")
+      sb ++= s",\ncj$k AS (SELECT *, $pjs FROM ck$k)"
+    }
+    val rows = (1 to L).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS lag, ROUND(r_$k, 6) AS acf, " +
+        s"ROUND(p_${k}_$k, 6) AS pacf FROM cj$L").mkString("\nUNION ALL ")
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1),
+       |idx AS (SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, rev_c FROM daily),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_c) AS BIGINT) AS s
+       |  FROM idx),
+       |d AS (SELECT i, n, n * rev_c - s AS dv FROM idx CROSS JOIN st),
+       |den AS (SELECT SUM(CAST(dv AS HUGEINT) * dv) AS den FROM d),
+       |num AS (
+       |  SELECT a.i - b.i AS lag, SUM(CAST(a.dv AS HUGEINT) * b.dv) AS num,
+       |    CAST(MAX(a.n) AS BIGINT) AS n
+       |  FROM d a JOIN d b ON b.i < a.i AND a.i - b.i <= $L
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT lag, n,
+       |    CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS r9
+       |  FROM num CROSS JOIN den),
+       |$sb
+       |$rows
+       |ORDER BY lag""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
@@ -1943,5 +2056,6 @@ object Temporal {
     QueryDef.sql("q137_jarque_bera", q137JarqueBera _, q137JarqueBeraSql),
     QueryDef.sql("q138_arch_lm", q138ArchLm _, q138ArchLmSql),
     QueryDef.sql("q139_hurst", q139Hurst _, q139HurstSql),
+    QueryDef.sql("q140_pacf", q140Pacf _, q140PacfSql),
   )
 }

@@ -947,4 +947,57 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- q140
+  test("q140 PACF cuts off after lag 1 on an AR(1)-like ramp; alternating reads -1") {
+    import spark.implicits._
+    def day(i: Int) = java.sql.Date.valueOf(
+      java.time.LocalDate.of(2020, 1, 1).plusDays(i.toLong))
+    // slowly-wandering level: every lag's ACF is high, but once lag 1 is
+    // regressed out nothing remains — the AR(1) signature
+    val ramp = (0 until 300).map(i =>
+      (day(i), 1000000L + 3000L * i + (i * i % 97).toLong * 40L)).toDF("day", "rev_c")
+    val pr = Temporal.pacfFrom(ramp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(pr(1L) > 0.9, s"lag-1 pacf ${pr(1L)}")
+    assert((2 to 7).forall(k => math.abs(pr(k.toLong)) < 0.35),
+      s"higher lags must collapse: $pr")
+    val alt = (0 until 300).map(i =>
+      (day(i), 1000000L + (if (i % 2 == 0) 40000L else -40000L))).toDF("day", "rev_c")
+    val pa = Temporal.pacfFrom(alt).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(pa(1L) < -0.95, s"alternating lag-1 pacf ${pa(1L)}")
+  }
+
+  test("q140 matches an independent Durbin-Levinson recompute on sf0.001") {
+    val daily = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("pc"))
+      .groupBy(col("day")).agg(sum(col("pc")).as("rev_c"))
+    val xs = daily.orderBy(col("day")).collect().map(_.getLong(1).toDouble)
+    val n = xs.length
+    val mean = xs.sum / n
+    val dev = xs.map(_ - mean)
+    val den = dev.map(d => d * d).sum
+    val r = (1 to 7).map(k => (k until n).map(t => dev(t) * dev(t - k)).sum / den)
+    // independent recursion (array form, not the engine's named columns)
+    val phi = Array.ofDim[Double](8, 8)
+    phi(1)(1) = r(0)
+    for (k <- 2 to 7) {
+      val numv = r(k - 1) - (1 until k).map(j => phi(k - 1)(j) * r(k - j - 1)).sum
+      val denv = 1.0 - (1 until k).map(j => phi(k - 1)(j) * r(j - 1)).sum
+      phi(k)(k) = numv / denv
+      for (j <- 1 until k) phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j)
+    }
+    val got = Temporal.q140Pacf(spark, dir).collect()
+      .map(row => row.getLong(0).toInt -> ((row.getDouble(1), row.getDouble(2)))).toMap
+    assert(got.keySet == (1 to 7).toSet)
+    for (k <- 1 to 7) {
+      assert(math.abs(got(k)._1 - r(k - 1)) < 1e-5, s"lag $k acf")
+      // engine runs the recursion on the nano-snapped r grid; 1e-4 is the
+      // honest bound after ≤7 recursion steps amplify the ≤1e-9 snaps
+      assert(math.abs(got(k)._2 - phi(k)(k)) < 1e-4,
+        s"lag $k pacf ${got(k)._2} vs ${phi(k)(k)}")
+    }
+  }
+
 }
