@@ -51,6 +51,7 @@ object Bench {
           // measured cold — make that visible instead of silent
           System.err.println(s"[bench] warm-up MISSED for $name: ${e.getMessage}")
         }
+        finally ModelCache.releaseTransient(spark)
       }
     // fixed name order: a Map's iteration order would vary with the query
     // set, making per-query numbers incomparable across rounds
@@ -65,7 +66,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // storage hygiene between measured queries (outside the timed
+      // region): drop every non-shielded checkpointed block — 67 eager
+      // checkpoint sites × 233 queries otherwise accumulate pinned
+      // block sets that degrade the battery tail (r12: t78 67 s
+      // in-battery vs 5.5 s solo, same code)
+      ModelCache.releaseTransient(spark)
+      (name, dt, ok)
     }
     // a failed query's time-to-failure must not pass as a measurement:
     // report it as -1 in the per-query map and list it under "failed"

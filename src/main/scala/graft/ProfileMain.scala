@@ -71,6 +71,9 @@ object ProfileMain {
         nPairs
       } else defs(n).fn(spark, dir).count()
       printf("PROF %s rows=%d t=%.2f s%n", n, rows, (System.nanoTime - s) / 1e9)
+      // mirror the harnesses' between-queries storage hygiene so solo
+      // profile numbers are measured under battery semantics
+      ModelCache.releaseTransient(spark)
       }
     }
     spark.stop()

@@ -30,6 +30,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // same between-queries storage hygiene as Bench: a 233-query dump
+      // run pins hundreds of checkpointed block sets otherwise
+      finally ModelCache.releaseTransient(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
