@@ -1933,8 +1933,18 @@ object TextOps {
   /** Per-doc KN score frame (doc_id, lang, n_bigrams, sum_n) — t77's
     * engine, shared by the gate (t77) and the CCNet bucketing (t78).
     * Only docs WITH bigrams appear; t77's left join restores the rest.
+    *
+    * Frozen-model idiom ([[ModelCache.memo]]): the frame is |docs| rows
+    * of 4 scalars, fit once per (session, dir) and checkpointed, so
+    * (a) the gate and the bucketing share ONE model build, and (b)
+    * t78's `rankByRange` consumers read a truncated-lineage frame —
+    * the corpus-sized bigram/model chain can never re-execute per
+    * slice consumer.
     */
-  private def knDocScores(spark: SparkSession, dir: String): DataFrame = {
+  private def knDocScores(spark: SparkSession, dir: String): DataFrame =
+    graft.ModelCache.memo(spark, "kn_doc_scores", dir)(knDocScoresBuild(spark, dir))
+
+  private def knDocScoresBuild(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val grams = filter(
       transform(sequence(lit(1), greatest(size(toks) - 1, lit(1))),
@@ -2444,17 +2454,29 @@ object TextOps {
     val g = j.groupBy(col("score_n9"))
       .agg(count(lit(1)).as("n"), sum(col("pass").cast(LongType)).as("np"))
       .localCheckpoint(false)
-    val pre = Relational.prefixSumByRange(g, Nil, Seq(col("score_n9")),
-      Seq("cum_n" -> col("n"), "cum_p" -> col("np")))
+    // prefix input is EXACTLY (order key, measure input): the midrank
+    // identity needs only cum_n, and carrying np through the slice frame
+    // makes the two range exchanges' projections diverge (offset branch
+    // prunes np, ranked branch keeps it) — different boundary samples,
+    // the ADVICE r10 corruption mode. np joins back by key instead
+    // (the q103/q104 rebuild discipline); g is the grid frame, tiny.
+    val pre = Relational.prefixSumByRange(
+        g.select(col("score_n9"), col("n")), Nil, Seq(col("score_n9")),
+        Seq("cum_n" -> col("n")))
+      .join(g.select(col("score_n9"), col("np")), "score_n9")
     val auc = pre.agg(
         sum(col("np").cast(d38) *
           (lit(2L) * col("cum_n") - col("n") + lit(1L))).as("r2pos"),
         sum(col("n")).as("n_total"), sum(col("np")).as("n_pos"))
       .select(col("n_pos"), (col("n_total") - col("n_pos")).as("n_neg"),
-        ((col("r2pos") - col("n_pos").cast(d38) * (col("n_pos") + lit(1L)))
-          .cast(DoubleType)
-          / (lit(2.0) * col("n_pos").cast(DoubleType)
-            * (col("n_total") - col("n_pos")).cast(DoubleType))).as("auc_raw"))
+        // degenerate-class guard (ADVICE r12): all-pass or all-fail
+        // corpora have no ranking question — guarded NULL, the q56/q57
+        // convention, instead of a NaN that diverges from DuckDB
+        when(col("n_pos") > 0 && col("n_total") - col("n_pos") > 0,
+          (col("r2pos") - col("n_pos").cast(d38) * (col("n_pos") + lit(1L)))
+            .cast(DoubleType)
+            / (lit(2.0) * col("n_pos").cast(DoubleType)
+              * (col("n_total") - col("n_pos")).cast(DoubleType))).as("auc_raw"))
     val buckets = g
       .withColumn("bucket",
         least(expr(s"score_n9 * $RocBuckets div 1000000000"), lit(RocBuckets - 1L)))
@@ -2468,8 +2490,10 @@ object TextOps {
       .withColumn("fp", sum(col("n_docs") - col("np_b")).over(wDesc))
       .crossJoin(broadcast(auc))
       .select(col("bucket"), col("n_docs"),
-        round(col("tp").cast(DoubleType) / col("n_pos").cast(DoubleType), 6).as("tpr"),
-        round(col("fp").cast(DoubleType) / col("n_neg").cast(DoubleType), 6).as("fpr"),
+        when(col("n_pos") > 0,
+          round(col("tp").cast(DoubleType) / col("n_pos").cast(DoubleType), 6)).as("tpr"),
+        when(col("n_neg") > 0,
+          round(col("fp").cast(DoubleType) / col("n_neg").cast(DoubleType), 6)).as("fpr"),
         round(col("auc_raw"), 6).as("auc"))
       .orderBy(col("bucket"))
   }
@@ -2512,9 +2536,11 @@ object TextOps {
        |a AS (
        |  SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
        |    CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg,
-       |    CAST(SUM(CAST(np AS HUGEINT) * (2 * cum_n - n + 1))
-       |        - CAST(SUM(np) AS HUGEINT) * (SUM(np) + 1) AS DOUBLE)
-       |      / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(n) - SUM(np) AS DOUBLE)) AS auc_raw
+       |    CASE WHEN SUM(np) > 0 AND SUM(n) - SUM(np) > 0 THEN
+       |      CAST(SUM(CAST(np AS HUGEINT) * (2 * cum_n - n + 1))
+       |          - CAST(SUM(np) AS HUGEINT) * (SUM(np) + 1) AS DOUBLE)
+       |        / (2.0 * CAST(SUM(np) AS DOUBLE) * CAST(SUM(n) - SUM(np) AS DOUBLE))
+       |    END AS auc_raw
        |  FROM pre),
        |b AS (
        |  SELECT LEAST(score_n9 * $RocBuckets // 1000000000, ${RocBuckets - 1}) AS bucket,
@@ -2526,8 +2552,8 @@ object TextOps {
        |    CAST(SUM(n_docs - np_b) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
        |  FROM b)
        |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs,
-       |  ROUND(CAST(tp AS DOUBLE) / n_pos, 6) AS tpr,
-       |  ROUND(CAST(fp AS DOUBLE) / n_neg, 6) AS fpr,
+       |  CASE WHEN n_pos > 0 THEN ROUND(CAST(tp AS DOUBLE) / n_pos, 6) END AS tpr,
+       |  CASE WHEN n_neg > 0 THEN ROUND(CAST(fp AS DOUBLE) / n_neg, 6) END AS fpr,
        |  ROUND(auc_raw, 6) AS auc
        |FROM c CROSS JOIN a ORDER BY bucket""".stripMargin
   }
@@ -2690,8 +2716,11 @@ object TextOps {
       .select(col("n_pos"), (col("n_total") - col("n_pos")).as("n_neg"),
         round(col("n_pos").cast(DoubleType) / col("n_total").cast(DoubleType), 6)
           .as("prevalence"),
-        round(col("mass").cast(DoubleType)
-          / (lit(1e9) * col("n_pos").cast(DoubleType)), 6).as("ap"))
+        // n_pos=0 guard (ADVICE r12): AP is undefined with no positive
+        // class — guarded NULL instead of NaN, matching t86's convention
+        when(col("n_pos") > 0,
+          round(col("mass").cast(DoubleType)
+            / (lit(1e9) * col("n_pos").cast(DoubleType)), 6)).as("ap"))
   }
 
   val t88AveragePrecisionSql: String = {
@@ -2741,7 +2770,9 @@ object TextOps {
        |  FROM pre CROSS JOIN t)
        |SELECT n_pos, n_total - n_pos AS n_neg,
        |  ROUND(CAST(n_pos AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS prevalence,
-       |  ROUND(CAST(SUM(np * r9) AS DOUBLE) / (1e9 * CAST(n_pos AS DOUBLE)), 6) AS ap
+       |  CASE WHEN n_pos > 0 THEN
+       |    ROUND(CAST(SUM(np * r9) AS DOUBLE) / (1e9 * CAST(n_pos AS DOUBLE)), 6)
+       |  END AS ap
        |FROM b
        |GROUP BY n_pos, n_total""".stripMargin
   }
