@@ -1123,6 +1123,17 @@ object EventWindows {
   // arithmetic on ≤ 7 integers per round at ANY corpus size.
   // ---------------------------------------------------------------------
   private val AttrChannels = Seq("click", "error", "signup", "view")
+
+  /** Shapley permutation weights |S|!·(k−1−|S|)! by coalition size, and
+    * the k! divisor, DERIVED from the channel count — with k = 4 these
+    * are {6,2,2,6} and 24, but deriving them means a future channel-list
+    * edit cannot silently keep 4-channel constants while both engines
+    * agree on the same wrong values (ADVICE r12).
+    */
+  private def factorial(n: Int): Long = (1 to n).foldLeft(1L)(_ * _.toLong)
+  private val AttrPermW: IndexedSeq[Long] = (0 until AttrChannels.length)
+    .map(s => factorial(s) * factorial(AttrChannels.length - 1 - s))
+  private val AttrFactK: Long = factorial(AttrChannels.length)
   private val MarkovIters = 16
   private val V9One = 1000000000L
 
@@ -1249,13 +1260,15 @@ object EventWindows {
       .join(v.select(col("s").as("si"), col("v").as("v_si")),
         expr("si = (s | shiftleft(CAST(1 AS BIGINT), i))"))
       .withColumn("w24",
-        when(expr("bit_count(s)") === 0, lit(6L))
-          .when(expr("bit_count(s)") === 3, lit(6L)).otherwise(lit(2L)))
+        AttrPermW.zipWithIndex.foldLeft(lit(0L): org.apache.spark.sql.Column) {
+          case (acc, (wt, sz)) =>
+            when(expr("bit_count(s)") === lit(sz), lit(wt)).otherwise(acc)
+        })
     val phi = marg.groupBy(col("channel"))
       .agg(sum(col("w24") * (col("v_si") - col("v_s"))).as("phi24"))
       .withColumn("tot24", sum(col("phi24")).over(Window.partitionBy()))
     phi.select(col("channel"),
-        round(col("phi24") / lit(24.0), 6).as("shapley"),
+        round(col("phi24") / lit(AttrFactK.toDouble), 6).as("shapley"),
         when(col("tot24") > 0L,
           round(col("phi24").cast(DoubleType) / col("tot24").cast(DoubleType), 6))
           .otherwise(lit(0.0)).as("share"))
@@ -1267,6 +1280,8 @@ object EventWindows {
       .map { case (ch, i) => s"WHEN '$ch' THEN $i" }.mkString(" ")
     val chanRows = AttrChannels.zipWithIndex
       .map { case (ch, i) => s"('$ch', $i)" }.mkString(", ")
+    val wCase = AttrPermW.zipWithIndex
+      .map { case (wt, sz) => s"WHEN $sz THEN $wt" }.mkString(" ")
     s"""WITH e AS (
        |  SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
        |rk AS (
@@ -1291,7 +1306,7 @@ object EventWindows {
        |m AS (
        |  SELECT channel,
        |    v0.v AS v_s, v1.v AS v_si,
-       |    CASE WHEN bit_count(v0.s) IN (0, 3) THEN 6 ELSE 2 END AS w24
+       |    CASE bit_count(v0.s) $wCase END AS w24
        |  FROM ch
        |  JOIN v v0 ON (v0.s & (1::BIGINT << i)) = 0
        |  JOIN v v1 ON v1.s = (v0.s | (1::BIGINT << i))),
@@ -1299,7 +1314,7 @@ object EventWindows {
        |  SELECT channel, CAST(SUM(w24 * (v_si - v_s)) AS BIGINT) AS phi24 FROM m GROUP BY 1),
        |tot AS (SELECT CAST(SUM(phi24) AS BIGINT) AS tot24 FROM phi)
        |SELECT channel,
-       |  ROUND(phi24 / 24.0, 6) AS shapley,
+       |  ROUND(phi24 / $AttrFactK.0, 6) AS shapley,
        |  CASE WHEN tot24 > 0
        |       THEN ROUND(CAST(phi24 AS DOUBLE) / CAST(tot24 AS DOUBLE), 6)
        |       ELSE 0.0 END AS share

@@ -534,10 +534,16 @@ object Graph {
       .select(col("p"), expr(s"${HitsScale}L div np").as("a"))
     // normalize a positive integer score column to total mass ≈ S:
     // x → x div (T div S), T summed in decimal (unbounded-safe)
+    // divisor floor-guarded at 1: on a degenerate graph whose total
+    // circulating mass falls below HitsScale (all-degree-1 plus floor
+    // loss), `t div S` is 0 — Spark would emit silent NULL scores while
+    // DuckDB `//` raises, a silent-vs-loud divergence (ADVICE r12). On
+    // any real graph t >= S by mass conservation, so the guard is inert.
     def normalize(df: DataFrame, key: String, raw: String, out: String): DataFrame = {
       val t = df.agg(sum(col(raw).cast(DecimalType(38, 0))).as("t"))
       df.crossJoin(broadcast(t))
-        .select(col(key), expr(s"$raw div CAST(t div ${HitsScale}L AS BIGINT)").as(out))
+        .select(col(key),
+          expr(s"$raw div greatest(1L, CAST(t div ${HitsScale}L AS BIGINT))").as(out))
     }
     for (_ <- 1 to HitsIters) {
       val hRaw = e.join(broadcast(a), "p").groupBy(col("c")).agg(sum(col("a")).as("hr"))
@@ -558,13 +564,13 @@ object Graph {
          |  SELECT c, CAST(SUM(a) AS BIGINT) AS hr
          |  FROM e JOIN a${k - 1} USING (p) GROUP BY c),
          |h$k AS (
-         |  SELECT c, hr // CAST((SELECT SUM(hr) FROM h${k}r) // $S AS BIGINT) AS h
+         |  SELECT c, hr // GREATEST(1, CAST((SELECT SUM(hr) FROM h${k}r) // $S AS BIGINT)) AS h
          |  FROM h${k}r),
          |a${k}r AS (
          |  SELECT p, CAST(SUM(h) AS BIGINT) AS ar
          |  FROM e JOIN h$k USING (c) GROUP BY p),
          |a$k AS (
-         |  SELECT p, ar // CAST((SELECT SUM(ar) FROM a${k}r) // $S AS BIGINT) AS a
+         |  SELECT p, ar // GREATEST(1, CAST((SELECT SUM(ar) FROM a${k}r) // $S AS BIGINT)) AS a
          |  FROM a${k}r)""".stripMargin
     }.mkString
     s"""WITH e AS (
