@@ -115,7 +115,20 @@ class PlanShapeSpec extends AnyFunSuite {
       // main join), so there is no live range exchange to reuse.
       ("q129", graft.operators.Audits.q129CramerVonMises(spark, dir), 1),
       ("q130", graft.operators.Temporal.q130LogRank(spark, dir), 1),
-      ("t88", graft.operators.TextOps.t88AveragePrecision(spark, dir), 1))
+      ("t88", graft.operators.TextOps.t88AveragePrecision(spark, dir), 1),
+      // round-13 sweep: every remaining rankByRange/prefixSumByRange
+      // user rides the same boundary-determinism dependency — the
+      // memory-bank invariant says every prefix user gets a pin
+      ("q119", graft.operators.Audits.q119Levene(spark, dir), 1),
+      ("q120", graft.operators.Temporal.q120Acf(spark, dir), 1),
+      ("q121", graft.operators.Temporal.q121TheilSen(spark, dir), 1),
+      ("q126", graft.operators.Temporal.q126PageHinkley(spark, dir), 1),
+      // q127 is NOT a slice user: its tau-b rides a checkpointed cell
+      // frame (no range exchange), so it has nothing to reuse
+      ("t85", graft.operators.TextOps.t85Calibration(spark, dir), 1),
+      ("t86", graft.operators.TextOps.t86RocAuc(spark, dir), 1),
+      ("t87", graft.operators.TextOps.t87GateAgreement(spark, dir), 1),
+      ("t78", graft.operators.TextOps.t78PerplexityBuckets(spark, dir), 1))
     for ((name, df, sites) <- frames) {
       df.collect() // reuse is decided during adaptive execution
       val plan = df.queryExecution.executedPlan.toString
@@ -130,6 +143,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // reads the same frozen ranks. Pin that form: the executed plan
     // must scan the checkpointed RDD and must NOT range-partition the
     // slice frame again downstream of it.
+    // t78's rank input is the frozen KN model frame (ModelCache memo →
+    // eager localCheckpoint): the executed plan must read it as an
+    // ExistingRDD scan — the corpus-sized bigram/model chain can never
+    // re-execute per slice consumer (VERDICT r12 item 1).
+    val t78 = graft.operators.TextOps.t78PerplexityBuckets(spark, dir)
+    t78.collect()
+    assert(t78.queryExecution.executedPlan.toString.contains("Scan ExistingRDD"),
+      "t78: expected the memoized KN score frame (Scan ExistingRDD) in the executed plan")
     val w = graft.operators.Audits.q128Wasserstein(spark, dir)
     w.collect()
     val wPlan = w.queryExecution.executedPlan.toString
