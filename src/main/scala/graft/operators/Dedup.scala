@@ -551,6 +551,58 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // d63: incremental near-dup against a persisted band index — the op a
+  // continuously-ingesting 100 TB pipeline hits weekly: a new id-monotone
+  // batch is shingled/banded ONCE ([[bandedSignaturesFrom]]) and joined
+  // against the accumulated (band, bucket) index, so candidate work per
+  // advance is O(|batch| × bucket-mates), never a corpus re-signature.
+  // Pairs accumulate; clusters resolve over the union — and because every
+  // (a < b) pair surfaces exactly when b's batch arrives (the index holds
+  // all earlier bands, ids are batch-monotone), the folded result is
+  // EXACTLY the from-scratch d42+d45 run: the oracle is d45's SQL
+  // verbatim, making incremental ≡ recompute a cross-engine hash check
+  // (the c71 discipline, here for the MinHash-LSH path — VERDICT r12
+  // item 4). The hot-bucket cap is evaluated on the full index each
+  // advance; as in d42 it is a non-binding runaway brake on real corpora
+  // (a binding cap is corpus-order-dependent by design).
+  //
+  // Scale state between advances: the band index (8 rows × ~300 B per
+  // doc) and the pair list (near-dups only) — both orders smaller than
+  // the corpus; persist them as tables between runs on a real cluster.
+  // ---------------------------------------------------------------------
+
+  /** Fold id-monotone (doc_id, text) batches through a persisted band
+    * index; returns (doc_id, cluster_id) over every near-dup node, ≡
+    * [[d45NearDupClusters]] of the batches' union.
+    */
+  private[graft] def incrementalNeardupClusters(batches: Seq[DataFrame],
+      threshold: Double = 0.35, maxBucket: Int = DocBucketCap): DataFrame = {
+    var index: DataFrame = null
+    var pairs: DataFrame = null
+    for (b <- batches) {
+      // band the newcomers once; the index is never re-signed
+      val newBands = bandedSignaturesFrom(b).localCheckpoint(true)
+      val all = if (index == null) newBands else index.unionByName(newBands)
+      val capped = BucketGuard.capHotBuckets(all, Seq("band", "bucket"), maxBucket)
+      // pair delta = every pair whose LATER member is in this batch
+      val delta = pairsFromBandJoin(capped,
+        capped.join(b.select(col("doc_id")), Seq("doc_id"), "left_semi"), threshold)
+      pairs = if (pairs == null) delta.localCheckpoint(true)
+        else pairs.unionByName(delta).localCheckpoint(true)
+      index = all.localCheckpoint(true)
+    }
+    connectedComponents(pairs, "doc_a", "doc_b")
+  }
+
+  def d63IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+    incrementalNeardupClusters(Seq(
+        docs.filter(col("doc_id") <= cut), docs.filter(col("doc_id") > cut)))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
   // d47: chunk-level (paragraph-style) exact dedup — the sub-document
   // granularity between d40's whole-doc hash and d42/d43's fuzzy
   // matching: split each doc into fixed 8-token chunks, hash each chunk,
@@ -1187,6 +1239,9 @@ object Dedup {
     QueryDef.sql("d42_minhash_lsh", d42MinhashLsh _, d42MinhashLshSql),
     QueryDef.sql("d43_simhash", d43Simhash _, d43SimhashSql),
     QueryDef.sql("d45_neardup_clusters", d45NearDupClusters _, d45NearDupClustersSql),
+    // d63's oracle is d45's SQL VERBATIM: incremental ≡ from-scratch is
+    // the operator's contract, hash-checked cross-engine (c71 discipline)
+    QueryDef.sql("d63_incremental_neardup", d63IncrementalNeardup _, d45NearDupClustersSql),
     QueryDef.sql("d44_embedding_neardup", d44EmbeddingNearDup _, d44EmbeddingNearDupSql),
     QueryDef.sql("d47_chunk_dedup", d47ChunkDedup _, d47ChunkDedupSql),
     QueryDef.sql("d49_decontaminate", d49Decontaminate _, d49DecontaminateSql),
