@@ -1977,6 +1977,231 @@ object Audits {
       |ORDER BY grp""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q141: Anderson-Darling two-sample statistic between the same
+  // early/late-era order-value distributions (Pettitt 1976; the k=2
+  // case of Scholz & Stephens 1987) — the TAIL-WEIGHTED member that
+  // completes the ECDF-drift quartet: q91's KS reads the worst gap,
+  // q128's W₁ the transport magnitude, q129's CvM the mean-square gap,
+  // and AD re-weights each pooled point by 1/(F(1−F)) so divergence in
+  // the distribution TAILS — where KS and CvM are least sensitive, and
+  // where pricing drift actually starts — dominates the statistic:
+  //   A² = (1/(n_a·n_b)) · Σ_{J<N} l·D² / (J·(N−J))
+  // over the distinct pooled values, with l the pooled tie count at the
+  // value, J the pooled cumulative count, and D = cum_a·n_b − cum_b·n_a
+  // — EXACTLY the cross-multiplied ECDF-gap integer q128/q129 ride
+  // (the J=N block contributes 0/0 and is excluded by definition).
+  //
+  // Scale shape: q91's axis verbatim — ONE shuffle to the per-(status,
+  // cents) count grid, cumulative counts via `prefixSumByRange`, one
+  // hash aggregate; no successor join, no corpus-sized window. The grid
+  // scales with DISTINCT cents, not rows.
+  //
+  // Exactness: l, J, N−J are BIGINTs and D widens to DECIMAL(38,0)
+  // (q128's discipline — BIGINT-safe at test SFs, 38-digit headroom at
+  // cluster scale); each term l·D²/(J·(N−J)) is ONE fixed-shape IEEE
+  // expression of those exact integers — bit-identical across engines —
+  // milli-snapped per row (|term| ≤ l·N² keeps the ×1e3 product inside
+  // 2^53) and summed in DECIMAL(38,0); A² is one double division by
+  // n_a·n_b, rounded once.
+  // ---------------------------------------------------------------------
+  def q141AndersonDarling(spark: SparkSession, dir: String): DataFrame =
+    andersonDarlingFrom(eraSplitFrom(spark, dir))
+
+  /** AD A² per grp over any (grp, cents, is_a) frame — spec entry point. */
+  private[graft] def andersonDarlingFrom(o: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = o.groupBy(col("grp"), col("cents"))
+      .agg(sum(col("is_a")).as("c_a"), sum(lit(1L) - col("is_a")).as("c_b"))
+    val cums = Relational.prefixSumByRange(g, Seq("grp"),
+      Seq(col("cents")), Seq("cum_a" -> col("c_a"), "cum_b" -> col("c_b")))
+    val tot = cums.groupBy(col("grp"))
+      .agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
+    cums.join(broadcast(tot), "grp")
+      .select(col("grp"), col("n_a"), col("n_b"),
+        (col("c_a") + col("c_b")).as("l"),
+        (col("cum_a") + col("cum_b")).as("j"),
+        (col("n_a") + col("n_b")).as("nn"),
+        (col("cum_a").cast(d38) * col("n_b") - col("cum_b").cast(d38) * col("n_a"))
+          .as("dgap"))
+      .filter(col("j") < col("nn"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        floor(col("l").cast(DoubleType) * col("dgap").cast(DoubleType)
+            * col("dgap").cast(DoubleType)
+            / (col("j").cast(DoubleType) * (col("nn") - col("j")).cast(DoubleType))
+            * lit(1e3) + lit(0.5))
+          .cast(d38).as("t3"))
+      .groupBy(col("grp"), col("n_a"), col("n_b"))
+      .agg(sum(col("t3")).as("t3"))
+      .filter(col("n_a") >= 1L && col("n_b") >= 1L)
+      .select(col("grp"), col("n_a"), col("n_b"),
+        round(col("t3").cast(DoubleType) / lit(1e3)
+          / (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)), 6)
+          .as("ad_a2"))
+      .orderBy(col("grp"))
+  }
+
+  val q141AndersonDarlingSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS grp,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS is_a
+      |  FROM orders),
+      |g AS (
+      |  SELECT grp, cents,
+      |    CAST(SUM(is_a) AS BIGINT) AS c_a, CAST(SUM(1 - is_a) AS BIGINT) AS c_b
+      |  FROM o GROUP BY 1, 2),
+      |c AS (
+      |  SELECT grp, c_a, c_b,
+      |    CAST(SUM(c_a) OVER w AS BIGINT) AS cum_a,
+      |    CAST(SUM(c_b) OVER w AS BIGINT) AS cum_b
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY grp ORDER BY cents
+      |               ROWS UNBOUNDED PRECEDING)),
+      |t AS (
+      |  SELECT grp,
+      |    CAST(MAX(cum_a) AS BIGINT) AS n_a, CAST(MAX(cum_b) AS BIGINT) AS n_b
+      |  FROM c GROUP BY 1),
+      |r AS (
+      |  SELECT grp, n_a, n_b,
+      |    CAST(floor(CAST(c_a + c_b AS DOUBLE)
+      |        * CAST(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a AS DOUBLE)
+      |        * CAST(CAST(cum_a AS HUGEINT) * n_b - CAST(cum_b AS HUGEINT) * n_a AS DOUBLE)
+      |        / (CAST(cum_a + cum_b AS DOUBLE)
+      |          * CAST((n_a + n_b) - (cum_a + cum_b) AS DOUBLE))
+      |        * 1e3 + 0.5) AS HUGEINT) AS t3
+      |  FROM c JOIN t USING (grp)
+      |  WHERE cum_a + cum_b < n_a + n_b),
+      |m AS (
+      |  SELECT grp, n_a, n_b, SUM(t3) AS t3
+      |  FROM r GROUP BY 1, 2, 3)
+      |SELECT grp, n_a, n_b,
+      |  ROUND(CAST(t3 AS DOUBLE) / 1e3
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ad_a2
+      |FROM m WHERE n_a >= 1 AND n_b >= 1
+      |ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q143: effect sizes for the era drift — Cohen's d (standardized mean
+  // difference, pooled SD; Cohen 1988) and Cliff's delta (the ordinal
+  // dominance probability P(a>b) − P(a<b); Cliff 1993) between the same
+  // early/late-era order-value distributions. The drift quartet
+  // (q91/q128/q129/q141) says the distributions DIFFER; a release report
+  // needs the magnitude in standardized units — d for the parametric
+  // read, δ for the rank read that one heavy-tailed status can't move.
+  //
+  // Scale shape: q91's axis — the one (status, cents) count grid.
+  // Cohen's d needs only SIX integer moments per group (ONE hash
+  // aggregate over the grid, no prefix pass); Cliff's δ counts
+  // dominance pairs from the SAME `prefixSumByRange` cumulative grid
+  // the quartet rides: #(a>b) = Σ_v c_a·(cum_b − c_b) and
+  // #(a<b) = Σ_v c_a·(n_b − cum_b) — exact integers, no pair join.
+  //
+  // Exactness: moment differences n·Σx² − (Σx)² stay EXACT in
+  // DECIMAL(38,0) before the one double cast; d is one fixed-shape
+  // double expression (identical IEEE shape in both engines); δ is a
+  // ratio of exact integers. Degenerate guards: groups need n ≥ 2 and
+  // a positive pooled variance for d (guarded NULL otherwise, the
+  // t86/t88 convention); δ only needs n_a, n_b ≥ 1.
+  // ---------------------------------------------------------------------
+  def q143EffectSizes(spark: SparkSession, dir: String): DataFrame =
+    effectSizesFrom(eraSplitFrom(spark, dir))
+
+  /** Cohen's d + Cliff's δ per grp over any (grp, cents, is_a) frame —
+    * spec entry point.
+    */
+  private[graft] def effectSizesFrom(o: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = o.groupBy(col("grp"), col("cents"))
+      .agg(sum(col("is_a")).as("c_a"), sum(lit(1L) - col("is_a")).as("c_b"))
+      .localCheckpoint(false)
+    // prefix input reduced to exactly (key, order, measure input) — the
+    // t86 discipline; c_a rejoins by key so the two internal slice
+    // consumers' projections stay identical
+    val cums = Relational.prefixSumByRange(
+        g.select(col("grp"), col("cents"), col("c_b")), Seq("grp"),
+        Seq(col("cents")), Seq("cum_b" -> col("c_b")))
+      .join(g.select(col("grp"), col("cents"), col("c_a")), Seq("grp", "cents"))
+    val tot = cums.groupBy(col("grp")).agg(max(col("cum_b")).as("n_b"))
+    val cliff = cums.join(broadcast(tot), "grp")
+      .select(col("grp"),
+        (col("c_a").cast(d38) * (col("cum_b") - col("c_b"))).as("gt"),
+        (col("c_a").cast(d38) * (col("n_b") - col("cum_b"))).as("lt"))
+      .groupBy(col("grp"))
+      .agg(sum(col("gt")).as("gt"), sum(col("lt")).as("lt"))
+    val mom = g.groupBy(col("grp"))
+      .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"),
+        sum(col("cents").cast(d38) * col("c_a")).as("sa1"),
+        sum(col("cents").cast(d38) * col("c_b")).as("sb1"),
+        sum(col("cents").cast(d38) * col("cents") * col("c_a")).as("sa2"),
+        sum(col("cents").cast(d38) * col("cents") * col("c_b")).as("sb2"))
+    mom.join(cliff, "grp")
+      .filter(col("n_a") >= 1L && col("n_b") >= 1L)
+      .withColumn("va_num", col("n_a") * col("sa2") - col("sa1") * col("sa1"))
+      .withColumn("vb_num", col("n_b") * col("sb2") - col("sb1") * col("sb1"))
+      .select(col("grp"), col("n_a"), col("n_b"),
+        when(col("n_a") >= 2L && col("n_b") >= 2L
+            && col("va_num") + col("vb_num") > 0L,
+          round((col("sa1").cast(DoubleType) / col("n_a").cast(DoubleType)
+              - col("sb1").cast(DoubleType) / col("n_b").cast(DoubleType))
+            / sqrt((col("va_num").cast(DoubleType) / col("n_a").cast(DoubleType)
+                + col("vb_num").cast(DoubleType) / col("n_b").cast(DoubleType))
+              / (col("n_a") + col("n_b") - lit(2L)).cast(DoubleType)), 6))
+          .as("cohen_d"),
+        round((col("gt") - col("lt")).cast(DoubleType)
+          / (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)), 6)
+          .as("cliffs_delta"))
+      .orderBy(col("grp"))
+  }
+
+  val q143EffectSizesSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS grp,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS is_a
+      |  FROM orders),
+      |g AS (
+      |  SELECT grp, cents,
+      |    CAST(SUM(is_a) AS BIGINT) AS c_a, CAST(SUM(1 - is_a) AS BIGINT) AS c_b
+      |  FROM o GROUP BY 1, 2),
+      |c AS (
+      |  SELECT grp, c_a, c_b,
+      |    CAST(SUM(c_b) OVER (PARTITION BY grp ORDER BY cents
+      |                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_b
+      |  FROM g),
+      |t AS (SELECT grp, CAST(MAX(cum_b) AS BIGINT) AS n_b FROM c GROUP BY 1),
+      |cl AS (
+      |  SELECT grp,
+      |    SUM(CAST(c_a AS HUGEINT) * (cum_b - c_b)) AS gt,
+      |    SUM(CAST(c_a AS HUGEINT) * (n_b - cum_b)) AS lt
+      |  FROM c JOIN t USING (grp) GROUP BY 1),
+      |mo AS (
+      |  SELECT grp,
+      |    CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b,
+      |    SUM(CAST(cents AS HUGEINT) * c_a) AS sa1,
+      |    SUM(CAST(cents AS HUGEINT) * c_b) AS sb1,
+      |    SUM(CAST(cents AS HUGEINT) * cents * c_a) AS sa2,
+      |    SUM(CAST(cents AS HUGEINT) * cents * c_b) AS sb2
+      |  FROM g GROUP BY 1),
+      |w AS (
+      |  SELECT mo.grp, n_a, n_b, sa1, sb1, gt, lt,
+      |    n_a * sa2 - sa1 * sa1 AS va_num,
+      |    n_b * sb2 - sb1 * sb1 AS vb_num
+      |  FROM mo JOIN cl ON cl.grp = mo.grp
+      |  WHERE n_a >= 1 AND n_b >= 1)
+      |SELECT grp, n_a, n_b,
+      |  CASE WHEN n_a >= 2 AND n_b >= 2 AND va_num + vb_num > 0 THEN
+      |    ROUND((CAST(sa1 AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |        - CAST(sb1 AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |      / sqrt((CAST(va_num AS DOUBLE) / CAST(n_a AS DOUBLE)
+      |          + CAST(vb_num AS DOUBLE) / CAST(n_b AS DOUBLE))
+      |        / CAST(n_a + n_b - 2 AS DOUBLE)), 6)
+      |  END AS cohen_d,
+      |  ROUND(CAST(gt - lt AS DOUBLE)
+      |    / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS cliffs_delta
+      |FROM w
+      |ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q131: Cochran-Mantel-Haenszel stratified association test — the
   // confounder-adjusted sibling of q101's pooled chi-square (Mantel &
   // Haenszel 1959): q101 asks "are segment and solvency associated in
@@ -2204,6 +2429,8 @@ object Audits {
     QueryDef.sql("q127_kendall_tau", q127KendallTau _, q127KendallTauSql),
     QueryDef.sql("q128_wasserstein", q128Wasserstein _, q128WassersteinSql),
     QueryDef.sql("q129_cvm", q129CramerVonMises _, q129CramerVonMisesSql),
+    QueryDef.sql("q141_anderson_darling", q141AndersonDarling _, q141AndersonDarlingSql),
+    QueryDef.sql("q143_effect_sizes", q143EffectSizes _, q143EffectSizesSql),
     QueryDef.sql("q131_cmh", q131CmhTest _, q131CmhTestSql),
     QueryDef.sql("q132_partial_corr", q132PartialCorr _, q132PartialCorrSql),
     QueryDef.sql("q114_dp_counts", q114DpCounts _, q114DpCountsSql),

@@ -128,7 +128,12 @@ class PlanShapeSpec extends AnyFunSuite {
       ("t85", graft.operators.TextOps.t85Calibration(spark, dir), 1),
       ("t86", graft.operators.TextOps.t86RocAuc(spark, dir), 1),
       ("t87", graft.operators.TextOps.t87GateAgreement(spark, dir), 1),
-      ("t78", graft.operators.TextOps.t78PerplexityBuckets(spark, dir), 1))
+      ("t78", graft.operators.TextOps.t78PerplexityBuckets(spark, dir), 1),
+      // round-13 additions: AD completes the drift quartet on the q91
+      // grid; q143's Cliff side rides one prefix pass (c_a joins back
+      // by key — the t86 discipline)
+      ("q141", graft.operators.Audits.q141AndersonDarling(spark, dir), 1),
+      ("q143", graft.operators.Audits.q143EffectSizes(spark, dir), 1))
     for ((name, df, sites) <- frames) {
       df.collect() // reuse is decided during adaptive execution
       val plan = df.queryExecution.executedPlan.toString

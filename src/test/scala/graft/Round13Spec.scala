@@ -63,6 +63,71 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------ q141 Anderson-Darling (2-s)
+  private def adFrame(rows: Seq[(String, Long, Long)]) = {
+    val s = spark; import s.implicits._
+    rows.toDF("grp", "cents", "is_a")
+  }
+
+  /** Naive Pettitt/Scholz-Stephens k=2 A² over one group's values. */
+  private def naiveAd(rows: Seq[(Long, Long)]): Double = {
+    // rows: (cents, is_a) one per observation
+    val na = rows.count(_._2 == 1L).toDouble
+    val nb = rows.size - na
+    val nn = rows.size.toDouble
+    val grid = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    var cumA = 0.0; var cumB = 0.0; var sum = 0.0
+    for ((_, obs) <- grid) {
+      val l = obs.size.toDouble
+      cumA += obs.count(_._2 == 1L); cumB += obs.count(_._2 == 0L)
+      val j = cumA + cumB
+      if (j < nn) {
+        val d = cumA * nb - cumB * na
+        sum += math.floor(l * d * d / (j * (nn - j)) * 1e3 + 0.5)
+      }
+    }
+    math.rint(sum / 1e3 / (na * nb) * 1e6) / 1e6
+  }
+
+  test("q141: identical per-value counts give A2 = 0; naive recompute matches") {
+    val same = (1L to 40L).flatMap(v => Seq(("g", v * 7, 1L), ("g", v * 7, 0L)))
+    val r0 = graft.operators.Audits.andersonDarlingFrom(adFrame(same)).head()
+    assert(r0.getDouble(3) == 0.0, "identical distributions must give A2 = 0")
+    // interleaved-but-shifted mixture: nontrivial ties, both tails used
+    val mixed = (1L to 60L).map(i => ("g", (i * 13) % 47, if (i % 3 == 0) 1L else 0L)) ++
+      (1L to 25L).map(i => ("g", 40L + (i * 5) % 30, 1L))
+    val got = graft.operators.Audits.andersonDarlingFrom(adFrame(mixed)).head()
+    val want = naiveAd(mixed.map(r => (r._2, r._3)))
+    assert(got.getDouble(3) == want, s"naive A2 $want vs engine ${got.getDouble(3)}")
+    // disjoint supports: AD must register a large statistic
+    val disj = (1L to 30L).map(i => ("g", i, 1L)) ++ (1L to 30L).map(i => ("g", 1000L + i, 0L))
+    val big = graft.operators.Audits.andersonDarlingFrom(adFrame(disj)).head()
+    assert(big.getDouble(3) > 10.0, s"disjoint supports must blow up AD, got ${big.getDouble(3)}")
+  }
+
+  // ----------------------------------------------------- q143 effect sizes
+  test("q143: planted shift gives delta = 1 and the closed-form Cohen's d") {
+    val a = Seq(100000L, 200000L, 300000L, 400000L)
+    val shifted = a.map(v => ("g", v, 1L)) ++ a.map(v => ("g", v - 50000000L, 0L))
+    val r = graft.operators.Audits.effectSizesFrom(adFrame(shifted)).head()
+    assert(r.getDouble(4) == 1.0, "every a above every b must give delta = +1")
+    // equal shapes => pooled sd = sample sd; d = shift / sd exactly
+    val n = a.size.toDouble
+    val mean = a.sum.toDouble / n
+    val sd = math.sqrt(a.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+    val want = math.rint(5.0e7 / sd * 1e6) / 1e6
+    assert(r.getDouble(3) == want, s"closed-form d $want vs engine ${r.getDouble(3)}")
+    // symmetric swap flips both signs
+    val sw = graft.operators.Audits.effectSizesFrom(
+      adFrame(shifted.map { case (g, v, f) => (g, v, 1L - f) })).head()
+    assert(sw.getDouble(4) == -1.0 && sw.getDouble(3) == -want)
+    // degenerate: n_a = 1 guards d to NULL but delta still computes
+    val one = Seq(("g", 5L, 1L), ("g", 1L, 0L), ("g", 2L, 0L))
+    val g1 = graft.operators.Audits.effectSizesFrom(adFrame(one)).head()
+    assert(g1.isNullAt(3), "n_a < 2 must guard Cohen's d")
+    assert(g1.getDouble(4) == 1.0)
+  }
+
   // ------------------------------------------------- t88 degenerate guard
   test("t88 guard: n_pos = 0 yields NULL ap, zero prevalence") {
     val s = spark; import s.implicits._
