@@ -3237,6 +3237,130 @@ object TextOps {
        |ORDER BY source""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t94: Cochran's Q across the three curation gates — the MATCHED
+  // k-treatment test (Cochran 1950) that closes the gate-audit loop
+  // c88 opened: c88 reports how many docs each gate passes per source,
+  // t87 asks whether TWO gates disagree systematically; t94 asks, per
+  // source, "do the THREE gates (t82 rule, t75 learned, d40 keeper)
+  // have the same marginal pass rate on the SAME documents" — the
+  // within-subject design (each doc is its own block), which a naive
+  // three-way proportion test gets wrong by ignoring the pairing. With
+  // k = 3 gates, column totals G_j, per-doc row totals L_i, T = ΣL:
+  //   Q = (k−1)·(k·ΣG_j² − T²) / (k·T − ΣL_i²)   ~ χ²(k−1) under H0
+  // The denominator is Σ L_i(k−L_i), zero iff every doc passes all
+  // three gates or none — the degenerate all-agree corpus, reported as
+  // guarded NULL (the t86/t88 convention).
+  //
+  // Scale shape: the gate flags are c88's machinery verbatim — two
+  // projection gates over one corpus scan plus d40's single
+  // content-hash shuffle — and Q collapses in ONE hash aggregate to
+  // |sources| rows; ΣL² is a per-row product, never a second pass.
+  //
+  // Exactness: G_j, T, ΣL² are exact integers; Q's numerator and
+  // denominator are pure integer arithmetic (DECIMAL(38,0) headroom at
+  // cluster scale) and Q is ONE double division, rounded once.
+  // -------------------------------------------------------------------
+  def t94CochranQ(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val rule = gopherRulesFrom(d).select(col("doc_id"), col("pass").cast(LongType).as("pass"))
+    val learned = qualityScoresFrom(d).select(col("doc_id"), col("keep"))
+    val base = d.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val keeper = base.groupBy(col("h")).agg(min(col("doc_id")).as("kid"))
+    cochranQFrom(base.join(rule, "doc_id").join(learned, "doc_id").join(keeper, "h")
+      .withColumn("uniq", (col("doc_id") === col("kid")).cast(LongType)))
+  }
+
+  /** Cochran's Q per source over any (source, pass, keep, uniq) binary
+    * flag frame — spec entry point.
+    */
+  private[graft] def cochranQFrom(flags: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    flags
+      .withColumn("l", col("pass") + col("keep") + col("uniq"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pass")).as("g_rule"),
+        sum(col("keep")).as("g_learned"),
+        sum(col("uniq")).as("g_unique"),
+        sum(col("l") * col("l")).as("sl2"))
+      .withColumn("t", col("g_rule") + col("g_learned") + col("g_unique"))
+      .withColumn("den", lit(3L) * col("t") - col("sl2"))
+      .select(col("source"), col("n_docs"), col("g_rule"), col("g_learned"),
+        col("g_unique"),
+        when(col("den") > 0L,
+          round((lit(2L).cast(d38)
+              * (lit(3L) * (col("g_rule").cast(d38) * col("g_rule")
+                + col("g_learned").cast(d38) * col("g_learned")
+                + col("g_unique").cast(d38) * col("g_unique"))
+                - col("t").cast(d38) * col("t"))).cast(DoubleType)
+            / col("den").cast(DoubleType), 6)).as("q_stat"))
+      .orderBy(col("source"))
+  }
+
+  val t94CochranQSql: String = {
+    val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |$featCols
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id,
+       |    CAST(${qcMarginSql(QcWeights, QcBias)} >= 0 AS BIGINT) AS keep
+       |  FROM f),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS BIGINT) AS sum_len,
+       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS n_hash,
+       |    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    ${langScoreSql("en")} AS n_stop
+       |  FROM documents),
+       |lab AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 3 * n_words <= sum_len AND sum_len <= 10 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_hash <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 10 * n_ell <= n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+       |    * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass
+       |  FROM gm),
+       |base AS (
+       |  SELECT doc_id, source, md5(text) AS h FROM documents),
+       |keeper AS (SELECT h, MIN(doc_id) AS kid FROM base GROUP BY 1),
+       |j AS (
+       |  SELECT b.source, lab.pass, sc.keep,
+       |    CAST(b.doc_id = k.kid AS BIGINT) AS uniq,
+       |    lab.pass + sc.keep + CAST(b.doc_id = k.kid AS BIGINT) AS l
+       |  FROM base b
+       |  JOIN lab ON lab.doc_id = b.doc_id
+       |  JOIN sc ON sc.doc_id = b.doc_id
+       |  JOIN keeper k ON k.h = b.h),
+       |a AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(pass) AS BIGINT) AS g_rule,
+       |    CAST(SUM(keep) AS BIGINT) AS g_learned,
+       |    CAST(SUM(uniq) AS BIGINT) AS g_unique,
+       |    CAST(SUM(l * l) AS BIGINT) AS sl2
+       |  FROM j GROUP BY source),
+       |w AS (
+       |  SELECT *, g_rule + g_learned + g_unique AS t,
+       |    3 * (g_rule + g_learned + g_unique) - sl2 AS den
+       |  FROM a)
+       |SELECT source, n_docs, g_rule, g_learned, g_unique,
+       |  CASE WHEN den > 0 THEN
+       |    ROUND(CAST(CAST(2 AS HUGEINT)
+       |        * (3 * (CAST(g_rule AS HUGEINT) * g_rule
+       |          + CAST(g_learned AS HUGEINT) * g_learned
+       |          + CAST(g_unique AS HUGEINT) * g_unique)
+       |          - CAST(t AS HUGEINT) * t) AS DOUBLE)
+       |      / CAST(den AS DOUBLE), 6)
+       |  END AS q_stat
+       |FROM w
+       |ORDER BY source""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
@@ -3251,6 +3375,7 @@ object TextOps {
     QueryDef.sql("t91_friedman", t91Friedman _, t91FriedmanSql),
     QueryDef.sql("t92_fertility", t92Fertility _, t92FertilitySql),
     QueryDef.sql("c88_gate_funnel", c88GateFunnel _, c88GateFunnelSql),
+    QueryDef.sql("t94_cochran_q", t94CochranQ _, t94CochranQSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),
