@@ -2039,6 +2039,374 @@ object Temporal {
        |ORDER BY lag""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q142: cross-correlation function (lags −7..+7) between the daily
+  // order-revenue series and the daily shipped-quantity series — the
+  // TWO-series sibling of q120's ACF (Box & Jenkins ch. 11): "does
+  // revenue lead shipping volume, and by how many days" is the lead-lag
+  // diagnostic a forecasting pipeline runs before fitting any transfer
+  // function. Over the common observed-day sequence (inner join of the
+  // two daily frames; rank index, q120's observed-sequence convention):
+  //   r_xy(k) = Σ_t (x_t − x̄)(y_{t+k} − ȳ)
+  //           / sqrt(Σ(x − x̄)²) / sqrt(Σ(y − ȳ)²)
+  // Negative k reads "y leads x", positive "x leads y"; r_xy(0) is the
+  // plain Pearson correlation of the paired series.
+  //
+  // Scale shape: TWO corpus shuffles (one per table, map-side combined)
+  // collapse everything to the |calendar-days| frame — date-domain-
+  // bounded at any SF — and the ±7 shift pairing is an equi-join of
+  // that bounded frame against its 15-lag fan-out (a projection), so
+  // nothing corpus-sized is ever windowed or joined.
+  //
+  // Exactness: deviations stay integral by scaling (dx = n·x − Sx on
+  // the cents·n grid, BIGINT; q120's discipline); lag products widen to
+  // DECIMAL(38,0); each r_xy(k) nano-snaps from ONE fixed-shape double
+  // expression (num / (sqrt(dx2)·sqrt(dy2)) — identical IEEE shape in
+  // both engines), rounded once at report.
+  // ---------------------------------------------------------------------
+  private[operators] val CcfMaxLag = 7
+
+  def q142Ccf(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day")).agg(sum(col("pc")).as("x_c"))
+    val y = Tables.lineitem(spark, dir)
+      .select(to_date(col("l_shipdate")).as("day"),
+        floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast(LongType).as("qc"))
+      .groupBy(col("day")).agg(sum(col("qc")).as("y_c"))
+    ccfFrom(x.join(y, "day"))
+  }
+
+  /** CCF over any (day: DATE, x_c: BIGINT, y_c: BIGINT) paired daily
+    * series — spec entry point.
+    */
+  private[graft] def ccfFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val wi = Window.orderBy(col("day"))
+    // bounded axis (|days| rows); checkpointed: the deviation frame
+    // fans out to the moment scalar, the x side, and the y side
+    val idx = daily.withColumn("i", row_number().over(wi).cast(LongType))
+      .localCheckpoint(false)
+    val st = idx.agg(count(lit(1)).as("n"),
+      sum(col("x_c")).as("sx"), sum(col("y_c")).as("sy"))
+    val d = idx.crossJoin(broadcast(st))
+      .select(col("i"), col("n"),
+        (col("n") * col("x_c") - col("sx")).as("dx"),
+        (col("n") * col("y_c") - col("sy")).as("dy"))
+      .localCheckpoint(false)
+    val mo = d.agg(
+      sum(col("dx").cast(d38) * col("dx")).as("dx2"),
+      sum(col("dy").cast(d38) * col("dy")).as("dy2"))
+    val fan = d.select(col("i"), col("dx"),
+        explode(array((-CcfMaxLag to CcfMaxLag).map(k => lit(k.toLong)): _*)).as("lag"))
+      .select(col("dx"), col("lag"), (col("i") + col("lag")).as("j"))
+    val num = fan.join(d.select(col("i").as("j"), col("dy")), "j")
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("dx").cast(d38) * col("dy")).as("num"))
+    num.crossJoin(broadcast(mo))
+      .select(col("lag"), col("n_pairs"),
+        round(floor(col("num").cast(DoubleType)
+            / (sqrt(col("dx2").cast(DoubleType)) * sqrt(col("dy2").cast(DoubleType)))
+            * lit(1e9) + lit(0.5)) / lit(1e9), 6).as("ccf"))
+      .orderBy(col("lag"))
+  }
+
+  val q142CcfSql: String =
+    s"""WITH x AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x_c
+       |  FROM orders GROUP BY 1),
+       |y AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS day,
+       |    CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y_c
+       |  FROM lineitem GROUP BY 1),
+       |idx AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, x_c, y_c
+       |  FROM x JOIN y USING (day)),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x_c) AS BIGINT) AS sx,
+       |    CAST(SUM(y_c) AS BIGINT) AS sy FROM idx),
+       |d AS (SELECT i, n * x_c - sx AS dx, n * y_c - sy AS dy
+       |  FROM idx CROSS JOIN st),
+       |mo AS (SELECT SUM(CAST(dx AS HUGEINT) * dx) AS dx2,
+       |    SUM(CAST(dy AS HUGEINT) * dy) AS dy2 FROM d),
+       |lags AS (SELECT CAST(unnest(range(-$CcfMaxLag, ${CcfMaxLag + 1})) AS BIGINT) AS lag),
+       |num AS (
+       |  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    SUM(CAST(a.dx AS HUGEINT) * b.dy) AS num
+       |  FROM d a CROSS JOIN lags l JOIN d b ON b.i = a.i + l.lag
+       |  GROUP BY 1)
+       |SELECT lag, n_pairs,
+       |  ROUND(CAST(floor(CAST(num AS DOUBLE)
+       |    / (sqrt(CAST(dx2 AS DOUBLE)) * sqrt(CAST(dy2 AS DOUBLE)))
+       |    * 1e9 + 0.5) AS BIGINT) / 1e9, 6) AS ccf
+       |FROM num CROSS JOIN mo
+       |ORDER BY lag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q144: Dickey-Fuller unit-root test (constant, no trend; Dickey &
+  // Fuller 1979) on the per-status daily revenue series — the
+  // stationarity gate in front of every ARMA-family diagnostic this
+  // battery already ships (q120 ACF, q138 ARCH, q140 PACF all assume a
+  // stationary input; DF is the test that says whether differencing is
+  // needed first). Regress the day-over-day change on the lagged level:
+  //   Δx_t = α + γ·x_{t−1} + ε_t,   τ = γ̂ / SE(γ̂)
+  // γ ≈ 0 (τ above ≈ −2.86) reads "random walk — difference it";
+  // strongly negative τ reads "mean-reverting, model the level".
+  //
+  // Scale shape: q138's axis — ONE corpus shuffle to the per-status
+  // daily frame (date-domain-bounded), one lag() pass over it, one
+  // hash aggregate to five moments per status; the test itself is a
+  // |status|-row computation.
+  //
+  // Exactness: (x_{t−1}, Δx_t) pairs are exact BIGINTs on the cents
+  // grid; the five moments and the scaled second-moment matrix
+  // (vx, vy, nm) stay EXACT in DECIMAL(38,0); γ̂ and
+  // τ = nm·√(np−2) / √(vy·vx − nm²) are each ONE fixed-shape double
+  // expression (vy·vx overflows any integer width — evaluated in
+  // double, where Cauchy-Schwarz keeps the subtraction benign), with
+  // guarded NULL τ on a perfect fit (vy·vx = nm²) — the t86/t88
+  // convention.
+  // ---------------------------------------------------------------------
+  def q144DickeyFuller(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"),
+        to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("grp"), col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    dickeyFullerFrom(daily)
+  }
+
+  /** DF τ over any (grp, day: DATE, rev_c: BIGINT) daily series — spec
+    * entry point.
+    */
+  private[graft] def dickeyFullerFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val wi = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val pairs = daily
+      .withColumn("xl", lag(col("rev_c"), 1).over(wi))
+      .filter(col("xl").isNotNull)
+      .select(col("grp"), col("xl"), (col("rev_c") - col("xl")).as("dx"))
+    val mo = pairs.groupBy(col("grp"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("xl").cast(d38)).as("sx"), sum(col("dx").cast(d38)).as("sy"),
+        sum(col("xl").cast(d38) * col("dx")).as("sxy"),
+        sum(col("xl").cast(d38) * col("xl")).as("sxx"),
+        sum(col("dx").cast(d38) * col("dx")).as("syy"))
+      .filter(col("np") >= 3L)
+      .select(col("grp"), col("np"),
+        (col("sxx") * col("np") - col("sx") * col("sx")).as("vx"),
+        (col("syy") * col("np") - col("sy") * col("sy")).as("vy"),
+        (col("sxy") * col("np") - col("sx") * col("sy")).as("nm"))
+      .filter(col("vx") > lit(0L))
+    val ss = (col("vy").cast(DoubleType) * col("vx").cast(DoubleType)
+      - col("nm").cast(DoubleType) * col("nm").cast(DoubleType))
+    mo.select(col("grp"), col("np").as("n_pairs"),
+        round(col("nm").cast(DoubleType) / col("vx").cast(DoubleType), 9)
+          .as("gamma"),
+        when(ss > lit(0.0),
+          round(col("nm").cast(DoubleType)
+              * sqrt((col("np") - lit(2L)).cast(DoubleType)) / sqrt(ss), 6))
+          .as("df_tau"))
+      .orderBy(col("grp"))
+  }
+
+  val q144DickeyFullerSql: String =
+    """WITH daily AS (
+      |  SELECT o_orderstatus AS grp, CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      |  FROM orders GROUP BY 1, 2),
+      |p AS (
+      |  SELECT grp,
+      |    LAG(rev_c) OVER (PARTITION BY grp ORDER BY day) AS xl,
+      |    rev_c - LAG(rev_c) OVER (PARTITION BY grp ORDER BY day) AS dx
+      |  FROM daily),
+      |mo AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS np,
+      |    SUM(CAST(xl AS HUGEINT)) AS sx, SUM(CAST(dx AS HUGEINT)) AS sy,
+      |    SUM(CAST(xl AS HUGEINT) * dx) AS sxy,
+      |    SUM(CAST(xl AS HUGEINT) * xl) AS sxx,
+      |    SUM(CAST(dx AS HUGEINT) * dx) AS syy
+      |  FROM p WHERE xl IS NOT NULL
+      |  GROUP BY 1 HAVING COUNT(*) >= 3),
+      |v AS (
+      |  SELECT grp, np,
+      |    sxx * np - sx * sx AS vx,
+      |    syy * np - sy * sy AS vy,
+      |    sxy * np - sx * sy AS nm
+      |  FROM mo),
+      |w AS (
+      |  SELECT grp, np, vx, vy, nm,
+      |    CAST(vy AS DOUBLE) * CAST(vx AS DOUBLE)
+      |      - CAST(nm AS DOUBLE) * CAST(nm AS DOUBLE) AS ss
+      |  FROM v WHERE vx > 0)
+      |SELECT grp, np AS n_pairs,
+      |  ROUND(CAST(nm AS DOUBLE) / CAST(vx AS DOUBLE), 9) AS gamma,
+      |  CASE WHEN ss > 0 THEN
+      |    ROUND(CAST(nm AS DOUBLE) * sqrt(CAST(np - 2 AS DOUBLE)) / sqrt(ss), 6)
+      |  END AS df_tau
+      |FROM w
+      |ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q145: Granger causality (order-1, both directions) between the
+  // daily order-revenue and shipped-quantity series (Granger 1969) —
+  // the inference sibling of q142's CCF: the CCF says the series co-move
+  // at some lead; Granger asks whether yesterday's y IMPROVES the
+  // prediction of today's x beyond yesterday's x (and vice versa), the
+  // standard "which metric is the leading indicator" monitoring read.
+  // Per direction, restricted x_t ~ x_{t−1} vs unrestricted
+  // x_t ~ x_{t−1} + y_{t−1}:
+  //   R²_u = (r1y² + r2y² − 2·r1y·r2y·r12) / (1 − r12²)
+  //   F = (n−3)·(R²_u − r1y²) / (1 − R²_u)   ~ F(1, n−3) under H0
+  //
+  // Scale shape: q142's axis — two corpus shuffles to the joined daily
+  // frame, ONE lag() pass, both directions stacked by a 2× projection
+  // union, and ONE hash aggregate to 2 rows of ten exact moments.
+  //
+  // Exactness: q132's discipline — the ten moments are exact integers
+  // in DECIMAL(38,0); each pairwise r nano-snaps from one fixed-shape
+  // double expression (nm / (√v_a·√v_b) — the v products overflow any
+  // integer width, so the sqrt split keeps factors exactly
+  // representable); the F formula runs over the SNAPPED r's, with
+  // guarded NULL on collinear regressors (r12² = 1) or a saturated fit
+  // (R²_u ≥ 1 on the nano grid) — the t86/t88 convention.
+  // ---------------------------------------------------------------------
+  def q145Granger(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day")).agg(sum(col("pc")).as("x_c"))
+    val y = Tables.lineitem(spark, dir)
+      .select(to_date(col("l_shipdate")).as("day"),
+        floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast(LongType).as("qc"))
+      .groupBy(col("day")).agg(sum(col("qc")).as("y_c"))
+    grangerFrom(x.join(y, "day"))
+  }
+
+  /** Order-1 Granger F per direction over any (day: DATE, x_c, y_c)
+    * paired daily series — spec entry point.
+    */
+  private[graft] def grangerFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val wi = Window.orderBy(col("day"))
+    val lagged = daily
+      .withColumn("xl", lag(col("x_c"), 1).over(wi))
+      .withColumn("yl", lag(col("y_c"), 1).over(wi))
+      .filter(col("xl").isNotNull && col("yl").isNotNull)
+      .localCheckpoint(false)
+    val dirs = lagged.select(lit("y_to_x").as("dir"),
+        col("x_c").as("yv"), col("xl").as("x1"), col("yl").as("x2"))
+      .unionByName(lagged.select(lit("x_to_y").as("dir"),
+        col("y_c").as("yv"), col("yl").as("x1"), col("xl").as("x2")))
+    val mo = dirs.groupBy(col("dir"))
+      .agg(count(lit(1)).as("np"),
+        sum(col("x1").cast(d38)).as("s1"), sum(col("x2").cast(d38)).as("s2"),
+        sum(col("yv").cast(d38)).as("sy"),
+        sum(col("x1").cast(d38) * col("x1")).as("s11"),
+        sum(col("x2").cast(d38) * col("x2")).as("s22"),
+        sum(col("yv").cast(d38) * col("yv")).as("syy"),
+        sum(col("x1").cast(d38) * col("x2")).as("s12"),
+        sum(col("x1").cast(d38) * col("yv")).as("s1y"),
+        sum(col("x2").cast(d38) * col("yv")).as("s2y"))
+      .filter(col("np") >= 4L)
+      .select(col("dir"), col("np"),
+        (col("s11") * col("np") - col("s1") * col("s1")).as("v1"),
+        (col("s22") * col("np") - col("s2") * col("s2")).as("v2"),
+        (col("syy") * col("np") - col("sy") * col("sy")).as("vy"),
+        (col("s12") * col("np") - col("s1") * col("s2")).as("nm12"),
+        (col("s1y") * col("np") - col("s1") * col("sy")).as("nm1y"),
+        (col("s2y") * col("np") - col("s2") * col("sy")).as("nm2y"))
+      .filter(col("v1") > lit(0L) && col("v2") > lit(0L) && col("vy") > lit(0L))
+    def r9(nm: String, va: String, vb: String): Column =
+      floor(col(nm).cast(DoubleType)
+        / (sqrt(col(va).cast(DoubleType)) * sqrt(col(vb).cast(DoubleType)))
+        * lit(1e9) + lit(0.5))
+    val snapped = mo
+      .withColumn("r1y", r9("nm1y", "v1", "vy") / lit(1e9))
+      .withColumn("r2y", r9("nm2y", "v2", "vy") / lit(1e9))
+      .withColumn("r12", r9("nm12", "v1", "v2") / lit(1e9))
+    val den12 = lit(1.0) - col("r12") * col("r12")
+    val r2u = (col("r1y") * col("r1y") + col("r2y") * col("r2y")
+      - lit(2.0) * col("r1y") * col("r2y") * col("r12")) / den12
+    snapped
+      .withColumn("r2u", when(den12 > lit(0.0), r2u))
+      .select(col("dir"), col("np").as("n_pairs"),
+        round(col("r1y") * col("r1y"), 6).as("r2_restricted"),
+        round(col("r2u"), 6).as("r2_unrestricted"),
+        when(col("r2u").isNotNull && col("r2u") < lit(1.0),
+          round((col("np") - lit(3L)).cast(DoubleType)
+            * (col("r2u") - col("r1y") * col("r1y"))
+            / (lit(1.0) - col("r2u")), 6)).as("f_stat"))
+      .orderBy(col("dir"))
+  }
+
+  val q145GrangerSql: String =
+    """WITH x AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x_c
+      |  FROM orders GROUP BY 1),
+      |y AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y_c
+      |  FROM lineitem GROUP BY 1),
+      |lagged AS (
+      |  SELECT x_c, y_c,
+      |    LAG(x_c) OVER (ORDER BY day) AS xl,
+      |    LAG(y_c) OVER (ORDER BY day) AS yl
+      |  FROM x JOIN y USING (day)),
+      |dirs AS (
+      |  SELECT 'y_to_x' AS dir, x_c AS yv, xl AS x1, yl AS x2
+      |  FROM lagged WHERE xl IS NOT NULL AND yl IS NOT NULL
+      |  UNION ALL
+      |  SELECT 'x_to_y' AS dir, y_c AS yv, yl AS x1, xl AS x2
+      |  FROM lagged WHERE xl IS NOT NULL AND yl IS NOT NULL),
+      |mo AS (
+      |  SELECT dir, CAST(COUNT(*) AS BIGINT) AS np,
+      |    SUM(CAST(x1 AS HUGEINT)) AS s1, SUM(CAST(x2 AS HUGEINT)) AS s2,
+      |    SUM(CAST(yv AS HUGEINT)) AS sy,
+      |    SUM(CAST(x1 AS HUGEINT) * x1) AS s11,
+      |    SUM(CAST(x2 AS HUGEINT) * x2) AS s22,
+      |    SUM(CAST(yv AS HUGEINT) * yv) AS syy,
+      |    SUM(CAST(x1 AS HUGEINT) * x2) AS s12,
+      |    SUM(CAST(x1 AS HUGEINT) * yv) AS s1y,
+      |    SUM(CAST(x2 AS HUGEINT) * yv) AS s2y
+      |  FROM dirs GROUP BY 1 HAVING COUNT(*) >= 4),
+      |v AS (
+      |  SELECT dir, np,
+      |    s11 * np - s1 * s1 AS v1, s22 * np - s2 * s2 AS v2,
+      |    syy * np - sy * sy AS vy,
+      |    s12 * np - s1 * s2 AS nm12,
+      |    s1y * np - s1 * sy AS nm1y,
+      |    s2y * np - s2 * sy AS nm2y
+      |  FROM mo WHERE s11 * np - s1 * s1 > 0 AND s22 * np - s2 * s2 > 0
+      |    AND syy * np - sy * sy > 0),
+      |r AS (
+      |  SELECT dir, np,
+      |    floor(CAST(nm1y AS DOUBLE)
+      |      / (sqrt(CAST(v1 AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS r1y,
+      |    floor(CAST(nm2y AS DOUBLE)
+      |      / (sqrt(CAST(v2 AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS r2y,
+      |    floor(CAST(nm12 AS DOUBLE)
+      |      / (sqrt(CAST(v1 AS DOUBLE)) * sqrt(CAST(v2 AS DOUBLE))) * 1e9 + 0.5) / 1e9 AS r12
+      |  FROM v),
+      |u AS (
+      |  SELECT dir, np, r1y,
+      |    CASE WHEN 1.0 - r12 * r12 > 0.0 THEN
+      |      (r1y * r1y + r2y * r2y - 2.0 * r1y * r2y * r12) / (1.0 - r12 * r12)
+      |    END AS r2u
+      |  FROM r)
+      |SELECT dir, np AS n_pairs,
+      |  ROUND(r1y * r1y, 6) AS r2_restricted,
+      |  ROUND(r2u, 6) AS r2_unrestricted,
+      |  CASE WHEN r2u IS NOT NULL AND r2u < 1.0 THEN
+      |    ROUND(CAST(np - 3 AS DOUBLE) * (r2u - r1y * r1y) / (1.0 - r2u), 6)
+      |  END AS f_stat
+      |FROM u
+      |ORDER BY dir""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
@@ -2057,5 +2425,8 @@ object Temporal {
     QueryDef.sql("q138_arch_lm", q138ArchLm _, q138ArchLmSql),
     QueryDef.sql("q139_hurst", q139Hurst _, q139HurstSql),
     QueryDef.sql("q140_pacf", q140Pacf _, q140PacfSql),
+    QueryDef.sql("q142_ccf", q142Ccf _, q142CcfSql),
+    QueryDef.sql("q144_dickey_fuller", q144DickeyFuller _, q144DickeyFullerSql),
+    QueryDef.sql("q145_granger", q145Granger _, q145GrangerSql),
   )
 }

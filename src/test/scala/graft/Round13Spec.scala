@@ -128,6 +128,123 @@ class Round13Spec extends AnyFunSuite {
     assert(g1.getDouble(4) == 1.0)
   }
 
+  // --------------------------------------------------- t94 Cochran's Q
+  test("t94: naive recompute matches; all-agree corpus guards Q to NULL") {
+    val s = spark; import s.implicits._
+    def q(rows: Seq[(String, Long, Long, Long)]) =
+      TextOps.cochranQFrom(rows.toDF("source", "pass", "keep", "uniq")).collect()
+    // planted disagreement: gate columns with different margins
+    val rows = (1 to 40).map { i =>
+      ("s", (i % 2).toLong, (i % 3 min 1).toLong, if (i <= 10) 1L else 0L)
+    }
+    val got = q(rows).head
+    // naive within-subject Q
+    val k = 3.0
+    val g = Seq(rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum).map(_.toDouble)
+    val ls = rows.map(r => r._2 + r._3 + r._4)
+    val t = ls.sum.toDouble
+    val den = k * t - ls.map(l => l * l).sum
+    val want = math.rint((k - 1.0) * (k * g.map(x => x * x).sum - t * t) / den * 1e6) / 1e6
+    assert(got.getDouble(5) == want, s"naive Q $want vs engine ${got.getDouble(5)}")
+    // every doc passes all three gates or none: denominator 0, guarded
+    val agree = (1 to 20).map(i => ("s", (i % 2).toLong, (i % 2).toLong, (i % 2).toLong))
+    assert(q(agree).head.isNullAt(5), "all-agree corpus must guard Q to NULL")
+    // identical margins with disagreement: Q = 0 exactly
+    val perm = Seq(("s", 1L, 0L, 0L), ("s", 0L, 1L, 0L), ("s", 0L, 0L, 1L))
+    assert(q(perm).head.getDouble(5) == 0.0, "rotated flags have equal margins, Q = 0")
+  }
+
+  // ----------------------------------------------------------- q142 CCF
+  private def dayOf(i: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(1995, 1, 1).plusDays(i))
+
+  test("q142: self-series gives ccf(0) = 1 with symmetric lags; shifted series peaks at the shift") {
+    val s = spark; import s.implicits._
+    val xs = (0 until 80).map(i => (dayOf(i), ((i * 37) % 11 + 1) * 100L))
+    val self = xs.map { case (d, v) => (d, v, v) }.toDF("day", "x_c", "y_c")
+    val r = graft.operators.Temporal.ccfFrom(self).collect()
+      .map(row => row.getLong(0) -> row.getDouble(2)).toMap
+    assert(r(0L) == 1.0, s"self-correlation at lag 0 must be 1, got ${r(0L)}")
+    for (k <- 1L to 7L)
+      assert(r(k) == r(-k), s"self-series CCF must be symmetric at lag $k")
+    // y_t = x_{t-3}: y repeats x three days later, so corr(x_t, y_{t+3})
+    // pairs identical values — the CCF peaks at lag +3 ("x leads y")
+    val shifted = (3 until 80).map(i => (dayOf(i), xs(i)._2, xs(i - 3)._2))
+      .toDF("day", "x_c", "y_c")
+    val p = graft.operators.Temporal.ccfFrom(shifted).collect()
+      .map(row => row.getLong(0) -> row.getDouble(2)).toMap
+    assert(p(3L) == p.values.max && p(3L) > 0.9,
+      s"y = x shifted +3 must peak at lag +3, got ${p(3L)} (max ${p.values.max})")
+  }
+
+  // ------------------------------------------------- q144 Dickey-Fuller
+  test("q144: naive recompute matches; white noise rejects the unit root, a walk does not") {
+    val s = spark; import s.implicits._
+    def tau(vs: Seq[Long]): (Double, Boolean, Double) = {
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", dayOf(i), v) }
+        .toDF("grp", "day", "rev_c")
+      val r = graft.operators.Temporal.dickeyFullerFrom(df).head()
+      (r.getDouble(2), r.isNullAt(3), if (r.isNullAt(3)) 0.0 else r.getDouble(3))
+    }
+    // seeded noise: deterministic, serially uncorrelated
+    val rng = new scala.util.Random(7)
+    val noise = (0 until 120).map(_ => 500L + rng.nextInt(1000))
+    // naive OLS recompute of gamma and tau
+    val pairs = noise.sliding(2).map(w => (w(0).toDouble, (w(1) - w(0)).toDouble)).toSeq
+    val np = pairs.size.toDouble
+    val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val (vx, vy, nm) = (sxx * np - sx * sx, syy * np - sy * sy, sxy * np - sx * sy)
+    val wantG = math.rint(nm / vx * 1e9) / 1e9
+    val wantT = math.rint(nm * math.sqrt(np - 2) / math.sqrt(vy * vx - nm * nm) * 1e6) / 1e6
+    val (g, _, t) = tau(noise)
+    assert(g == wantG && t == wantT, s"naive ($wantG, $wantT) vs engine ($g, $t)")
+    assert(t < -5.0, s"white noise must reject the unit root decisively, tau $t")
+    // random walk: cumulative sum of centered seeded increments
+    val rng2 = new scala.util.Random(11)
+    val walk = (0 until 120).map(_ => rng2.nextInt(1001) - 500L)
+      .scanLeft(100000L)(_ + _).tail
+    val (_, _, tw) = tau(walk)
+    assert(tw > -2.86, s"a random walk must not beat the 5% DF bar, tau $tw")
+    // exact doubling: dx = x_{t-1} fits perfectly — gamma = 1 exactly,
+    // ss = 0, tau guarded NULL (the t86/t88 convention)
+    val (gg, nullT, _) = tau((0 until 30).map(i => 1000L << i))
+    assert(gg == 1.0 && nullT, s"perfect fit must give gamma 1 and NULL tau, got ($gg, $nullT)")
+  }
+
+  // ------------------------------------------------- q145 Granger causality
+  test("q145: a planted x->y chain is detected in one direction only; naive recompute matches") {
+    val s = spark; import s.implicits._
+    val rng = new scala.util.Random(13)
+    val x = (0 until 150).map(_ => 10000L + rng.nextInt(5000))
+    // y follows yesterday's x plus independent noise: x causes y
+    val y = (0 until 150).map(i =>
+      (if (i == 0) 12000L else x(i - 1)) + rng.nextInt(500))
+    val daily = (0 until 150).map(i => (dayOf(i), x(i), y(i))).toDF("day", "x_c", "y_c")
+    val r = graft.operators.Temporal.grangerFrom(daily).collect()
+      .map(row => row.getString(0) -> row).toMap
+    val fXtoY = r("x_to_y").getDouble(4)
+    val fYtoX = r("y_to_x").getDouble(4)
+    assert(fXtoY > 50.0 && fYtoX < 10.0 && fXtoY > 10 * fYtoX,
+      s"planted chain must be one-directional: x->y $fXtoY vs y->x $fYtoX")
+    // naive recompute of the y_to_x direction over the same pairs
+    val trip = (1 until 150).map(i => (x(i).toDouble, x(i - 1).toDouble, y(i - 1).toDouble))
+    val np = trip.size.toDouble
+    def snap(nm: Double, va: Double, vb: Double) =
+      math.floor(nm / (math.sqrt(va) * math.sqrt(vb)) * 1e9 + 0.5) / 1e9
+    val (sy, s1, s2) = (trip.map(_._1).sum, trip.map(_._2).sum, trip.map(_._3).sum)
+    val vy = trip.map(t => t._1 * t._1).sum * np - sy * sy
+    val v1 = trip.map(t => t._2 * t._2).sum * np - s1 * s1
+    val v2 = trip.map(t => t._3 * t._3).sum * np - s2 * s2
+    val r1y = snap(trip.map(t => t._2 * t._1).sum * np - s1 * sy, v1, vy)
+    val r2y = snap(trip.map(t => t._3 * t._1).sum * np - s2 * sy, v2, vy)
+    val r12 = snap(trip.map(t => t._2 * t._3).sum * np - s1 * s2, v1, v2)
+    val r2u = (r1y * r1y + r2y * r2y - 2.0 * r1y * r2y * r12) / (1.0 - r12 * r12)
+    val want = math.rint((np - 3.0) * (r2u - r1y * r1y) / (1.0 - r2u) * 1e6) / 1e6
+    assert(fYtoX == want, s"naive F $want vs engine $fYtoX")
+  }
+
   // ------------------------------------------------- t88 degenerate guard
   test("t88 guard: n_pos = 0 yields NULL ap, zero prevalence") {
     val s = spark; import s.implicits._
