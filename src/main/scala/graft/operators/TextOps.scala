@@ -3361,6 +3361,70 @@ object TextOps {
        |ORDER BY source""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t95: readability gate — Flesch reading ease + Flesch-Kincaid grade
+  // (Flesch 1948; Kincaid 1975), the curation gate between t56's
+  // surface-statistics quality score and t78's LM perplexity: a
+  // document can pass every Gopher rule and still be unreadably dense
+  // legal/OCR sludge, which these two closed-form scores flag from
+  // three integer counts per document:
+  //   ease  = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+  //   grade = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59
+  // with sentences = maximal [.!?]+ runs and syllables = the standard
+  // vowel-group approximation ([aeiouy]+ runs; group boundaries cannot
+  // span a space, so the whole-text count equals the per-word sum).
+  //
+  // Scale shape: a pure projection — one corpus scan, three regexp
+  // counters per row, no shuffle at all (the t82 gate class).
+  //
+  // Exactness: the three counts are exact integers; each score is ONE
+  // fixed-shape double expression of those integers, rounded once;
+  // documents with no sentence terminator or no words report guarded
+  // NULL scores (the t86/t88 convention).
+  // -------------------------------------------------------------------
+  def t95Readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityFrom(docs(spark, dir)).orderBy(col("doc_id"))
+
+  /** Per-doc readability over any (doc_id, text) frame — spec entry. */
+  private[graft] def readabilityFrom(df: DataFrame): DataFrame = {
+    val wps = col("n_words").cast(DoubleType) / col("n_sentences").cast(DoubleType)
+    val spw = col("n_syllables").cast(DoubleType) / col("n_words").cast(DoubleType)
+    df.select(col("doc_id"),
+        size(toks).cast(LongType).as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast(LongType).as("n_sentences"),
+        size(regexp_extract_all(col("text"), lit("[aeiouy]+"), lit(0)))
+          .cast(LongType).as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        when(col("n_sentences") >= 1L && col("n_words") >= 1L,
+          round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6))
+          .as("flesch_ease"),
+        when(col("n_sentences") >= 1L && col("n_words") >= 1L,
+          round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6))
+          .as("fk_grade"))
+  }
+
+  val t95ReadabilitySql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sentences,
+      |    CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_sentences >= 1 AND n_words >= 1 THEN
+      |    ROUND(206.835
+      |      - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+      |  END AS flesch_ease,
+      |  CASE WHEN n_sentences >= 1 AND n_words >= 1 THEN
+      |    ROUND(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+      |      + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+      |      - 15.59, 6)
+      |  END AS fk_grade
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
@@ -3376,6 +3440,7 @@ object TextOps {
     QueryDef.sql("t92_fertility", t92Fertility _, t92FertilitySql),
     QueryDef.sql("c88_gate_funnel", c88GateFunnel _, c88GateFunnelSql),
     QueryDef.sql("t94_cochran_q", t94CochranQ _, t94CochranQSql),
+    QueryDef.sql("t95_readability", t95Readability _, t95ReadabilitySql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),
