@@ -2407,6 +2407,244 @@ object Temporal {
       |FROM u
       |ORDER BY dir""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q146: KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt
+  // & Shin 1992) on the per-status daily revenue series — the COMPLEMENT
+  // of q144's Dickey-Fuller: DF's null is "unit root" (failure to
+  // reject says nothing), KPSS's null is "stationary", so the pair
+  // brackets the decision the way a forecasting pipeline actually runs
+  // them (reject in both ⇒ neither model fits; reject in one ⇒ clear
+  // verdict). With e_t the mean deviations, S_t their partial sums, and
+  // a Bartlett long-run variance at lag l = 7:
+  //   η = Σ_t S_t² / (n² · (γ̂0 + 2·Σ_{j≤l} (1 − j/(l+1))·γ̂_j))
+  //
+  // Scale shape: q120's axis — ONE corpus shuffle to the per-status
+  // daily frame; the partial-sum window, the seven lag() reads and both
+  // aggregates all ride the date-domain-bounded frame.
+  //
+  // Exactness: deviations stay integral by scaling (dv = n·x − S, so
+  // P_t = n·S_t and G_j = Σ dv·dv_lag = n³·γ̂_j are exact integers in
+  // DECIMAL(38,0)); the Bartlett weights (8−j)/8 clear denominators, so
+  //   η = 8·ΣP² / (n · (8·G0 + 2·Σ_j (8−j)·G_j))
+  // is EXACT integer arithmetic up to ONE double division, rounded
+  // once (guarded NULL on a constant series, where the LRV is 0).
+  // ---------------------------------------------------------------------
+  def q146Kpss(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"),
+        to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("grp"), col("day"))
+      .agg(sum(col("pc")).as("rev_c"))
+    kpssFrom(daily)
+  }
+
+  /** KPSS η over any (grp, day: DATE, rev_c: BIGINT) daily series —
+    * spec entry point.
+    */
+  private[graft] def kpssFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val wi = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val st = daily.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("rev_c")).as("s"))
+    // bounded axis (|days| rows per status); checkpointed: dv fans out
+    // to the partial-sum pass, the gamma-0 aggregate and the lag stack
+    val d = daily.join(broadcast(st), "grp")
+      .select(col("grp"), col("day"), col("n"),
+        (col("n") * col("rev_c") - col("s")).as("dv"))
+      .localCheckpoint(false)
+    val sp2 = d
+      .withColumn("p", sum(col("dv")).over(
+        wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"),
+        sum(col("p").cast(d38) * col("p")).as("sp2"),
+        sum(col("dv").cast(d38) * col("dv")).as("g0"))
+    val withLags = (1 to AcfMaxLag).foldLeft(d) { (df, k) =>
+      df.withColumn(s"dl$k", lag(col("dv"), k).over(wi))
+    }
+    val gj = withLags.select(col("grp"), col("dv"),
+        explode(array((1 to AcfMaxLag).map(k =>
+          struct(lit(k.toLong).as("lag"), col(s"dl$k").as("dl"))): _*)).as("x"))
+      .select(col("grp"), col("dv"), col("x.lag").as("lag"), col("x.dl").as("dl"))
+      .filter(col("dl").isNotNull)
+      .groupBy(col("grp"))
+      .agg(sum((lit(8L) - col("lag")) * col("dv").cast(d38) * col("dl")).as("gw"))
+    sp2.join(gj, "grp")
+      .withColumn("lrv8", lit(8L).cast(d38) * col("g0") + lit(2L) * col("gw"))
+      .select(col("grp"), col("n").as("n_days"),
+        when(col("lrv8") > 0L,
+          round(lit(8.0) * col("sp2").cast(DoubleType)
+            / (col("n").cast(DoubleType) * col("lrv8").cast(DoubleType)), 6))
+          .as("kpss_eta"))
+      .orderBy(col("grp"))
+  }
+
+  val q146KpssSql: String =
+    s"""WITH daily AS (
+       |  SELECT o_orderstatus AS grp, CAST(o_orderdate AS DATE) AS day,
+       |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1, 2),
+       |st AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_c) AS BIGINT) AS s
+       |  FROM daily GROUP BY 1),
+       |d AS (
+       |  SELECT daily.grp, day, n, n * rev_c - s AS dv
+       |  FROM daily JOIN st ON st.grp = daily.grp),
+       |sp AS (
+       |  SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+       |    SUM(CAST(p AS HUGEINT) * p) AS sp2,
+       |    SUM(CAST(dv AS HUGEINT) * dv) AS g0
+       |  FROM (SELECT grp, n, dv,
+       |          SUM(dv) OVER (PARTITION BY grp ORDER BY day
+       |                        ROWS UNBOUNDED PRECEDING) AS p
+       |        FROM d)
+       |  GROUP BY 1),
+       |gj AS (
+       |  SELECT a.grp, SUM((8 - (a.i - b.i)) * CAST(a.dv AS HUGEINT) * b.dv) AS gw
+       |  FROM (SELECT grp, dv, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS i
+       |        FROM d) a
+       |  JOIN (SELECT grp, dv, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) AS i
+       |        FROM d) b
+       |    ON a.grp = b.grp AND b.i < a.i AND a.i - b.i <= $AcfMaxLag
+       |  GROUP BY 1),
+       |f AS (
+       |  SELECT sp.grp, n, sp2,
+       |    CAST(8 AS HUGEINT) * g0 + 2 * gw AS lrv8
+       |  FROM sp JOIN gj ON gj.grp = sp.grp)
+       |SELECT grp, n AS n_days,
+       |  CASE WHEN lrv8 > 0 THEN
+       |    ROUND(8.0 * CAST(sp2 AS DOUBLE)
+       |      / (CAST(n AS DOUBLE) * CAST(lrv8 AS DOUBLE)), 6)
+       |  END AS kpss_eta
+       |FROM f
+       |ORDER BY grp""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q147: Engle-Granger cointegration test (Engle & Granger 1987)
+  // between the daily order-revenue and shipped-quantity LEVELS — the
+  // third member of the lead-lag family: q142's CCF measures co-movement,
+  // q145's Granger asks who leads, and Engle-Granger asks whether the
+  // two levels share a common stochastic trend (regress y on x, then
+  // run q144's Dickey-Fuller on the residual: stationary residual ⇒
+  // cointegrated ⇒ a spread-monitoring alert on the PAIR is sound even
+  // when each series alone is nonstationary).
+  //
+  // Scale shape: q142's axis — two corpus shuffles to the joined daily
+  // frame; the OLS moments are one aggregate; the residual series and
+  // its DF test live entirely on the date-domain-bounded frame.
+  //
+  // Exactness: the OLS moment matrix (vx, nm, c0 = vx·Σy − nm·Σx) is
+  // exact in DECIMAL(38,0); the scaled residual R_t = n·(vx·y_t −
+  // nm·x_t) − c0 (= n·vx · e_t) stays EXACT in DECIMAL(38,0) at test
+  // SFs (≈3e36 worst term — on a cluster rescale the cents grid first),
+  // and snaps ONCE to milli-cent units through one fixed-shape double
+  // division by n·vx (the olsResiduals discipline); the DF τ on the
+  // snapped residuals is [[dickeyFullerFrom]] verbatim, so the
+  // augmenting machinery and its guards are shared, not re-derived.
+  // ---------------------------------------------------------------------
+  def q147EngleGranger(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("pc"))
+      .groupBy(col("day")).agg(sum(col("pc")).as("x_c"))
+    val y = Tables.lineitem(spark, dir)
+      .select(to_date(col("l_shipdate")).as("day"),
+        floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast(LongType).as("qc"))
+      .groupBy(col("day")).agg(sum(col("qc")).as("y_c"))
+    engleGrangerFrom(x.join(y, "day"))
+  }
+
+  /** Engle-Granger over any (day: DATE, x_c, y_c) paired daily series —
+    * spec entry point.
+    */
+  private[graft] def engleGrangerFrom(daily: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val j = daily.localCheckpoint(false)
+    val st = j.agg(count(lit(1)).as("n"),
+        sum(col("x_c").cast(d38)).as("sx"), sum(col("y_c").cast(d38)).as("sy"),
+        sum(col("x_c").cast(d38) * col("x_c")).as("sxx"),
+        sum(col("x_c").cast(d38) * col("y_c")).as("sxy"))
+      .select(col("n"), col("sx"), col("sy"),
+        (col("sxx") * col("n") - col("sx") * col("sx")).as("vx"),
+        (col("sxy") * col("n") - col("sx") * col("sy")).as("nm"))
+      .withColumn("c0", col("vx") * col("sy") - col("nm") * col("sx"))
+      .filter(col("vx") > lit(0L))
+    val resid = j.crossJoin(broadcast(st))
+      .select(col("day"),
+        floor((col("n") * (col("vx") * col("y_c") - col("nm") * col("x_c"))
+            - col("c0")).cast(DoubleType)
+          / (col("n").cast(DoubleType) * col("vx").cast(DoubleType))
+          * lit(1e3) + lit(0.5)).cast(LongType).as("e3"))
+      .select(lit("resid").as("grp"), col("day"), col("e3").as("rev_c"))
+    val df = dickeyFullerFrom(resid)
+    st.select(col("n").as("n_days"),
+        round(col("nm").cast(DoubleType) / col("vx").cast(DoubleType), 9).as("beta"))
+      .crossJoin(df.select(col("n_pairs"), col("gamma"),
+        col("df_tau").as("coint_tau")))
+      .select(col("n_days"), col("beta"), col("n_pairs"), col("gamma"),
+        col("coint_tau"))
+  }
+
+  val q147EngleGrangerSql: String =
+    """WITH x AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x_c
+      |  FROM orders GROUP BY 1),
+      |y AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS day,
+      |    CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y_c
+      |  FROM lineitem GROUP BY 1),
+      |j AS (SELECT day, x_c, y_c FROM x JOIN y USING (day)),
+      |st AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x_c AS HUGEINT)) AS sx, SUM(CAST(y_c AS HUGEINT)) AS sy,
+      |    SUM(CAST(x_c AS HUGEINT) * x_c) AS sxx,
+      |    SUM(CAST(x_c AS HUGEINT) * y_c) AS sxy
+      |  FROM j),
+      |v AS (
+      |  SELECT n, sx, sy,
+      |    sxx * n - sx * sx AS vx,
+      |    sxy * n - sx * sy AS nm,
+      |    (sxx * n - sx * sx) * sy - (sxy * n - sx * sy) * sx AS c0
+      |  FROM st WHERE sxx * n - sx * sx > 0),
+      |resid AS (
+      |  SELECT day,
+      |    CAST(floor(CAST(n * (vx * y_c - nm * x_c) - c0 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(vx AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS e3
+      |  FROM j CROSS JOIN v),
+      |p AS (
+      |  SELECT LAG(e3) OVER (ORDER BY day) AS xl,
+      |    e3 - LAG(e3) OVER (ORDER BY day) AS dx
+      |  FROM resid),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+      |    SUM(CAST(xl AS HUGEINT)) AS rsx, SUM(CAST(dx AS HUGEINT)) AS rsy,
+      |    SUM(CAST(xl AS HUGEINT) * dx) AS rsxy,
+      |    SUM(CAST(xl AS HUGEINT) * xl) AS rsxx,
+      |    SUM(CAST(dx AS HUGEINT) * dx) AS rsyy
+      |  FROM p WHERE xl IS NOT NULL
+      |  HAVING COUNT(*) >= 3),
+      |dfv AS (
+      |  SELECT np,
+      |    rsxx * np - rsx * rsx AS dvx,
+      |    rsyy * np - rsy * rsy AS dvy,
+      |    rsxy * np - rsx * rsy AS dnm
+      |  FROM mo),
+      |dfw AS (
+      |  SELECT np, dvx, dnm,
+      |    CAST(dvy AS DOUBLE) * CAST(dvx AS DOUBLE)
+      |      - CAST(dnm AS DOUBLE) * CAST(dnm AS DOUBLE) AS ss
+      |  FROM dfv WHERE dvx > 0)
+      |SELECT v.n AS n_days,
+      |  ROUND(CAST(nm AS DOUBLE) / CAST(vx AS DOUBLE), 9) AS beta,
+      |  np AS n_pairs,
+      |  ROUND(CAST(dnm AS DOUBLE) / CAST(dvx AS DOUBLE), 9) AS gamma,
+      |  CASE WHEN ss > 0 THEN
+      |    ROUND(CAST(dnm AS DOUBLE) * sqrt(CAST(np - 2 AS DOUBLE)) / sqrt(ss), 6)
+      |  END AS coint_tau
+      |FROM v CROSS JOIN dfw""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q104_kaplan_meier", q104KaplanMeier _, q104KaplanMeierSql),
     QueryDef.sql("q105_seasonal_decompose", q105SeasonalDecompose _, q105SeasonalDecomposeSql),
@@ -2428,5 +2666,7 @@ object Temporal {
     QueryDef.sql("q142_ccf", q142Ccf _, q142CcfSql),
     QueryDef.sql("q144_dickey_fuller", q144DickeyFuller _, q144DickeyFullerSql),
     QueryDef.sql("q145_granger", q145Granger _, q145GrangerSql),
+    QueryDef.sql("q146_kpss", q146Kpss _, q146KpssSql),
+    QueryDef.sql("q147_engle_granger", q147EngleGranger _, q147EngleGrangerSql),
   )
 }
