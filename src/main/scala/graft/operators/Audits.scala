@@ -2423,6 +2423,131 @@ object Audits {
       |  END AS r_partial
       |FROM d""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q148: Mood's median test — "do the market segments share one median
+  // account balance" (Mood 1950), the k-sample median sibling of q103's
+  // Kruskal-Wallis: KW compares full rank distributions (any shape
+  // difference registers), Mood's test collapses each observation to
+  // ONE bit — above the pooled median or not — so it stays valid under
+  // wildly different tail shapes and is the robust first look at
+  // k-group location. 2×k table of above/not-above vs segment, then
+  // the ordinary chi-square:
+  //   χ² = Σ_i [(a_i − n_i·A/N)²/(n_i·A/N) + ((n_i−a_i) − n_i·B/N)²/(n_i·B/N)]
+  //
+  // Scale shape: ONE corpus shuffle to the (segment, cents) count grid;
+  // the pooled median comes from the grid's cumulative pass (distinct
+  // cents, not rows — q119's axis) broadcast back; the table is a
+  // |segments|-row aggregate.
+  //
+  // Exactness: the pooled 2×median is the SUM of both middle order
+  // statistics (exact integer, even-count exact); the above/not
+  // classification 2·cents > med2 is integer; each segment's χ² term
+  // nano-snaps from one fixed-shape double expression of the five
+  // exact integers (a, n, A, B, N) and the total is an integer sum.
+  // ---------------------------------------------------------------------
+  def q148MoodMedian(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("grp"),
+        floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"))
+    moodMedianFrom(cust)
+  }
+
+  /** Mood's median χ² over any (grp, cents) frame — spec entry point. */
+  private[graft] def moodMedianFrom(o: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = o.groupBy(col("grp"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    // pooled median on the distinct-cents grid: both middle order stats
+    val pooled = Relational.prefixSumByRange(
+      g.groupBy(col("cents")).agg(sum(col("cnt")).as("pc")),
+      Seq.empty, Seq(col("cents")), Seq("cum" -> col("pc")))
+    val nTot = pooled.agg(max(col("cum")).as("nn"))
+    val med2 = pooled.crossJoin(broadcast(nTot))
+      .select(col("cents"), col("cum"), col("nn"))
+      .agg(
+        min(when(lit(2L) * col("cum") >= col("nn"), col("cents"))).as("v_lo"),
+        min(when(lit(2L) * col("cum") >= col("nn") + lit(2L)
+          - pmod(col("nn"), lit(2L)) * lit(1L), col("cents"))).as("v_hi_even"),
+        max(col("nn")).as("nn"))
+      .select((col("v_lo")
+        + coalesce(col("v_hi_even"), col("v_lo"))).as("med2"), col("nn"))
+    val tab = g.crossJoin(broadcast(med2))
+      .groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_cust"),
+        sum(when(lit(2L) * col("cents") > col("med2"), col("cnt"))
+          .otherwise(0L)).as("n_above"),
+        max(col("nn")).as("nn"))
+      .localCheckpoint(false)
+    val marg = tab.agg(sum(col("n_above")).as("aa"), max(col("nn")).as("nn"))
+      .select(col("aa"), (col("nn") - col("aa")).as("bb"), col("nn"))
+    val terms = tab.drop("nn").crossJoin(broadcast(marg))
+      .withColumn("ea", col("n_cust").cast(DoubleType) * col("aa").cast(DoubleType)
+        / col("nn").cast(DoubleType))
+      .withColumn("eb", col("n_cust").cast(DoubleType) * col("bb").cast(DoubleType)
+        / col("nn").cast(DoubleType))
+      .withColumn("t9", floor(
+        ((col("n_above").cast(DoubleType) - col("ea"))
+          * (col("n_above").cast(DoubleType) - col("ea")) / col("ea")
+          + ((col("n_cust") - col("n_above")).cast(DoubleType) - col("eb"))
+          * ((col("n_cust") - col("n_above")).cast(DoubleType) - col("eb")) / col("eb"))
+          * lit(1e9) + lit(0.5)).cast(LongType))
+    val chi = terms.agg(sum(col("t9").cast(d38)).as("chi9"))
+    terms.crossJoin(broadcast(chi))
+      .select(col("grp"), col("n_cust"), col("n_above"),
+        round(col("ea"), 6).as("expected_above"),
+        round(col("chi9").cast(DoubleType) / lit(1e9), 6).as("chi2_mood"))
+      .orderBy(col("grp"))
+  }
+
+  val q148MoodMedianSql: String =
+    """WITH o AS (
+      |  SELECT c_mktsegment AS grp,
+      |    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM customer),
+      |g AS (SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM o GROUP BY 1, 2),
+      |pooled AS (
+      |  SELECT cents,
+      |    CAST(SUM(pc) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM (SELECT cents, CAST(SUM(cnt) AS BIGINT) AS pc FROM g GROUP BY 1)),
+      |nt AS (SELECT CAST(MAX(cum) AS BIGINT) AS nn FROM pooled),
+      |m AS (
+      |  SELECT
+      |    CAST(MIN(CASE WHEN 2 * cum >= nn THEN cents END)
+      |      + COALESCE(MIN(CASE WHEN 2 * cum >= nn + 2 - (nn % 2) * 1 THEN cents END),
+      |                 MIN(CASE WHEN 2 * cum >= nn THEN cents END)) AS BIGINT) AS med2,
+      |    CAST(MAX(nn) AS BIGINT) AS nn
+      |  FROM pooled CROSS JOIN nt),
+      |tab AS (
+      |  SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n_cust,
+      |    CAST(SUM(CASE WHEN 2 * cents > med2 THEN cnt ELSE 0 END) AS BIGINT) AS n_above,
+      |    CAST(MAX(nn) AS BIGINT) AS nn
+      |  FROM g CROSS JOIN m GROUP BY 1),
+      |marg AS (
+      |  SELECT CAST(SUM(n_above) AS BIGINT) AS aa,
+      |    CAST(MAX(nn) - SUM(n_above) AS BIGINT) AS bb,
+      |    CAST(MAX(nn) AS BIGINT) AS nn
+      |  FROM tab),
+      |terms AS (
+      |  SELECT grp, n_cust, n_above,
+      |    CAST(n_cust AS DOUBLE) * CAST(aa AS DOUBLE) / CAST(marg.nn AS DOUBLE) AS ea,
+      |    CAST(n_cust AS DOUBLE) * CAST(bb AS DOUBLE) / CAST(marg.nn AS DOUBLE) AS eb
+      |  FROM tab CROSS JOIN marg),
+      |t9 AS (
+      |  SELECT grp, n_cust, n_above, ea,
+      |    CAST(floor(
+      |      ((CAST(n_above AS DOUBLE) - ea) * (CAST(n_above AS DOUBLE) - ea) / ea
+      |       + (CAST(n_cust - n_above AS DOUBLE) - eb)
+      |       * (CAST(n_cust - n_above AS DOUBLE) - eb) / eb)
+      |      * 1e9 + 0.5) AS BIGINT) AS t9
+      |  FROM terms),
+      |chi AS (SELECT CAST(SUM(t9) AS BIGINT) AS chi9 FROM t9)
+      |SELECT grp, n_cust, n_above,
+      |  ROUND(ea, 6) AS expected_above,
+      |  ROUND(CAST(chi9 AS DOUBLE) / 1e9, 6) AS chi2_mood
+      |FROM t9 CROSS JOIN chi
+      |ORDER BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
     QueryDef.sql("q113_spearman", q113Spearman _, q113SpearmanSql),
@@ -2431,6 +2556,7 @@ object Audits {
     QueryDef.sql("q129_cvm", q129CramerVonMises _, q129CramerVonMisesSql),
     QueryDef.sql("q141_anderson_darling", q141AndersonDarling _, q141AndersonDarlingSql),
     QueryDef.sql("q143_effect_sizes", q143EffectSizes _, q143EffectSizesSql),
+    QueryDef.sql("q148_mood_median", q148MoodMedian _, q148MoodMedianSql),
     QueryDef.sql("q131_cmh", q131CmhTest _, q131CmhTestSql),
     QueryDef.sql("q132_partial_corr", q132PartialCorr _, q132PartialCorrSql),
     QueryDef.sql("q114_dp_counts", q114DpCounts _, q114DpCountsSql),

@@ -1929,6 +1929,86 @@ object Relational {
       |    AND (b.price_c < a.price_c OR b.size > a.size))
       |ORDER BY p_brand, p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q149: hypothetical-set rank functions — SQL:2008's WITHIN GROUP
+  // ordered-set family (rank, dense_rank, percent_rank, cume_dist of a
+  // HYPOTHETICAL value; Postgres §9.59): "if an order of $50k / $150k /
+  // $300k arrived now, where would it land in each status's value
+  // distribution" — the what-if quantile read a pricing dashboard asks
+  // without inserting the row. Standard semantics over group ∪ {v}:
+  //   rank(v)      = 1 + #(x < v)
+  //   dense_rank(v)= 1 + #distinct(x < v)
+  //   percent_rank = (rank − 1) / N
+  //   cume_dist    = (#(x ≤ v) + 1) / (N + 1)
+  //
+  // Scale shape: ONE map-side-combined hash aggregate over one corpus
+  // scan computes all 3 probes × 4 functions as conditional counts
+  // (the q79 single-exchange class); the 3-row-per-status fan-out is an
+  // unpivot of the |status|-row aggregate, never a corpus fan-out.
+  //
+  // Exactness: every count is an exact integer (distinct counts on the
+  // cents grid); the two ratios are one double division each, rounded
+  // once.
+  // ---------------------------------------------------------------------
+  private[operators] val HypoProbesCents = Seq(5000000L, 15000000L, 30000000L)
+
+  def q149HypotheticalRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast(LongType).as("cents"))
+    val aggs = HypoProbesCents.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        sum(when(col("cents") < lit(p), 1L).otherwise(0L)).as(s"lt$i"),
+        countDistinct(when(col("cents") < lit(p), col("cents"))).as(s"dlt$i"),
+        sum(when(col("cents") <= lit(p), 1L).otherwise(0L)).as(s"le$i"))
+    }
+    val allAggs = count(lit(1)).as("n") +: aggs
+    val base = o.groupBy(col("grp"))
+      .agg(allAggs.head, allAggs.tail: _*)
+    val stacked = base.select(col("grp"), col("n"),
+        explode(array(HypoProbesCents.zipWithIndex.map { case (p, i) =>
+          struct(lit(p).as("probe_cents"), col(s"lt$i").as("lt"),
+            col(s"dlt$i").as("dlt"), col(s"le$i").as("le"))
+        }: _*)).as("x"))
+      .select(col("grp"), col("n"), col("x.probe_cents").as("probe_cents"),
+        col("x.lt").as("lt"), col("x.dlt").as("dlt"), col("x.le").as("le"))
+    stacked.select(col("grp"), col("probe_cents"), col("n"),
+        (col("lt") + lit(1L)).as("h_rank"),
+        (col("dlt") + lit(1L)).as("h_dense_rank"),
+        round(col("lt").cast(DoubleType) / col("n").cast(DoubleType), 6)
+          .as("h_percent_rank"),
+        round((col("le") + lit(1L)).cast(DoubleType)
+          / (col("n") + lit(1L)).cast(DoubleType), 6).as("h_cume_dist"))
+      .orderBy(col("grp"), col("probe_cents"))
+  }
+
+  val q149HypotheticalRankSql: String = {
+    val probes = HypoProbesCents
+    val branches = probes.map { p =>
+      s"""  SELECT grp, CAST($p AS BIGINT) AS probe_cents, n,
+         |    lt_$p + 1 AS h_rank, dlt_$p + 1 AS h_dense_rank,
+         |    ROUND(CAST(lt_$p AS DOUBLE) / CAST(n AS DOUBLE), 6) AS h_percent_rank,
+         |    ROUND(CAST(le_$p + 1 AS DOUBLE) / CAST(n + 1 AS DOUBLE), 6) AS h_cume_dist
+         |  FROM a""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val aggCols = probes.map { p =>
+      s"""    CAST(SUM(CASE WHEN cents < $p THEN 1 ELSE 0 END) AS BIGINT) AS lt_$p,
+         |    CAST(COUNT(DISTINCT CASE WHEN cents < $p THEN cents END) AS BIGINT) AS dlt_$p,
+         |    CAST(SUM(CASE WHEN cents <= $p THEN 1 ELSE 0 END) AS BIGINT) AS le_$p""".stripMargin
+    }.mkString(",\n")
+    s"""WITH o AS (
+       |  SELECT o_orderstatus AS grp,
+       |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+       |  FROM orders),
+       |a AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+       |$aggCols
+       |  FROM o GROUP BY 1)
+       |SELECT * FROM (
+       |$branches
+       |) ORDER BY grp, probe_cents""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q1_pricing_summary", q1PricingSummary _, q1PricingSummarySql),
     QueryDef.sql("q2_revenue_by_nation", q2RevenueByNation _, q2RevenueByNationSql),
@@ -1949,6 +2029,7 @@ object Relational {
     QueryDef.sql("q15_range_join", q15RangeJoin _, q15RangeJoinSql),
     QueryDef.sql("q18_profit_by_nation_year", q18ProfitByNationYear _, q18ProfitByNationYearSql),
     QueryDef.sql("q19_percentiles", q19Percentiles _, q19PercentilesSql),
+    QueryDef.sql("q149_hypothetical_rank", q149HypotheticalRank _, q149HypotheticalRankSql),
     QueryDef.sql("q36_salted_agg", q36SaltedAgg _, q36SaltedAggSql),
     QueryDef.sql("q40_pivot", q40Pivot _, q40PivotSql),
     QueryDef.sql("q41_salted_join", q41SaltedJoin _, q41SaltedJoinSql),

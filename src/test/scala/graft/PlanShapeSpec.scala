@@ -133,7 +133,10 @@ class PlanShapeSpec extends AnyFunSuite {
       // grid; q143's Cliff side rides one prefix pass (c_a joins back
       // by key — the t86 discipline)
       ("q141", graft.operators.Audits.q141AndersonDarling(spark, dir), 1),
-      ("q143", graft.operators.Audits.q143EffectSizes(spark, dir), 1))
+      ("q143", graft.operators.Audits.q143EffectSizes(spark, dir), 1),
+      // q148's pooled-median prefix runs keyless (one global group) —
+      // same slice machinery, same reuse dependency
+      ("q148", graft.operators.Audits.q148MoodMedian(spark, dir), 1))
     for ((name, df, sites) <- frames) {
       df.collect() // reuse is decided during adaptive execution
       val plan = df.queryExecution.executedPlan.toString

@@ -245,6 +245,121 @@ class Round13Spec extends AnyFunSuite {
     assert(fYtoX == want, s"naive F $want vs engine $fYtoX")
   }
 
+  // --------------------------------------------------- t95 readability
+  test("t95: closed-form counts on a constructed doc; no-sentence doc guards NULL") {
+    val s = spark; import s.implicits._
+    val df = Seq(
+      (1L, "the cat sat on a mat. it was happy! was it?"),
+      (2L, "no terminator here at all")).toDF("doc_id", "text")
+    val r = TextOps.readabilityFrom(df).orderBy("doc_id").collect()
+    // doc 1: 11 words, 3 sentences, vowel groups counted by hand:
+    // the(1) cat(1) sat(1) on(1) a(1) mat.(1) it(1) was(1) happy!(2) was(1) it?(1) = 12
+    assert(r(0).getLong(1) == 11L && r(0).getLong(2) == 3L && r(0).getLong(3) == 12L,
+      s"counts ${r(0)}")
+    val wps = 11.0 / 3.0; val spw = 12.0 / 11.0
+    val ease = math.rint((206.835 - 1.015 * wps - 84.6 * spw) * 1e6) / 1e6
+    val grade = math.rint((0.39 * wps + 11.8 * spw - 15.59) * 1e6) / 1e6
+    assert(r(0).getDouble(4) == ease && r(0).getDouble(5) == grade)
+    assert(r(1).isNullAt(4) && r(1).isNullAt(5), "no sentence terminator must guard NULL")
+  }
+
+  // ------------------------------------------------------- q146 KPSS
+  test("q146: stationary noise stays under the 5% bar, a random walk blows past it; naive recompute matches") {
+    val s = spark; import s.implicits._
+    def eta(vs: Seq[Long]): Double = {
+      val df = vs.zipWithIndex.map { case (v, i) => ("g", dayOf(i), v) }
+        .toDF("grp", "day", "rev_c")
+      graft.operators.Temporal.kpssFrom(df).head().getDouble(2)
+    }
+    val rng = new scala.util.Random(23)
+    val noise = (0 until 200).map(_ => 5000L + rng.nextInt(2000))
+    val en = eta(noise)
+    assert(en < 0.463, s"stationary noise must not reject level-stationarity, eta $en")
+    // a trending level is the textbook level-nonstationarity — and is
+    // deterministic, unlike a seeded walk whose eta varies wildly by path
+    val ramp = (1 to 200).map(i => 1000L * i)
+    val ew = eta(ramp)
+    assert(ew > 0.739, s"a trending level must reject level-stationarity, eta $ew")
+    // naive recompute on the noise series (exact integer path mirrored)
+    val n = noise.size
+    val sSum = noise.sum
+    val dv = noise.map(v => n.toLong * v - sSum)
+    val p = dv.scanLeft(0L)(_ + _).tail
+    val sp2 = p.map(x => BigInt(x) * BigInt(x)).sum
+    val g0 = dv.map(x => BigInt(x) * BigInt(x)).sum
+    val gw = (1 to 7).map { j =>
+      BigInt(8 - j) * (j until n).map(t => BigInt(dv(t)) * BigInt(dv(t - j))).sum
+    }.sum
+    val lrv8 = BigInt(8) * g0 + BigInt(2) * gw
+    val want = math.rint(8.0 * sp2.toDouble / (n.toDouble * lrv8.toDouble) * 1e6) / 1e6
+    assert(en == want, s"naive eta $want vs engine $en")
+  }
+
+  // -------------------------------------------- q147 Engle-Granger
+  test("q147: a cointegrated pair rejects decisively; independent walks do not") {
+    val s = spark; import s.implicits._
+    def tau(xy: Seq[(Long, Long)]): (Double, Double) = {
+      val df = xy.zipWithIndex.map { case ((x, y), i) => (dayOf(i), x, y) }
+        .toDF("day", "x_c", "y_c")
+      val r = graft.operators.Temporal.engleGrangerFrom(df).head()
+      (r.getDouble(1), if (r.isNullAt(4)) 0.0 else r.getDouble(4))
+    }
+    val rng = new scala.util.Random(31)
+    val xw = (0 until 200).map(_ => rng.nextInt(2001) - 1000L)
+      .scanLeft(100000L)(_ + _).tail
+    // y = 2x + stationary noise: cointegrated with beta ~ 2
+    val co = xw.map(x => (x, 2L * x + rng.nextInt(400)))
+    val (beta, t1) = tau(co)
+    assert(math.abs(beta - 2.0) < 0.01, s"cointegrating beta must be ~2, got $beta")
+    assert(t1 < -6.0, s"cointegrated residual must reject the unit root, tau $t1")
+    // independent walks: residual is itself a walk, tau must not reject
+    val rng2 = new scala.util.Random(37)
+    val yw = (0 until 200).map(_ => rng2.nextInt(2001) - 1000L)
+      .scanLeft(100000L)(_ + _).tail
+    val (_, t2) = tau(xw.zip(yw))
+    assert(t2 > -3.4, s"independent walks must not beat the EG 5% bar, tau $t2")
+  }
+
+  // --------------------------------------------------- q148 Mood median
+  test("q148: identical groups give chi2 = 0; planted shifted group matches the naive table") {
+    val s = spark; import s.implicits._
+    def mood(rows: Seq[(String, Long)]) =
+      graft.operators.Audits.moodMedianFrom(rows.toDF("grp", "cents")).collect()
+    // two identical groups: every a_i equals its expectation exactly
+    val ident = (1L to 40L).flatMap(v => Seq(("a", v * 10), ("b", v * 10)))
+    assert(mood(ident).forall(_.getDouble(4) == 0.0), "identical groups must give chi2 0")
+    // planted: group b shifted entirely above the pooled median
+    val rows = (1L to 30L).map(v => ("a", v)) ++ (1L to 30L).map(v => ("b", v + 1000L))
+    val got = mood(rows)
+    // pooled median2 = x_(30) + x_(31) = 30 + 1001; a: 0 above, b: 30 above
+    val ga = got.find(_.getString(0) == "a").get
+    val gb = got.find(_.getString(0) == "b").get
+    assert(ga.getLong(2) == 0L && gb.getLong(2) == 30L, s"above counts $got")
+    // naive chi2: a=(0,30), b=(30,0), E=15 everywhere => 4 * 15 = 60
+    assert(ga.getDouble(4) == 60.0, s"chi2 must be 60, got ${ga.getDouble(4)}")
+  }
+
+  // ------------------------------------------- q149 hypothetical ranks
+  test("q149: hypothetical rank functions match the Postgres closed forms") {
+    val dir = "/root/testdata/sf0.001"
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderstatus").as("grp"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = graft.operators.Relational.q149HypotheticalRank(spark, dir).collect()
+    for (row <- got) {
+      val (g, p) = (row.getString(0), row.getLong(1))
+      val xs = o.filter(_._1 == g).map(_._2)
+      val lt = xs.count(_ < p).toLong
+      val dlt = xs.filter(_ < p).distinct.length.toLong
+      val le = xs.count(_ <= p).toLong
+      assert(row.getLong(3) == lt + 1 && row.getLong(4) == dlt + 1,
+        s"rank mismatch at ($g, $p)")
+      assert(row.getDouble(5) == math.rint(lt.toDouble / xs.length * 1e6) / 1e6)
+      assert(row.getDouble(6) == math.rint((le + 1.0) / (xs.length + 1.0) * 1e6) / 1e6)
+    }
+  }
+
   // ------------------------------------------------- t88 degenerate guard
   test("t88 guard: n_pos = 0 yields NULL ap, zero prevalence") {
     val s = spark; import s.implicits._
