@@ -3425,6 +3425,115 @@ object TextOps {
       |FROM c
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------------------------
+  // t96: TextRank keyword extraction (Mihalcea & Tarau 2004) — weighted
+  // PageRank over the corpus-wide word co-occurrence graph (adjacent
+  // word pairs), the graph-centrality sibling of t65's TF-IDF and t83's
+  // dictionary tags: TF-IDF scores a word by counting, TextRank by how
+  // central it sits in the co-occurrence structure, which surfaces
+  // connective domain vocabulary that raw frequency over- or
+  // under-ranks. Normalized weighted PageRank on the undirected graph:
+  //   r(v) = (1−d)/N + d · Σ_{u~v} w(u,v)/wdeg(u) · r(u),   d = 0.85
+  // five rounds unrolled (q63's fixed-iteration discipline), top 30
+  // words by final rank.
+  //
+  // Scale shape: the bigram fan-out is a pure projection (slice+zip —
+  // no window, no self-join); the graph collapses to the DISTINCT
+  // bigram vocabulary (sublinear in the corpus, the t89 axis); each
+  // round broadcasts the node-sized (rank ⋈ weighted-degree) state
+  // onto the edge list — edges never shuffle to learn ranks (q63's
+  // idiom), and per-edge work is one integer multiply-divide.
+  //
+  // Determinism: ranks live on an integer 1e10 grid with floor
+  // division (the q63 discipline — 1e10 keeps r·85·w inside int64 at
+  // any realistic bigram multiplicity); ties in the top-30 break on
+  // the word itself. Pure integer arithmetic — nothing to snap.
+  // -------------------------------------------------------------------
+  private[operators] val TrScale = 10000000000L // 1e10 rank grid
+  private[operators] val TrIters = 5
+
+  def t96TextRank(spark: SparkSession, dir: String): DataFrame =
+    textRankFrom(docs(spark, dir)).limit(30)
+
+  /** Full TextRank ranking over any (doc_id, text) frame — spec entry
+    * point (unlimited; t96 takes the top 30).
+    */
+  private[graft] def textRankFrom(df: DataFrame): DataFrame = {
+    // adjacent-pair fan-out as a projection: zip the token lane with
+    // its own tail — no window, no positional join
+    val und = df
+      .select(explode(expr(
+        """transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),
+          |  (w, i) -> named_struct('x', w, 'y', element_at(split(text, ' '), i + 2)))"""
+          .stripMargin)).as("p"))
+      .select(least(col("p.x"), col("p.y")).as("a"),
+        greatest(col("p.x"), col("p.y")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    val e = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .localCheckpoint(true)
+    val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wd"))
+    val nodes = wdeg.select(col("src").as("node")).localCheckpoint(true)
+    val nAgg = nodes.agg(count(lit(1)).as("cnt"))
+    var r = nodes.crossJoin(nAgg)
+      .select(col("node"), expr(s"${TrScale}L div cnt").as("r"))
+    for (_ <- 1 to TrIters) {
+      // node-sized state broadcasts onto the edges (q63: at billions of
+      // nodes drop the hint and the plan degrades to a shuffle join on
+      // src — the edge set still moves only once per round)
+      val state = r.join(wdeg.withColumnRenamed("src", "node"), "node")
+      val contrib = e
+        .join(broadcast(state), col("src") === col("node"))
+        .select(col("dst"), expr("(r * 85 * w) div (100 * wd)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      r = nodes.crossJoin(nAgg)
+        .join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          (expr(s"(${TrScale}L * 15) div (100 * cnt)") + coalesce(col("inflow"), lit(0L)))
+            .as("r"))
+    }
+    r.select(col("node").as("word"), col("r"))
+      .orderBy(col("r").desc, col("word"))
+  }
+
+  val t96TextRankSql: String = {
+    val S = TrScale
+    val base =
+      s"""WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(ws)),
+         |    i -> struct_pack(x := ws[i], y := ws[i + 1]))) AS p
+         |  FROM t),
+         |und AS (
+         |  SELECT least(p.x, p.y) AS a, greatest(p.x, p.y) AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM bg WHERE p.x <> p.y GROUP BY 1, 2),
+         |e AS (
+         |  SELECT a AS src, b AS dst, w FROM und
+         |  UNION ALL SELECT b, a, w FROM und),
+         |wdeg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS wd FROM e GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS cnt FROM wdeg),
+         |r0 AS (SELECT node, CAST($S AS BIGINT) // (SELECT cnt FROM n) AS r FROM wdeg)"""
+        .stripMargin
+    val iters = (1 to TrIters).map { k =>
+      s""",
+         |r$k AS (
+         |  SELECT wdeg.node,
+         |    (CAST($S AS BIGINT) * 15) // (100 * (SELECT cnt FROM n))
+         |      + COALESCE(SUM((p.r * 85 * e.w) // (100 * dg.wd)), 0) AS r
+         |  FROM wdeg
+         |  LEFT JOIN e ON e.dst = wdeg.node
+         |  LEFT JOIN r${k - 1} p ON p.node = e.src
+         |  LEFT JOIN wdeg dg ON dg.node = e.src
+         |  GROUP BY wdeg.node)""".stripMargin
+    }.mkString
+    base + iters +
+      s"""
+         |SELECT node AS word, CAST(r AS BIGINT) AS r FROM r$TrIters
+         |ORDER BY r DESC, word LIMIT 30""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
@@ -3441,6 +3550,7 @@ object TextOps {
     QueryDef.sql("c88_gate_funnel", c88GateFunnel _, c88GateFunnelSql),
     QueryDef.sql("t94_cochran_q", t94CochranQ _, t94CochranQSql),
     QueryDef.sql("t95_readability", t95Readability _, t95ReadabilitySql),
+    QueryDef.sql("t96_textrank", t96TextRank _, t96TextRankSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

@@ -360,6 +360,41 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------------- t96 TextRank
+  test("t96: naive integer-grid recompute matches; hub word outranks leaves") {
+    val s = spark; import s.implicits._
+    val docs = Seq(
+      (1L, "core alpha core beta core gamma"),
+      (2L, "alpha beta. core delta"),
+      (3L, "gamma delta epsilon core")).toDF("doc_id", "text")
+    val got = TextOps.textRankFrom(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    // naive: rebuild the same graph and run 5 floor-div rounds
+    val toks = Seq("core alpha core beta core gamma", "alpha beta. core delta",
+      "gamma delta epsilon core").flatMap { t =>
+      val w = t.split(" "); w.init.zip(w.tail)
+    }
+    val und = toks.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter(p => p._1 != p._2).groupBy(identity).map { case (k, v) => (k, v.size.toLong) }
+    val e = und.flatMap { case ((a, b), w) => Seq((a, b, w), (b, a, w)) }.toSeq
+    val wd = e.groupBy(_._1).map { case (k, v) => (k, v.map(_._3).sum) }
+    val nodes = wd.keys.toSeq.sorted
+    val S = 10000000000L
+    var r = nodes.map(n => n -> S / nodes.size).toMap
+    for (_ <- 1 to 5) {
+      val inflow = e.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => (r(src) * 85 * w) / (100 * wd(src)) }.sum
+      }
+      r = nodes.map(n => n -> (S * 15 / (100 * nodes.size) + inflow.getOrElse(n, 0L))).toMap
+    }
+    val want = r.toSeq.sortBy { case (w, v) => (-v, w) }
+    assert(got.toSeq == want, s"naive $want vs engine ${got.toSeq}")
+    // 'core' touches every other word and must rank first
+    assert(got.head._1 == "core", s"hub must outrank leaves: ${got.head}")
+    // rank mass is conserved up to floor loss: never exceeds the grid
+    assert(got.map(_._2).sum <= S)
+  }
+
   // ------------------------------------------------- t88 degenerate guard
   test("t88 guard: n_pos = 0 yields NULL ap, zero prevalence") {
     val s = spark; import s.implicits._
