@@ -2548,6 +2548,84 @@ object Audits {
       |FROM t9 CROSS JOIN chi
       |ORDER BY grp""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q150: Bhattacharyya coefficient + Hellinger distance between the
+  // early/late-era order-value distributions (Bhattacharyya 1943;
+  // Hellinger 1909) — the bounded-[0,1] METRIC the drift battery still
+  // lacked: PSI (q106) and the ECDF quartet are unbounded test
+  // statistics, but a mixture-monitoring dashboard wants a saturating
+  // distance it can threshold and average across slices:
+  //   BC = Σ_v √(p_a(v)·p_b(v)),   H = √(1 − BC)
+  // computed over the DISCRETE value distributions on the shared grid —
+  // no binning step, so no fitted-edge artifact to version.
+  //
+  // Scale shape: q91's one-shuffle (status, cents) count grid and ONE
+  // hash aggregate — not even a prefix pass (BC needs no cumulative);
+  // rows where either side is absent contribute exactly 0.
+  //
+  // Exactness: each term √(c_a·c_b/(n_a·n_b)) nano-snaps from one
+  // fixed-shape double expression of four exact integers (the q106 PSI
+  // discipline) and the sum is an integer; H guards the snap residue
+  // with greatest(0, 1 − BC) in BOTH engines (identical distributions
+  // sum to 1e9 ± accumulated half-ulps by construction).
+  // ---------------------------------------------------------------------
+  def q150Hellinger(spark: SparkSession, dir: String): DataFrame =
+    hellingerFrom(eraSplitFrom(spark, dir))
+
+  /** BC + Hellinger per grp over any (grp, cents, is_a) frame — spec
+    * entry point.
+    */
+  private[graft] def hellingerFrom(o: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = o.groupBy(col("grp"), col("cents"))
+      .agg(sum(col("is_a")).as("c_a"), sum(lit(1L) - col("is_a")).as("c_b"))
+      .localCheckpoint(false)
+    val tot = g.groupBy(col("grp"))
+      .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val bc = g.join(broadcast(tot), "grp")
+      .filter(col("n_a") >= 1L && col("n_b") >= 1L)
+      .select(col("grp"), col("n_a"), col("n_b"),
+        floor(sqrt(col("c_a").cast(DoubleType) * col("c_b").cast(DoubleType)
+            / (col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+          * lit(1e9) + lit(0.5)).cast(LongType).as("t9"))
+      .groupBy(col("grp"), col("n_a"), col("n_b"))
+      .agg(sum(col("t9").cast(d38)).as("bc9"))
+    bc.select(col("grp"), col("n_a"), col("n_b"),
+        round(col("bc9").cast(DoubleType) / lit(1e9), 6).as("bhattacharyya"),
+        round(sqrt(greatest(lit(0.0),
+          lit(1.0) - col("bc9").cast(DoubleType) / lit(1e9))), 6).as("hellinger"))
+      .orderBy(col("grp"))
+  }
+
+  val q150HellingerSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS grp,
+      |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+      |    CASE WHEN o_orderdate < DATE '1998-01-01' THEN 1 ELSE 0 END AS is_a
+      |  FROM orders),
+      |g AS (
+      |  SELECT grp, cents,
+      |    CAST(SUM(is_a) AS BIGINT) AS c_a, CAST(SUM(1 - is_a) AS BIGINT) AS c_b
+      |  FROM o GROUP BY 1, 2),
+      |t AS (
+      |  SELECT grp, CAST(SUM(c_a) AS BIGINT) AS n_a, CAST(SUM(c_b) AS BIGINT) AS n_b
+      |  FROM g GROUP BY 1),
+      |s AS (
+      |  SELECT g.grp, n_a, n_b,
+      |    CAST(floor(sqrt(CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)
+      |        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+      |      * 1e9 + 0.5) AS BIGINT) AS t9
+      |  FROM g JOIN t ON t.grp = g.grp
+      |  WHERE n_a >= 1 AND n_b >= 1),
+      |b AS (
+      |  SELECT grp, n_a, n_b, CAST(SUM(t9) AS BIGINT) AS bc9
+      |  FROM s GROUP BY 1, 2, 3)
+      |SELECT grp, n_a, n_b,
+      |  ROUND(CAST(bc9 AS DOUBLE) / 1e9, 6) AS bhattacharyya,
+      |  ROUND(sqrt(greatest(0.0, 1.0 - CAST(bc9 AS DOUBLE) / 1e9)), 6) AS hellinger
+      |FROM b
+      |ORDER BY grp""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q90_welch_ttest", q90WelchTtest _, q90WelchTtestSql),
     QueryDef.sql("q113_spearman", q113Spearman _, q113SpearmanSql),
@@ -2557,6 +2635,7 @@ object Audits {
     QueryDef.sql("q141_anderson_darling", q141AndersonDarling _, q141AndersonDarlingSql),
     QueryDef.sql("q143_effect_sizes", q143EffectSizes _, q143EffectSizesSql),
     QueryDef.sql("q148_mood_median", q148MoodMedian _, q148MoodMedianSql),
+    QueryDef.sql("q150_hellinger", q150Hellinger _, q150HellingerSql),
     QueryDef.sql("q131_cmh", q131CmhTest _, q131CmhTestSql),
     QueryDef.sql("q132_partial_corr", q132PartialCorr _, q132PartialCorrSql),
     QueryDef.sql("q114_dp_counts", q114DpCounts _, q114DpCountsSql),

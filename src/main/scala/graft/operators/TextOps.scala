@@ -3534,6 +3534,83 @@ object TextOps {
          |ORDER BY r DESC, word LIMIT 30""".stripMargin
   }
 
+  // -------------------------------------------------------------------
+  // t97: Kendall's coefficient of concordance W (Kendall & Babington
+  // Smith 1939) — the EFFECT SIZE for t91's Friedman test: χ²_F says
+  // whether the sources rank the languages consistently at all; W says
+  // HOW consistently, on the interpretable [0, 1] scale a datasheet
+  // reports (W = 1: every source orders the languages identically;
+  // W = 0: no agreement). With complete blocks, W = χ²_F / (b·(k−1)) —
+  // derived here from t91's OWN rounded χ²_F so the two reports can
+  // never drift apart.
+  //
+  // Scale shape: t91's — one corpus shuffle to |sources × langs| cells;
+  // everything after is bounded. The per-language Friedman rows carry
+  // identical (b, k, χ²) by construction (only complete blocks rank),
+  // so the global W row is a DISTINCT over the bounded frame.
+  //
+  // Exactness: χ²_F is t91's value verbatim; W is one division of it,
+  // rounded once — both engines divide the SAME rounded χ².
+  // -------------------------------------------------------------------
+  def t97KendallW(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sc = qualityScoresFrom(d).select(col("doc_id"), col("score_n9"))
+    val cells = d.select(col("doc_id"), col("lang"), col("source"))
+      .join(sc, "doc_id")
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("score_n9")).as("s9"), count(lit(1)).as("cnt"))
+    friedmanFrom(cells)
+      .select(col("b").as("n_blocks"), col("k"), col("chi2").as("chi2_f"))
+      .distinct()
+      .select(col("n_blocks"), col("k"), col("chi2_f"),
+        round(col("chi2_f")
+          / (col("n_blocks") * (col("k") - lit(1L))).cast(DoubleType), 6)
+          .as("kendall_w"))
+      .orderBy(col("n_blocks"))
+  }
+
+  val t97KendallWSql: String = {
+    val featCols = QcFeatures.map(f => s"    ${qcFeatureSqls(f)} AS $f").mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |$featCols
+       |  FROM documents),
+       |sc AS (
+       |  SELECT doc_id, ${sigmoidN9Sql(qcMarginSql(QcWeights, QcBias))} AS score_n9
+       |  FROM f),
+       |cells AS (
+       |  SELECT d.source, d.lang, CAST(SUM(sc.score_n9) AS BIGINT) AS s9,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM documents d JOIN sc USING (doc_id) GROUP BY 1, 2),
+       |kk AS (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) AS k FROM cells),
+       |fl AS (
+       |  SELECT source, lang, CAST(s9 AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean_d
+       |  FROM cells),
+       |bs AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cells FROM fl GROUP BY 1),
+       |comp AS (
+       |  SELECT fl.*, kk.k FROM fl JOIN bs USING (source) CROSS JOIN kk
+       |  WHERE bs.cells = kk.k),
+       |ranked AS (
+       |  SELECT lang, k,
+       |    2 * CAST(RANK() OVER (PARTITION BY source ORDER BY mean_d) AS BIGINT)
+       |      + CAST(COUNT(*) OVER (PARTITION BY source, mean_d) AS BIGINT) - 1 AS rd
+       |  FROM comp),
+       |rj AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS b,
+       |    CAST(SUM(rd) AS BIGINT) AS r2sum, CAST(MAX(k) AS BIGINT) AS k
+       |  FROM ranked GROUP BY 1),
+       |x AS (
+       |  SELECT b, k,
+       |    ROUND(3.0 * (SELECT SUM(CAST(r2sum AS HUGEINT) * r2sum) FROM rj)
+       |        / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+       |      - 3.0 * CAST(b AS DOUBLE) * CAST(k + 1 AS DOUBLE), 6) AS chi2_f
+       |  FROM rj)
+       |SELECT DISTINCT b AS n_blocks, k, chi2_f,
+       |  ROUND(chi2_f / CAST(b * (k - 1) AS DOUBLE), 6) AS kendall_w
+       |FROM x
+       |ORDER BY n_blocks""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("t50_langid", t50LangId _, t50LangIdSql),
     QueryDef.sql("t82_gopher_rules", t82GopherRules _, t82GopherRulesSql),
@@ -3551,6 +3628,7 @@ object TextOps {
     QueryDef.sql("t94_cochran_q", t94CochranQ _, t94CochranQSql),
     QueryDef.sql("t95_readability", t95Readability _, t95ReadabilitySql),
     QueryDef.sql("t96_textrank", t96TextRank _, t96TextRankSql),
+    QueryDef.sql("t97_kendall_w", t97KendallW _, t97KendallWSql),
     QueryDef.sql("t51_quality", t51Quality _, t51QualitySql),
     QueryDef.sql("t52_token_count", t52TokenCount _, t52TokenCountSql),
     QueryDef.sql("t53_fingerprint", t53Fingerprint _, t53FingerprintSql),

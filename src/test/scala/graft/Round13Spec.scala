@@ -395,6 +395,49 @@ class Round13Spec extends AnyFunSuite {
     assert(got.map(_._2).sum <= S)
   }
 
+  // -------------------------------------------- q150 Bhattacharyya/Hellinger
+  test("q150: identical distributions give BC 1 / H 0, disjoint give BC 0 / H 1; naive recompute matches") {
+    def h(rows: Seq[(String, Long, Long)]) =
+      graft.operators.Audits.hellingerFrom(adFrame(rows)).head()
+    val same = (1L to 50L).flatMap(v => Seq(("g", v * 3, 1L), ("g", v * 3, 0L)))
+    val rs = h(same)
+    assert(rs.getDouble(3) == 1.0 && rs.getDouble(4) == 0.0, s"identical: $rs")
+    val disj = (1L to 30L).map(v => ("g", v, 1L)) ++ (1L to 30L).map(v => ("g", v + 500L, 0L))
+    val rd = h(disj)
+    assert(rd.getDouble(3) == 0.0 && rd.getDouble(4) == 1.0, s"disjoint: $rd")
+    // overlapping mixture: snapped naive recompute
+    val mix = (1L to 40L).map(i => ("g", i % 7, 1L)) ++ (1L to 60L).map(i => ("g", i % 11, 0L))
+    val rm = h(mix)
+    val grid = mix.groupBy(_._2).toSeq.map { case (_, obs) =>
+      (obs.count(_._3 == 1L).toLong, obs.count(_._3 == 0L).toLong)
+    }
+    val (na, nb) = (grid.map(_._1).sum.toDouble, grid.map(_._2).sum.toDouble)
+    val bc9 = grid.map { case (ca, cb) =>
+      math.floor(math.sqrt(ca * cb / (na * nb)) * 1e9 + 0.5).toLong
+    }.sum
+    assert(rm.getDouble(3) == math.rint(bc9 / 1e9 * 1e6) / 1e6, s"naive BC vs $rm")
+    assert(rm.getDouble(4) ==
+      math.rint(math.sqrt(math.max(0.0, 1.0 - bc9 / 1e9)) * 1e6) / 1e6)
+  }
+
+  // ------------------------------------------------- t97 Kendall's W
+  test("t97: perfect concordance gives W = 1; W is chi2/(b(k-1)) of the t91 frame") {
+    val s = spark; import s.implicits._
+    // 4 sources rank 3 langs identically and strictly: W must be exactly 1
+    val cells = for (src <- 1 to 4; l <- 1 to 3)
+      yield (s"s$src", s"l$l", l * 1000000000L, 1L)
+    val fr = TextOps.friedmanFrom(cells.toDF("source", "lang", "s9", "cnt"))
+      .select("b", "k", "chi2").distinct().head()
+    val w = math.rint(fr.getDouble(2) / (fr.getLong(0) * (fr.getLong(1) - 1)) * 1e6) / 1e6
+    assert(w == 1.0, s"perfect concordance must give W 1, got $w")
+    // the shipped t97 equals the same division of t91's own chi2 at sf0.001
+    val dir = "/root/testdata/sf0.001"
+    val got = TextOps.t97KendallW(spark, dir).head()
+    val t91 = TextOps.t91Friedman(spark, dir).select("b", "k", "chi2").distinct().head()
+    val want = math.rint(t91.getDouble(2) / (t91.getLong(0) * (t91.getLong(1) - 1)) * 1e6) / 1e6
+    assert(got.getDouble(3) == want && got.getLong(0) == t91.getLong(0))
+  }
+
   // ------------------------------------------------- t88 degenerate guard
   test("t88 guard: n_pos = 0 yields NULL ap, zero prevalence") {
     val s = spark; import s.implicits._
