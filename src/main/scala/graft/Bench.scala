@@ -98,6 +98,7 @@ object Bench {
         .setScale(3, BigDecimal.RoundingMode.HALF_UP)
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline_subset_total":$baseTotal,"queries":${qmap(base, 3)},"queries_full":"bench.json","failed":$failed,"sf":"$sfDir"}""")
+    ModelCache.releaseAll(spark)
     spark.stop()
   }
 }

@@ -76,6 +76,7 @@ object ProfileMain {
       ModelCache.releaseTransient(spark)
       }
     }
+    ModelCache.releaseAll(spark)
     spark.stop()
   }
 }

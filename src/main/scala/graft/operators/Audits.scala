@@ -2486,12 +2486,18 @@ object Audits {
         / col("nn").cast(DoubleType))
       .withColumn("eb", col("n_cust").cast(DoubleType) * col("bb").cast(DoubleType)
         / col("nn").cast(DoubleType))
-      .withColumn("t9", floor(
+      // degenerate-corpus guard (ADVICE r13): aa=0 (no value above the
+      // pooled median — an all-equal corpus) makes ea=0 and the χ² term
+      // 0/0; bb=0 is its mirror. Spark would silently emit 0 (NaN→long)
+      // while DuckDB raises on CAST(floor(NaN)) — guarded NULL in BOTH
+      // engines instead, the t86/t88 convention. The guard is on the
+      // GLOBAL margins, so t9 is all-or-nothing across groups.
+      .withColumn("t9", when(col("aa") > 0 && col("bb") > 0, floor(
         ((col("n_above").cast(DoubleType) - col("ea"))
           * (col("n_above").cast(DoubleType) - col("ea")) / col("ea")
           + ((col("n_cust") - col("n_above")).cast(DoubleType) - col("eb"))
           * ((col("n_cust") - col("n_above")).cast(DoubleType) - col("eb")) / col("eb"))
-          * lit(1e9) + lit(0.5)).cast(LongType))
+          * lit(1e9) + lit(0.5)).cast(LongType)))
     val chi = terms.agg(sum(col("t9").cast(d38)).as("chi9"))
     terms.crossJoin(broadcast(chi))
       .select(col("grp"), col("n_cust"), col("n_above"),
@@ -2529,17 +2535,17 @@ object Audits {
       |    CAST(MAX(nn) AS BIGINT) AS nn
       |  FROM tab),
       |terms AS (
-      |  SELECT grp, n_cust, n_above,
+      |  SELECT grp, n_cust, n_above, aa, bb,
       |    CAST(n_cust AS DOUBLE) * CAST(aa AS DOUBLE) / CAST(marg.nn AS DOUBLE) AS ea,
       |    CAST(n_cust AS DOUBLE) * CAST(bb AS DOUBLE) / CAST(marg.nn AS DOUBLE) AS eb
       |  FROM tab CROSS JOIN marg),
       |t9 AS (
       |  SELECT grp, n_cust, n_above, ea,
-      |    CAST(floor(
+      |    CASE WHEN aa > 0 AND bb > 0 THEN CAST(floor(
       |      ((CAST(n_above AS DOUBLE) - ea) * (CAST(n_above AS DOUBLE) - ea) / ea
       |       + (CAST(n_cust - n_above AS DOUBLE) - eb)
       |       * (CAST(n_cust - n_above AS DOUBLE) - eb) / eb)
-      |      * 1e9 + 0.5) AS BIGINT) AS t9
+      |      * 1e9 + 0.5) AS BIGINT) END AS t9
       |  FROM terms),
       |chi AS (SELECT CAST(SUM(t9) AS BIGINT) AS chi9 FROM t9)
       |SELECT grp, n_cust, n_above,

@@ -583,7 +583,21 @@ object Dedup {
       // band the newcomers once; the index is never re-signed
       val newBands = bandedSignaturesFrom(b).localCheckpoint(true)
       val all = if (index == null) newBands else index.unionByName(newBands)
-      val capped = BucketGuard.capHotBuckets(all, Seq("band", "bucket"), maxBucket)
+      // ADVICE r13: the incremental ≡ from-scratch contract (oracle =
+      // d45's SQL verbatim, uncapped) silently depended on the hot-bucket
+      // cap never binding — a bucket crossing the cap only in a LATER
+      // batch would keep its earlier-batch pairs while the from-scratch
+      // run drops the whole bucket. A binding cap therefore surfaces as
+      // a LOUD failure here (raise the cap or re-run d42/d45 from
+      // scratch), never as a silent cross-engine hash mismatch. The
+      // check is one hash-aggregate over the (checkpointed, corpus-
+      // orders-smaller) band index per advance — d42's brake cost, with
+      // fail-stop instead of drop semantics.
+      val hot = BucketGuard.hotBuckets(all, Seq("band", "bucket"), maxBucket).take(1)
+      require(hot.isEmpty,
+        s"incremental near-dup advance: band-bucket cap $maxBucket binds (${hot.mkString}); " +
+          "a binding cap breaks incremental ≡ recompute — raise the cap or recompute from scratch")
+      val capped = all
       // pair delta = every pair whose LATER member is in this batch
       val delta = pairsFromBandJoin(capped,
         capped.join(b.select(col("doc_id")), Seq("doc_id"), "left_semi"), threshold)

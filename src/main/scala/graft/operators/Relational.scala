@@ -69,6 +69,13 @@ object Relational {
     sys.props.get("graft.sums").orElse(sys.env.get("GRAFT_SUMS"))
       .contains("decimal")
 
+  /** The active sum-mode name — folded into [[graft.ModelCache]]'s memo
+    * key so a frame memoized under one gate-battery mode can never be
+    * served to a consumer running under the other (VERDICT r13 item 4:
+    * memoized frames must be config-keyed, not assumed config-invariant).
+    */
+  private[graft] def sumMode: String = if (sumsDecimal) "decimal" else "long"
+
   private[operators] def dsum(c: Column, scale: Int = 2): Column =
     if (sumsDecimal) sum(c.cast(DecimalType(30, scale))).cast(DoubleType)
     else {

@@ -2107,9 +2107,14 @@ object Temporal {
         sum(col("dx").cast(d38) * col("dy")).as("num"))
     num.crossJoin(broadcast(mo))
       .select(col("lag"), col("n_pairs"),
-        round(floor(col("num").cast(DoubleType)
-            / (sqrt(col("dx2").cast(DoubleType)) * sqrt(col("dy2").cast(DoubleType)))
-            * lit(1e9) + lit(0.5)) / lit(1e9), 6).as("ccf"))
+        // constant-series guard (ADVICE r13): dx2=0 or dy2=0 makes the
+        // denominator 0 — Spark would emit NaN rows while DuckDB raises
+        // on CAST(floor(NaN)); guarded NULL in both engines, the same
+        // convention as the q144/q145/q146 siblings
+        when(col("dx2") > 0 && col("dy2") > 0,
+          round(floor(col("num").cast(DoubleType)
+              / (sqrt(col("dx2").cast(DoubleType)) * sqrt(col("dy2").cast(DoubleType)))
+              * lit(1e9) + lit(0.5)) / lit(1e9), 6)).as("ccf"))
       .orderBy(col("lag"))
   }
 
@@ -2138,9 +2143,10 @@ object Temporal {
        |  FROM d a CROSS JOIN lags l JOIN d b ON b.i = a.i + l.lag
        |  GROUP BY 1)
        |SELECT lag, n_pairs,
-       |  ROUND(CAST(floor(CAST(num AS DOUBLE)
-       |    / (sqrt(CAST(dx2 AS DOUBLE)) * sqrt(CAST(dy2 AS DOUBLE)))
-       |    * 1e9 + 0.5) AS BIGINT) / 1e9, 6) AS ccf
+       |  CASE WHEN dx2 > 0 AND dy2 > 0 THEN
+       |    ROUND(CAST(floor(CAST(num AS DOUBLE)
+       |      / (sqrt(CAST(dx2 AS DOUBLE)) * sqrt(CAST(dy2 AS DOUBLE)))
+       |      * 1e9 + 0.5) AS BIGINT) / 1e9, 6) END AS ccf
        |FROM num CROSS JOIN mo
        |ORDER BY lag""".stripMargin
 
