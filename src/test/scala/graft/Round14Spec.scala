@@ -1,0 +1,143 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Audits, Temporal}
+
+/** Round-14 additions: the ADVICE r13 degenerate-class guards (q148
+  * Mood's median, q142 CCF), the ModelCache keying rework (config
+  * fingerprint + application scoping + releaseAll), and the t77/t78
+  * order-independence pin over the frozen KN model memo.
+  */
+class Round14Spec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+
+  // ----------------------------------------------- q148 degenerate guard
+  test("q148 Mood's median: all-equal corpus reads NULL chi2, not NaN-as-0") {
+    val s = spark; import s.implicits._
+    // every value equal → nothing strictly above the pooled median →
+    // aa = 0 → ea = 0: the unguarded form divides 0/0
+    val allEq = Seq(("A", 100L), ("A", 100L), ("B", 100L), ("B", 100L))
+      .toDF("grp", "cents")
+    val rows = Audits.moodMedianFrom(allEq).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("chi2_mood")),
+        s"degenerate corpus must read chi2_mood NULL, got $r")
+      assert(r.getAs[Long]("n_above") == 0L)
+    }
+    // non-degenerate frame still computes through the same path
+    val mixed = Seq(("A", 1L), ("A", 2L), ("A", 3L),
+        ("B", 10L), ("B", 11L), ("B", 12L)).toDF("grp", "cents")
+    val rows2 = Audits.moodMedianFrom(mixed).collect()
+    assert(rows2.length == 2 &&
+      rows2.forall(r => !r.isNullAt(r.fieldIndex("chi2_mood"))))
+    // perfectly separated: every B above, no A above → chi² = n
+    assert(rows2.forall(r => r.getAs[Double]("chi2_mood") == 6.0))
+  }
+
+  // ----------------------------------------------- q142 degenerate guard
+  test("q142 CCF: a constant series reads NULL ccf at every lag, not NaN") {
+    val s = spark; import s.implicits._
+    val daily = (1 to 10).map(i =>
+        (java.sql.Date.valueOf(f"2024-01-$i%02d"), 500L, (i * 37 % 11).toLong))
+      .toDF("day", "x_c", "y_c")
+    val rows = Temporal.ccfFrom(daily).collect()
+    assert(rows.length == 15) // lags −7..7 all have aligned pairs
+    assert(rows.forall(_.getAs[Long]("n_pairs") > 0))
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("ccf"))),
+      "constant-x series must read ccf NULL at every lag")
+    // varying series through the same path: lag 0 is plain Pearson of
+    // a series with itself here (y = x) → 1.0
+    val live = (1 to 10).map(i =>
+        (java.sql.Date.valueOf(f"2024-02-$i%02d"), i * 10L, i * 10L))
+      .toDF("day", "x_c", "y_c")
+    val l0 = Temporal.ccfFrom(live).collect()
+      .find(_.getAs[Long]("lag") == 0L).get
+    assert(l0.getAs[Double]("ccf") == 1.0)
+  }
+
+  // --------------------------------------------------- ModelCache keying
+  test("ModelCache: memo is keyed by the sum-mode fingerprint") {
+    val s = spark; import s.implicits._
+    val built = new AtomicInteger(0)
+    def build = { built.incrementAndGet(); Seq(1, 2, 3).toDF("x") }
+    ModelCache.memo(spark, "r14_mode_key", "d")(build)
+    assert(built.get() == 1)
+    sys.props("graft.sums") = "decimal"
+    try {
+      // other mode → other key → fresh build, never a stale frame
+      ModelCache.memo(spark, "r14_mode_key", "d")(build)
+      assert(built.get() == 2, "mode switch must rebuild, not serve stale")
+      ModelCache.memo(spark, "r14_mode_key", "d")(build)
+      assert(built.get() == 2, "same mode again is a cache hit")
+    } finally { sys.props.remove("graft.sums"); () }
+    ModelCache.memo(spark, "r14_mode_key", "d")(build)
+    assert(built.get() == 2, "original mode's frame survives the switch")
+  }
+
+  test("ModelCache: releaseAll clears memo entries and rebuilds on next use") {
+    val s = spark; import s.implicits._
+    val built = new AtomicInteger(0)
+    def build = { built.incrementAndGet(); Seq(1, 2).toDF("x") }
+    ModelCache.memo(spark, "r14_release", "d")(build)
+    ModelCache.memo(spark, "r14_release", "d")(build)
+    assert(built.get() == 1)
+    ModelCache.releaseAll(spark)
+    val again = ModelCache.memo(spark, "r14_release", "d")(build)
+    assert(built.get() == 2, "releaseAll must forget the memo entry")
+    assert(again.collect().length == 2, "rebuilt frame must be readable")
+  }
+
+  // ------------------------------------ KN model: mode invariance + order
+  test("t77 is sum-mode invariant (the memoized KN frame carries no mode)") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("t77_kn_lm_score")
+    val fast = q(spark, dir).collect().map(_.toSeq).toSeq
+    sys.props("graft.sums") = "decimal"
+    val audit = try q(spark, dir).collect().map(_.toSeq).toSeq
+    finally { sys.props.remove("graft.sums"); () }
+    assert(fast.nonEmpty && fast == audit,
+      "KN gate output must be identical under long and decimal sum modes")
+  }
+
+  // --------------------------------------------- d64 incremental SemDeDup
+  test("d64: 2- and 3-batch incremental folds equal the from-scratch d48 SemDeDup") {
+    import org.apache.spark.sql.functions.{col, max}
+    val dir = "/root/testdata/sf0.001"
+    val want = graft.operators.Similarity.d48SemDedup(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(want.exists(r => r(3) == 0), "fixture must contain semantic dups")
+    val raw = Tables.embeddings(spark, dir)
+    val cents = graft.operators.Similarity.sampleCentroids(raw)
+    val mx = raw.agg(max(col("vec_id"))).head().getLong(0)
+    for (k <- Seq(2, 3)) {
+      val cuts = (1 to k).map(i => mx * i / k)
+      val batches = (-1L +: cuts.dropRight(1).map(_.toLong)).zip(cuts).map {
+        case (lo, hi) => raw.filter(col("vec_id") > lo && col("vec_id") <= hi)
+      }
+      val got = graft.operators.Similarity.incrementalSemDedup(batches, cents)
+        .orderBy(col("vec_id")).collect().map(_.toSeq).toSeq
+      assert(got == want, s"$k-batch incremental fold diverged from d48")
+    }
+  }
+
+  test("t77/t78 results are independent of run order through the shared memo") {
+    val dir = "/root/testdata/sf0.001"
+    def run(name: String): Seq[Seq[Any]] =
+      SparkEntry.queries(name)(spark, dir).collect().map(_.toSeq).toSeq
+    ModelCache.releaseAll(spark)
+    val a77 = run("t77_kn_lm_score")
+    val a78 = run("t78_perplexity_buckets")
+    ModelCache.releaseAll(spark)
+    val b78 = run("t78_perplexity_buckets")
+    val b77 = run("t77_kn_lm_score")
+    assert(a77.nonEmpty && a78.nonEmpty)
+    assert(a77 == b77, "t77 must not depend on whether t78 built the model")
+    assert(a78 == b78, "t78 must not depend on whether t77 built the model")
+  }
+}
