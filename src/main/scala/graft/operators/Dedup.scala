@@ -178,9 +178,9 @@ object Dedup {
   // estimate = matching signature fraction. All md5-derived →
   // bit-identical across engines → fully oracle-checked.
   // ---------------------------------------------------------------------
-  private val NumHashes = 32
-  private val NumBands = 8
-  private val RowsPerBand = NumHashes / NumBands
+  private[graft] val NumHashes = 32
+  private[graft] val NumBands = 8
+  private[graft] val RowsPerBand = NumHashes / NumBands
   private val NumDigests = NumHashes / 2
   private def windowOff(i: Int): Int = if (i % 2 == 0) 1 else 17
 
@@ -207,7 +207,7 @@ object Dedup {
     * uniform otherwise) — observed max membership on the test corpora is
     * single digits, so 500 is a pure runaway brake (see [[BucketGuard]]).
     */
-  private[operators] val DocBucketCap = 500
+  private[graft] val DocBucketCap = 500
 
   /** Near-dup candidate pairs (doc_a < doc_b) with their signature-match
     * estimate, over any (doc_id, text) frame — the reusable core of d42
@@ -218,7 +218,7 @@ object Dedup {
     * carrying the ~300 B signature through the (small) band shuffle is
     * far cheaper than signature-rejoin stages after the bucket join.
     */
-  private[operators] def bandedSignaturesFrom(docs: DataFrame): DataFrame =
+  private[graft] def bandedSignaturesFrom(docs: DataFrame): DataFrame =
     minhashSignaturesFrom(docs)
       .select(col("doc_id"), col("sig"), posexplode(transform(
         sequence(lit(0), lit(NumBands - 1)),
@@ -226,6 +226,43 @@ object Dedup {
           slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
           x => x.cast(StringType)))))))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+
+  /** Narrow (aggregation-free) sibling of [[minhashSignaturesFrom]] +
+    * [[bandedSignaturesFrom]] for STREAMING inputs — a streaming plan
+    * cannot put a running groupBy(doc_id) aggregate in front of a keyed
+    * state operator, so the per-doc signature is computed with array
+    * expressions over the doc's own shingle set instead: `array_min`
+    * replaces the min aggregate (duplicate-insensitive → identical
+    * values), the digest array is materialized once per shingle exactly
+    * as the batch projection does, and the band digests are the same
+    * expression. Output schema and VALUES equal [[bandedSignaturesFrom]]
+    * row-for-row (StreamNearDupSpec pins it on a batch frame).
+    */
+  private[graft] def streamBandedSignaturesFrom(docs: DataFrame): DataFrame = {
+    val sigSlots = (0 until NumHashes).map { i =>
+      array_min(transform(col("ds"),
+        d => conv(substring(element_at(d, i / 2 + 1), windowOff(i), 15), 16, 10)
+          .cast(LongType))).as(s"m$i")
+    }
+    docs
+      .withColumn("toks", tokens)
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", array_distinct(transform(
+        sequence(lit(1), size(col("toks")) - 2),
+        i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
+          element_at(col("toks"), i + 2)))))
+      .withColumn("ds", transform(col("shingles"),
+        s => array((0 until NumDigests).map(j => md5(concat(lit(s"$j:"), s))): _*)))
+      .select(col("doc_id") +: sigSlots: _*)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("doc_id"), col("sig"), posexplode(transform(
+        sequence(lit(0), lit(NumBands - 1)),
+        b => md5(concat_ws(",", transform(
+          slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
+          x => x.cast(StringType)))))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+  }
 
   /** Candidate pairs from a band-bucket join of two banded frames
     * (x.doc_id < y.doc_id), estimate-filtered at `threshold`. With

@@ -1,0 +1,147 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig}
+
+import graft.operators.Dedup
+
+/** One banded arrival routed to its (band, bucket) state key; `sig` is
+  * the doc's FULL 32-slot minhash signature (carrying it beats rejoin
+  * stages, exactly as the batch band join does).
+  */
+final case class BandArrival(band: Int, bucket: String, doc_id: Long, sig: Array[Long])
+
+/** A doc held in a bucket's index. */
+final case class IndexedSig(doc_id: Long, sig: Array[Long])
+
+/** d42's output row, streamed. */
+final case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
+
+/** Streaming MinHash-LSH near-dup — the fuzzy sibling of [[StreamDedup]]
+  * and the streaming form of the batch d42/d63 band index
+  * ([[graft.operators.Dedup.minhashNearDupPairsFrom]] /
+  * `incrementalNeardupClusters`): each arriving document is shingled,
+  * minhashed, and banded ONCE (the narrow
+  * [[graft.operators.Dedup.streamBandedSignaturesFrom]] projection — no
+  * aggregate in front of the state operator), its 8 band rows route to
+  * per-(band, bucket) keyed state holding the bucket's earlier
+  * signatures, and candidate near-dup pairs are emitted the moment the
+  * LATER document arrives — the d63 advance discipline, at micro-batch
+  * granularity.
+  *
+  * Exactly-once pair emission WITHOUT a downstream dedup: two docs can
+  * collide in several bands, and a streaming plan cannot re-group the
+  * whole pair stream the way batch d42's groupBy(doc_a, doc_b) does.
+  * Instead each bucket's processor emits a pair only if ITS band is the
+  * pair's FIRST colliding band — a pure function of the two full
+  * signatures both sides already hold (band-slice equality ⇔ band-digest
+  * equality, the batch join's own md5-injectivity assumption), so every
+  * colliding pair is emitted exactly once globally, with zero extra
+  * state. The estimate filter (matching-slot fraction ≥ threshold) runs
+  * in the processor too, with the exact batch rounding.
+  *
+  * Contracts (StreamNearDupSpec pins all three):
+  *  - stream ≡ batch: over a full replay with no TTL, the emitted pair
+  *    set equals d42's (doc_a, doc_b, est_jaccard) set exactly;
+  *  - re-delivery idempotence: a doc_id already indexed in a bucket is
+  *    never re-compared or re-indexed;
+  *  - bounded state: `ttl` evicts idle buckets (processing-time TTL, the
+  *    [[graft.fidelity.StatefulStats]] hygiene) — the horizon/catch-up
+  *    split of [[StreamDedup]]: the stream catches near-in-time
+  *    near-dups, the periodic batch d42/d45 sweep owns the long tail.
+  *
+  * Scale shape: state per key is the bucket's (doc_id, 32-long sig)
+  * list — the corpus-orders-smaller band index of d63, sharded by
+  * (band, bucket) across the cluster; per-arrival work is
+  * O(bucket-mates). `maxBucket` is the [[graft.operators.BucketGuard]]
+  * runaway brake: a bucket at the cap stops indexing (degenerate
+  * boilerplate bucket — its members still meet in their other bands,
+  * and exact-identical docs belong to [[StreamDedup]] upstream).
+  */
+class NearDupIndexProcessor(threshold: Double, maxBucket: Int,
+                            ttl: Option[java.time.Duration] = None)
+    extends StatefulProcessor[(Int, String), BandArrival, NearDupPair] {
+
+  @transient private var members: ListState[IndexedSig] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    members = getHandle.getListState[IndexedSig]("members",
+      Encoders.product[IndexedSig],
+      ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+  /** First band whose 4-slot slice matches — the pair's unique emitting
+    * band. Always ≤ the caller's band for pairs delivered to it (slice
+    * equality at the caller's band is what routed both docs here).
+    */
+  private def firstCollidingBand(a: Array[Long], b: Array[Long]): Int = {
+    var band = 0
+    while (band < Dedup.NumBands) {
+      var i = band * Dedup.RowsPerBand
+      var eq = true
+      while (eq && i < (band + 1) * Dedup.RowsPerBand) {
+        eq = a(i) == b(i); i += 1
+      }
+      if (eq) return band
+      band += 1
+    }
+    -1 // unreachable for rows a band-bucket key delivered
+  }
+
+  /** Matching-slot fraction, rounded exactly as the batch expression
+    * (`round(matches / 32.0, 6)` — Spark's HALF_UP double rounding).
+    */
+  private def estJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var m = 0; var i = 0
+    while (i < Dedup.NumHashes) { if (a(i) == b(i)) m += 1; i += 1 }
+    BigDecimal(m.toDouble / Dedup.NumHashes)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  override def handleInputRows(key: (Int, String), rows: Iterator[BandArrival],
+                               timerValues: TimerValues): Iterator[NearDupPair] = {
+    val band = key._1
+    var held = members.get().toIndexedSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+    rows.toSeq.sortBy(_.doc_id).foreach { r =>
+      if (held.length < maxBucket && !held.exists(_.doc_id == r.doc_id)) {
+        held.foreach { m =>
+          if (firstCollidingBand(m.sig, r.sig) == band) {
+            val est = estJaccard(m.sig, r.sig)
+            if (est >= threshold)
+              out += NearDupPair(math.min(m.doc_id, r.doc_id),
+                math.max(m.doc_id, r.doc_id), est)
+          }
+        }
+        val n = IndexedSig(r.doc_id, r.sig)
+        held = held :+ n
+        members.appendValue(n)
+      }
+    }
+    out.iterator
+  }
+}
+
+object StreamNearDup {
+
+  /** Streaming (doc_id, text) frame → near-dup candidate pairs, emitted
+    * once each when the pair's later member arrives. No TTL (default)
+    * replays to exactly d42's pair set; with `ttl`, idle buckets evict
+    * and the long tail belongs to the periodic batch sweep.
+    */
+  def apply(docs: DataFrame, threshold: Double = 0.35,
+            maxBucket: Int = Dedup.DocBucketCap,
+            ttl: Option[java.time.Duration] = None): Dataset[NearDupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mode = if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None()
+    Dedup.streamBandedSignaturesFrom(docs)
+      .select(col("band").cast("int").as("band"), col("bucket"),
+        col("doc_id"), col("sig"))
+      .as[BandArrival]
+      .groupByKey(r => (r.band, r.bucket))
+      .transformWithState(new NearDupIndexProcessor(threshold, maxBucket, ttl),
+        mode, OutputMode.Update())
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+import graft.streaming.StreamNearDup
+
+/** Pins the streaming MinHash-LSH near-dup contract (StreamNearDup):
+  *
+  *  1. the narrow streaming signature/band projection equals the batch
+  *     aggregate path row-for-row (so stream and batch agree on what a
+  *     candidate IS);
+  *  2. stream ≡ batch: an id-monotone multi-batch replay emits EXACTLY
+  *     d42's (doc_a, doc_b, est_jaccard) pair set, each pair once (the
+  *     first-colliding-band ownership rule replaces batch d42's
+  *     groupBy(doc_a, doc_b) dedup);
+  *  3. re-delivered documents are idempotent (no re-compare, no
+  *     re-index) — the crawler-retry case.
+  */
+class StreamNearDupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.builder("local[4]", 4).getOrCreate()
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  private def bandKey(r: org.apache.spark.sql.Row): String =
+    s"${r.getLong(0)}|${r.getInt(2)}|${r.getString(3)}|${r.getSeq[Long](1).mkString(",")}"
+
+  test("narrow streaming signature/band projection equals the batch aggregate path") {
+    val docs = Tables.documents(spark, dir)
+    val batch = Dedup.bandedSignaturesFrom(docs).collect().map(bandKey).toSet
+    val stream = Dedup.streamBandedSignaturesFrom(docs).collect().map(bandKey).toSet
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
+  }
+
+  test("3-batch id-monotone replay emits exactly d42's pair set, once each") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val want = Dedup.d42MinhashLsh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(want.nonEmpty, "fixture must contain near-dup pairs")
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val cut1 = docs.length / 3
+    val cut2 = 2 * docs.length / 3
+    withRocksDb {
+      val input = MemoryStream[(Long, String)]
+      val pairs = StreamNearDup(input.toDF().toDF("doc_id", "text"))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_snd").toString
+      val q = pairs.writeStream.format("memory").queryName("snd_replay")
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      try {
+        Seq(docs.slice(0, cut1), docs.slice(cut1, cut2), docs.drop(cut2))
+          .foreach { b => input.addData(b: _*); q.processAllAvailable() }
+        val got = spark.table("snd_replay").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got == want,
+          s"stream-only: ${(got -- want).take(3)}; batch-only: ${(want -- got).take(3)}")
+        // exactly-once: the sink row count equals the pair-set size
+        assert(spark.table("snd_replay").count() == want.size.toLong)
+        // idempotent re-delivery: replaying batch 1 adds nothing
+        input.addData(docs.slice(0, cut1): _*)
+        q.processAllAvailable()
+        assert(spark.table("snd_replay").count() == want.size.toLong,
+          "re-delivered docs must not re-emit pairs")
+      } finally q.stop()
+    }
+  }
+}
