@@ -1219,6 +1219,118 @@ object Similarity {
   }
 
   // -------------------------------------------------------------------
+  // d65: corpus kNN-graph topic clustering — the domain-DISCOVERY
+  // operator in front of the mixture machinery (c87's divergence audit
+  // and c82's DoReMi reweighting both take domain labels as GIVEN; this
+  // derives them from embedding space): build the mutual-kNN graph over
+  // IVF-probed candidates and read topics off its connected components
+  // (mutual-kNN components are the standard density-robust clustering —
+  // a one-directional kNN edge chains through hubs, the mutuality
+  // requirement cuts them).
+  //
+  // Pipeline: q34's bounded ≈√n quantizer → every vector assigned to its
+  // TopicProbe nearest cells (multi-probe, so topics can BRIDGE adjacent
+  // cells — single-cell edges would make components mere cell
+  // subdivisions) → candidate pairs = vectors sharing a probed cell
+  // (equi-join, never all-pairs) → per-vector top-TopicK by cosine →
+  // keep edges present in BOTH directions → d45's pointer-jumping
+  // components → singletons label themselves.
+  //
+  // Scale shape: centroids are the only broadcast; candidates are
+  // cell-bounded (the d48 density-knob argument); the top-k windows
+  // partition per vector over its own candidates; the mutual filter is
+  // an equi-self-join of an n·k frame; components run on ≤ n·k/2 edges
+  // (pointer jumping, log-diameter rounds). Every stage is the same
+  // IEEE-deterministic arithmetic as q34, so the whole operator — graph
+  // construction AND community resolution — is oracle-checked.
+  // -------------------------------------------------------------------
+  private val TopicK = 3
+  private val TopicProbe = 2
+
+  def d65KnnTopicClusters(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    val cents = sampleCentroids(raw)
+    val assigned = nearest(e.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", cents, TopicProbe)
+    // one cosine per unordered candidate pair, however many cells it
+    // shares (first() is deterministic here: same pair → same embeddings)
+    val cand = assigned.as("a").join(assigned.as("b").hint("shuffle_hash"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+      .agg(first(col("a.embedding")).as("ea"), first(col("b.embedding")).as("eb"))
+      .withColumn("sim", Vectors.vecCosine(col("ea"), col("eb")))
+      .select(col("va"), col("vb"), col("sim"))
+    val dirEdges = cand.select(col("va").as("src"), col("vb").as("dst"), col("sim"))
+      .unionByName(cand.select(col("vb").as("src"), col("va").as("dst"), col("sim")))
+    val wK = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
+    val topk = dirEdges
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= TopicK)
+      .select(col("src"), col("dst"))
+    val mutual = topk.as("x").join(topk.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("va"), col("x.dst").as("vb"))
+    val comp = Dedup.connectedComponents(mutual, "va", "vb")
+      .withColumnRenamed("doc_id", "vec_id")
+    e.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("vec_id"))
+  }
+
+  val d65KnnTopicClustersSql: String =
+    s"""WITH RECURSIVE ${centsSqlCte("cents")},
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.cid ASC) AS crn
+       |    FROM embeddings e CROSS JOIN cents c) t
+       |  WHERE crn <= $TopicProbe),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |scored AS (
+       |  SELECT va, vb, ${cosSql("ea.embedding", "eb.embedding")} AS sim
+       |  FROM cand
+       |  JOIN embeddings ea ON ea.vec_id = va
+       |  JOIN embeddings eb ON eb.vec_id = vb),
+       |dirs AS (
+       |  SELECT va AS src, vb AS dst, sim FROM scored
+       |  UNION ALL SELECT vb, va, sim FROM scored),
+       |topk AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src
+       |        ORDER BY sim DESC, dst ASC) AS rn
+       |    FROM dirs) t
+       |  WHERE rn <= $TopicK),
+       |mutual AS (
+       |  SELECT x.src AS a, x.dst AS b
+       |  FROM topk x JOIN topk y ON x.src = y.dst AND x.dst = y.src
+       |  WHERE x.src < x.dst),
+       |edges AS (
+       |  SELECT a, b FROM mutual UNION SELECT b, a FROM mutual),
+       |reach(id, r) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+       |comp AS (
+       |  SELECT id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id)
+       |SELECT e.vec_id,
+       |  COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+       |  CAST(COUNT(*) OVER (
+       |    PARTITION BY COALESCE(c.cluster_id, e.vec_id)) AS BIGINT) AS n_members
+       |FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+       |ORDER BY e.vec_id""".stripMargin
+
+  // -------------------------------------------------------------------
   // d61: cluster-cap diversity selection — the density-equalization
   // step a curated training mix runs AFTER near-dup removal (the D4 /
   // SSL-prototypes recipe): assign every vector to its nearest bounded
@@ -1805,6 +1917,7 @@ object Similarity {
     QueryDef.sql("d48_semdedup", d48SemDedup _, d48SemDedupSql),
     // incremental ≡ recompute: d64's oracle is d48's SQL verbatim
     QueryDef.sql("d64_incremental_semdedup", d64IncrementalSemDedup _, d48SemDedupSql),
+    QueryDef.sql("d65_knn_topic_clusters", d65KnnTopicClusters _, d65KnnTopicClustersSql),
     QueryDef.sql("d61_cluster_cap", d61ClusterCap _, d61ClusterCapSql),
     QueryDef.sql("d62_mmr_rerank", d62MmrRerank _, d62MmrRerankSql),
     QueryDef.sql("q102_ndcg_eval", q102NdcgEval _, q102NdcgEvalSql),

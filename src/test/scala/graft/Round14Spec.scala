@@ -126,6 +126,23 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------- d65 kNN topic clustering
+  test("d65: every vector labeled, cluster id = min member, non-trivial topics exist") {
+    val rows = graft.operators.Similarity
+      .d65KnnTopicClusters(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nVec = Tables.embeddings(spark, "/root/testdata/sf0.001").count()
+    assert(rows.length.toLong == nVec, "every corpus vector must be labeled")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (cid, ms) =>
+      assert(cid == ms.map(_._1).min, s"cluster $cid must be its min member id")
+      assert(ms.forall(_._3 == ms.length.toLong), "n_members must equal group size")
+    }
+    assert(byCluster.exists(_._2.length > 1),
+      "mutual-kNN graph must yield at least one multi-member topic")
+    assert(byCluster.size > 1, "corpus must not collapse to one topic")
+  }
+
   test("t77/t78 results are independent of run order through the shared memo") {
     val dir = "/root/testdata/sf0.001"
     def run(name: String): Seq[Seq[Any]] =
