@@ -1247,7 +1247,12 @@ object Similarity {
   private val TopicK = 3
   private val TopicProbe = 2
 
-  def d65KnnTopicClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The mutual-kNN edge frame (va < vb) — d65's graph-construction
+    * stage, exposed pre-components so PlanShapeSpec can pin its shape
+    * (the components loop executes eagerly, hiding these subplans from
+    * the final frame's plan).
+    */
+  private[graft] def d65MutualEdges(spark: SparkSession, dir: String): DataFrame = {
     Vectors.register(spark)
     val raw = Tables.embeddings(spark, dir)
     val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
@@ -1269,11 +1274,17 @@ object Similarity {
       .withColumn("rn", row_number().over(wK))
       .filter(col("rn") <= TopicK)
       .select(col("src"), col("dst"))
-    val mutual = topk.as("x").join(topk.as("y"),
+    topk.as("x").join(topk.as("y"),
         col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
       .filter(col("x.src") < col("x.dst"))
       .select(col("x.src").as("va"), col("x.dst").as("vb"))
-    val comp = Dedup.connectedComponents(mutual, "va", "vb")
+  }
+
+  def d65KnnTopicClusters(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    val comp = Dedup.connectedComponents(
+        d65MutualEdges(spark, dir), "va", "vb")
       .withColumnRenamed("doc_id", "vec_id")
     e.select(col("vec_id"))
       .join(comp, Seq("vec_id"), "left")

@@ -428,4 +428,24 @@ class PlanShapeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("d65 candidates ride the probed-cell equi-join — never an all-pairs vector join") {
+    val plan = physical(graft.operators.Similarity.d65MutualEdges(spark, dir))
+    // the ONLY nested-loop join allowed is the broadcast centroid
+    // assignment (vectors x O(sqrt n) cells); vector-vector pairing must
+    // be the cid equi-join
+    assert(!plan.contains("CartesianProduct"),
+      s"topic candidates must come from the shared-cell equi-join:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the centroid set must broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      s"the candidate pairing must be a cid equi-join:\n$plan")
+  }
+
+  test("StreamNearDup's signature projection is narrow — zero exchanges before the state operator") {
+    val n = hashExchanges(
+      graft.operators.Dedup.streamBandedSignaturesFrom(Tables.documents(spark, dir)))
+    assert(n == 0,
+      s"the streaming band projection must be aggregation/shuffle-free, got $n exchanges")
+  }
 }

@@ -1,7 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicInteger
-
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -58,38 +56,6 @@ class Round14Spec extends AnyFunSuite {
     val l0 = Temporal.ccfFrom(live).collect()
       .find(_.getAs[Long]("lag") == 0L).get
     assert(l0.getAs[Double]("ccf") == 1.0)
-  }
-
-  // --------------------------------------------------- ModelCache keying
-  test("ModelCache: memo is keyed by the sum-mode fingerprint") {
-    val s = spark; import s.implicits._
-    val built = new AtomicInteger(0)
-    def build = { built.incrementAndGet(); Seq(1, 2, 3).toDF("x") }
-    ModelCache.memo(spark, "r14_mode_key", "d")(build)
-    assert(built.get() == 1)
-    sys.props("graft.sums") = "decimal"
-    try {
-      // other mode → other key → fresh build, never a stale frame
-      ModelCache.memo(spark, "r14_mode_key", "d")(build)
-      assert(built.get() == 2, "mode switch must rebuild, not serve stale")
-      ModelCache.memo(spark, "r14_mode_key", "d")(build)
-      assert(built.get() == 2, "same mode again is a cache hit")
-    } finally { sys.props.remove("graft.sums"); () }
-    ModelCache.memo(spark, "r14_mode_key", "d")(build)
-    assert(built.get() == 2, "original mode's frame survives the switch")
-  }
-
-  test("ModelCache: releaseAll clears memo entries and rebuilds on next use") {
-    val s = spark; import s.implicits._
-    val built = new AtomicInteger(0)
-    def build = { built.incrementAndGet(); Seq(1, 2).toDF("x") }
-    ModelCache.memo(spark, "r14_release", "d")(build)
-    ModelCache.memo(spark, "r14_release", "d")(build)
-    assert(built.get() == 1)
-    ModelCache.releaseAll(spark)
-    val again = ModelCache.memo(spark, "r14_release", "d")(build)
-    assert(built.get() == 2, "releaseAll must forget the memo entry")
-    assert(again.collect().length == 2, "rebuilt frame must be readable")
   }
 
   // ------------------------------------ KN model: mode invariance + order
