@@ -379,11 +379,12 @@ object Multimodal {
       .where(col("meta.format").isin("png", "jpeg"))
       .select(col("media_id"), decode(col("media"), "UTF-8").as("text")))
 
-  /** The banding pipeline over an (media_id, text) luma table — split out
-    * so specs can plant byte-identical twins and assert the pigeonhole
-    * guarantee directly.
+  /** The aHash signature stage over an (media_id, text) luma table:
+    * (media_id, band, bv) — 4 rows of a 16-bit band value per image.
+    * Split out so [[incrementalPhashClusters]] can band each batch once
+    * against a persisted index (the d63 advance discipline).
     */
-  private[graft] def phashCandidatesFrom(img: DataFrame): DataFrame = {
+  private[graft] def phashBandsFrom(img: DataFrame): DataFrame = {
     val ch = img
       .select(col("media_id"), length(col("text")).as("len"),
         posexplode(split(col("text"), "")))
@@ -397,8 +398,16 @@ object Multimodal {
     val bits = cells.join(tot, "media_id")
       .select(col("media_id"), col("cell"),
         when(col("cs") * col("tl") > col("ts") * col("cl"), 1L).otherwise(0L).as("bit"))
-    val bands = bits.groupBy(col("media_id"), expr("cell div 16").as("band"))
+    bits.groupBy(col("media_id"), expr("cell div 16").as("band"))
       .agg(sum(expr("shiftleft(bit, CAST(cell % 16 AS INT))")).as("bv"))
+  }
+
+  /** The banding pipeline over an (media_id, text) luma table — split out
+    * so specs can plant byte-identical twins and assert the pigeonhole
+    * guarantee directly.
+    */
+  private[graft] def phashCandidatesFrom(img: DataFrame): DataFrame = {
+    val bands = phashBandsFrom(img)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.media_id") < col("b.media_id"))
@@ -649,6 +658,74 @@ object Multimodal {
        |ORDER BY media_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // m70: incremental visual near-dup against a persisted phash band
+  // index — the multimodal sibling of d63 (text MinHash) and d64
+  // (embeddings), closing the LAST near-dup family without an
+  // incremental story. State between advances: the accumulated
+  // (media_id, band, bv) signature index — 4 longs per image, orders
+  // smaller than the payload lake — and the accumulated pair list. A
+  // new id-monotone media batch is aHash-banded ONCE, collided against
+  // the accumulated index on (band, bv), and its pairs' exact hamming
+  // comes from the same 4-band rejoin m64 uses; because ids are
+  // batch-monotone, every (a < b) pair surfaces exactly when b's batch
+  // arrives, so deltas union and the folded clustering equals the
+  // from-scratch m66 run — the oracle is m66's SQL VERBATIM over the
+  // union (incremental ≡ recompute hash-proven, the d63/d64/c71
+  // discipline). Payloads are decoded once, in their own batch; the
+  // lake is never re-read.
+  // -------------------------------------------------------------------
+
+  /** Fold id-monotone (media_id, text) luma batches through a persisted
+    * band index; ≡ [[m66PhashClusters]] of the batches' union.
+    */
+  private[graft] def incrementalPhashClusters(batches: Seq[DataFrame],
+      bar: Long = PhashClusterBar): DataFrame = {
+    var index: DataFrame = null // accumulated (media_id, band, bv)
+    var pairs: DataFrame = null // accumulated pair deltas (final per pair)
+    for (b <- batches) {
+      // band the newcomers once; constraint-shedding checkpoint (the
+      // state frame is unioned and triple-joined across advances)
+      val newBands = Checkpoints.fresh(phashBandsFrom(b), "media_id", "band", "bv")
+      val all = if (index == null) newBands else index.unionByName(newBands)
+      val cand = all.as("a").join(newBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+        .distinct()
+      val ba = all.select(col("media_id").as("ia"), col("band").as("band_a"),
+        col("bv").as("bv_a"))
+      val bb = all.select(col("media_id").as("ib"), col("band").as("band_b"),
+        col("bv").as("bv_b"))
+      val delta = cand
+        .join(ba, col("id_a") === col("ia"))
+        .join(bb, col("id_b") === col("ib") && col("band_b") === col("band_a"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(expr("bit_count(bv_a ^ bv_b)")).cast("long").as("hamming"))
+        .filter(col("hamming") <= bar)
+        .select(col("id_a"), col("id_b"))
+      pairs = if (pairs == null) Checkpoints.fresh(delta, "id_a", "id_b")
+        else Checkpoints.fresh(pairs.unionByName(delta), "id_a", "id_b")
+      index = all.localCheckpoint(true)
+    }
+    val cc = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
+    val sizes = cc.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, "cluster_id")
+      .select(col("media_id"), col("cluster_id"), col("n_members"),
+        when(col("media_id") === col("cluster_id"), 1L).otherwise(0L).as("is_keeper"))
+      .orderBy(col("media_id"))
+  }
+
+  def m70IncrementalPhash(spark: SparkSession, dir: String): DataFrame = {
+    val img = mediaTable(spark, dir)
+      .where(col("meta.format").isin("png", "jpeg"))
+      .select(col("media_id"), decode(col("media"), "UTF-8").as("text"))
+    val cut = img.agg(max(col("media_id"))).head().getLong(0) / 2
+    incrementalPhashClusters(Seq(
+      img.filter(col("media_id") <= cut), img.filter(col("media_id") > cut)))
+  }
+
+  // -------------------------------------------------------------------
   // m69: caption↔frame alignment — for every sampled video frame (m62's
   // 25 fps grid), the transcript caption active at that instant: the
   // LATEST caption whose start time is ≤ the frame timestamp. This is
@@ -723,6 +800,8 @@ object Multimodal {
     QueryDef.sql("m64_phash_candidates", m64PhashCandidates _, m64PhashCandidatesSql),
     QueryDef.sql("m65_scene_changes", m65SceneChanges _, m65SceneChangesSql),
     QueryDef.sql("m66_phash_clusters", m66PhashClusters _, m66PhashClustersSql),
+    // incremental ≡ recompute: m70's oracle is m66's SQL verbatim
+    QueryDef.sql("m70_incremental_phash", m70IncrementalPhash _, m66PhashClustersSql),
     QueryDef.sql("m67_keyframes", m67Keyframes _, m67KeyframesSql),
     QueryDef.sql("m68_loudness_audit", m68LoudnessAudit _, m68LoudnessAuditSql),
   )

@@ -1148,28 +1148,6 @@ object Similarity {
   // d63/c71 discipline, here for the embedding path).
   // -------------------------------------------------------------------
 
-  /** Constraint-shedding checkpoint for the incremental fold's persisted
-    * state. `localCheckpoint` copies the source plan's attribute-level
-    * constraints into the LogicalRDD, but Catalyst's relation dedup
-    * re-instances a LogicalRDD that appears in two plan positions (or
-    * whose attribute ids collide across union children) WITHOUT
-    * remapping those origin constraints — the union constraint rewrite
-    * then crashes on the stale ids (`key not found: vec_id#N`). The
-    * typed identity map inserts a serialize boundary that mints fresh
-    * attribute ids and drops attribute constraints, so the frozen state
-    * frame can be unioned and self-joined freely across advances. The
-    * row round-trip is paid ONCE per advance, at checkpoint
-    * materialization, on state that is orders smaller than the corpus.
-    * (d63's band index dodges the same trap only because its
-    * aggregate/generate outputs happen to carry no constraints.)
-    */
-  private def freshCheckpoint(df: DataFrame, names: String*): DataFrame = {
-    val pruned = df.select(names.map(col): _*)
-    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
-      org.apache.spark.sql.Encoders.row(pruned.schema)
-    pruned.map(identity).localCheckpoint(true)
-  }
-
   /** Fold id-monotone (vec_id, embedding) batches against the frozen
     * centroid set `cents`; returns d48's (vec_id, cid, dup_of, kept)
     * shape over the batches' union — ≡ [[d48SemDedup]] when `cents` is
@@ -1181,7 +1159,8 @@ object Similarity {
     var dups: DataFrame = null  // accumulated (vec_id, dup_min) — final per row
     for (b <- batches) {
       // assign the newcomers once; the index is never re-assigned
-      val newAssigned = freshCheckpoint(
+      // constraint-shedding checkpoint: see [[Checkpoints.fresh]]
+      val newAssigned = Checkpoints.fresh(
         nearest(b.select(col("vec_id"), col("embedding")),
           "vec_id", "embedding", cents, 1),
         "vec_id", "embedding", "cid")
@@ -1194,8 +1173,8 @@ object Similarity {
         .filter(col("sim") >= PairThreshold)
         .groupBy(col("b.vec_id").as("vec_id"))
         .agg(min(col("a.vec_id")).as("dup_min"))
-      dups = if (dups == null) freshCheckpoint(delta, "vec_id", "dup_min")
-        else freshCheckpoint(dups.unionByName(delta), "vec_id", "dup_min")
+      dups = if (dups == null) Checkpoints.fresh(delta, "vec_id", "dup_min")
+        else Checkpoints.fresh(dups.unionByName(delta), "vec_id", "dup_min")
       index = all.localCheckpoint(true)
     }
     index.select(col("vec_id"), col("cid"))

@@ -109,6 +109,28 @@ class Round14Spec extends AnyFunSuite {
     assert(byCluster.size > 1, "corpus must not collapse to one topic")
   }
 
+  // ---------------------------------------------- m70 incremental phash
+  test("m70: 2- and 3-batch incremental folds equal the from-scratch m66 clustering") {
+    import org.apache.spark.sql.functions.{col, decode, max}
+    val dir = "/root/testdata/sf0.001"
+    val want = graft.operators.Multimodal.m66PhashClusters(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "fixture must contain visual near-dup clusters")
+    val img = graft.operators.Multimodal.mediaTable(spark, dir)
+      .where(col("meta.format").isin("png", "jpeg"))
+      .select(col("media_id"), decode(col("media"), "UTF-8").as("text"))
+    val mx = img.agg(max(col("media_id"))).head().getLong(0)
+    for (k <- Seq(2, 3)) {
+      val cuts = (1 to k).map(i => mx * i / k)
+      val batches = (-1L +: cuts.dropRight(1).map(_.toLong)).zip(cuts).map {
+        case (lo, hi) => img.filter(col("media_id") > lo && col("media_id") <= hi)
+      }
+      val got = graft.operators.Multimodal.incrementalPhashClusters(batches)
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, s"$k-batch incremental phash fold diverged from m66")
+    }
+  }
+
   test("t77/t78 results are independent of run order through the shared memo") {
     val dir = "/root/testdata/sf0.001"
     def run(name: String): Seq[Seq[Any]] =
