@@ -47,6 +47,78 @@ class StreamNearDupSpec extends AnyFunSuite {
       s"stream-only: ${(stream -- batch).take(3)}; batch-only: ${(batch -- stream).take(3)}")
   }
 
+  /** Four planted docs: A≡B and C≡D are near-dup twins (identical text →
+    * every band collides, est_jaccard = 1.0); the AB and CD families
+    * share no shingles so they never meet.
+    */
+  private val twinA = (1L, "alpha beta gamma delta epsilon zeta")
+  private val twinB = (2L, "alpha beta gamma delta epsilon zeta")
+  private val twinC = (3L, "one two three four five six seven")
+  private val twinD = (4L, "one two three four five six seven")
+
+  /** Note (the StateTtlSpec discipline): TTL switches the operator to
+    * TimeMode.ProcessingTime, under which the engine runs (possibly
+    * empty) micro-batches every trigger to advance the expiry clock —
+    * `processAllAvailable` never observes a quiescent stream, so these
+    * tests poll the memory sink for an expected emission instead.
+    */
+  private def awaitRows(table: String, n: Long, timeoutMs: Long = 60000): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (spark.table(table).count() < n) {
+      assert(System.nanoTime() < deadline,
+        s"timed out waiting for $n rows in $table (have ${spark.table(table).count()})")
+      Thread.sleep(100)
+    }
+  }
+
+  test("TTL: an idle bucket evicts — a twin arriving after the horizon finds no index") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(Long, String)]
+      val pairs = StreamNearDup(input.toDF().toDF("doc_id", "text"),
+        ttl = Some(java.time.Duration.ofMillis(300)))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_snd_ttl").toString
+      val q = pairs.writeStream.format("memory").queryName("snd_ttl_evict")
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      try {
+        input.addData(twinA)
+        Thread.sleep(3000) // let A's bucket state expire
+        // C/D collide within THIS batch — their pair is the completion
+        // marker that proves the batch processed
+        input.addData(twinB, twinC, twinD)
+        awaitRows("snd_ttl_evict", 1)
+        Thread.sleep(500) // grace: a late (A,B) emission would land by now
+        val got = spark.table("snd_ttl_evict").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(got == Set((3L, 4L)),
+          s"A's evicted bucket must not pair with B; the long tail belongs to the batch sweep — got $got")
+      } finally q.stop()
+    }
+  }
+
+  test("TTL: within a generous horizon the twin pair still emits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(Long, String)]
+      val pairs = StreamNearDup(input.toDF().toDF("doc_id", "text"),
+        ttl = Some(java.time.Duration.ofHours(1)))
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_snd_ttl2").toString
+      val q = pairs.writeStream.format("memory").queryName("snd_ttl_retain")
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      try {
+        input.addData(twinA)
+        input.addData(twinB)
+        awaitRows("snd_ttl_retain", 1)
+        val got = spark.table("snd_ttl_retain").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(got == Set((1L, 2L, 1.0)),
+          s"twins within the horizon must pair with est 1.0 — got $got")
+      } finally q.stop()
+    }
+  }
+
   test("3-batch id-monotone replay emits exactly d42's pair set, once each") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
