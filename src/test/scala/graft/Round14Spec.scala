@@ -70,6 +70,33 @@ class Round14Spec extends AnyFunSuite {
       "KN gate output must be identical under long and decimal sum modes")
   }
 
+  // -------------------------------------- constraint-shedding checkpoint
+  test("Checkpoints.fresh sheds attribute constraints so state frames can be reused") {
+    import org.apache.spark.sql.functions.col
+    val s = spark; import s.implicits._
+    // a filter plants an attribute-level constraint — exactly what a
+    // batch slice (vec_id <= cut) carries into d64/m70 fold state
+    val base = Seq((1L, "a"), (2L, "b")).toDF("id", "v").filter(col("id") > 0)
+    val f1 = graft.operators.Checkpoints.fresh(base, "id", "v")
+    val f2 = graft.operators.Checkpoints.fresh(base, "id", "v")
+    // filter-derived predicates must be shed (only nullability-derived
+    // isnotnull of the frame's own outputs may remain), and each mint
+    // must carry fresh ids — together these keep union children
+    // id-distinct and constraint-safe under Catalyst's re-instancing
+    val cs = f1.queryExecution.analyzed.constraints
+    assert(cs.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull]),
+      s"fresh() must shed filter-derived constraints, kept: $cs")
+    val ids1 = f1.queryExecution.analyzed.output.map(_.exprId).toSet
+    val ids2 = f2.queryExecution.analyzed.output.map(_.exprId).toSet
+    assert(ids1.intersect(ids2).isEmpty, "each mint must carry fresh attribute ids")
+    // the d64 reuse shape that crashed with a plain localCheckpoint:
+    // union two minted frames, then self-join the union against one of
+    // them — must plan and execute
+    val u = f1.unionByName(f2)
+    val n = u.as("a").join(f1.as("b"), col("a.id") === col("b.id")).count()
+    assert(n == 4L)
+  }
+
   // --------------------------------------------- d64 incremental SemDeDup
   test("d64: 2- and 3-batch incremental folds equal the from-scratch d48 SemDeDup") {
     import org.apache.spark.sql.functions.{col, max}
