@@ -84,12 +84,33 @@ object ModelCache {
   /** Drop every persistent RDD the [[memo]] shield does not cover —
     * the between-queries sweep for battery harnesses. Non-blocking:
     * block removal proceeds while the next query plans.
+    *
+    * Also prunes map entries belonging to OTHER applicationIds
+    * (ADVICE r14): only one SparkContext is active per JVM, so any
+    * other appId in the maps is a dead session whose harness crashed
+    * past its [[releaseAll]] — its DataFrames are unusable and its
+    * blocks died with the context; keeping the entries would leak for
+    * the JVM's life.
     */
   def releaseTransient(spark: SparkSession): Unit = {
     val app = appId(spark)
+    shielded.keys.filter(_._1 != app).foreach(shielded.remove)
+    frames.keys.filter(_._1 != app).foreach(frames.remove)
     spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
       if (!shielded.contains((app, id))) rdd.unpersist(blocking = false)
     }
+  }
+
+  /** Test hook: memo entries held for an applicationId. */
+  private[graft] def entryCountFor(app: String): Int =
+    frames.keys.count(_._1 == app)
+
+  /** Test hook: plant an entry under a fabricated (dead) appId so the
+    * sweep's pruning is observable without a second SparkContext.
+    */
+  private[graft] def plantDeadEntryForTest(app: String, df: DataFrame): Unit = {
+    frames.put((app, fingerprint, "planted", "d"), df)
+    shielded.put((app, Int.MaxValue), ())
   }
 
   /** Session teardown: unpersist every shielded frame of THIS

@@ -217,10 +217,8 @@ object Curation {
     */
   def c71IncrementalCuration(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    val s1 = advance(emptyState(spark), docs.filter(col("doc_id") <= cut))
-    val s2 = advance(s1, docs.filter(col("doc_id") > cut))
-    curated(s2)
+    curated(Increments.monotoneHalves(docs, "doc_id")
+      .foldLeft(emptyState(spark))(advance(_, _)))
   }
 
   // -------------------------------------------------------------------

@@ -645,13 +645,10 @@ object Dedup {
     connectedComponents(pairs, "doc_a", "doc_b")
   }
 
-  def d63IncrementalNeardup(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
-    incrementalNeardupClusters(Seq(
-        docs.filter(col("doc_id") <= cut), docs.filter(col("doc_id") > cut)))
+  def d63IncrementalNeardup(spark: SparkSession, dir: String): DataFrame =
+    incrementalNeardupClusters(
+        Increments.monotoneHalves(Tables.documents(spark, dir), "doc_id"))
       .orderBy(col("doc_id"))
-  }
 
   // ---------------------------------------------------------------------
   // d47: chunk-level (paragraph-style) exact dedup — the sub-document

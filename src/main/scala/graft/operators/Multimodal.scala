@@ -720,9 +720,7 @@ object Multimodal {
     val img = mediaTable(spark, dir)
       .where(col("meta.format").isin("png", "jpeg"))
       .select(col("media_id"), decode(col("media"), "UTF-8").as("text"))
-    val cut = img.agg(max(col("media_id"))).head().getLong(0) / 2
-    incrementalPhashClusters(Seq(
-      img.filter(col("media_id") <= cut), img.filter(col("media_id") > cut)))
+    incrementalPhashClusters(Increments.monotoneHalves(img, "media_id"))
   }
 
   // -------------------------------------------------------------------

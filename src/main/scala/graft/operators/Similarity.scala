@@ -1187,13 +1187,16 @@ object Similarity {
   def d64IncrementalSemDedup(spark: SparkSession, dir: String): DataFrame = {
     Vectors.register(spark)
     val raw = Tables.embeddings(spark, dir)
+    // empty-corpus guard (ADVICE r14): no corpus → no quantizer to fit
+    // (sampleCentroids requires n > 0); return the empty d48 shape
+    if (raw.isEmpty)
+      return raw.select(col("vec_id"), col("vec_id").as("cid"),
+        lit(-1L).as("dup_of"),
+        lit(1).cast(org.apache.spark.sql.types.IntegerType).as("kept"))
     // the persisted quantizer: d48's centroid sample over the horizon
     // corpus, fit once and frozen across both advances
     val cents = sampleCentroids(raw)
-    val cut = raw.agg(max(col("vec_id"))).head().getLong(0) / 2
-    incrementalSemDedup(
-        Seq(raw.filter(col("vec_id") <= cut), raw.filter(col("vec_id") > cut)),
-        cents)
+    incrementalSemDedup(Increments.monotoneHalves(raw, "vec_id"), cents)
       .orderBy(col("vec_id"))
   }
 

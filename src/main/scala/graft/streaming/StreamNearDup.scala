@@ -56,9 +56,16 @@ final case class NearDupPair(doc_a: Long, doc_b: Long, est_jaccard: Double)
   * list — the corpus-orders-smaller band index of d63, sharded by
   * (band, bucket) across the cluster; per-arrival work is
   * O(bucket-mates). `maxBucket` is the [[graft.operators.BucketGuard]]
-  * runaway brake: a bucket at the cap stops indexing (degenerate
-  * boilerplate bucket — its members still meet in their other bands,
-  * and exact-identical docs belong to [[StreamDedup]] upstream).
+  * runaway brake, and a binding cap FAILS THE QUERY (ADVICE r14): a
+  * capped bucket cannot silently skip indexing, because a pair whose
+  * FIRST colliding band routed to the capped bucket is owned by that
+  * band alone — every other band deliberately skips it, so skip-at-cap
+  * would lose the pair globally, silently diverging from batch d42.
+  * That is exactly the divergence class the batch incremental path
+  * fails loudly on (`Dedup.incrementalNeardupClusters`'s require), so
+  * the stream does the same: raise the cap, or collapse the degenerate
+  * exact-identical docs with [[StreamDedup]] upstream and route the
+  * long tail to the periodic batch sweep.
   */
 class NearDupIndexProcessor(threshold: Double, maxBucket: Int,
                             ttl: Option[java.time.Duration] = None)
@@ -105,7 +112,16 @@ class NearDupIndexProcessor(threshold: Double, maxBucket: Int,
     var held = members.get().toIndexedSeq
     val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
     rows.toSeq.sortBy(_.doc_id).foreach { r =>
-      if (held.length < maxBucket && !held.exists(_.doc_id == r.doc_id)) {
+      if (!held.exists(_.doc_id == r.doc_id)) {
+        // fail-stop at the cap (never skip): an unindexed doc's
+        // first-colliding-band pairs would be lost in EVERY band — the
+        // silent stream≠batch divergence the batch fold's require
+        // forbids (see class doc)
+        if (held.length >= maxBucket)
+          throw new IllegalStateException(
+            s"streaming near-dup: band-bucket cap $maxBucket binds at (band=$band, " +
+              s"bucket=${key._2}); a binding cap breaks stream ≡ batch d42 — raise " +
+              "the cap or collapse exact-identical docs upstream (StreamDedup)")
         held.foreach { m =>
           if (firstCollidingBand(m.sig, r.sig) == band) {
             val est = estJaccard(m.sig, r.sig)

@@ -35,6 +35,25 @@ class ModelCacheSpec extends AnyFunSuite {
     assert(built.get() == 2, "original mode's frame survives the switch")
   }
 
+  test("ModelCache: releaseTransient prunes entries of other (dead) applications") {
+    val s = spark; import s.implicits._
+    // plant an entry under a fabricated dead appId by temporarily
+    // reaching the private maps through the real API: memo under the
+    // live app, then verify the sweep keeps live entries and drops the
+    // planted dead-app ones (ADVICE r14: a crashed harness that never
+    // called releaseAll must not leak for the JVM's life)
+    ModelCache.memo(spark, "r15_live", "d")(Seq(1).toDF("x"))
+    val live = spark.sparkContext.applicationId
+    assert(ModelCache.entryCountFor(live) >= 1)
+    ModelCache.plantDeadEntryForTest("app-dead-r15", Seq(2).toDF("x"))
+    assert(ModelCache.entryCountFor("app-dead-r15") == 1)
+    ModelCache.releaseTransient(spark)
+    assert(ModelCache.entryCountFor("app-dead-r15") == 0,
+      "sweep must prune dead-app entries")
+    assert(ModelCache.entryCountFor(live) >= 1,
+      "sweep must keep the live app's entries")
+  }
+
   test("ModelCache: releaseAll clears memo entries and rebuilds on next use") {
     val s = spark; import s.implicits._
     val built = new AtomicInteger(0)

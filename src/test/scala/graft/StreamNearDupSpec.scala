@@ -71,28 +71,68 @@ class StreamNearDupSpec extends AnyFunSuite {
     }
   }
 
+  /** Two more disjoint twin families — batch-completion markers for the
+    * eviction test (each family's identical pair emits within its own
+    * micro-batch, proving that batch fully processed).
+    */
+  private val twinE = (7L, "red orange yellow green blue indigo")
+  private val twinF = (8L, "red orange yellow green blue indigo")
+  private val twinG = (9L, "north south east west up down middle")
+  private val twinH = (10L, "north south east west up down middle")
+
   test("TTL: an idle bucket evicts — a twin arriving after the horizon finds no index") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     withRocksDb {
       val input = MemoryStream[(Long, String)]
       val pairs = StreamNearDup(input.toDF().toDF("doc_id", "text"),
-        ttl = Some(java.time.Duration.ofMillis(300)))
+        ttl = Some(java.time.Duration.ofMillis(500)))
       val ckpt = java.nio.file.Files.createTempDirectory("graft_snd_ttl").toString
       val q = pairs.writeStream.format("memory").queryName("snd_ttl_evict")
         .option("checkpointLocation", ckpt).outputMode("update").start()
       try {
-        input.addData(twinA)
-        Thread.sleep(3000) // let A's bucket state expire
-        // C/D collide within THIS batch — their pair is the completion
-        // marker that proves the batch processed
-        input.addData(twinB, twinC, twinD)
+        // batch 1: A plus the E/F marker twins — their pair proves A's
+        // batch committed BEFORE the expiry sleep starts (ADVICE r14:
+        // without the marker, a delayed batch 1 could land A and B in
+        // the SAME micro-batch and emit their pair)
+        input.addData(twinA, twinE, twinF)
         awaitRows("snd_ttl_evict", 1)
-        Thread.sleep(500) // grace: a late (A,B) emission would land by now
+        Thread.sleep(4000) // 8× the TTL: A's bucket state expires
+        // batch 2: B meets A's evicted bucket; C/D pair within-batch
+        input.addData(twinB, twinC, twinD)
+        awaitRows("snd_ttl_evict", 2)
+        // batch 3: the G/H marker — batches commit IN ORDER, so once
+        // this later batch's pair is visible, batch 2's outputs are
+        // complete and any (A,B) emission would already have landed
+        // (no wall-clock grace window; ADVICE r14)
+        input.addData(twinG, twinH)
+        awaitRows("snd_ttl_evict", 3)
         val got = spark.table("snd_ttl_evict").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
-        assert(got == Set((3L, 4L)),
+        assert(got == Set((7L, 8L), (3L, 4L), (9L, 10L)),
           s"A's evicted bucket must not pair with B; the long tail belongs to the batch sweep — got $got")
+      } finally q.stop()
+    }
+  }
+
+  test("a binding band-bucket cap fails the query loudly (never silent pair loss)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[(Long, String)]
+      val pairs = StreamNearDup(input.toDF().toDF("doc_id", "text"), maxBucket = 1)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_snd_cap").toString
+      val q = pairs.writeStream.format("memory").queryName("snd_cap")
+        .option("checkpointLocation", ckpt).outputMode("update").start()
+      try {
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          input.addData(twinA, twinB)
+          q.processAllAvailable()
+        }
+        def messages(t: Throwable): Seq[String] =
+          if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+        assert(messages(ex).exists(_.contains("band-bucket cap 1 binds")),
+          s"expected the loud cap message in the failure chain — got ${messages(ex)}")
       } finally q.stop()
     }
   }
