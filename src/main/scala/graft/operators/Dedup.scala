@@ -608,47 +608,102 @@ object Dedup {
   // the corpus; persist them as tables between runs on a real cluster.
   // ---------------------------------------------------------------------
 
+  /** The fold's between-advance state: the accumulated (doc_id, sig,
+    * band, bucket) band index and the accumulated near-dup pair list.
+    * `null` frames = the empty pre-first-advance state (an aggregate
+    * schema can't be conjured without data).
+    */
+  final case class NearDupState(index: DataFrame, pairs: DataFrame)
+
+  /** One advance: band the id-monotone batch ONCE, join it against the
+    * accumulated index, union the pair delta (every pair's LATER member
+    * is in this batch, so deltas are final — they union, never merge).
+    */
+  private[graft] def advanceNeardup(state: NearDupState, b: DataFrame,
+      threshold: Double = 0.35, maxBucket: Int = DocBucketCap): NearDupState = {
+    // band the newcomers once; the index is never re-signed
+    val newBands = bandedSignaturesFrom(b).localCheckpoint(true)
+    val all = if (state.index == null) newBands
+      else state.index.unionByName(newBands)
+    // ADVICE r13: the incremental ≡ from-scratch contract (oracle =
+    // d45's SQL verbatim, uncapped) silently depended on the hot-bucket
+    // cap never binding — a bucket crossing the cap only in a LATER
+    // batch would keep its earlier-batch pairs while the from-scratch
+    // run drops the whole bucket. A binding cap therefore surfaces as
+    // a LOUD failure here (raise the cap or re-run d42/d45 from
+    // scratch), never as a silent cross-engine hash mismatch. The
+    // check is one hash-aggregate over the (checkpointed, corpus-
+    // orders-smaller) band index per advance — d42's brake cost, with
+    // fail-stop instead of drop semantics.
+    val hot = BucketGuard.hotBuckets(all, Seq("band", "bucket"), maxBucket).take(1)
+    require(hot.isEmpty,
+      s"incremental near-dup advance: band-bucket cap $maxBucket binds (${hot.mkString}); " +
+        "a binding cap breaks incremental ≡ recompute — raise the cap or recompute from scratch")
+    // pair delta = every pair whose LATER member is in this batch
+    val delta = pairsFromBandJoin(all,
+      all.join(b.select(col("doc_id")), Seq("doc_id"), "left_semi"), threshold)
+    val pairs = if (state.pairs == null) delta.localCheckpoint(true)
+      else state.pairs.unionByName(delta).localCheckpoint(true)
+    NearDupState(all.localCheckpoint(true), pairs)
+  }
+
+  /** Resolve the state's accumulated pairs to (doc_id, cluster_id) —
+    * ≡ [[d45NearDupClusters]] of everything folded so far.
+    */
+  private[graft] def neardupClustersOf(state: NearDupState): DataFrame =
+    connectedComponents(state.pairs, "doc_a", "doc_b")
+
   /** Fold id-monotone (doc_id, text) batches through a persisted band
     * index; returns (doc_id, cluster_id) over every near-dup node, ≡
     * [[d45NearDupClusters]] of the batches' union.
     */
   private[graft] def incrementalNeardupClusters(batches: Seq[DataFrame],
-      threshold: Double = 0.35, maxBucket: Int = DocBucketCap): DataFrame = {
-    var index: DataFrame = null
-    var pairs: DataFrame = null
-    for (b <- batches) {
-      // band the newcomers once; the index is never re-signed
-      val newBands = bandedSignaturesFrom(b).localCheckpoint(true)
-      val all = if (index == null) newBands else index.unionByName(newBands)
-      // ADVICE r13: the incremental ≡ from-scratch contract (oracle =
-      // d45's SQL verbatim, uncapped) silently depended on the hot-bucket
-      // cap never binding — a bucket crossing the cap only in a LATER
-      // batch would keep its earlier-batch pairs while the from-scratch
-      // run drops the whole bucket. A binding cap therefore surfaces as
-      // a LOUD failure here (raise the cap or re-run d42/d45 from
-      // scratch), never as a silent cross-engine hash mismatch. The
-      // check is one hash-aggregate over the (checkpointed, corpus-
-      // orders-smaller) band index per advance — d42's brake cost, with
-      // fail-stop instead of drop semantics.
-      val hot = BucketGuard.hotBuckets(all, Seq("band", "bucket"), maxBucket).take(1)
-      require(hot.isEmpty,
-        s"incremental near-dup advance: band-bucket cap $maxBucket binds (${hot.mkString}); " +
-          "a binding cap breaks incremental ≡ recompute — raise the cap or recompute from scratch")
-      val capped = all
-      // pair delta = every pair whose LATER member is in this batch
-      val delta = pairsFromBandJoin(capped,
-        capped.join(b.select(col("doc_id")), Seq("doc_id"), "left_semi"), threshold)
-      pairs = if (pairs == null) delta.localCheckpoint(true)
-        else pairs.unionByName(delta).localCheckpoint(true)
-      index = all.localCheckpoint(true)
-    }
-    connectedComponents(pairs, "doc_a", "doc_b")
-  }
+      threshold: Double = 0.35, maxBucket: Int = DocBucketCap): DataFrame =
+    neardupClustersOf(batches.foldLeft(NearDupState(null, null))(
+      advanceNeardup(_, _, threshold, maxBucket)))
 
   def d63IncrementalNeardup(spark: SparkSession, dir: String): DataFrame =
     incrementalNeardupClusters(
         Increments.monotoneHalves(Tables.documents(spark, dir), "doc_id"))
       .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
+  // d66: the same fold RESUMED FROM DISK — what turns d63's incremental
+  // operator into an incremental PIPELINE (VERDICT r14 item 1): a real
+  // 100 TB nightly ingest persists the band index and pair list between
+  // runs, and each night's job loads them, folds the new batch, and
+  // writes the advanced state back. State on disk is parquet (columnar,
+  // partition-parallel at any size) and corpus-orders smaller than the
+  // documents it indexes. The oracle is STILL d45's SQL verbatim over
+  // the union: resume-from-disk ≡ from-scratch is hash-proven
+  // cross-engine, now across a durability boundary (the reloaded frames
+  // are the fold's ONLY link to run 1).
+  // ---------------------------------------------------------------------
+
+  private[graft] def saveNeardupState(state: NearDupState, path: String): Unit =
+    Increments.saveState(path,
+      "band_index" -> state.index, "pairs" -> state.pairs)
+
+  private[graft] def loadNeardupState(spark: SparkSession, path: String): NearDupState =
+    NearDupState(
+      Increments.loadState(spark, path, "band_index", "doc_id", "sig", "band", "bucket"),
+      Increments.loadState(spark, path, "pairs", "doc_a", "doc_b", "est_jaccard"))
+
+  def d66ResumedNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val batches = Increments.monotoneHalves(Tables.documents(spark, dir), "doc_id")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_d66_state").toString
+    try {
+      // run 1: fold the first batch from empty state, persist, forget
+      saveNeardupState(advanceNeardup(NearDupState(null, null), batches.head), stateDir)
+      // run 2: the resumed fold sees ONLY the disk state
+      val resumed = batches.tail.foldLeft(loadNeardupState(spark, stateDir))(
+        advanceNeardup(_, _))
+      // the nightly write-back (loadState's eager checkpoint detached
+      // the fold from the files, so overwrite is safe mid-plan)
+      saveNeardupState(resumed, stateDir)
+      neardupClustersOf(resumed).orderBy(col("doc_id"))
+    } finally Increments.deleteRecursively(stateDir)
+  }
 
   // ---------------------------------------------------------------------
   // d47: chunk-level (paragraph-style) exact dedup — the sub-document
@@ -1290,6 +1345,9 @@ object Dedup {
     // d63's oracle is d45's SQL VERBATIM: incremental ≡ from-scratch is
     // the operator's contract, hash-checked cross-engine (c71 discipline)
     QueryDef.sql("d63_incremental_neardup", d63IncrementalNeardup _, d45NearDupClustersSql),
+    // d66 resumes the fold from parquet state: same verbatim oracle —
+    // resume-from-disk ≡ from-scratch, hash-proven across the boundary
+    QueryDef.sql("d66_resumed_neardup", d66ResumedNeardup _, d45NearDupClustersSql),
     QueryDef.sql("d44_embedding_neardup", d44EmbeddingNearDup _, d44EmbeddingNearDupSql),
     QueryDef.sql("d47_chunk_dedup", d47ChunkDedup _, d47ChunkDedupSql),
     QueryDef.sql("d49_decontaminate", d49Decontaminate _, d49DecontaminateSql),

@@ -47,6 +47,17 @@ object Increments {
       df.write.mode("overwrite").parquet(s"$path/$name")
     }
 
+  /** Remove a (temp) state dir once a fold has detached from it. */
+  private[graft] def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      val all = Files.walk(root).iterator().asScala.toSeq
+      all.sortBy(-_.getNameCount).foreach(Files.deleteIfExists(_))
+    }
+  }
+
   /** Reload one named state frame, constraint-shed and eagerly
     * checkpointed (see object doc) — `cols` is the frame's declared
     * column order, which parquet does not owe the reader.

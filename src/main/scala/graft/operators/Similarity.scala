@@ -1148,41 +1148,57 @@ object Similarity {
   // d63/c71 discipline, here for the embedding path).
   // -------------------------------------------------------------------
 
+  /** The fold's between-advance state: the FROZEN quantizer, the
+    * accumulated cell-assignment index (vec_id, embedding, cid), and
+    * the accumulated per-vector dup minima (final per row). `null`
+    * index/dups = the empty pre-first-advance state.
+    */
+  final case class SemDedupState(cents: DataFrame, index: DataFrame, dups: DataFrame)
+
+  /** One advance: assign the id-monotone batch to the frozen cells ONCE,
+    * compare it against the accumulated index within its cells, union
+    * the (final) per-vector dup-min delta.
+    */
+  private[graft] def advanceSemDedup(state: SemDedupState, b: DataFrame): SemDedupState = {
+    // assign the newcomers once; the index is never re-assigned
+    // constraint-shedding checkpoint: see [[Checkpoints.fresh]]
+    val newAssigned = Checkpoints.fresh(
+      nearest(b.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", state.cents, 1),
+      "vec_id", "embedding", "cid")
+    val all = if (state.index == null) newAssigned
+      else state.index.unionByName(newAssigned)
+    // dup delta = every pair whose LATER member is in this batch; its
+    // per-vector min is final (all lower ids are already in `all`)
+    val delta = all.as("a").join(newAssigned.as("b").hint("shuffle_hash"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(Vectors.vecCosine(col("a.embedding"), col("b.embedding")), 6))
+      .filter(col("sim") >= PairThreshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_min"))
+    val dups = if (state.dups == null) Checkpoints.fresh(delta, "vec_id", "dup_min")
+      else Checkpoints.fresh(state.dups.unionByName(delta), "vec_id", "dup_min")
+    SemDedupState(state.cents, all.localCheckpoint(true), dups)
+  }
+
+  /** d48's (vec_id, cid, dup_of, kept) shape for everything folded so
+    * far. Unordered.
+    */
+  private[graft] def semDedupOf(state: SemDedupState): DataFrame =
+    state.index.select(col("vec_id"), col("cid"))
+      .join(state.dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("dup_min"), lit(-1L)).as("dup_of"),
+        col("dup_min").isNull.cast(org.apache.spark.sql.types.IntegerType).as("kept"))
+
   /** Fold id-monotone (vec_id, embedding) batches against the frozen
     * centroid set `cents`; returns d48's (vec_id, cid, dup_of, kept)
     * shape over the batches' union — ≡ [[d48SemDedup]] when `cents` is
     * the union's quantizer. Unordered.
     */
   private[graft] def incrementalSemDedup(batches: Seq[DataFrame],
-                                         cents: DataFrame): DataFrame = {
-    var index: DataFrame = null // accumulated (vec_id, embedding, cid)
-    var dups: DataFrame = null  // accumulated (vec_id, dup_min) — final per row
-    for (b <- batches) {
-      // assign the newcomers once; the index is never re-assigned
-      // constraint-shedding checkpoint: see [[Checkpoints.fresh]]
-      val newAssigned = Checkpoints.fresh(
-        nearest(b.select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", cents, 1),
-        "vec_id", "embedding", "cid")
-      val all = if (index == null) newAssigned else index.unionByName(newAssigned)
-      // dup delta = every pair whose LATER member is in this batch; its
-      // per-vector min is final (all lower ids are already in `all`)
-      val delta = all.as("a").join(newAssigned.as("b").hint("shuffle_hash"),
-          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("sim", round(Vectors.vecCosine(col("a.embedding"), col("b.embedding")), 6))
-        .filter(col("sim") >= PairThreshold)
-        .groupBy(col("b.vec_id").as("vec_id"))
-        .agg(min(col("a.vec_id")).as("dup_min"))
-      dups = if (dups == null) Checkpoints.fresh(delta, "vec_id", "dup_min")
-        else Checkpoints.fresh(dups.unionByName(delta), "vec_id", "dup_min")
-      index = all.localCheckpoint(true)
-    }
-    index.select(col("vec_id"), col("cid"))
-      .join(dups, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cid"),
-        coalesce(col("dup_min"), lit(-1L)).as("dup_of"),
-        col("dup_min").isNull.cast(org.apache.spark.sql.types.IntegerType).as("kept"))
-  }
+                                         cents: DataFrame): DataFrame =
+    semDedupOf(batches.foldLeft(SemDedupState(cents, null, null))(advanceSemDedup))
 
   def d64IncrementalSemDedup(spark: SparkSession, dir: String): DataFrame = {
     Vectors.register(spark)
@@ -1198,6 +1214,49 @@ object Similarity {
     val cents = sampleCentroids(raw)
     incrementalSemDedup(Increments.monotoneHalves(raw, "vec_id"), cents)
       .orderBy(col("vec_id"))
+  }
+
+  // -------------------------------------------------------------------
+  // d67: the SemDeDup fold RESUMED FROM DISK — d64's operator promoted
+  // to a pipeline (VERDICT r14 item 1, embedding path): the frozen
+  // quantizer, the accumulated cell index, and the dup minima persist
+  // as parquet between runs; each run loads them, folds its batch, and
+  // writes the advanced state back. The quantizer's float vectors
+  // round-trip parquet bit-exactly, so every post-resume cell
+  // assignment — and therefore the whole folded result — still matches
+  // d48's SQL VERBATIM over the union (the oracle), now across a
+  // durability boundary.
+  // -------------------------------------------------------------------
+
+  private[graft] def saveSemDedupState(state: SemDedupState, path: String): Unit =
+    Increments.saveState(path, "quantizer" -> state.cents,
+      "cell_index" -> state.index, "dup_minima" -> state.dups)
+
+  private[graft] def loadSemDedupState(spark: SparkSession, path: String): SemDedupState =
+    SemDedupState(
+      Increments.loadState(spark, path, "quantizer", "cid", "ce"),
+      Increments.loadState(spark, path, "cell_index", "vec_id", "embedding", "cid"),
+      Increments.loadState(spark, path, "dup_minima", "vec_id", "dup_min"))
+
+  def d67ResumedSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    if (raw.isEmpty) // no corpus → no quantizer to fit (d64's guard)
+      return raw.select(col("vec_id"), col("vec_id").as("cid"),
+        lit(-1L).as("dup_of"),
+        lit(1).cast(org.apache.spark.sql.types.IntegerType).as("kept"))
+    val batches = Increments.monotoneHalves(raw, "vec_id")
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_d67_state").toString
+    try {
+      // run 1: fit + freeze the quantizer, fold batch 1, persist all
+      saveSemDedupState(advanceSemDedup(
+        SemDedupState(sampleCentroids(raw), null, null), batches.head), stateDir)
+      // run 2: the resumed fold sees ONLY the disk state
+      val resumed = batches.tail.foldLeft(loadSemDedupState(spark, stateDir))(
+        advanceSemDedup)
+      saveSemDedupState(resumed, stateDir) // the nightly write-back
+      semDedupOf(resumed).orderBy(col("vec_id"))
+    } finally Increments.deleteRecursively(stateDir)
   }
 
   // -------------------------------------------------------------------
@@ -1910,6 +1969,9 @@ object Similarity {
     QueryDef.sql("d48_semdedup", d48SemDedup _, d48SemDedupSql),
     // incremental ≡ recompute: d64's oracle is d48's SQL verbatim
     QueryDef.sql("d64_incremental_semdedup", d64IncrementalSemDedup _, d48SemDedupSql),
+    // d67 resumes the fold from parquet state: same verbatim oracle —
+    // resume-from-disk ≡ from-scratch, hash-proven across the boundary
+    QueryDef.sql("d67_resumed_semdedup", d67ResumedSemDedup _, d48SemDedupSql),
     QueryDef.sql("d65_knn_topic_clusters", d65KnnTopicClusters _, d65KnnTopicClustersSql),
     QueryDef.sql("d61_cluster_cap", d61ClusterCap _, d61ClusterCapSql),
     QueryDef.sql("d62_mmr_rerank", d62MmrRerank _, d62MmrRerankSql),
