@@ -1293,21 +1293,26 @@ object Similarity {
     * (the components loop executes eagerly, hiding these subplans from
     * the final frame's plan).
     */
-  private[graft] def d65MutualEdges(spark: SparkSession, dir: String): DataFrame = {
-    Vectors.register(spark)
-    val raw = Tables.embeddings(spark, dir)
-    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
-    val cents = sampleCentroids(raw)
-    val assigned = nearest(e.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", cents, TopicProbe)
-    // one cosine per unordered candidate pair, however many cells it
-    // shares (first() is deterministic here: same pair → same embeddings)
-    val cand = assigned.as("a").join(assigned.as("b").hint("shuffle_hash"),
+  /** Scored candidate pairs (va < vb, raw cosine) from a multi-probe
+    * cell-assignment frame — one cosine per unordered pair, however many
+    * cells it shares (first() is deterministic here: same pair → same
+    * embeddings). `left` is the full assignment frame; `right` the
+    * subset whose pairs to surface (= `left` for from-scratch, = the
+    * new batch's rows for an incremental advance).
+    */
+  private def scoredCellPairs(left: DataFrame, right: DataFrame): DataFrame =
+    left.as("a").join(right.as("b").hint("shuffle_hash"),
         col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .groupBy(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
       .agg(first(col("a.embedding")).as("ea"), first(col("b.embedding")).as("eb"))
       .withColumn("sim", Vectors.vecCosine(col("ea"), col("eb")))
       .select(col("va"), col("vb"), col("sim"))
+
+  /** Mutual top-k filter over scored candidate pairs: per-vector
+    * top-TopicK directed edges, kept only when present in BOTH
+    * directions.
+    */
+  private def mutualTopkEdges(cand: DataFrame): DataFrame = {
     val dirEdges = cand.select(col("va").as("src"), col("vb").as("dst"), col("sim"))
       .unionByName(cand.select(col("vb").as("src"), col("va").as("dst"), col("sim")))
     val wK = Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst").asc)
@@ -1321,18 +1326,94 @@ object Similarity {
       .select(col("x.src").as("va"), col("x.dst").as("vb"))
   }
 
-  def d65KnnTopicClusters(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def d65MutualEdges(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
     val raw = Tables.embeddings(spark, dir)
     val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
-    val comp = Dedup.connectedComponents(
-        d65MutualEdges(spark, dir), "va", "vb")
+    val cents = sampleCentroids(raw)
+    val assigned = nearest(e.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", cents, TopicProbe)
+    mutualTopkEdges(scoredCellPairs(assigned, assigned))
+  }
+
+  /** d65's output shape: every vector labeled with its mutual-kNN
+    * component (singletons label themselves) and the component size.
+    */
+  private def topicClustersFrom(ids: DataFrame, mutualEdges: DataFrame): DataFrame = {
+    val comp = Dedup.connectedComponents(mutualEdges, "va", "vb")
       .withColumnRenamed("doc_id", "vec_id")
-    e.select(col("vec_id"))
+    ids
       .join(comp, Seq("vec_id"), "left")
       .select(col("vec_id"), coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .orderBy(col("vec_id"))
+  }
+
+  def d65KnnTopicClusters(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.embeddings(spark, dir)
+    val e = raw.repartition(spark.sessionState.conf.numShufflePartitions)
+    topicClustersFrom(e.select(col("vec_id")), d65MutualEdges(spark, dir))
+  }
+
+  // -------------------------------------------------------------------
+  // d68: d65's fold — incremental topic clustering against the frozen
+  // quantizer (VERDICT r14 item 5, the one round-14 surface without an
+  // incremental story). What folds and what doesn't, honestly split:
+  //
+  //  - The EXPENSIVE stages fold. Cell assignment (one broadcast-
+  //    centroid scan per batch, never re-assigned) and candidate
+  //    scoring (batch × accumulated cell-mates, one cosine per new
+  //    unordered pair) follow the d64 advance discipline: ids are
+  //    batch-monotone and probe sets are fixed at arrival, so every
+  //    (a < b) pair's EVERY shared cell exists the moment b arrives —
+  //    scored deltas are final and union, never merge.
+  //  - The CHEAP resolution recomputes. Top-k is a global property (a
+  //    later neighbor can displace an earlier one from a vector's
+  //    top-3), so per-vector top-k, the mutuality filter, and the
+  //    components re-run at read time — over the accumulated n·k-ish
+  //    SCORED PAIR frame (corpus-orders smaller than the corpus; no
+  //    embedding is touched again).
+  //
+  // Folded result ≡ from-scratch d65 under the same quantizer: the
+  // oracle is d65's SQL VERBATIM over the union.
+  // -------------------------------------------------------------------
+
+  /** The fold's between-advance state: the frozen quantizer, the
+    * accumulated multi-probe assignment index (TopicProbe rows per
+    * vector), and the accumulated scored candidate pairs.
+    */
+  final case class TopicState(cents: DataFrame, index: DataFrame, cand: DataFrame)
+
+  private[graft] def advanceTopics(state: TopicState, b: DataFrame): TopicState = {
+    // probe-assign the newcomers once; the index is never re-assigned
+    val newAssigned = Checkpoints.fresh(
+      nearest(b.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", state.cents, TopicProbe),
+      "vec_id", "embedding", "cid")
+    val all = if (state.index == null) newAssigned
+      else state.index.unionByName(newAssigned)
+    // scored delta = every pair whose LATER member is in this batch
+    val delta = scoredCellPairs(all, newAssigned)
+    val cand = if (state.cand == null) Checkpoints.fresh(delta, "va", "vb", "sim")
+      else Checkpoints.fresh(state.cand.unionByName(delta), "va", "vb", "sim")
+    TopicState(state.cents, all.localCheckpoint(true), cand)
+  }
+
+  /** d65's cluster labeling for everything folded so far. */
+  private[graft] def topicClustersOf(state: TopicState): DataFrame =
+    topicClustersFrom(state.index.select(col("vec_id")).distinct(),
+      mutualTopkEdges(state.cand))
+
+  def d68IncrementalTopics(spark: SparkSession, dir: String): DataFrame = {
+    Vectors.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    if (raw.isEmpty) // no corpus → no quantizer to fit (d64's guard)
+      return raw.select(col("vec_id"), col("vec_id").as("cluster_id"),
+        lit(1L).as("n_members"))
+    val cents = sampleCentroids(raw)
+    topicClustersOf(Increments.monotoneHalves(raw, "vec_id")
+      .foldLeft(TopicState(cents, null, null))(advanceTopics))
   }
 
   val d65KnnTopicClustersSql: String =
@@ -1973,6 +2054,9 @@ object Similarity {
     // resume-from-disk ≡ from-scratch, hash-proven across the boundary
     QueryDef.sql("d67_resumed_semdedup", d67ResumedSemDedup _, d48SemDedupSql),
     QueryDef.sql("d65_knn_topic_clusters", d65KnnTopicClusters _, d65KnnTopicClustersSql),
+    // d68 folds id-monotone batches against the frozen quantizer: same
+    // verbatim oracle — incremental ≡ from-scratch, hash-proven
+    QueryDef.sql("d68_incremental_topics", d68IncrementalTopics _, d65KnnTopicClustersSql),
     QueryDef.sql("d61_cluster_cap", d61ClusterCap _, d61ClusterCapSql),
     QueryDef.sql("d62_mmr_rerank", d62MmrRerank _, d62MmrRerankSql),
     QueryDef.sql("q102_ndcg_eval", q102NdcgEval _, q102NdcgEvalSql),

@@ -98,6 +98,21 @@ class Round15Spec extends AnyFunSuite {
       == rowSet(Multimodal.m70IncrementalPhash(spark, dir)))
   }
 
+  test("3-batch incremental topic fold equals from-scratch d65") {
+    graft.functions.Vectors.register(spark)
+    val raw = Tables.embeddings(spark, dir)
+    val mx = raw.agg(org.apache.spark.sql.functions.max(col("vec_id"))).head().getLong(0)
+    val batches = Seq(
+      raw.filter(col("vec_id") <= mx / 3),
+      raw.filter(col("vec_id") > mx / 3 && col("vec_id") <= 2 * mx / 3),
+      raw.filter(col("vec_id") > 2 * mx / 3))
+    val folded = Similarity.topicClustersOf(batches.foldLeft(
+      Similarity.TopicState(Similarity.sampleCentroids(raw), null, null))(
+      Similarity.advanceTopics))
+    assert(rowSet(folded) == rowSet(Similarity.d65KnnTopicClusters(spark, dir)),
+      "a 3-advance fold must equal the from-scratch run (deltas are final)")
+  }
+
   // ---------------------------------------------- empty-corpus guards
   test("monotoneHalves folds an empty corpus as one empty batch (no NPE)") {
     val s = spark; import s.implicits._
