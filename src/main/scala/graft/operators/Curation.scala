@@ -315,6 +315,104 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------
+  // c89: c72 as an incremental fold — the capstone proving the
+  // per-operator incremental stories COMPOSE (VERDICT r14 item 2): a
+  // new id-monotone batch flows through exact-dedup keepers ∩ the
+  // t55/t56 gates → packing against persisted prior state, and the
+  // folded shard layout equals the from-scratch c72 run exactly (the
+  // oracle is c72's SQL verbatim over the union — the c74 trick at
+  // pipeline scope). Stage-by-stage why the fold is exact:
+  //
+  //  - exact dedup: ids are batch-monotone, so the global min-id keeper
+  //    per content hash is the first batch's in-batch winner — the
+  //    accumulated hash set makes later re-occurrences losers, exactly
+  //    as from-scratch (c71's stage-1 discipline);
+  //  - t55 repetition gate: per-doc arithmetic, batch-local by nature;
+  //  - t56 boilerplate gate: corpus-df-dependent, so the gram df list +
+  //    the corpus-relative minDf are fit ONCE on the horizon corpus and
+  //    FROZEN across advances (the d64 frozen-quantizer discipline
+  //    applied to a text gate — a production pipeline re-fits on drift,
+  //    which implies re-gating, exactly as a quantizer re-fit implies
+  //    re-clustering);
+  //  - packing: per-source running offsets; each source's base after an
+  //    advance is final (later docs have larger ids, so they append),
+  //    so new-batch offsets = frozen base + within-batch prefix sums.
+  //
+  // State between advances: the content-hash set and the packed rows
+  // (both per-doc-bounded, orders smaller than the corpus text); the
+  // frozen boiler model is the third persisted artifact.
+  // -------------------------------------------------------------------
+
+  /** c89's between-advance state: accumulated content hashes and the
+    * accumulated packed output rows (per-source offset bases derive
+    * from the latter — max end offset per source).
+    */
+  final case class PrepState(hashes: DataFrame, packed: DataFrame)
+
+  def emptyPrepState(spark: SparkSession): PrepState = {
+    import org.apache.spark.sql.types._
+    def empty(schema: StructType) =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    PrepState(
+      hashes = empty(StructType(Seq(StructField("__h", StringType)))),
+      packed = empty(StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_tokens", LongType), StructField("start_offset", LongType),
+        StructField("shard", LongType)))))
+  }
+
+  /** Fold one id-monotone (doc_id, text, source) batch through the
+    * dedup → gates → packing pipeline against the frozen `boiler` gram
+    * model.
+    */
+  private[graft] def advancePrep(state: PrepState, batch: DataFrame,
+                                 boiler: DataFrame): PrepState = {
+    // stage 1: within-batch exact dedup, then drop content already seen
+    val inBatch = Dedup.dedupExact(
+      batch.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
+    val fresh = inBatch.join(state.hashes, Seq("__h"), "left_anti")
+    val hashes = Checkpoints.fresh(
+      state.hashes.unionByName(fresh.select(col("__h"))), "__h")
+    // stage 2: the per-doc gates — t55 batch-local, t56 vs frozen model
+    val rep = TextOps.repetitionMetricsFrom(fresh.select(col("doc_id"), col("text")))
+      .filter(col("passes_gate") === 1).select(col("doc_id"))
+    val boi = TextOps.boilerMetricsFrom(fresh.select(col("doc_id"), col("text")), boiler)
+      .filter(col("keep") === 1).select(col("doc_id"))
+    val survivors = fresh
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .join(rep, Seq("doc_id"))
+      .join(boi, Seq("doc_id"))
+    // stage 3: packing — frozen per-source base + within-batch prefix
+    val bases = state.packed.groupBy(col("source"))
+      .agg(max(col("start_offset") + col("n_tokens")).as("__base"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val newPacked = survivors
+      .withColumn("__rel_end", sum(col("n_tokens")).over(w))
+      .join(bases, Seq("source"), "left")
+      .withColumn("end_offset", col("__rel_end") + coalesce(col("__base"), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("end_offset") - col("n_tokens")).as("start_offset"),
+        expr(s"(end_offset - n_tokens) div ${TextOps.PackBudget}").as("shard"))
+    PrepState(hashes, Checkpoints.fresh(state.packed.unionByName(newPacked),
+      "doc_id", "source", "n_tokens", "start_offset", "shard"))
+  }
+
+  /** c89: fold the corpus as two id-monotone batches; oracle = c72's
+    * SQL verbatim.
+    */
+  def c89IncrementalPrep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    // the frozen gate model, fit once on the horizon corpus
+    val boiler = Checkpoints.fresh(
+      TextOps.boilerModelFrom(docs, TextOps.boilerMinDf(spark, dir)), "gram", "df")
+    Increments.monotoneHalves(docs, "doc_id")
+      .foldLeft(emptyPrepState(spark))(advancePrep(_, _, boiler))
+      .packed.orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------
   // c73: data-quality audit — the constraint-validation report a
   // production pipeline runs before (and after) every load: null rates,
   // range and domain violations, primary-key uniqueness, and referential
@@ -1460,6 +1558,9 @@ object Curation {
     QueryDef.sql("c84_compaction_plan", c84CompactionPlan _, c84CompactionPlanSql),
     QueryDef.sql("c71_incremental_curation", c71IncrementalCuration _, c70CurationSql),
     QueryDef.sql("c72_prep_pipeline", c72PrepPipeline _, c72PrepPipelineSql),
+    // c89 folds c72 incrementally: same verbatim oracle — the composed
+    // incremental pipeline ≡ the from-scratch run, hash-proven
+    QueryDef.sql("c89_incremental_prep", c89IncrementalPrep _, c72PrepPipelineSql),
     QueryDef.sql("c73_quality_audit", c73QualityAudit _, c73QualityAuditSql),
     QueryDef.sql("c74_scd2_merge", c74Scd2Merge _, Relational.q59Scd2Sql),
     QueryDef.sql("c75_domain_kl", c75DomainKl _, c75DomainKlSql),

@@ -419,25 +419,46 @@ object TextOps {
   private val BoilerMinDf = 3
   private val BoilerKeepBelow = 0.35
 
-  /** t56's per-doc frame without the presentation sort (see
-    * [[t55Metrics]]).
+  /** One (doc_id, gram) row per 3-gram instance of any (doc_id, text)
+    * frame — shared by the t56 model fit and the per-doc scoring.
     */
-  private[operators] def t56Metrics(spark: SparkSession, dir: String): DataFrame = {
-    // one metadata-cheap count action → minDf becomes a plan literal
-    val minDf = math.max(BoilerMinDf.toLong,
-      (Tables.documents(spark, dir).count() + 399L) / 400L)
-    val grams = docs(spark, dir)
-      .withColumn("t", toks) // tokenize ONCE (see kgrams note)
+  private def gramInstancesFrom(df: DataFrame): DataFrame =
+    df.withColumn("t", toks) // tokenize ONCE (see kgrams note)
       .select(col("doc_id"), explode(kgrams(col("t"), 3)).as("gram"))
-    val boiler = grams.groupBy(col("gram"))
+
+  /** The corpus-relative df floor (see the design note above). The one
+    * count action is a metadata-cheap columnar scan.
+    */
+  private[graft] def boilerMinDf(spark: SparkSession, dir: String): Long =
+    math.max(BoilerMinDf.toLong,
+      (Tables.documents(spark, dir).count() + 399L) / 400L)
+
+  /** The t56 boilerplate MODEL: every 3-gram occurring in ≥ minDf
+    * distinct docs of `df` — the artifact an incremental pipeline fits
+    * on its horizon corpus and freezes (c89's gate model, the d64
+    * frozen-quantizer discipline applied to text gates).
+    */
+  private[graft] def boilerModelFrom(df: DataFrame, minDf: Long): DataFrame =
+    gramInstancesFrom(df).groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= minDf)
-    grams.join(boiler, Seq("gram"), "left")
+
+  /** t56's per-doc metrics for `df` scored against a (frozen) boiler
+    * gram list — per-doc arithmetic only, so it runs on any batch.
+    */
+  private[graft] def boilerMetricsFrom(df: DataFrame, boiler: DataFrame): DataFrame =
+    gramInstancesFrom(df).join(boiler, Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"), count(col("df")).as("n_boiler"))
       .withColumn("boiler_frac", col("n_boiler") / col("n_grams"))
       .withColumn("keep", (col("boiler_frac") < BoilerKeepBelow).cast(IntegerType))
-  }
+
+  /** t56's per-doc frame without the presentation sort (see
+    * [[t55Metrics]]).
+    */
+  private[operators] def t56Metrics(spark: SparkSession, dir: String): DataFrame =
+    boilerMetricsFrom(docs(spark, dir),
+      boilerModelFrom(docs(spark, dir), boilerMinDf(spark, dir)))
 
   def t56Boilerplate(spark: SparkSession, dir: String): DataFrame =
     t56Metrics(spark, dir).orderBy(col("doc_id"))

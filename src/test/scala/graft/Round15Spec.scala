@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Increments, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Increments, Multimodal, Similarity, TextOps}
 
 /** Round-15 contracts: durable state for the incremental folds
   * (VERDICT r14 item 1) and the empty-corpus guards (ADVICE r14).
@@ -111,6 +111,20 @@ class Round15Spec extends AnyFunSuite {
       Similarity.advanceTopics))
     assert(rowSet(folded) == rowSet(Similarity.d65KnnTopicClusters(spark, dir)),
       "a 3-advance fold must equal the from-scratch run (deltas are final)")
+  }
+
+  test("3-batch incremental prep fold equals from-scratch c72") {
+    val docs = Tables.documents(spark, dir)
+    val mx = docs.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0)
+    val batches = Seq(
+      docs.filter(col("doc_id") <= mx / 3),
+      docs.filter(col("doc_id") > mx / 3 && col("doc_id") <= 2 * mx / 3),
+      docs.filter(col("doc_id") > 2 * mx / 3))
+    val boiler = TextOps.boilerModelFrom(docs, TextOps.boilerMinDf(spark, dir))
+    val folded = batches.foldLeft(Curation.emptyPrepState(spark))(
+      Curation.advancePrep(_, _, boiler)).packed
+    assert(rowSet(folded) == rowSet(Curation.c72PrepPipeline(spark, dir)),
+      "dedup ∩ gates → packing must fold exactly (frozen boiler model, final offsets)")
   }
 
   // ---------------------------------------------- empty-corpus guards
