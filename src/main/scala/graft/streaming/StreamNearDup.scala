@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
   TimeMode, TimerValues, TTLConfig}
@@ -137,6 +137,58 @@ class NearDupIndexProcessor(threshold: Double, maxBucket: Int,
     }
     out.iterator
   }
+}
+
+/** Incremental connected-components maintenance over streamed near-dup
+  * pairs (VERDICT r14 item 3): [[StreamNearDup]] emits raw candidate
+  * pairs, but a dedup consumer wants CLUSTER LABELS — and re-running the
+  * batch resolver from scratch per micro-batch re-pays the whole
+  * accumulated pair list's log-diameter loop every trigger. This folds
+  * instead: per micro-batch, connected components run over the CURRENT
+  * labeling's star edges (star contraction preserves connectivity —
+  * [[graft.operators.Curation.advance]]'s cluster discipline) plus the
+  * batch's new pairs, so each fold's loop converges on the DELTA's
+  * cluster merges while the carried state stays one star edge per
+  * non-root node. Folded labels ≡ a from-scratch resolution over every
+  * pair seen (StreamNearDupSpec pins it across 3 micro-batches).
+  *
+  * Scale shape: state is node-sized (near-dup members only), the fold is
+  * driver-coordinated but fully distributed (the same pointer-jumping
+  * joins as d45), and [[graft.operators.Checkpoints.fresh]] keeps
+  * lineage O(1) across micro-batches. Attach via [[attach]]
+  * (foreachBatch) or call [[fold]] from an existing foreachBatch sink.
+  */
+class NearDupClusterMaintainer(spark: SparkSession) {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  @volatile private var state: DataFrame = spark.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    StructType(Seq(StructField("doc_id", LongType), StructField("cluster_id", LongType))))
+
+  /** The current (doc_id, cluster_id) labeling — min id per component,
+    * exactly d45's shape over the pairs folded so far.
+    */
+  def labels: DataFrame = state
+
+  /** Fold one micro-batch of (doc_a, doc_b, ...) pairs; returns the
+    * updated labels. Synchronized: micro-batches arrive sequentially
+    * per query, but the label reader may race a fold.
+    */
+  def fold(pairs: DataFrame): DataFrame = synchronized {
+    val star = state.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    val merged = Dedup.connectedComponents(
+      star.unionByName(pairs.select(col("doc_a"), col("doc_b"))), "doc_a", "doc_b")
+    state = graft.operators.Checkpoints.fresh(merged, "doc_id", "cluster_id")
+    state
+  }
+
+  /** The maintainer as a foreachBatch sink over [[StreamNearDup]]'s
+    * output (caller sets trigger/checkpoint options and starts it).
+    */
+  def attach(pairs: Dataset[NearDupPair]): org.apache.spark.sql.streaming.DataStreamWriter[NearDupPair] =
+    pairs.writeStream.outputMode("update")
+      .foreachBatch { (batch: Dataset[NearDupPair], _: Long) => fold(batch.toDF()); () }
 }
 
 object StreamNearDup {

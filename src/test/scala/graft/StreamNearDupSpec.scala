@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
-import graft.streaming.StreamNearDup
+import graft.streaming.{NearDupClusterMaintainer, StreamNearDup}
 
 /** Pins the streaming MinHash-LSH near-dup contract (StreamNearDup):
   *
@@ -111,6 +111,43 @@ class StreamNearDupSpec extends AnyFunSuite {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
         assert(got == Set((7L, 8L), (3L, 4L), (9L, 10L)),
           s"A's evicted bucket must not pair with B; the long tail belongs to the batch sweep — got $got")
+      } finally q.stop()
+    }
+  }
+
+  test("cluster maintainer: folded labels equal d45 over the pairs seen, per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val cut1 = docs.length / 3
+    val cut2 = 2 * docs.length / 3
+    val slices = Seq(docs.slice(0, cut1), docs.slice(cut1, cut2), docs.drop(cut2))
+    withRocksDb {
+      val input = MemoryStream[(Long, String)]
+      val maintainer = new NearDupClusterMaintainer(spark)
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_snd_cc").toString
+      val q = maintainer.attach(StreamNearDup(input.toDF().toDF("doc_id", "text")))
+        .option("checkpointLocation", ckpt).start()
+      try {
+        var delivered = Seq.empty[(Long, String)]
+        var sawNonEmpty = false
+        slices.foreach { b =>
+          input.addData(b: _*); q.processAllAvailable()
+          delivered ++= b
+          // from-scratch resolution over the SAME pair set: d42's pairs
+          // among the delivered prefix, resolved by d45's components
+          val expected = Dedup.connectedComponents(
+            Dedup.minhashNearDupPairsFrom(
+              delivered.toDF("doc_id", "text")), "doc_a", "doc_b")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          val got = maintainer.labels
+            .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          assert(got == expected,
+            s"after ${delivered.size} docs: folded labels must equal the from-scratch resolution")
+          if (expected.nonEmpty) sawNonEmpty = true
+        }
+        assert(sawNonEmpty, "fixture must exercise non-trivial clusters")
       } finally q.stop()
     }
   }
