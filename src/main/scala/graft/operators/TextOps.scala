@@ -1526,8 +1526,17 @@ object TextOps {
   // discipline). Token counts are exact integers; the ratio is one
   // fixed-shape division rounded once.
   // -------------------------------------------------------------------
-  def t81BpeEncode(spark: SparkSession, dir: String): DataFrame = {
-    val trained = bpeTrainFold(spark, dir)._1
+  def t81BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeWith(spark, dir, bpeTrainFold(spark, dir)._1)
+
+  /** Encode the corpus with a trained (w, cnt, spaced) vocabulary: the
+    * per-word-TYPE token counts reach the corpus by a broadcast
+    * equi-join; per-doc stats are one map-side-combined aggregate.
+    * Shared by t81 (3-round vocab) and t99 (budget vocab).
+    */
+  private def bpeEncodeWith(spark: SparkSession, dir: String,
+      vocab: DataFrame): DataFrame = {
+    val trained = vocab
       .withColumn("n_toks", size(split(col("spaced"), " ")).cast(LongType))
       .select(col("w"), col("n_toks"))
     docs(spark, dir)
@@ -1548,6 +1557,180 @@ object TextOps {
        |trained AS (
        |  SELECT w, CAST(len(string_split(spaced, ' ')) AS BIGINT) AS n_toks
        |  FROM s$BpeRounds),
+       |corpus AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+       |SELECT doc_id, COUNT(*) AS n_words,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  ROUND(CAST(CAST(SUM(len(w)) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(n_toks) AS BIGINT) AS DOUBLE), 6) AS chars_per_token
+       |FROM corpus JOIN trained USING (w)
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t98: BPE training to a VOCABULARY BUDGET (VERDICT r14 item 6) —
+  // t79 runs a fixed 3 merge rounds; a real tokenizer trainer iterates
+  // until |V| = budget, counting the base alphabet plus one new symbol
+  // per merge: rounds = budget − |alphabet|, with PAIR EXHAUSTION
+  // (every word already a single symbol) as the second honest stop.
+  //
+  // Iteration shape (the q63/q67 idiom, replacing t79's single nested
+  // plan): the vocabulary frame is localCheckpoint'd EVERY round, so
+  // the per-round plan stays O(1)-deep no matter the budget — t79's
+  // one-declarative-plan trick is fine at 3 rounds but compounds plan
+  // depth and codegen size linearly, which a budget-sized trainer
+  // (thousands of merges) cannot afford. Per round the driver collects
+  // the ONE elected (pair, count) row — provably bounded (1 row/round,
+  // the corpus-scalar class) — which both decides the stop conditions
+  // and feeds the merge literal without a crossJoin. The corpus is
+  // still scanned exactly ONCE (the word-count collapse); every round
+  // runs on the ≤|word types| checkpointed frame, so at 100 TB the
+  // budget, not the corpus, prices training.
+  //
+  // Oracle: the t79 CTE chain unrolled at the gate's round count
+  // (budget 40 − alphabet 24 = 16 — the alphabet is 24 at every SF of
+  // this corpus, and BOTH engines compute it, so drift would surface
+  // loudly as a row-count mismatch, never silently), made stop-aware:
+  // each stage's merge applies only within budget (and LEFT JOIN keeps
+  // spellings through an exhausted election), each report row emits
+  // only within budget.
+  // -------------------------------------------------------------------
+  private val BpeVocabBudget = 40
+  // Oracle unroll depth; exact whenever |alphabet| ≥ 24 (= 24 here).
+  private val BpeBudgetUnroll = 16
+
+  /** One elected merge: round number, the merged pair (sentinel-free),
+    * its corpus adjacency count, corpus symbols after the merge, and
+    * the vocabulary size (alphabet + merges so far) the round reaches.
+    */
+  private[graft] final case class BpeMergeReport(
+      round: Int, pair: String, pairCount: Long,
+      symsAfter: Long, vocabSize: Long)
+
+  /** Train to `budget`: (final merged vocabulary frame, per-round merge
+    * reports). Spec entry point — t98 publishes the reports, t99
+    * applies the final vocabulary back to the corpus.
+    */
+  private[graft] def bpeBudgetFold(spark: SparkSession, corpus: DataFrame,
+      budget: Int): (DataFrame, Seq[BpeMergeReport]) = {
+    var cur = corpus
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("spaced", array_join(
+        transform(filter(split(col("w"), ""), x => x =!= ""),
+          c => concat(lit("<"), c, lit(">"))), " "))
+      .localCheckpoint()
+    // |alphabet|: a bounded driver scalar (≤ |codepoints|)
+    val alpha = cur
+      .select(explode(split(col("spaced"), " ")).as("s"))
+      .agg(countDistinct(col("s")).as("a")).head().getLong(0)
+    val rounds = math.max(0L, budget - alpha).toInt
+    val reports = Seq.newBuilder[BpeMergeReport]
+    var r = 1
+    while (r <= rounds) {
+      // the elected pair: 1 row by construction (the bounded-collect class)
+      val elected = cur
+        .withColumn("cs", split(col("spaced"), " "))
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(cs, 1, size(cs) - 1), slice(cs, 2, size(cs) - 1), " +
+            "(a, b) -> concat(a, ' ', b))")).as("p"))
+        .groupBy(col("p")).agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("p").asc).limit(1).collect()
+      if (elected.isEmpty) r = rounds + 1 // pair exhaustion: stop early
+      else {
+        val pair = elected(0).getString(0)
+        cur = cur
+          .withColumn("spaced",
+            replace(col("spaced"), lit(pair), lit(pair.replace("> <", ""))))
+          .localCheckpoint()
+        val symsAfter = cur
+          .agg(sum(col("cnt") * size(split(col("spaced"), " "))).as("s"))
+          .head().getLong(0)
+        reports += BpeMergeReport(r, pair.replaceAll("[<>]", ""),
+          elected(0).getLong(1), symsAfter, alpha + r)
+        r += 1
+      }
+    }
+    (cur, reports.result())
+  }
+
+  def t98BpeBudgetTrain(spark: SparkSession, dir: String): DataFrame = {
+    val reports = bpeBudgetFold(spark, docs(spark, dir), BpeVocabBudget)._2
+    spark.createDataFrame(
+        reports.map(m => (m.round, m.pair, m.pairCount, m.symsAfter, m.vocabSize)))
+      .toDF("round", "pair", "pair_count", "syms_after", "vocab_size")
+      .orderBy(col("round"))
+  }
+
+  /** The budget-gated training CTE chain (words → alpha → b0 → bp/bt/b/bo
+    * per round) — shared by the t98 and t99 oracles. Differs from
+    * [[bpeStagesSql]] in the two stop conditions: a stage's merge applies
+    * only while round ≤ budget − alphabet, and an exhausted election
+    * (empty btK) passes spellings through unchanged via LEFT JOIN.
+    */
+  private val bpeBudgetStagesSql: String = {
+    def stage(k: Int): String = {
+      val prev = s"b${k - 1}"
+      // MATERIALIZED is load-bearing: btK and bK are each referenced
+      // twice, so DuckDB's default CTE inlining would expand the
+      // 16-stage chain into 2^16 scans of the base (observed as an
+      // fd-exhaustion failure, not just slowness)
+      s"""bp$k AS MATERIALIZED (
+         |  SELECT cs[i] || ' ' || cs[i+1] AS p, CAST(SUM(cnt) AS BIGINT) AS pc
+         |  FROM (SELECT cnt, string_split(spaced, ' ') AS cs FROM $prev),
+         |       unnest(range(1, len(cs))) r(i)
+         |  GROUP BY 1),
+         |bt$k AS MATERIALIZED (SELECT p AS pair, pc AS pair_count FROM bp$k
+         |         ORDER BY pc DESC, p ASC LIMIT 1),
+         |b$k AS MATERIALIZED (SELECT w, cnt,
+         |    CASE WHEN t.pair IS NULL OR $k > $BpeVocabBudget - (SELECT a FROM alpha)
+         |         THEN spaced
+         |         ELSE replace(spaced, t.pair, replace(t.pair, '> <', '')) END AS spaced
+         |  FROM $prev LEFT JOIN bt$k t ON TRUE),
+         |bo$k AS (SELECT $k AS round,
+         |    replace(replace(pair, '<', ''), '>', '') AS pair, pair_count, syms_after,
+         |    CAST((SELECT a FROM alpha) + $k AS BIGINT) AS vocab_size
+         |  FROM bt$k CROSS JOIN (
+         |    SELECT CAST(SUM(cnt * len(string_split(spaced, ' '))) AS BIGINT) AS syms_after
+         |    FROM b$k) x
+         |  WHERE $k <= $BpeVocabBudget - (SELECT a FROM alpha))""".stripMargin
+    }
+    s"""words AS MATERIALIZED (
+       |  SELECT w, COUNT(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1),
+       |alpha AS MATERIALIZED (
+       |  SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS a
+       |  FROM (SELECT unnest(string_split(w, '')) AS c FROM words)),
+       |b0 AS MATERIALIZED (
+       |  SELECT w, cnt,
+       |    array_to_string(list_transform(string_split(w, ''),
+       |      c -> '<' || c || '>'), ' ') AS spaced
+       |  FROM words),
+       |${(1 to BpeBudgetUnroll).map(stage).mkString(",\n")}""".stripMargin
+  }
+
+  val t98BpeBudgetTrainSql: String =
+    s"""WITH $bpeBudgetStagesSql
+       |${(1 to BpeBudgetUnroll).map(k => s"SELECT * FROM bo$k").mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+
+  // -------------------------------------------------------------------
+  // t99: encode with the BUDGET vocabulary — t81's broadcast equi-join
+  // economy, applied to t98's |V|=40 merge table; the pair proves the
+  // budget trainer composes into the pipeline exactly as the 3-round
+  // one does (oracle nests the full budget training chain, so train →
+  // encode is hash-checked end-to-end at the larger round count).
+  // -------------------------------------------------------------------
+  def t99BpeBudgetEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeWith(spark, dir,
+      bpeBudgetFold(spark, docs(spark, dir), BpeVocabBudget)._1)
+
+  val t99BpeBudgetEncodeSql: String =
+    s"""WITH $bpeBudgetStagesSql,
+       |trained AS (
+       |  SELECT w, CAST(len(string_split(spaced, ' ')) AS BIGINT) AS n_toks
+       |  FROM b$BpeBudgetUnroll),
        |corpus AS (
        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
        |SELECT doc_id, COUNT(*) AS n_words,
@@ -3678,6 +3861,8 @@ object TextOps {
     QueryDef.sql("t78_perplexity_buckets", t78PerplexityBuckets _, t78PerplexityBucketsSql),
     QueryDef.sql("t79_bpe_train", t79BpeTrain _, t79BpeTrainSql),
     QueryDef.sql("t81_bpe_encode", t81BpeEncode _, t81BpeEncodeSql),
+    QueryDef.sql("t98_bpe_budget_train", t98BpeBudgetTrain _, t98BpeBudgetTrainSql),
+    QueryDef.sql("t99_bpe_budget_encode", t99BpeBudgetEncode _, t99BpeBudgetEncodeSql),
     QueryDef.sql("t80_heaps_law", t80HeapsLaw _, t80HeapsLawSql),
   )
 }

@@ -54,6 +54,73 @@ class BpeAblationSpec extends AnyFunSuite {
     assert(nWords == corpusWords)
   }
 
+  // ------------------------------------------------- t98/t99 budget BPE
+  private def plantedCorpus(): org.apache.spark.sql.DataFrame = {
+    val s = spark; import s.implicits._
+    // words: "abc"×3, "ad"×1; alphabet {a,b,c,d} = 4. Greedy merges:
+    //   r1 (a,b) 3 → syms 8; r2 (ab,c) 3 → syms 5; r3 (a,d) 1 → syms 4;
+    //   r4: every word one symbol — pair exhaustion.
+    Seq((0L, "abc abc"), (1L, "abc ad")).toDF("doc_id", "text")
+  }
+
+  test("t98 budget stop: |V|=6 over a 4-char alphabet runs exactly 2 rounds") {
+    val (_, reports) = TextOps.bpeBudgetFold(spark, plantedCorpus(), 6)
+    assert(reports.map(m =>
+      (m.round, m.pair, m.pairCount, m.symsAfter, m.vocabSize)) == Seq(
+      (1, "a b", 3L, 8L, 5L), (2, "ab c", 3L, 5L, 6L)))
+  }
+
+  test("t98 budget stop: budget at/below the alphabet trains zero rounds") {
+    val (vocab, reports) = TextOps.bpeBudgetFold(spark, plantedCorpus(), 4)
+    assert(reports.isEmpty)
+    // the untrained vocabulary is the sentinel-wrapped character spelling
+    val spaced = vocab.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(spaced == Map("abc" -> "<a> <b> <c>", "ad" -> "<a> <d>"))
+  }
+
+  test("t98 exhaustion stop: a generous budget halts when no pairs remain") {
+    val (vocab, reports) = TextOps.bpeBudgetFold(spark, plantedCorpus(), 24)
+    assert(reports.map(m => (m.round, m.pair, m.pairCount, m.symsAfter)) == Seq(
+      (1, "a b", 3L, 8L), (2, "ab c", 3L, 5L), (3, "a d", 1L, 4L)))
+    val spaced = vocab.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(spaced == Map("abc" -> "<abc>", "ad" -> "<ad>"))
+  }
+
+  test("t98's first three merges equal t79's on the corpus") {
+    val budget = TextOps.t98BpeBudgetTrain(spark, dir).collect()
+      .filter(_.getInt(0) <= 3)
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val fixed = TextOps.t79BpeTrain(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(budget == fixed,
+      "the budget trainer's prefix must agree with the 3-round trainer")
+  }
+
+  test("t99 vs t81: more merges never lengthen any document's encoding") {
+    val at3 = TextOps.t81BpeEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val atBudget = TextOps.t99BpeBudgetEncode(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(at3.keySet == atBudget.keySet)
+    at3.foreach { case (doc, (nWords3, nToks3)) =>
+      val (nWordsB, nToksB) = atBudget(doc)
+      assert(nWordsB == nWords3, s"doc $doc word count must not change")
+      assert(nToksB <= nToks3,
+        s"doc $doc: budget encoding $nToksB must be <= 3-round $nToks3")
+    }
+    assert(atBudget.values.map(_._2).sum < at3.values.map(_._2).sum,
+      "13 extra merges must shorten the corpus encoding overall")
+  }
+
+  test("t99 conserves t98's final symbol count over the real corpus") {
+    val symsAfterFinal = TextOps.t98BpeBudgetTrain(spark, dir).collect()
+      .maxBy(_.getInt(0)).getLong(3)
+    val totalTokens = TextOps.t99BpeBudgetEncode(spark, dir).collect()
+      .map(_.getLong(2)).sum
+    assert(totalTokens == symsAfterFinal,
+      s"encode total $totalTokens must equal train's final syms_after $symsAfterFinal")
+  }
+
   test("q108 matches a naive truncated-recall recompute; full dim is exact recall 1") {
     val vecs = Tables.embeddings(spark, dir)
       .selectExpr("vec_id", "embedding").collect()
