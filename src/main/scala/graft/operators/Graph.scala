@@ -892,10 +892,176 @@ object Graph {
       |    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q
       |FROM w ORDER BY comm""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q150: one Louvain local-move sweep (Blondel et al. 2008, the
+  // synchronous/parallel variant) refining the brand partition q135
+  // scores — the "improve the partition" step that closes the community
+  // battery: q135 measures Q, this query RAISES it. Every node evaluates
+  // moving to each NEIGHBOR community b; with m edges, k_i the node's
+  // degree, k_{i,c} its edge count into community c, and d_c community
+  // total degree, the move's exact modularity delta is
+  //   ΔQ = [2m(k_{i,b} − k_{i,a}) − k_i(d_b − d_a + k_i)] / (2m²)
+  // (a = current community, d_a counted WITH i, d_b without). Each node
+  // takes its best strictly-positive move (gain DESC, community ASC —
+  // a total order, so the sweep is deterministic), all moves apply
+  // SYNCHRONOUSLY — the standard distributed-Louvain semantic: gains are
+  // exact w.r.t. the pre-sweep partition, and concurrent moves can in
+  // principle interact, so the post-sweep Q is REPORTED (recomputed
+  // exactly), never assumed; GraphSpec pins the improvement on this
+  // corpus (Q −0.0001 → +0.0065: the brand taxonomy explains almost no
+  // purchase structure, one sweep finds some).
+  //
+  // Scale shape: gains live on the (node, neighbor-community) frame —
+  // ≤ 2|E| rows, collapsed by the same hash aggregates q135 uses; the
+  // community-total and brand-map lookups are |comms|- and node-sized
+  // broadcasts (q66's idiom — edges never shuffle to learn endpoint
+  // attributes); the best-move window partitions per node over its ≤
+  // |comms| candidates. One sweep = a fixed number of edge-linear
+  // passes; iterating sweeps (full Louvain) would wrap this in the
+  // q63/q67 checkpoint loop.
+  //
+  // Exactness: gains are pure integers in DECIMAL(38,0)/HUGEINT (2m·k
+  // ≤ 2m² stays inside 38 digits through 1e18 edges), the move set is a
+  // deterministic argmax over a total order, and both Q readings reuse
+  // q135's exact-integer-numerator / one-rounded-division shape.
+  // ---------------------------------------------------------------------
+  def q150LouvainSweep(spark: SparkSession, dir: String): DataFrame =
+    louvainSweepFrom(undirectedCoPurchase(spark, dir),
+      Tables.part(spark, dir)
+        .select(col("p_partkey").as("node"), col("p_brand").as("comm")))
+
+  /** One synchronous Louvain sweep of any (node, comm) partition over any
+    * undirected (src, dst) edge frame — spec entry point. Nodes outside
+    * the edge set carry no degree, propose no moves, and are excluded
+    * from the report (q135's universe).
+    */
+  private[graft] def louvainSweepFrom(und: DataFrame, comm: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val deg = und.select(col("src").as("node"))
+      .union(und.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val nodes = deg.join(broadcast(comm), "node") // node, d, comm
+    val dc = nodes.groupBy("comm")
+      .agg(count(lit(1)).as("n_before"), sum(col("d")).as("d_c"))
+    val m = und.agg(count(lit(1)).as("m"))
+    // edges annotated with both endpoint communities → k_{i,c}
+    val ec2 = und
+      .join(broadcast(comm.select(col("node").as("src"), col("comm").as("cs"))), "src")
+      .join(broadcast(comm.select(col("node").as("dst"), col("comm").as("cd"))), "dst")
+    val kic = ec2.select(col("src").as("node"), col("cd").as("c"))
+      .union(ec2.select(col("dst").as("node"), col("cs").as("c")))
+      .groupBy(col("node"), col("c")).agg(count(lit(1)).as("k_ic"))
+    val ctx = nodes
+      .join(kic.select(col("node"), col("c").as("comm"), col("k_ic").as("e_ia")),
+        Seq("node", "comm"), "left")
+      .na.fill(0L, Seq("e_ia"))
+    val gains = ctx.join(kic, "node").filter(col("c") =!= col("comm"))
+      .join(broadcast(dc.select(col("comm"), col("d_c").as("d_a"))), "comm")
+      .join(broadcast(dc.select(col("comm").as("c"), col("d_c").as("d_b"))), "c")
+      .crossJoin(broadcast(m))
+      .withColumn("gain_num",
+        lit(2L).cast(d38) * col("m") * (col("k_ic") - col("e_ia"))
+          - col("d").cast(d38) * (col("d_b") - col("d_a") + col("d")))
+    val wBest = Window.partitionBy(col("node"))
+      .orderBy(col("gain_num").desc, col("c").asc)
+    val moves = gains.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1 && col("gain_num") > 0)
+      .select(col("node"), col("comm").as("old_comm"), col("c").as("new_comm"))
+    val comm1 = nodes.select(col("node"), col("comm"))
+      .join(moves.select(col("node"), col("new_comm")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("new_comm"), col("comm")).as("comm"))
+    val qBefore = modularityFrom(und, comm).agg(max(col("q")).as("q_before"))
+    val qAfter = modularityFrom(und, comm1).agg(max(col("q")).as("q_after"))
+    val nIn = moves.groupBy(col("new_comm").as("comm")).agg(count(lit(1)).as("n_in"))
+    val nOut = moves.groupBy(col("old_comm").as("comm")).agg(count(lit(1)).as("n_out"))
+    dc.select(col("comm"), col("n_before"))
+      .join(nIn, Seq("comm"), "left")
+      .join(nOut, Seq("comm"), "left")
+      .na.fill(0L, Seq("n_in", "n_out"))
+      .crossJoin(broadcast(qBefore))
+      .crossJoin(broadcast(qAfter))
+      .select(col("comm"), col("n_before"), col("n_in"), col("n_out"),
+        (col("n_before") + col("n_in") - col("n_out")).as("n_after"),
+        col("q_before"), col("q_after"))
+      .orderBy(col("comm"))
+  }
+
+  val q150LouvainSweepSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |und AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |cm AS (SELECT p_partkey AS node, p_brand AS comm FROM part),
+      |deg AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+      |  GROUP BY node),
+      |nodes AS (SELECT deg.node, deg.d, cm.comm FROM deg JOIN cm USING (node)),
+      |dc AS (
+      |  SELECT comm, CAST(COUNT(*) AS BIGINT) AS n_before, CAST(SUM(d) AS BIGINT) AS d_c
+      |  FROM nodes GROUP BY 1),
+      |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+      |ec2 AS MATERIALIZED (
+      |  SELECT und.src, und.dst, cs.comm AS cs, cd.comm AS cd
+      |  FROM und JOIN cm cs ON cs.node = und.src JOIN cm cd ON cd.node = und.dst),
+      |kic AS (
+      |  SELECT node, c, CAST(COUNT(*) AS BIGINT) AS k_ic FROM (
+      |    SELECT src AS node, cd AS c FROM ec2 UNION ALL SELECT dst, cs FROM ec2)
+      |  GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT n.node, n.d, n.comm, COALESCE(k.k_ic, 0) AS e_ia
+      |  FROM nodes n LEFT JOIN kic k ON k.node = n.node AND k.c = n.comm),
+      |gains AS (
+      |  SELECT ctx.node, ctx.comm, k.c,
+      |    CAST(2 AS HUGEINT) * mm.m * (k.k_ic - ctx.e_ia)
+      |      - CAST(ctx.d AS HUGEINT) * (db.d_c - da.d_c + ctx.d) AS gain_num
+      |  FROM ctx
+      |  JOIN kic k ON k.node = ctx.node AND k.c <> ctx.comm
+      |  JOIN dc da ON da.comm = ctx.comm
+      |  JOIN dc db ON db.comm = k.c
+      |  CROSS JOIN mm),
+      |moves AS (
+      |  SELECT node, comm AS old_comm, c AS new_comm FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY node
+      |      ORDER BY gain_num DESC, c ASC) AS rn FROM gains) t
+      |  WHERE rn = 1 AND gain_num > 0),
+      |cm1 AS (
+      |  SELECT n.node, COALESCE(mv.new_comm, n.comm) AS comm
+      |  FROM nodes n LEFT JOIN moves mv USING (node)),
+      |ecb AS (SELECT cs AS comm, CAST(COUNT(*) AS BIGINT) AS e_c FROM ec2
+      |        WHERE cs = cd GROUP BY 1),
+      |qb AS (
+      |  SELECT ROUND(CAST(SUM(CAST(m AS HUGEINT) * 4 * COALESCE(e_c, 0)
+      |      - CAST(d_c AS HUGEINT) * d_c) AS DOUBLE)
+      |    / (4.0 * CAST(ANY_VALUE(m) AS DOUBLE) * CAST(ANY_VALUE(m) AS DOUBLE)), 6) AS q_before
+      |  FROM dc LEFT JOIN ecb USING (comm) CROSS JOIN mm),
+      |dc1 AS (
+      |  SELECT c1.comm, CAST(SUM(deg.d) AS BIGINT) AS d_c
+      |  FROM cm1 c1 JOIN deg USING (node) GROUP BY 1),
+      |ec1 AS (
+      |  SELECT a.comm, CAST(COUNT(*) AS BIGINT) AS e_c
+      |  FROM und JOIN cm1 a ON a.node = und.src JOIN cm1 b ON b.node = und.dst
+      |  WHERE a.comm = b.comm GROUP BY 1),
+      |qa AS (
+      |  SELECT ROUND(CAST(SUM(CAST(m AS HUGEINT) * 4 * COALESCE(e_c, 0)
+      |      - CAST(d_c AS HUGEINT) * d_c) AS DOUBLE)
+      |    / (4.0 * CAST(ANY_VALUE(m) AS DOUBLE) * CAST(ANY_VALUE(m) AS DOUBLE)), 6) AS q_after
+      |  FROM dc1 LEFT JOIN ec1 USING (comm) CROSS JOIN mm),
+      |ni AS (SELECT new_comm AS comm, CAST(COUNT(*) AS BIGINT) AS n_in FROM moves GROUP BY 1),
+      |no AS (SELECT old_comm AS comm, CAST(COUNT(*) AS BIGINT) AS n_out FROM moves GROUP BY 1)
+      |SELECT dc.comm, dc.n_before,
+      |  COALESCE(ni.n_in, 0) AS n_in, COALESCE(no.n_out, 0) AS n_out,
+      |  dc.n_before + COALESCE(ni.n_in, 0) - COALESCE(no.n_out, 0) AS n_after,
+      |  qb.q_before, qa.q_after
+      |FROM dc LEFT JOIN ni USING (comm) LEFT JOIN no USING (comm)
+      |CROSS JOIN qb CROSS JOIN qa
+      |ORDER BY comm""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
     QueryDef.sql("q134_rich_club", q134RichClub _, q134RichClubSql),
     QueryDef.sql("q135_modularity", q135Modularity _, q135ModularitySql),
+    QueryDef.sql("q150_louvain_sweep", q150LouvainSweep _, q150LouvainSweepSql),
     QueryDef.sql("q115_hits", q115Hits _, q115HitsSql),
     QueryDef.sql("q116_kcore", q116KCore _, q116KCoreSql),
     QueryDef.sql("q107_assortativity", q107Assortativity _, q107AssortativitySql),

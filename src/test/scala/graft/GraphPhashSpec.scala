@@ -182,4 +182,62 @@ class GraphPhashSpec extends AnyFunSuite {
     }.toMap
     assert(got == want, s"got $got\nwant $want")
   }
+
+  // ---------------------------------------------------------------- q150
+  test("q150 sweep: a planted misfit clique node takes the one positive move") {
+    import spark.implicits._
+    val c1 = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
+    val c2 = for (a <- 6 to 10; b <- (a + 1) to 10) yield (a.toLong, b.toLong)
+    val und = (c1 ++ c2).toDF("src", "dst")
+    // node 6 (clique B) mislabeled into A. Hand gains (m=20, k=4,
+    // d_A=24, d_B=16): node 6 → B: 2·20·(4−0) − 4·(16−24+4) = 176 > 0;
+    // every clique-A node sees no foreign community (k_{i,B}=0 rows
+    // don't exist); every B-labeled node moving to A: 2·20·(1−3) −
+    // 4·(24−16+4) = −128 < 0. Exactly one move; partition becomes the
+    // clique alignment: Q 0.28 → 0.5.
+    val planted = (1 to 10).map(i => (i.toLong, if (i <= 6) "A" else "B"))
+      .toDF("node", "comm")
+    val got = Graph.louvainSweepFrom(und, planted).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    }.toMap
+    assert(got == Map(
+      "A" -> ((6L, 0L, 1L, 5L, 0.28, 0.5)),
+      "B" -> ((4L, 1L, 0L, 5L, 0.28, 0.5))), got.toString)
+  }
+
+  test("q150 sweep: concurrent moves reassemble both cliques from the anti-partition") {
+    import spark.implicits._
+    val c1 = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
+    val c2 = for (a <- 6 to 10; b <- (a + 1) to 10) yield (a.toLong, b.toLong)
+    val und = (c1 ++ c2).toDF("src", "dst")
+    // odd/even labels cut both cliques. Hand gains (m=20, d_O=d_E=20,
+    // k=4): a node with a 2/2 odd-even neighbor split gains −k² < 0 and
+    // stays (1,3,5,6,8,10); a node with a 3/1 split toward the foreign
+    // label gains 2·20·(3−1) − 4·4 = 64 > 0 and crosses (2,4 → O;
+    // 7,9 → E). The four SYNCHRONOUS moves cooperate: O becomes clique
+    // one, E clique two — Q rises from the anti-partition's −0.1 to the
+    // alignment's 0.5 in one sweep.
+    val anti = (1 to 10).map(i => (i.toLong, if (i % 2 == 1) "O" else "E"))
+      .toDF("node", "comm")
+    val got = Graph.louvainSweepFrom(und, anti).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    }.toMap
+    assert(got == Map(
+      "O" -> ((5L, 2L, 2L, 5L, -0.1, 0.5)),
+      "E" -> ((5L, 2L, 2L, 5L, -0.1, 0.5))), got.toString)
+  }
+
+  test("q150 on the corpus: the sweep conserves nodes and raises Q") {
+    val rows = Graph.q150LouvainSweep(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val qb = rows.head.getDouble(5)
+    val qa = rows.head.getDouble(6)
+    assert(rows.forall(r => r.getDouble(5) == qb && r.getDouble(6) == qa))
+    assert(qa > qb, s"one sweep must raise Q here: $qb -> $qa")
+    assert(rows.map(_.getLong(1)).sum == rows.map(_.getLong(4)).sum,
+      "moves must conserve the node mass")
+    assert(rows.forall(r => r.getLong(4) == r.getLong(1) + r.getLong(2) - r.getLong(3)))
+  }
 }
