@@ -1214,12 +1214,82 @@ object Graph {
        |ORDER BY sweep""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q152: synchronous label propagation (Raghavan et al. 2007; GraphX's
+  // LabelPropagation shape) — the OTHER canonical distributed community
+  // detector, complementing the Louvain pair: no objective function,
+  // just message passing. Every node starts as its own label; each
+  // round, every node adopts its neighbors' most frequent label (count
+  // DESC, label ASC — the deterministic tie-break replacing the
+  // paper's random one, same discipline as t68's pair election).
+  // LpaRounds synchronous rounds, unrolled with a localCheckpoint per
+  // round (the q63/q67 idiom).
+  //
+  // Scale shape: one round = one shuffle join (labels onto the directed
+  // neighbor list) + one (node, label) hash aggregate + a per-node
+  // argmax window over that node's ≤deg candidate labels — the
+  // PageRank message-passing class, O(|E|) per round, no driver state
+  // at all. The argmax windows partition per node (never global). This
+  // is the community detector that actually runs at 100 TB: no
+  // modularity bookkeeping, no community-total broadcasts — labels ride
+  // the edges. q135's modularityFrom can score the result; q150/q151
+  // can refine it.
+  // ---------------------------------------------------------------------
+  private val LpaRounds = 3
+
+  def q152LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedCoPurchase(spark, dir)
+    val nb = und.select(col("src").as("node"), col("dst").as("nbr"))
+      .union(und.select(col("dst").as("node"), col("src").as("nbr")))
+      .localCheckpoint(true)
+    var lbl = nb.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label")).localCheckpoint(true)
+    for (_ <- 1 to LpaRounds) {
+      val w = Window.partitionBy(col("node"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      lbl = nb.join(lbl.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    lbl
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("label"))))
+      .orderBy(col("node"))
+  }
+
+  val q152LabelPropagationSql: String = {
+    def round(k: Int): String =
+      s"""l$k AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT nb.node, l.label,
+         |      ROW_NUMBER() OVER (PARTITION BY nb.node
+         |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |    FROM nb JOIN l${k - 1} l ON l.node = nb.nbr
+         |    GROUP BY nb.node, l.label) t
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |nb AS MATERIALIZED (
+       |  SELECT src AS node, dst AS nbr FROM und UNION ALL SELECT dst, src FROM und),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM nb),
+       |${(1 to LpaRounds).map(round).mkString(",\n")}
+       |SELECT node, label,
+       |  CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n_members
+       |FROM l$LpaRounds ORDER BY node""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
     QueryDef.sql("q134_rich_club", q134RichClub _, q134RichClubSql),
     QueryDef.sql("q135_modularity", q135Modularity _, q135ModularitySql),
     QueryDef.sql("q150_louvain_sweep", q150LouvainSweep _, q150LouvainSweepSql),
     QueryDef.sql("q151_louvain_iterate", q151LouvainIterate _, q151LouvainIterateSql),
+    QueryDef.sql("q152_label_propagation", q152LabelPropagation _, q152LabelPropagationSql),
     QueryDef.sql("q115_hits", q115Hits _, q115HitsSql),
     QueryDef.sql("q116_kcore", q116KCore _, q116KCoreSql),
     QueryDef.sql("q107_assortativity", q107Assortativity _, q107AssortativitySql),

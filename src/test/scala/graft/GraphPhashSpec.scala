@@ -260,6 +260,40 @@ class GraphPhashSpec extends AnyFunSuite {
       s"the first sweep must raise Q here: $rows")
   }
 
+  // ---------------------------------------------------------------- q152
+  test("q152 LPA: two cliques converge to their min-id labels by hand-traced rounds") {
+    import spark.implicits._
+    // trace: round 1 — every neighbor label is distinct (count 1), so
+    // each node takes its SMALLEST neighbor id: clique one becomes
+    // {1→2, others→1}, clique two {6→7, others→6}; round 2 — majority
+    // flips the two strays back (node 1 sees 1,1,1,1; node 6 sees
+    // 6,6,6,6); round 3 — fixed point. Final: labels 1 and 6, 5 members
+    // each.
+    val c1 = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
+    val c2 = for (a <- 6 to 10; b <- (a + 1) to 10) yield (a.toLong, b.toLong)
+    val d = java.nio.file.Files.createTempDirectory("graft-lpa").toString
+    // q152 reads lineitem: encode the two cliques as (orderkey=edge id,
+    // partkey=endpoint) pairs — each order holds exactly one edge
+    (c1 ++ c2).zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((i.toLong, a), (i.toLong, b)) }
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val got = graft.operators.Graph.q152LabelPropagation(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == ((1 to 5).map(i => (i.toLong, 1L, 5L))
+      ++ (6 to 10).map(i => (i.toLong, 6L, 5L))), got)
+  }
+
+  test("q152 on the corpus: labels partition the node set and name member nodes") {
+    val rows = Graph.q152LabelPropagation(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = rows.map(_._1).toSet
+    assert(rows.map(_._1).length == nodes.size, "one label per node")
+    assert(rows.map(_._2).toSet.subsetOf(nodes), "labels are member node ids")
+    val sizes = rows.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    assert(rows.forall(r => sizes(r._2) == r._3), "n_members must be exact")
+  }
+
   test("q150 on the corpus: the sweep conserves nodes and raises Q") {
     val rows = Graph.q150LouvainSweep(spark, dir).collect()
     assert(rows.nonEmpty)
