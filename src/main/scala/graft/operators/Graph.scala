@@ -1103,8 +1103,34 @@ object Graph {
   // ---------------------------------------------------------------------
   private val LouvainSweeps = 3
 
-  private def modularityQ(und: DataFrame, comm: DataFrame): Double =
-    modularityFrom(und, comm).agg(max(col("q"))).head().getDouble(0)
+  /** Global Q of a partition, reusing the iteration's checkpointed
+    * `deg`/`m` — one intra-edge pass per reading instead of
+    * [[modularityFrom]]'s full per-community report (which would
+    * recompute degrees on every one of the loop's 1 + sweeps calls).
+    * The arithmetic is modularityFrom's exactly: integer q_num summed
+    * in DECIMAL(38,0), ONE double division, round(…, 6) in Spark — so
+    * the reading is bit-identical to q135/q150's q column.
+    */
+  private def modularityQ(und: DataFrame, deg: DataFrame, m: DataFrame,
+      comm: DataFrame): Double = {
+    val d38 = DecimalType(38, 0)
+    val dc = deg.join(broadcast(comm), "node")
+      .groupBy("comm").agg(sum(col("d")).as("d_c"))
+    val ec = und
+      .join(broadcast(comm.select(col("node").as("src"), col("comm").as("cs"))), "src")
+      .join(broadcast(comm.select(col("node").as("dst"), col("comm").as("cd"))), "dst")
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("cs").as("comm")).agg(count(lit(1)).as("e_c"))
+    dc.join(ec, Seq("comm"), "left")
+      .na.fill(0L, Seq("e_c"))
+      .crossJoin(broadcast(m))
+      .agg(sum(col("m").cast(d38) * lit(4L) * col("e_c")
+        - col("d_c").cast(d38) * col("d_c")).as("q_num_sum"),
+        max(col("m")).as("m"))
+      .select(round(col("q_num_sum").cast(DoubleType)
+        / (lit(4.0) * col("m").cast(DoubleType) * col("m").cast(DoubleType)), 6))
+      .head().getDouble(0)
+  }
 
   def q151LouvainIterate(spark: SparkSession, dir: String): DataFrame =
     louvainIterateFrom(spark, undirectedCoPurchase(spark, dir),
@@ -1122,16 +1148,20 @@ object Graph {
     var comm = Checkpoints.fresh(
       deg.join(broadcast(brand), "node").select(col("node"), col("comm")),
       "node", "comm")
-    var qCur = modularityQ(und, comm)
+    var qCur = modularityQ(und, deg, m, comm)
     val rows = Seq.newBuilder[(Int, Long, Double, Double)]
     for (k <- 1 to sweeps) {
-      val mv = louvainMoves(und, deg, m, comm)
+      // checkpoint the move set BEFORE counting it: the count action and
+      // the partition update below would otherwise each execute the full
+      // gains plan — one materialization serves both
+      val mv = Checkpoints.fresh(louvainMoves(und, deg, m, comm),
+        "node", "old_comm", "new_comm")
       val nMoves = mv.count()
       comm = Checkpoints.fresh(
         comm.join(mv.select(col("node"), col("new_comm")), Seq("node"), "left")
           .select(col("node"), coalesce(col("new_comm"), col("comm")).as("comm")),
         "node", "comm")
-      val qNext = modularityQ(und, comm)
+      val qNext = modularityQ(und, deg, m, comm)
       rows += ((k, nMoves, qCur, qNext))
       qCur = qNext
     }
