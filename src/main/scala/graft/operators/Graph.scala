@@ -1267,8 +1267,10 @@ object Graph {
   // ---------------------------------------------------------------------
   private val LpaRounds = 3
 
-  def q152LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val und = undirectedCoPurchase(spark, dir)
+  /** The converged (node, label) frame after [[LpaRounds]] synchronous
+    * rounds over `und` — q152 publishes it per node, q153 scores it.
+    */
+  private def lpaLabels(und: DataFrame): DataFrame = {
     val nb = und.select(col("src").as("node"), col("dst").as("nbr"))
       .union(und.select(col("dst").as("node"), col("src").as("nbr")))
       .localCheckpoint(true)
@@ -1285,10 +1287,13 @@ object Graph {
         .localCheckpoint(true)
     }
     lbl
+  }
+
+  def q152LabelPropagation(spark: SparkSession, dir: String): DataFrame =
+    lpaLabels(undirectedCoPurchase(spark, dir))
       .withColumn("n_members",
         count(lit(1)).over(Window.partitionBy(col("label"))))
       .orderBy(col("node"))
-  }
 
   val q152LabelPropagationSql: String = {
     def round(k: Int): String =
@@ -1313,6 +1318,74 @@ object Graph {
        |FROM l$LpaRounds ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q153: the LPA partition SCORED — q152's converged labels fed through
+  // q135's exact modularity report, closing the detect→score loop the
+  // community battery is built around (and the t69/c74 composition
+  // discipline: the oracle NESTS the full propagation chain inside the
+  // modularity formula, so detector → evaluator is hash-checked
+  // end-to-end as one artifact). On this graph LPA's discovered
+  // partition scores far above the brand taxonomy's ≈0 — the number
+  // that justifies running discovery at all.
+  //
+  // Scale shape: q152's rounds + q135's one intra-edge pass and
+  // |labels|-bounded report; nothing new moves.
+  // ---------------------------------------------------------------------
+  def q153LpaModularity(spark: SparkSession, dir: String): DataFrame = {
+    val und = undirectedCoPurchase(spark, dir)
+    modularityFrom(und,
+      lpaLabels(und).select(col("node"), col("label").as("comm")))
+  }
+
+  val q153LpaModularitySql: String = {
+    def round(k: Int): String =
+      s"""l$k AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT nb.node, l.label,
+         |      ROW_NUMBER() OVER (PARTITION BY nb.node
+         |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |    FROM nb JOIN l${k - 1} l ON l.node = nb.nbr
+         |    GROUP BY nb.node, l.label) t
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |nb AS MATERIALIZED (
+       |  SELECT src AS node, dst AS nbr FROM und UNION ALL SELECT dst, src FROM und),
+       |l0 AS MATERIALIZED (SELECT DISTINCT node, node AS label FROM nb),
+       |${(1 to LpaRounds).map(round).mkString(",\n")},
+       |cm AS MATERIALIZED (SELECT node, label AS comm FROM l$LpaRounds),
+       |deg AS MATERIALIZED (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
+       |  GROUP BY node),
+       |dc AS (
+       |  SELECT comm, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |    CAST(SUM(d) AS BIGINT) AS d_c
+       |  FROM deg JOIN cm USING (node) GROUP BY 1),
+       |ec AS (
+       |  SELECT cs.comm, CAST(COUNT(*) AS BIGINT) AS e_c
+       |  FROM und
+       |  JOIN cm cs ON cs.node = und.src
+       |  JOIN cm cd ON cd.node = und.dst
+       |  WHERE cs.comm = cd.comm
+       |  GROUP BY 1),
+       |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+       |j AS (
+       |  SELECT dc.comm, dc.n_nodes, dc.d_c, COALESCE(ec.e_c, 0) AS e_c, mm.m,
+       |    CAST(mm.m AS HUGEINT) * 4 * COALESCE(ec.e_c, 0)
+       |      - CAST(dc.d_c AS HUGEINT) * dc.d_c AS q_num
+       |  FROM dc LEFT JOIN ec USING (comm) CROSS JOIN mm),
+       |w AS (SELECT *, CAST(SUM(q_num) OVER () AS HUGEINT) AS q_num_sum FROM j)
+       |SELECT comm, n_nodes, d_c, e_c,
+       |  ROUND(CAST(q_num AS DOUBLE)
+       |    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS contribution,
+       |  ROUND(CAST(q_num_sum AS DOUBLE)
+       |    / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6) AS q
+       |FROM w ORDER BY comm""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
     QueryDef.sql("q134_rich_club", q134RichClub _, q134RichClubSql),
@@ -1320,6 +1393,7 @@ object Graph {
     QueryDef.sql("q150_louvain_sweep", q150LouvainSweep _, q150LouvainSweepSql),
     QueryDef.sql("q151_louvain_iterate", q151LouvainIterate _, q151LouvainIterateSql),
     QueryDef.sql("q152_label_propagation", q152LabelPropagation _, q152LabelPropagationSql),
+    QueryDef.sql("q153_lpa_modularity", q153LpaModularity _, q153LpaModularitySql),
     QueryDef.sql("q115_hits", q115Hits _, q115HitsSql),
     QueryDef.sql("q116_kcore", q116KCore _, q116KCoreSql),
     QueryDef.sql("q107_assortativity", q107Assortativity _, q107AssortativitySql),

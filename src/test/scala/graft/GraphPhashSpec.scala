@@ -294,6 +294,35 @@ class GraphPhashSpec extends AnyFunSuite {
     assert(rows.forall(r => sizes(r._2) == r._3), "n_members must be exact")
   }
 
+  test("q153 on the planted cliques: LPA's partition scores the 0.5 optimum") {
+    import spark.implicits._
+    val c1 = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
+    val c2 = for (a <- 6 to 10; b <- (a + 1) to 10) yield (a.toLong, b.toLong)
+    val d = java.nio.file.Files.createTempDirectory("graft-lpa-q").toString
+    (c1 ++ c2).zipWithIndex
+      .flatMap { case ((a, b), i) => Seq((i.toLong, a), (i.toLong, b)) }
+      .toDF("l_orderkey", "l_partkey")
+      .coalesce(1).write.parquet(s"$d/lineitem.parquet")
+    val got = Graph.q153LpaModularity(spark, d).collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))
+    }.toSet
+    // LPA converges to labels {1, 6} (the q152 trace); the clique
+    // alignment scores e_c=10, d_c=20, m=20 → 0.25 each, Q=0.5
+    assert(got == Set((1L, 5L, 20L, 10L, 0.25, 0.5),
+      (6L, 5L, 20L, 10L, 0.25, 0.5)), got.toString)
+  }
+
+  test("q153 on the corpus: discovery outscores the brand taxonomy") {
+    val lpaQ = Graph.q153LpaModularity(spark, dir).collect()
+    val brandQ = Graph.q135Modularity(spark, dir).collect().head.getDouble(5)
+    assert(lpaQ.nonEmpty)
+    val q = lpaQ.head.getDouble(5)
+    assert(lpaQ.forall(r => r.getDouble(5) == q), "q is a global reading")
+    assert(q > brandQ,
+      s"LPA's discovered partition ($q) must outscore the brand taxonomy ($brandQ)")
+  }
+
   test("q150 on the corpus: the sweep conserves nodes and raises Q") {
     val rows = Graph.q150LouvainSweep(spark, dir).collect()
     assert(rows.nonEmpty)
