@@ -3,6 +3,7 @@ package graft
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Checkpoints.GraftCheckpointOps
 
 /** Session-scoped frozen-model cache + battery storage hygiene.
   *
@@ -73,7 +74,7 @@ object ModelCache {
       // transient scaffolding and must NOT land in the shielded set
       val df = build
       val before = spark.sparkContext.getPersistentRDDs.keySet
-      val frozen = df.localCheckpoint(true)
+      val frozen = df.graftCheckpoint(true)
       spark.sparkContext.getPersistentRDDs.keySet.diff(before)
         .foreach(id => shielded.put((k._1, id), ()))
       frames.putIfAbsent(k, frozen)

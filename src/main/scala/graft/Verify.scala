@@ -24,11 +24,16 @@ object Verify {
       only.forall(_.exists { p =>
         if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else name == p
       })
+    val failed = Seq.newBuilder[String]
+    var dumped = 0
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
       // same between-queries storage hygiene as Bench: a 233-query dump
       // run pins hundreds of checkpointed block sets otherwise
@@ -49,6 +54,31 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Self-verifying artifact (VERDICT r15 item 1: the driver recorded
+    // {} for a round whose suite passed 261/261). After the dump, read
+    // the artifacts BACK from disk and publish a machine-checkable
+    // summary — SELFCHECK.json + one stdout line — so an empty or
+    // partial dump can never pass silently: tools/closing_gate.sh greps
+    // this line and fails the round if dumped==0, oracle_entries==0, or
+    // any query failed.
+    val oracleBytes = Files.readAllBytes(Paths.get(s"$outDir/oracle_sql.json"))
+    val oracleSha = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(oracleBytes).map(b => f"$b%02x").mkString
+    val oracleEntries = SparkEntry.oracleSql.count(kv => selected(kv._1))
+    val failedNames = failed.result()
+    val dumpDirs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty).count(f => f.isDirectory &&
+        Option(f.listFiles()).exists(_.exists(_.getName.endsWith(".parquet"))))
+    val selfcheck =
+      s"""{"dumped": $dumped, "dump_dirs_with_parquet": $dumpDirs, """ +
+      s""""failed": ${failedNames.map(q).mkString("[", ",", "]")}, """ +
+      s""""oracle_entries": $oracleEntries, """ +
+      s""""oracle_bytes": ${oracleBytes.length}, """ +
+      s""""oracle_sha256": ${q(oracleSha)}}"""
+    Files.writeString(Paths.get(s"$outDir/SELFCHECK.json"), selfcheck)
+    println(s"[verify] SELFCHECK dumped=$dumped dirs=$dumpDirs " +
+      s"failed=${failedNames.size} oracle_entries=$oracleEntries " +
+      s"oracle_bytes=${oracleBytes.length} sha256=${oracleSha.take(16)}")
     ModelCache.releaseAll(spark)
     spark.stop()
   }

@@ -32,8 +32,9 @@ object AverageCalculatorJob {
         Sources.eventsStream(spark, conf.sourcePath)
           .select(col("event_type").as("readTag_id"), col("value"))
       else {
-        val (servers, topic) = conf.kafkaParts(conf.source)
-        Sources.parseReadings(Sources.kafkaStream(spark, servers, topic))
+        val (servers, topics) = conf.kafkaParts(conf.source)
+        Sources.parseReadings(Sources.kafkaStream(spark, servers, topics,
+          minPartitions = conf.minPartitions))
       }
 
     // --fidelity: the imperative transformWithState state machine (real
@@ -59,7 +60,7 @@ object AverageCalculatorJob {
           .outputMode(OutputMode.Update())
           .trigger(Trigger.ProcessingTime(conf.trigger))
       else {
-        val (servers, topic) = conf.kafkaParts(conf.sink)
+        val (servers, topic) = conf.kafkaSinkParts(conf.sink)
         RunningStats.kafkaWireWriter(wire, servers, topic, conf.checkpoint)
       }
 

@@ -21,6 +21,14 @@ package graft.jobs
   *       aggregate — byte-faithful per-record replay of AVG:102-171
   *       including the delta loop-leak and the Double counter;
   *       configures the RocksDB state store it requires)
+  *   --min-partitions <n> (kafka source only: minimum read-split
+  *       parallelism across the subscription — the DSv2 stand-in for the
+  *       reference's per-topic receiver thread counts, the topicMap
+  *       values at AVG:41-45; 0 = source default)
+  *
+  * Multi-topic parity (`AVG:41-45`): the source topic segment may be a
+  * comma list — `kafka://host:9092/bms,bms2` subscribes both, mirroring
+  * the reference's `Map<topic, threads>` subscription.
   */
 final case class JobConfig(
     source: String = "kafka://localhost:9092/bms",
@@ -28,17 +36,35 @@ final case class JobConfig(
     checkpoint: String = "./spark_cache",
     trigger: String = "2 seconds",
     once: Boolean = false,
-    fidelity: Boolean = false) {
+    fidelity: Boolean = false,
+    minPartitions: Int = 0) {
 
   def isFileSource: Boolean = source.startsWith("file:")
   def sourcePath: String = source.stripPrefix("file:")
 
-  /** kafka://host:port/topic → (host:port, topic) */
+  /** kafka://host:port/topic[,topic2,...] → (host:port, topic list).
+    * The topic segment passes through verbatim as the DSv2 `subscribe`
+    * value (comma list supported); a sink URI must name exactly ONE
+    * topic — [[kafkaSinkParts]] enforces that.
+    */
   def kafkaParts(uri: String): (String, String) = {
     val rest = uri.stripPrefix("kafka://")
     val slash = rest.lastIndexOf('/')
     require(slash > 0, s"expected kafka://host:port/topic, got $uri")
-    (rest.substring(0, slash), rest.substring(slash + 1))
+    val topics = rest.substring(slash + 1)
+    require(topics.split(",").exists(_.trim.nonEmpty),
+      s"expected at least one topic in $uri")
+    (rest.substring(0, slash), topics)
+  }
+
+  /** Sink variant: one topic only — records are produced to a single
+    * topic (`PROD:52-54`), never fanned out.
+    */
+  def kafkaSinkParts(uri: String): (String, String) = {
+    val (servers, topics) = kafkaParts(uri)
+    require(!topics.contains(","),
+      s"kafka sink must name exactly one topic, got $topics")
+    (servers, topics)
   }
 }
 
@@ -52,6 +78,8 @@ object JobConfig {
       case "--trigger" :: v :: t    => loop(t, c.copy(trigger = v))
       case "--once" :: t            => loop(t, c.copy(once = true))
       case "--fidelity" :: t        => loop(t, c.copy(fidelity = true))
+      case "--min-partitions" :: v :: t =>
+        loop(t, c.copy(minPartitions = v.toInt))
       case Nil                      => c
       case other :: _ =>
         throw new IllegalArgumentException(s"unknown flag: $other")

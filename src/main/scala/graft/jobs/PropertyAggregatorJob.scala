@@ -28,8 +28,9 @@ object PropertyAggregatorJob {
         Sources.eventsStream(spark, conf.sourcePath)
           .select(col("event_type").as("line"))
       else {
-        val (servers, topic) = conf.kafkaParts(conf.source)
-        Sources.extractTagIds(Sources.kafkaStream(spark, servers, topic))
+        val (servers, topics) = conf.kafkaParts(conf.source)
+        Sources.extractTagIds(Sources.kafkaStream(spark, servers, topics,
+          minPartitions = conf.minPartitions))
       }
 
     // per-batch aggregate inside foreachBatch = the DStream per-batch

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, DecimalType, DoubleType, IntegerType, LongType, StringType}
 
 import graft.{QueryDef, Tables}
+import graft.operators.Checkpoints.GraftCheckpointOps
 
 /** Statistical data-audit operators over the order book — the
   * fraud/quality-screening siblings of the `documents` curation gates
@@ -88,7 +89,7 @@ object Audits {
     // it per consumer (ADVICE r09; the d55/d57 shared-frame idiom)
     val b = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-      .localCheckpoint()
+      .graftCheckpoint()
     val n = b.select(countDistinct(col("l_orderkey")).as("n_orders"))
     val item = b.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
     val pairs = b.as("a").join(b.as("b"),
@@ -360,7 +361,7 @@ object Audits {
         floor(col("c_acctbal") / lit(1000.0)).cast(LongType).as("bal_band"),
         col("c_mktsegment"))
       .agg(count(lit(1)).as("cgs"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val gsize = cells.groupBy(col("c_nationkey"), col("bal_band"))
       .agg(sum(col("cgs")).as("g"))
     val glob = cells.groupBy(col("c_mktsegment")).agg(sum(col("cgs")).as("cs"))
@@ -1746,7 +1747,7 @@ object Audits {
     val d38 = DecimalType(38, 0)
     val h = pairsDf.groupBy(col("q"), col("d"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val tot = h.agg(sum(col("cnt")).as("n"), count(lit(1)).as("n_cells"))
     val a = h.select(col("q").as("qa"), col("d").as("da"), col("cnt").as("ca"))
     val b = h.select(col("q").as("qb"), col("d").as("db"), col("cnt").as("cb"))
@@ -1838,7 +1839,7 @@ object Audits {
     val cums = Relational.prefixSumByRange(g, Seq("grp"),
         Seq(col("cents")),
         Seq("cum_a" -> col("c_a"), "cum_b" -> col("c_b"), "rnk" -> lit(1L)))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val tot = cums.groupBy(col("grp"))
       .agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
     val nxt = cums.select(col("grp"),
@@ -2113,7 +2114,7 @@ object Audits {
     val d38 = DecimalType(38, 0)
     val g = o.groupBy(col("grp"), col("cents"))
       .agg(sum(col("is_a")).as("c_a"), sum(lit(1L) - col("is_a")).as("c_b"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     // prefix input reduced to exactly (key, order, measure input) — the
     // t86 discipline; c_a rejoins by key so the two internal slice
     // consumers' projections stay identical
@@ -2457,7 +2458,7 @@ object Audits {
     val d38 = DecimalType(38, 0)
     val g = o.groupBy(col("grp"), col("cents"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     // pooled median on the distinct-cents grid: both middle order stats
     val pooled = Relational.prefixSumByRange(
       g.groupBy(col("cents")).agg(sum(col("cnt")).as("pc")),
@@ -2478,7 +2479,7 @@ object Audits {
         sum(when(lit(2L) * col("cents") > col("med2"), col("cnt"))
           .otherwise(0L)).as("n_above"),
         max(col("nn")).as("nn"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val marg = tab.agg(sum(col("n_above")).as("aa"), max(col("nn")).as("nn"))
       .select(col("aa"), (col("nn") - col("aa")).as("bb"), col("nn"))
     val terms = tab.drop("nn").crossJoin(broadcast(marg))
@@ -2585,7 +2586,7 @@ object Audits {
     val d38 = DecimalType(38, 0)
     val g = o.groupBy(col("grp"), col("cents"))
       .agg(sum(col("is_a")).as("c_a"), sum(lit(1L) - col("is_a")).as("c_b"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val tot = g.groupBy(col("grp"))
       .agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
     val bc = g.join(broadcast(tot), "grp")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.{QueryDef, Tables}
+import graft.operators.Checkpoints.GraftCheckpointOps
 
 /** c70: the end-to-end corpus-curation pipeline a training-data job
   * actually runs over a raw crawl — composed entirely from the engine's
@@ -143,7 +144,7 @@ object Curation {
     */
   def advance(state: CurationState, newDocs: DataFrame,
               threshold: Double = 0.35): CurationState = {
-    def pin(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def pin(df: DataFrame): DataFrame = df.graftCheckpoint(true)
     // stage 1: within-batch exact dedup, then drop content already keyed
     val inBatch = Dedup.dedupExact(
       newDocs.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
@@ -266,10 +267,10 @@ object Curation {
     // gate frames that are two orders smaller than the corpus, the
     // frozen-blocks side wins (ADVICE r10).
     val rep = TextOps.t55Metrics(spark, dir)
-      .select(col("doc_id"), col("passes_gate")).localCheckpoint(eager = false)
+      .select(col("doc_id"), col("passes_gate")).graftCheckpoint(eager = false)
       .filter(col("passes_gate") === 1).select(col("doc_id"))
     val boi = TextOps.t56Metrics(spark, dir)
-      .select(col("doc_id"), col("keep")).localCheckpoint(eager = false)
+      .select(col("doc_id"), col("keep")).graftCheckpoint(eager = false)
       .filter(col("keep") === 1).select(col("doc_id"))
     val survivors = docs
       .select(col("doc_id"), col("source"),
@@ -1035,7 +1036,7 @@ object Curation {
           element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))).as("shingle"))
       .select(col("source"), PortableHash.h60(col("shingle")).as("k"))
       .distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     // per-hash source set → all ordered pairs inside it; |ss| ≤ |sources|
     val pairs = sh.groupBy(col("k"))
@@ -1117,7 +1118,7 @@ object Curation {
     val pairs = d.withColumn("__t", split(col("text"), " "))
       .select(col("source"), explode(grams).as("g"))
       .select(col("source"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val vocab = d.select(explode(split(col("text"), " ")).as("w"))
       .agg(countDistinct(col("w"))).collect()(0).getLong(0)
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
@@ -1480,7 +1481,7 @@ object Curation {
     */
   private[graft] def jsDivergenceFrom(csRaw: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val cs = csRaw.localCheckpoint(false)
+    val cs = csRaw.graftCheckpoint(false)
     val ns = cs.groupBy(col("source")).agg(sum(col("cnt")).as("n_s"))
     val csn = cs.join(broadcast(ns), "source")
     val a = csn.select(col("source").as("src_a"), col("w"),

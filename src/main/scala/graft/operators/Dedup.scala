@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
 import graft.functions.Vectors
+import graft.operators.Checkpoints.GraftCheckpointOps
 
 /** Deduplication suite over the `documents` / `embeddings` tables — the
   * training-data-pipeline extension (absent from the reference; SURVEY.md
@@ -485,48 +486,21 @@ object Dedup {
   // so the loop never pins corpus-scale data in executor memory.
   // ---------------------------------------------------------------------
 
-  /** Materialize one frame of the iterative loop with truncated lineage.
-    *
-    * Default: `localCheckpoint` — executor-local blocks, no DFS write.
-    * Fast, and right for the bench; but after truncation an executor loss
-    * makes those blocks unrecoverable, so a long production run on a real
-    * cluster should set `spark.graft.cc.checkpointDir` to a DFS path:
-    * the loop then uses reliable `checkpoint()` into a per-run
-    * subdirectory of that path and an executor loss only recomputes from
-    * the checkpoint files. The trade is one distributed write per
-    * retained frame. Retention is bounded, not cleaned: Spark does not
-    * delete reliable checkpoints while the app runs (and the returned
-    * frame READS from the final ones), so a run retains
-    * O(pair-list · log n) bytes — ids only, never corpus-scale — and the
-    * per-run subdir is the cleanup unit for the caller (or set
-    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to let GC
-    * reap superseded rounds). Both modes are exercised by
-    * DedupSimilaritySpec's "connectedComponents reliable-checkpoint
+  /** Materialize one frame of the iterative loop with truncated lineage —
+    * the [[Checkpoints]] switch (reliable `checkpoint()` when
+    * `spark.graft.checkpointDir` / the legacy `spark.graft.cc.checkpointDir`
+    * is set, `localCheckpoint` otherwise; see Checkpoints' doc for the
+    * retention/cleanup contract). A run retains O(pair-list · log n)
+    * bytes here — ids only, never corpus-scale. Both modes are exercised
+    * by DedupSimilaritySpec's "connectedComponents reliable-checkpoint
     * mode" test.
     */
-  private def persistIter(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    spark.conf.getOption("spark.graft.cc.checkpointDir") match {
-      case Some(dir) if dir.nonEmpty => df.checkpoint(eager = true)
-      case _ => df.localCheckpoint(true)
-    }
-  }
-
-  /** Point the context's checkpoint location at a fresh per-run subdir
-    * of the configured base (no-op in localCheckpoint mode).
-    */
-  private def initCheckpointDir(spark: SparkSession): Unit =
-    spark.conf.getOption("spark.graft.cc.checkpointDir").foreach { dir =>
-      if (dir.nonEmpty)
-        spark.sparkContext.setCheckpointDir(
-          s"$dir/cc-${java.util.UUID.randomUUID()}")
-    }
+  private def persistIter(df: DataFrame): DataFrame = df.graftCheckpoint(true)
 
   /** (doc_id, cluster_id) for every node in `pairs`, cluster_id = min id
     * of the node's connected component.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    initCheckpointDir(pairs.sparkSession)
     // materialize the (possibly expensive) pair pipeline ONCE before
     // deriving both loop frames from it — labels and edges each force an
     // action, and without this checkpoint each would re-execute the full
@@ -622,7 +596,7 @@ object Dedup {
   private[graft] def advanceNeardup(state: NearDupState, b: DataFrame,
       threshold: Double = 0.35, maxBucket: Int = DocBucketCap): NearDupState = {
     // band the newcomers once; the index is never re-signed
-    val newBands = bandedSignaturesFrom(b).localCheckpoint(true)
+    val newBands = bandedSignaturesFrom(b).graftCheckpoint(true)
     val all = if (state.index == null) newBands
       else state.index.unionByName(newBands)
     // ADVICE r13: the incremental ≡ from-scratch contract (oracle =
@@ -642,9 +616,9 @@ object Dedup {
     // pair delta = every pair whose LATER member is in this batch
     val delta = pairsFromBandJoin(all,
       all.join(b.select(col("doc_id")), Seq("doc_id"), "left_semi"), threshold)
-    val pairs = if (state.pairs == null) delta.localCheckpoint(true)
-      else state.pairs.unionByName(delta).localCheckpoint(true)
-    NearDupState(all.localCheckpoint(true), pairs)
+    val pairs = if (state.pairs == null) delta.graftCheckpoint(true)
+      else state.pairs.unionByName(delta).graftCheckpoint(true)
+    NearDupState(all.graftCheckpoint(true), pairs)
   }
 
   /** Resolve the state's accumulated pairs to (doc_id, cluster_id) —
@@ -1149,7 +1123,7 @@ object Dedup {
     val sh = shingledCounted(spark, dir)
       .select(col("doc_id"), col("n_shingles"),
         PortableHash.h60(col("shingle")).as("k"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val dfreq = sh.groupBy(col("k")).agg(count(lit(1)).as("dfreq"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("k"))
     val prefix = sh.join(dfreq, "k")
@@ -1222,7 +1196,7 @@ object Dedup {
     val sh = shingledCountedFrom(docs)
       .select(col("doc_id"), col("n_shingles"),
         PortableHash.h60(col("shingle")).as("k"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val dfreq = sh.groupBy(col("k")).agg(count(lit(1)).as("dfreq"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("dfreq"), col("k"))
     val prefix = sh.join(dfreq, "k")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.{QueryDef, Tables}
+import graft.operators.Checkpoints.GraftCheckpointOps
 
 /** Iterative graph analytics over a co-purchase projection of lineitem —
   * the PageRank sibling of [[Dedup.connectedComponents]] (SURVEY §2.7 has
@@ -48,11 +49,11 @@ object Graph {
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val nodes = Tables.lineitem(spark, dir).select(col("l_partkey").as("node"))
-      .distinct().localCheckpoint(true)
+      .distinct().graftCheckpoint(true)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     (e, deg, nodes)
   }
 
@@ -146,7 +147,7 @@ object Graph {
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().graftCheckpoint(true)
   }
 
   /** Undirected co-purchase edges and their degree-ordered orientation —
@@ -170,7 +171,7 @@ object Graph {
           col("src")).otherwise(col("dst")).as("u"),
         when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
           col("dst")).otherwise(col("src")).as("v"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     (und, or)
   }
 
@@ -319,7 +320,7 @@ object Graph {
 
   def q67KHopReach(spark: SparkSession, dir: String): DataFrame = {
     val (e, _, nodes) = projection(spark, dir)
-    val seeds = nodes.where(col("node") % 500 === 0).localCheckpoint(true)
+    val seeds = nodes.where(col("node") % 500 === 0).graftCheckpoint(true)
     var visited = seeds
     var frontier = seeds
     // Collect each round's frontier as a FRAME (not a driver count): the
@@ -334,9 +335,9 @@ object Graph {
       frontier = e.join(frontier.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
       frontiers += frontier
-      visited = visited.union(frontier).localCheckpoint(true)
+      visited = visited.union(frontier).graftCheckpoint(true)
     }
     frontiers.zipWithIndex.map { case (f, h) =>
       f.agg(count(lit(1)).as("n_new")).select(lit(h).as("hop"), col("n_new"))
@@ -384,15 +385,15 @@ object Graph {
     val (e, _, nodes) = projection(spark, dir)
     val we = e.groupBy(col("src"), col("dst"))
       .agg(expr("1000000L div count(1)").as("cost"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     var dist = nodes.where(col("node") % 500 === 0)
-      .select(col("node"), lit(0L).as("d")).localCheckpoint(true)
+      .select(col("node"), lit(0L).as("d")).graftCheckpoint(true)
     for (_ <- 1 to SsspRounds) {
       val relaxed = we
         .join(dist.select(col("node").as("src"), col("d").as("ds")), "src")
         .select(col("dst").as("node"), (col("ds") + col("cost")).as("d"))
       dist = dist.union(relaxed).groupBy(col("node")).agg(min(col("d")).as("d"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
     }
     dist.filter(col("node") % 23 === 0).orderBy(col("node"))
   }
@@ -527,7 +528,7 @@ object Graph {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val parts = e.select(col("p")).distinct()
     val nParts = parts.agg(count(lit(1)).as("np"))
     var a = parts.crossJoin(broadcast(nParts))
@@ -621,7 +622,7 @@ object Graph {
       .distinct()
     // symmetric closure: per-node degree = COUNT over outgoing rows
     val e0 = und.union(und.select(col("d").as("s"), col("s").as("d")))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     // k = (7 · 2|E|) div (10 · |N|) — one bounded aggregate, broadcast back
     val kv = e0.agg((count(lit(1)) * lit(7L)).as("ke"),
         (countDistinct(col("s")) * lit(10L)).as("kn"))
@@ -636,7 +637,7 @@ object Graph {
         .groupBy(col("s")).agg(count(lit(1)).as("c"))
       alive = deg.crossJoin(broadcast(kv)).filter(col("c") >= col("k"))
         .select(col("s").as("n"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
     }
     val finalDeg = filtered(alive)
       .groupBy(col("s").as("n")).agg(count(lit(1)).as("core_degree"))
@@ -720,7 +721,7 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("d"))
     // two consumers (threshold scan + club counts) of a degree-bounded frame
     val degHist = deg.groupBy(col("d")).agg(count(lit(1)).as("nd"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val edgeHist = und
       .join(broadcast(deg.select(col("node").as("src"), col("d").as("ds"))), "src")
       .join(broadcast(deg.select(col("node").as("dst"), col("d").as("dd"))), "dst")
@@ -893,7 +894,7 @@ object Graph {
       |FROM w ORDER BY comm""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q150: one Louvain local-move sweep (Blondel et al. 2008, the
+  // q154: one Louvain local-move sweep (Blondel et al. 2008, the
   // synchronous/parallel variant) refining the brand partition q135
   // scores — the "improve the partition" step that closes the community
   // battery: q135 measures Q, this query RAISES it. Every node evaluates
@@ -936,16 +937,11 @@ object Graph {
   // Louvain. The brand partition has inter-community edges everywhere,
   // so the sweep provably acts — and GraphPhashSpec shows it acting.
   // ---------------------------------------------------------------------
-  def q150LouvainSweep(spark: SparkSession, dir: String): DataFrame =
+  def q154LouvainSweep(spark: SparkSession, dir: String): DataFrame =
     louvainSweepFrom(undirectedCoPurchase(spark, dir),
       Tables.part(spark, dir)
         .select(col("p_partkey").as("node"), col("p_brand").as("comm")))
 
-  /** One synchronous Louvain sweep of any (node, comm) partition over any
-    * undirected (src, dst) edge frame — spec entry point. Nodes outside
-    * the edge set carry no degree, propose no moves, and are excluded
-    * from the report (q135's universe).
-    */
   /** One sweep's best strictly-positive moves under partition `comm`
     * (restricted to `deg`'s universe): (node, old_comm, new_comm).
     * `deg`/`m` are passed in so iterated sweeps (q151) compute them once.
@@ -980,6 +976,11 @@ object Graph {
       .select(col("node"), col("comm").as("old_comm"), col("c").as("new_comm"))
   }
 
+  /** One synchronous Louvain sweep of any (node, comm) partition over any
+    * undirected (src, dst) edge frame — spec entry point. Nodes outside
+    * the edge set carry no degree, propose no moves, and are excluded
+    * from the report (q135's universe).
+    */
   private[graft] def louvainSweepFrom(und: DataFrame, comm: DataFrame): DataFrame = {
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
@@ -1007,7 +1008,7 @@ object Graph {
       .orderBy(col("comm"))
   }
 
-  val q150LouvainSweepSql: String =
+  val q154LouvainSweepSql: String =
     """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |und AS MATERIALIZED (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -1079,7 +1080,7 @@ object Graph {
       |ORDER BY comm""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q151: ITERATED Louvain — q150's sweep driven to a trajectory: sweep
+  // q151: ITERATED Louvain — q154's sweep driven to a trajectory: sweep
   // k's gains are computed against the partition sweep k−1 produced, the
   // partition frame is localCheckpoint'd between sweeps (the q63/q67
   // iteration idiom — per-sweep plan depth stays O(1), and the
@@ -1094,7 +1095,7 @@ object Graph {
   // recovers), which is precisely why each sweep's Q is recomputed
   // exactly and REPORTED rather than assumed.
   //
-  // Scale shape per sweep = q150's (edge-linear aggregates, vocabulary
+  // Scale shape per sweep = q154's (edge-linear aggregates, vocabulary
   // of |comms| broadcast); the only driver state is the 1-row Q scalar
   // and the move COUNT — both provably bounded. The oracle unrolls the
   // sweep CTE block once per sweep, every multiply-referenced stage
@@ -1109,7 +1110,7 @@ object Graph {
     * recompute degrees on every one of the loop's 1 + sweeps calls).
     * The arithmetic is modularityFrom's exactly: integer q_num summed
     * in DECIMAL(38,0), ONE double division, round(…, 6) in Spark — so
-    * the reading is bit-identical to q135/q150's q column.
+    * the reading is bit-identical to q135/q154's q column.
     */
   private def modularityQ(und: DataFrame, deg: DataFrame, m: DataFrame,
       comm: DataFrame): Double = {
@@ -1143,8 +1144,8 @@ object Graph {
       brand: DataFrame, sweeps: Int): DataFrame = {
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("d")).localCheckpoint(true)
-    val m = und.agg(count(lit(1)).as("m")).localCheckpoint(true)
+      .groupBy("node").agg(count(lit(1)).as("d")).graftCheckpoint(true)
+    val m = und.agg(count(lit(1)).as("m")).graftCheckpoint(true)
     var comm = Checkpoints.fresh(
       deg.join(broadcast(brand), "node").select(col("node"), col("comm")),
       "node", "comm")
@@ -1262,7 +1263,7 @@ object Graph {
   // at all. The argmax windows partition per node (never global). This
   // is the community detector that actually runs at 100 TB: no
   // modularity bookkeeping, no community-total broadcasts — labels ride
-  // the edges. q135's modularityFrom can score the result; q150/q151
+  // the edges. q135's modularityFrom can score the result; q154/q151
   // can refine it.
   // ---------------------------------------------------------------------
   private val LpaRounds = 3
@@ -1273,9 +1274,9 @@ object Graph {
   private def lpaLabels(und: DataFrame): DataFrame = {
     val nb = und.select(col("src").as("node"), col("dst").as("nbr"))
       .union(und.select(col("dst").as("node"), col("src").as("nbr")))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     var lbl = nb.select(col("node")).distinct()
-      .select(col("node"), col("node").as("label")).localCheckpoint(true)
+      .select(col("node"), col("node").as("label")).graftCheckpoint(true)
     for (_ <- 1 to LpaRounds) {
       val w = Window.partitionBy(col("node"))
         .orderBy(col("cnt").desc, col("label").asc)
@@ -1284,7 +1285,7 @@ object Graph {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("node"), col("label"))
-        .localCheckpoint(true)
+        .graftCheckpoint(true)
     }
     lbl
   }
@@ -1390,7 +1391,7 @@ object Graph {
     QueryDef.sql("q63_pagerank", q63PageRank _, q63PageRankSql),
     QueryDef.sql("q134_rich_club", q134RichClub _, q134RichClubSql),
     QueryDef.sql("q135_modularity", q135Modularity _, q135ModularitySql),
-    QueryDef.sql("q150_louvain_sweep", q150LouvainSweep _, q150LouvainSweepSql),
+    QueryDef.sql("q154_louvain_sweep", q154LouvainSweep _, q154LouvainSweepSql),
     QueryDef.sql("q151_louvain_iterate", q151LouvainIterate _, q151LouvainIterateSql),
     QueryDef.sql("q152_label_propagation", q152LabelPropagation _, q152LabelPropagationSql),
     QueryDef.sql("q153_lpa_modularity", q153LpaModularity _, q153LpaModularitySql),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
+import graft.operators.Checkpoints.GraftCheckpointOps
 
 /** Multimodal columns — image/audio/video carried as opaque `binary`
   * columns with typed metadata, the training-data-pipeline extension
@@ -709,7 +710,7 @@ object Multimodal {
       .select(col("id_a"), col("id_b"))
     val pairs = if (state.pairs == null) Checkpoints.fresh(delta, "id_a", "id_b")
       else Checkpoints.fresh(state.pairs.unionByName(delta), "id_a", "id_b")
-    PhashState(all.localCheckpoint(true), pairs)
+    PhashState(all.graftCheckpoint(true), pairs)
   }
 
   /** m66's cluster-membership shape for everything folded so far. */

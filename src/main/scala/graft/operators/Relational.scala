@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
+import graft.operators.Checkpoints.GraftCheckpointOps
 
 /** Batch relational inventory (SURVEY.md §2.7).
   *

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.{QueryDef, Tables}
+import graft.operators.Checkpoints.GraftCheckpointOps
 
 /** Deterministic stratified sampling over `documents` — the
   * training-data downsampling primitive (fix a per-language quota, keep
@@ -435,7 +436,7 @@ object Sampling {
   private[graft] def dsirWeightsFrom(d: DataFrame): DataFrame = {
     // the gram explosion feeds both the model aggregate and the per-doc
     // counts — materialize it once (t61's shared-frame idiom)
-    val pairs = dsirGramsFrom(d).localCheckpoint(true)
+    val pairs = dsirGramsFrom(d).graftCheckpoint(true)
     val model = dsirModelOf(pairs)
     pairs.groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("c"))

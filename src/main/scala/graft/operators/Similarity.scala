@@ -9,6 +9,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 
 import graft.{QueryDef, Tables}
 import graft.functions.{Vectors, VecLshSketch}
+import graft.operators.Checkpoints.GraftCheckpointOps
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, dim 64)
   * — the ANN extension (SURVEY.md §4.2). Two paths:
@@ -1178,7 +1179,7 @@ object Similarity {
       .agg(min(col("a.vec_id")).as("dup_min"))
     val dups = if (state.dups == null) Checkpoints.fresh(delta, "vec_id", "dup_min")
       else Checkpoints.fresh(state.dups.unionByName(delta), "vec_id", "dup_min")
-    SemDedupState(state.cents, all.localCheckpoint(true), dups)
+    SemDedupState(state.cents, all.graftCheckpoint(true), dups)
   }
 
   /** d48's (vec_id, cid, dup_of, kept) shape for everything folded so
@@ -1397,7 +1398,7 @@ object Similarity {
     val delta = scoredCellPairs(all, newAssigned)
     val cand = if (state.cand == null) Checkpoints.fresh(delta, "va", "vb", "sim")
       else Checkpoints.fresh(state.cand.unionByName(delta), "va", "vb", "sim")
-    TopicState(state.cents, all.localCheckpoint(true), cand)
+    TopicState(state.cents, all.graftCheckpoint(true), cand)
   }
 
   /** d65's cluster labeling for everything folded so far. */
@@ -1555,7 +1556,7 @@ object Similarity {
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= MmrCand)
       .select(col("query_id"), col("neighbor_id"), col("ne"), col("rel"))
-      .localCheckpoint()
+      .graftCheckpoint()
     val first = cand.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
       .select(col("query_id"), col("neighbor_id"), col("ne"), col("rel"),
         col("rel").as("score"), lit(1).as("pick_rank"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
 
 import graft.{QueryDef, Tables}
+import graft.operators.Checkpoints.GraftCheckpointOps
 
 /** Temporal statistics and distribution-drift monitoring — the
   * time-axis siblings of the `Audits` battery: q104 asks "how long
@@ -313,7 +314,7 @@ object Temporal {
   private[graft] def psiDriftFrom(spark: SparkSession, sidedIn: DataFrame): DataFrame = {
     // the side gate (one comparison) would otherwise re-evaluate per
     // consumer below; the frame is (cents, key, flag) — column-pruned
-    val sided = sidedIn.localCheckpoint(false)
+    val sided = sidedIn.graftCheckpoint(false)
     // equi-depth edges fit on the reference side only (q83's formula)
     val edges = Relational.rankByRange(sided.filter(col("is_ref") === 1L), Nil,
         Seq(col("cents").asc, col("o_orderkey").asc), "__rnk", "__n")
@@ -470,7 +471,7 @@ object Temporal {
     // re-runs the corpus groupBy (q106's multi-consumer idiom)
     val wi = Window.orderBy(col("day"))
     val idx = daily.withColumn("i", row_number().over(wi).cast(LongType))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val st = idx.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("s"))
     val d = idx.crossJoin(broadcast(st))
       .select(col("i"), col("n"),
@@ -577,7 +578,7 @@ object Temporal {
     // calendar-bounded frame; three consumers (pairs×2, residuals)
     val idx = daily.select(col("day"), col("rev_c"))
       .withColumn("i", row_number().over(wi).cast(LongType))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val a = idx.select(col("i").as("ia"), col("rev_c").as("ra"))
     val b = idx.select(col("i").as("ib"), col("rev_c").as("rb"))
     val slopes = a.join(b, col("ib") > col("ia"))
@@ -589,7 +590,7 @@ object Temporal {
     // scalar) — checkpoint the grid (date-domain-bounded, ~2.9M rows at
     // 8 years of days regardless of SF) so the expansion runs ONCE
     val g = slopes.groupBy(col("s6")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val pre = Relational.prefixSumByRange(g, Nil, Seq(col("s6")),
       Seq("cum" -> col("cnt")))
     val np = g.agg(sum(col("cnt")).as("n_pairs"))
@@ -693,7 +694,7 @@ object Temporal {
     // calendar-bounded frame; two consumers (pair frame ×2 sides, ties)
     val idx = daily.select(col("day"), col("rev_c"))
       .withColumn("i", row_number().over(wi).cast(LongType))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val a = idx.select(col("i").as("ia"), col("rev_c").as("ra"))
     val b = idx.select(col("i").as("ib"), col("rev_c").as("rb"))
     val s = a.join(b, col("ib") > col("ia"))
@@ -779,7 +780,7 @@ object Temporal {
     val wi = Window.orderBy(col("day"))
     val idx = daily.select(col("day"), col("rev_c"))
       .withColumn("i", row_number().over(wi).cast(LongType))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val st = idx.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("s"))
     // integral scaled path: c_t = Σ_{s≤t} (n·x_s − S) over |days| rows
     val wc = Window.orderBy(col("i"))
@@ -863,7 +864,7 @@ object Temporal {
     val wv = Window.orderBy(col("rev_c"), col("day"))
     // |days| frame; two consumers (median scalar, signed sequence)
     val idx = daily.select(col("day"), col("rev_c"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val nRow = idx.agg(count(lit(1)).as("n_days"))
     val med = idx.withColumn("vrank", row_number().over(wv).cast(LongType))
       .crossJoin(broadcast(nRow))
@@ -974,7 +975,7 @@ object Temporal {
     val wi = Window.orderBy(col("day"))
     val idx = daily.select(col("day"), col("rev_c"))
       .withColumn("i", row_number().over(wi).cast(LongType))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val st = idx.agg(count(lit(1)).as("n"), sum(col("rev_c")).as("s"))
     val d = idx.crossJoin(broadcast(st))
       .select(col("i"), col("n"),
@@ -1076,7 +1077,7 @@ object Temporal {
     val wi = Window.orderBy(col("day"))
     val idx = daily.select(col("day"), col("rev_c"))
       .withColumn("i", row_number().over(wi).cast(LongType))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val ref = idx.filter(col("i") <= refN)
       .agg(sum(col("rev_c")).as("s_ref"), count(lit(1)).as("n_ref"))
     val wc = Window.orderBy(col("i"))
@@ -1331,7 +1332,7 @@ object Temporal {
     val wi = Window.partitionBy(col("grp")).orderBy(col("day"))
     // |grp × days| frame, two consumers (moment agg + residual pass)
     val idx = daily.withColumn("i", row_number().over(wi).cast(LongType))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val st = idx.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), sum(col("i")).as("si"),
         sum(col("rev_c")).as("sy"),
@@ -1832,7 +1833,7 @@ object Temporal {
       .select(col("grp"), col("i"), col("rev_c"),
         explode(array(HurstSizes.map(lit): _*)).as("m"))
       .withColumn("b", expr("(i - 1) div m"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val blocks = sized.groupBy(col("grp"), col("m"), col("b"))
       .agg(sum(col("rev_c")).as("bs"), count(lit(1)).as("bc"))
       .filter(col("bc") === col("m"))
@@ -1856,7 +1857,7 @@ object Temporal {
       .withColumn("y", floor(log(col("srs").cast(DoubleType)
           / col("n_blocks").cast(DoubleType) / lit(1e6)) * lit(1e6) + lit(0.5))
         .cast(LongType))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val fit = perSize.groupBy(col("grp"))
       .agg(count(lit(1)).as("np"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
@@ -2087,14 +2088,14 @@ object Temporal {
     // bounded axis (|days| rows); checkpointed: the deviation frame
     // fans out to the moment scalar, the x side, and the y side
     val idx = daily.withColumn("i", row_number().over(wi).cast(LongType))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val st = idx.agg(count(lit(1)).as("n"),
       sum(col("x_c")).as("sx"), sum(col("y_c")).as("sy"))
     val d = idx.crossJoin(broadcast(st))
       .select(col("i"), col("n"),
         (col("n") * col("x_c") - col("sx")).as("dx"),
         (col("n") * col("y_c") - col("sy")).as("dy"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val mo = d.agg(
       sum(col("dx").cast(d38) * col("dx")).as("dx2"),
       sum(col("dy").cast(d38) * col("dy")).as("dy2"))
@@ -2302,7 +2303,7 @@ object Temporal {
       .withColumn("xl", lag(col("x_c"), 1).over(wi))
       .withColumn("yl", lag(col("y_c"), 1).over(wi))
       .filter(col("xl").isNotNull && col("yl").isNotNull)
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val dirs = lagged.select(lit("y_to_x").as("dir"),
         col("x_c").as("yv"), col("xl").as("x1"), col("yl").as("x2"))
       .unionByName(lagged.select(lit("x_to_y").as("dir"),
@@ -2458,7 +2459,7 @@ object Temporal {
     val d = daily.join(broadcast(st), "grp")
       .select(col("grp"), col("day"), col("n"),
         (col("n") * col("rev_c") - col("s")).as("dv"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val sp2 = d
       .withColumn("p", sum(col("dv")).over(
         wi.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -2566,7 +2567,7 @@ object Temporal {
     */
   private[graft] def engleGrangerFrom(daily: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val j = daily.localCheckpoint(false)
+    val j = daily.graftCheckpoint(false)
     val st = j.agg(count(lit(1)).as("n"),
         sum(col("x_c").cast(d38)).as("sx"), sum(col("y_c").cast(d38)).as("sy"),
         sum(col("x_c").cast(d38) * col("x_c")).as("sxx"),

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.{QueryDef, Tables}
+import graft.operators.Checkpoints.GraftCheckpointOps
 
 /** Text-analysis operators over `documents` — the training-data-pipeline
   * extension (language-ID heuristic, quality scoring, token counting,
@@ -769,7 +770,7 @@ object TextOps {
     // cached staging table between the train and score passes.
     val pairs = d.select(col("doc_id"), explode(grams).as("g"))
       .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     // vocab size for smoothing — one corpus scalar (t59's nDocs precedent)
     val vocab = d.select(explode(toks).as("w")).agg(countDistinct(col("w")))
       .collect()(0).getLong(0)
@@ -1299,11 +1300,16 @@ object TextOps {
           .when(col("h") < Sampling.ValBound, "val")
           .otherwise("test"))
     val tok = sp.select(col("doc_id"), col("split"), explode(toks).as("term"))
-    val wV = Window.orderBy(col("cnt").desc, col("term").asc)
+    // Top-V of the FULL train vocabulary: `orderBy().limit(V)` plans as
+    // TakeOrderedAndProject (per-partition top-V heaps + driver merge of
+    // 32·V rows) — the row_number() formulation it replaces sorted the
+    // whole vocabulary (~1e8 terms at 100 TB) on ONE partition. The
+    // (cnt DESC, term ASC) total order makes the two formulations
+    // row-identical; VERDICT r15 item 4 / PlanShapeSpec pin.
     val vocab = tok.filter(col("split") === "train")
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .withColumn("vrn", row_number().over(wV))
-      .filter(col("vrn") <= OovVocabV)
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(OovVocabV)
       .select(col("term"))
     val ev = tok.filter(col("split") =!= "train")
     val oov = ev.join(vocab, Seq("term"), "left_anti")
@@ -1442,7 +1448,7 @@ object TextOps {
       .withColumn("spaced", array_join(
         transform(filter(split(col("w"), ""), x => x =!= ""),
           c => concat(lit("<"), c, lit(">"))), " "))
-      .localCheckpoint()
+      .graftCheckpoint()
     (1 to BpeRounds).foldLeft(
       (vocab, Seq.empty[DataFrame])) { case ((prev, outs), r) =>
       val pairs = prev
@@ -1595,9 +1601,25 @@ object TextOps {
   // spellings through an exhausted election), each report row emits
   // only within budget.
   // -------------------------------------------------------------------
-  private val BpeVocabBudget = 40
+  private[graft] val BpeVocabBudget = 40
   // Oracle unroll depth; exact whenever |alphabet| ≥ 24 (= 24 here).
-  private val BpeBudgetUnroll = 16
+  // alpha > 24 is guarded inside the SQL stages; alpha < 24 would make
+  // the Scala fold run MORE rounds than the unrolled oracle — that
+  // direction is pinned by Round16Spec's alphabet assertion at the
+  // gated SFs via [[bpeAlphabetSize]] (ADVICE r15).
+  private[graft] val BpeBudgetUnroll = 16
+
+  /** |alphabet| of the BPE corpus (distinct characters across word
+    * types) — the scalar [[bpeBudgetFold]] derives its round count
+    * from. Exposed so the spec can pin BpeBudgetUnroll = budget − 24
+    * at the gated SFs instead of discovering a drift as an oracle
+    * row-count mismatch.
+    */
+  private[graft] def bpeAlphabetSize(spark: SparkSession, dir: String): Long =
+    docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(explode(filter(split(col("w"), ""), x => x =!= "")).as("c"))
+      .agg(countDistinct(col("c")).as("a")).head().getLong(0)
 
   /** One elected merge: round number, the merged pair (sentinel-free),
     * its corpus adjacency count, corpus symbols after the merge, and
@@ -1619,7 +1641,7 @@ object TextOps {
       .withColumn("spaced", array_join(
         transform(filter(split(col("w"), ""), x => x =!= ""),
           c => concat(lit("<"), c, lit(">"))), " "))
-      .localCheckpoint()
+      .graftCheckpoint()
     // |alphabet|: a bounded driver scalar (≤ |codepoints|)
     val alpha = cur
       .select(explode(split(col("spaced"), " ")).as("s"))
@@ -1642,7 +1664,7 @@ object TextOps {
         cur = cur
           .withColumn("spaced",
             replace(col("spaced"), lit(pair), lit(pair.replace("> <", ""))))
-          .localCheckpoint()
+          .graftCheckpoint()
         val symsAfter = cur
           .agg(sum(col("cnt") * size(split(col("spaced"), " "))).as("s"))
           .head().getLong(0)
@@ -2157,7 +2179,7 @@ object TextOps {
       s => s.getField("w2").isNotNull)
     val pairs = d.select(col("doc_id"), col("lang"), explode(grams).as("g"))
       .select(col("doc_id"), col("lang"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     // successor stats per context: total count AND distinct-successor
     // type count, in ONE pass over the c2 frame
@@ -2657,7 +2679,7 @@ object TextOps {
     val d38 = DecimalType(38, 0)
     val g = j.groupBy(col("score_n9"))
       .agg(count(lit(1)).as("n"), sum(col("pass").cast(LongType)).as("np"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     // prefix input is EXACTLY (order key, measure input): the midrank
     // identity needs only cum_n, and carrying np through the slice frame
     // makes the two range exchanges' projections diverge (offset branch
@@ -2906,7 +2928,7 @@ object TextOps {
     val d38 = DecimalType(38, 0)
     val g = j.groupBy(col("score_n9"))
       .agg(count(lit(1)).as("n"), sum(col("pass").cast(LongType)).as("np"))
-      .localCheckpoint(false)
+      .graftCheckpoint(false)
     val pre = Relational.prefixSumByRange(g, Nil, Seq(col("score_n9")),
       Seq("cum_n" -> col("n"), "cum_p" -> col("np")))
     val tot = g.agg(sum(col("n")).as("n_total"), sum(col("np")).as("n_pos"))
@@ -3676,9 +3698,9 @@ object TextOps {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
     val e = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
-      .localCheckpoint(true)
+      .graftCheckpoint(true)
     val wdeg = e.groupBy(col("src")).agg(sum(col("w")).as("wd"))
-    val nodes = wdeg.select(col("src").as("node")).localCheckpoint(true)
+    val nodes = wdeg.select(col("src").as("node")).graftCheckpoint(true)
     val nAgg = nodes.agg(count(lit(1)).as("cnt"))
     var r = nodes.crossJoin(nAgg)
       .select(col("node"), expr(s"${TrScale}L div cnt").as("r"))

@@ -10,9 +10,15 @@ import org.apache.spark.sql.types._
   * `kafka` DSv2 source — offsets planned by the driver and tracked in the
   * checkpoint, no receivers, no ZooKeeper.
   *
-  * The zero-egress test environment has no broker, so Kafka paths are
-  * carried as configuration behind this seam and exercised through the
-  * payload-shape parsers below with file/memory sources (SURVEY.md §7.5).
+  * The zero-egress test environment has no broker — and no Kafka jars at
+  * all (neither kafka-clients nor spark-sql-kafka ships in
+  * /opt/spark/jars), so an embedded-KRaft e2e spec is impossible offline
+  * (VERDICT r15 item 2's fallback applies). Kafka paths are carried as
+  * configuration behind this seam and exercised through the
+  * payload-shape parsers below with file/memory sources (SURVEY.md
+  * §7.5); the producer-side wire contract is pinned at the BYTE level
+  * against golden Jackson output of the reference's POJO
+  * (StreamingSpec "golden bytes").
   */
 object Sources {
 
@@ -25,14 +31,25 @@ object Sources {
     StructField("readTag_id", StringType),
     StructField("readValue", StringType)))
 
-  def kafkaStream(spark: SparkSession, bootstrapServers: String, topic: String,
-                  startingOffsets: String = "latest"): DataFrame =
-    spark.readStream
+  /** `topics` is a comma-separated list — the reference subscribes via a
+    * `Map<topic, numThreads>` (`AVG:41-45`, one receiver thread pool per
+    * topic); the DSv2 equivalents are a multi-topic `subscribe` and
+    * `minPartitions` (minimum read-split parallelism across all
+    * subscribed partitions — the driver plans offset ranges, so "threads
+    * per topic" becomes "splits across the subscription"). `minPartitions
+    * <= 0` leaves the source's 1-split-per-Kafka-partition default.
+    */
+  def kafkaStream(spark: SparkSession, bootstrapServers: String, topics: String,
+                  startingOffsets: String = "latest",
+                  minPartitions: Int = 0): DataFrame = {
+    val r = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
+      .option("subscribe", topics)
       .option("startingOffsets", startingOffsets)
-      .load()
+    (if (minPartitions > 0) r.option("minPartitions", minPartitions.toString)
+     else r).load()
+  }
 
   /** P1 (`AVG:80-81`): Kafka value bytes → (readTag_id, value: double).
     * Malformed records produce nulls instead of the reference's

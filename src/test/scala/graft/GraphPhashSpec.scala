@@ -183,8 +183,8 @@ class GraphPhashSpec extends AnyFunSuite {
     assert(got == want, s"got $got\nwant $want")
   }
 
-  // ---------------------------------------------------------------- q150
-  test("q150 sweep: a planted misfit clique node takes the one positive move") {
+  // ---------------------------------------------------------------- q154
+  test("q154 sweep: a planted misfit clique node takes the one positive move") {
     import spark.implicits._
     val c1 = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
     val c2 = for (a <- 6 to 10; b <- (a + 1) to 10) yield (a.toLong, b.toLong)
@@ -206,7 +206,7 @@ class GraphPhashSpec extends AnyFunSuite {
       "B" -> ((4L, 1L, 0L, 5L, 0.28, 0.5))), got.toString)
   }
 
-  test("q150 sweep: concurrent moves reassemble both cliques from the anti-partition") {
+  test("q154 sweep: concurrent moves reassemble both cliques from the anti-partition") {
     import spark.implicits._
     val c1 = for (a <- 1 to 5; b <- (a + 1) to 5) yield (a.toLong, b.toLong)
     val c2 = for (a <- 6 to 10; b <- (a + 1) to 10) yield (a.toLong, b.toLong)
@@ -238,7 +238,7 @@ class GraphPhashSpec extends AnyFunSuite {
       .toDF("node", "comm")
     val got = Graph.louvainIterateFrom(spark, und, anti, 3).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
-    // sweep 1 reassembles the cliques (the q150 pin); sweeps 2 and 3 are
+    // sweep 1 reassembles the cliques (the q154 pin); sweeps 2 and 3 are
     // the fixed point: zero moves, Q pinned at the 0.5 optimum
     assert(got == Seq((1, 4L, -0.1, 0.5), (2, 0L, 0.5, 0.5), (3, 0L, 0.5, 0.5)), got)
   }
@@ -323,8 +323,8 @@ class GraphPhashSpec extends AnyFunSuite {
       s"LPA's discovered partition ($q) must outscore the brand taxonomy ($brandQ)")
   }
 
-  test("q150 on the corpus: the sweep conserves nodes and raises Q") {
-    val rows = Graph.q150LouvainSweep(spark, dir).collect()
+  test("q154 on the corpus: the sweep conserves nodes and raises Q") {
+    val rows = Graph.q154LouvainSweep(spark, dir).collect()
     assert(rows.nonEmpty)
     val qb = rows.head.getDouble(5)
     val qa = rows.head.getDouble(6)

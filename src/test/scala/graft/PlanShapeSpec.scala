@@ -448,4 +448,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(n == 0,
       s"the streaming band projection must be aggregation/shuffle-free, got $n exchanges")
   }
+
+  test("t67 top-V vocabulary rides TakeOrderedAndProject — no vocab-scale single-partition window") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = TextOps.t67OovRate(spark, dir).queryExecution
+    val plan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p
+    }
+    // the full train vocabulary must be reduced to V rows via
+    // per-partition top-V heaps (TakeOrderedAndProject), never sorted on
+    // one partition by an unpartitioned row_number window (VERDICT r15
+    // item 4: ~1e8 terms on one task at 100 TB)
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"t67 must plan the vocab top-V as TakeOrderedAndProject:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"t67 must carry no window at all after the top-V rewrite:\n$plan")
+  }
 }

@@ -223,6 +223,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(json.contains("\"" + f + "\""), s"missing field $f in $json")
   }
 
+  test("fidelity wire bytes equal the reference's Jackson serialization (golden bytes)") {
+    // VERDICT r15 item 2 fallback: the sandbox has no Kafka broker AND no
+    // kafka-clients/spark-sql-kafka jars (zero kafka jars in
+    // /opt/spark/jars), so an embedded-KRaft round-trip is impossible
+    // offline. The wire contract is pinned at the byte level instead:
+    // these golden strings were produced by running the reference's own
+    // POJO (model/SparkStreamingStatisticsProcessingResult.java:5-14)
+    // through Jackson ObjectMapper.writeValueAsString — the exact code
+    // path of AVG:193-198 — on this machine's Jackson jars. They cover
+    // integral doubles ("2.0" not "2"), fractional, negative, and
+    // scientific-notation magnitudes (Double.toString semantics both
+    // engines share).
+    import spark.implicits._
+    val golden = Map(
+      "t1" -> ("""{"readTag_id":"t1","summer":6.0,"counter":2.0,"sumsqr":20.0,""" +
+        """"delta":0.0,"bestmin":2.0,"bestmax":4.0,"mean":3.0,"m2":2.0,"var":2.0}"""),
+      "t2" -> ("""{"readTag_id":"t2","summer":2.75,"counter":2.0,"sumsqr":6.3125,""" +
+        """"delta":0.25,"bestmin":0.25,"bestmax":2.5,"mean":1.375,"m2":2.53125,"var":2.53125}"""),
+      "t3" -> ("""{"readTag_id":"t3","summer":1.0E-7,"counter":1.0,""" +
+        """"sumsqr":1.0000000000000002E14,"delta":0.0,"bestmin":-1.5E300,""" +
+        """"bestmax":1.0E300,"mean":0.1,"m2":0.3333333333333333,"var":1.23456789123456E8}"""))
+    val stats = Seq(
+      graft.fidelity.KeyedStats("t1", 6.0, 2.0, 20.0, 0.0, 2.0, 4.0, 3.0, 2.0, 2.0),
+      graft.fidelity.KeyedStats("t2", 2.75, 2.0, 6.3125, 0.25, 0.25, 2.5, 1.375, 2.53125, 2.53125),
+      graft.fidelity.KeyedStats("t3", 1.0e-7, 1.0, 1.0000000000000002e14, 0.0,
+        -1.5e300, 1.0e300, 0.1, 0.3333333333333333, 123456789.123456)).toDS()
+    val wire = graft.fidelity.StatefulStats.toWire(stats).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[String]("value")).toMap
+    assert(wire == golden,
+      "fidelity wire payloads must be byte-identical to the reference's Jackson output")
+  }
+
   test("kafka producer profile: idempotent default, reference-lossy opt-in (K3)") {
     val opts = RunningStats.producerOptions()
     assert(opts("kafka.enable.idempotence") == "true")
