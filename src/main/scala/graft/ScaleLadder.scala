@@ -51,23 +51,39 @@ object ScaleLadder {
     df.crossJoin(
       df.sparkSession.range(factor.toLong).select(col("id").cast("int").as("__r")))
 
-  def gen(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  def gen(spark: SparkSession, src: String, dst: String, factor: Int,
+          dense: Boolean = false): Unit = {
     require(factor >= 1 && factor <= Suffixes.length)
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.coalesce(8).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
-    // ---- documents: vocabulary bijection per replica -------------------
+    // ---- documents -----------------------------------------------------
+    // default: vocabulary bijection per replica (disjoint shingle spaces —
+    // per-replica combinatorics exactly the source's).
+    // dense: SAME vocabulary, per-(doc, replica) word permutation — fresh
+    // documents over a fixed token space, so inverted-index postings
+    // densify ×factor. This is the regime that separates the all-pairs
+    // d41 baseline (cost Σ_shingle count² → super-linear at fixed
+    // vocabulary) from the banded d42 path; the default ladder cannot
+    // show that contrast because disjoint replicas never co-post.
     val d = read("documents")
     val dStep = d.agg(max("doc_id")).head().getLong(0) + 1L
     val sfx = array(Suffixes.map(lit): _*)
+    val replicaText =
+      if (dense)
+        array_join(transform(
+          array_sort(transform(split(col("text"), " "),
+            (w, i) => struct(xxhash64(w, i, col("doc_id"), col("__r")).as("h"),
+              w.as("w")))),
+          s => s.getField("w")), " ")
+      else
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, element_at(sfx, col("__r") + 1))), " ")
     write(withReplica(d, factor)
       .withColumn("doc_id", col("doc_id") + col("__r").cast("long") * dStep)
       .withColumn("text",
-        when(col("__r") === 0, col("text"))
-          .otherwise(array_join(
-            transform(split(col("text"), " "),
-              w => concat(w, element_at(sfx, col("__r") + 1))), " ")))
+        when(col("__r") === 0, col("text")).otherwise(replicaText))
       .withColumn("n_chars", length(col("text")))
       .drop("__r"), "documents")
 
@@ -130,6 +146,8 @@ object ScaleLadder {
     val spark = GraftSession.get()
     args.toList match {
       case "gen" :: src :: dst :: f :: Nil => gen(spark, src, dst, f.toInt)
+      case "gen-dense" :: src :: dst :: f :: Nil =>
+        gen(spark, src, dst, f.toInt, dense = true)
       case "time" :: dir :: qs :: Nil =>
         time(spark, dir, qs.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       case other => sys.error(s"usage: gen <src> <dst> <factor> | time <dir> <q1,q2,...>; got $other")
