@@ -54,6 +54,11 @@ object ScaleLadder {
   def gen(spark: SparkSession, src: String, dst: String, factor: Int,
           dense: Boolean = false): Unit = {
     require(factor >= 1 && factor <= Suffixes.length)
+    // some testdata generations carry int64-nanos event timestamps
+    // (Tables.events' footer branch); the verbatim copy needs the same
+    // session conf to read them — written back as BIGINT, which
+    // Tables.events also handles
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.coalesce(8).write.mode("overwrite").parquet(s"$dst/$t.parquet")

@@ -97,6 +97,23 @@ class Round16Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] { c.kafkaParts("kafka://h:9092/") }
   }
 
+  test("ScaleLadder replicas preserve near-dup combinatorics exactly (×factor pairs)") {
+    // the sf1 ladder's headline claim (BASELINE round-16): the
+    // vocabulary-bijection replicas reproduce the source corpus's
+    // MinHash near-dup structure precisely — pair count scales EXACTLY
+    // ×factor and the BPE alphabet (t98's round count) stays fixed
+    val out = java.nio.file.Files.createTempDirectory("graft_ladder").toString
+    ScaleLadder.gen(spark, dir, out, 2)
+    val basePairs = SparkEntry.queries("d42_minhash_lsh")(spark, dir).count()
+    val genPairs = SparkEntry.queries("d42_minhash_lsh")(spark, out).count()
+    assert(basePairs > 0, "fixture must contain near-dup pairs")
+    assert(genPairs == 2 * basePairs,
+      s"factor-2 ladder corpus must carry exactly 2× the pairs " +
+        s"($genPairs vs 2×$basePairs)")
+    assert(TextOps.bpeAlphabetSize(spark, out) == TextOps.bpeAlphabetSize(spark, dir),
+      "replica suffixes must not grow the BPE alphabet")
+  }
+
   test("BPE corpus alphabet is exactly 24 at the gated SFs (oracle-unroll pin)") {
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
                    "/root/testdata/sf0.1")) {
