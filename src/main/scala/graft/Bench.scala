@@ -28,8 +28,19 @@ object Bench {
     "m62_frame_sample", "t50_langid", "t51_quality", "t52_token_count",
     "t53_fingerprint")
 
+  /** 1-minute load average, sampled so a bench artifact taken on a
+    * contended machine is self-diagnosing (VERDICT r16 item 6: two
+    * rounds of driver bench artifacts were corrupted by co-tenant load
+    * and could only be reconciled after the fact).
+    */
+  private def loadavg(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadBefore = loadavg()
     val spark = GraftSession.get()
     // untimed warmup: pay the one-off JIT/codegen/parquet-reader init
     // outside the measured loop so the first query isn't penalized
@@ -84,8 +95,10 @@ object Bench {
     val failed = results.collect { case (k, _, false) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    val loadAfter = loadavg()
+    val loads = s""""loadavg_before":$loadBefore,"loadavg_after":$loadAfter"""
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(results, 9)},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${qmap(results, 9)},"failed":$failed,$loads,"sf":"$sfDir"}"""
     // full per-query record → stable committed path; the driver artifact
     // must never depend on stdout-tail length (VERDICT r10 item 6)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), fullLine + "\n")
@@ -97,7 +110,7 @@ object Bench {
       BigDecimal(base.collect { case (_, v, true) => v }.sum)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP)
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline_subset_total":$baseTotal,"queries":${qmap(base, 3)},"queries_full":"bench.json","failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline_subset_total":$baseTotal,"queries":${qmap(base, 3)},"queries_full":"bench.json","failed":$failed,$loads,"sf":"$sfDir"}""")
     ModelCache.releaseAll(spark)
     spark.stop()
   }

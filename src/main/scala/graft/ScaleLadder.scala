@@ -58,8 +58,26 @@ object ScaleLadder {
     // (Tables.events' footer branch); the verbatim copy needs the same
     // session conf to read them — written back as BIGINT, which
     // Tables.events also handles
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    // session conf is save/restored: gen() shares the JVM-wide
+    // getOrCreate session with test suites that read timestamp parquet
+    // and must not inherit the nanos override (ADVICE r16)
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val nanosBefore = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try genBody(spark, src, dst, factor, dense)
+    finally nanosBefore match {
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None => spark.conf.unset(nanosKey)
+    }
+  }
+
+  private def genBody(spark: SparkSession, src: String, dst: String,
+                      factor: Int, dense: Boolean): Unit = {
+    def read(t: String) = {
+      val df = spark.read.parquet(s"$src/$t.parquet")
+      require(!df.isEmpty, s"scale-ladder source table $t at $src is empty")
+      df
+    }
     def write(df: DataFrame, t: String): Unit =
       df.coalesce(8).write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
@@ -105,8 +123,12 @@ object ScaleLadder {
               .cast("double") / 1000.0 - 1.0) * 0.25)))
       .withColumn("norm", sqrt(aggregate(col("raw"), lit(0.0d),
         (acc, x) => acc + x * x)))
+      // replica 0 stays VERBATIM: renormalizing it too (norm≈1 but not
+      // exactly) would drift source vectors by 1 ulp and perturb
+      // exact-duplicate structure (ADVICE r16)
       .withColumn("embedding",
-        transform(col("raw"), x => (x / col("norm")).cast("float")))
+        when(col("__r") === 0, col("embedding"))
+          .otherwise(transform(col("raw"), x => (x / col("norm")).cast("float"))))
     write(perturbed.select("vec_id", "embedding", "label"), "embeddings")
 
     // ---- star tables: key-offset replicas ------------------------------

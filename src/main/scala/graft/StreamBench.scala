@@ -38,6 +38,10 @@ object StreamBench {
   private final class Totals extends org.apache.spark.sql.streaming.StreamingQueryListener {
     import org.apache.spark.sql.streaming.StreamingQueryListener._
     var rows = 0L
+    // last state-operator snapshot (rows held, bytes used) — the
+    // state-TTL sizing probe reads these after the replay drains
+    var stateRows = 0L
+    var stateBytes = 0L
     val epochMs = ArrayBuffer[Double]()
     // per-stage duration samples (addBatch, getBatch, latestOffset,
     // queryPlanning, walCommit, commitOffsets, ...) for the envelope
@@ -50,13 +54,19 @@ object StreamBench {
         epochMs += e.progress.durationMs.getOrDefault("triggerExecution", 0L).toDouble
         e.progress.durationMs.forEach((k, v) =>
           stageMs.getOrElseUpdate(k, ArrayBuffer[Double]()) += v.toDouble)
+        val so = e.progress.stateOperators
+        if (so.nonEmpty) {
+          stateRows = so.map(_.numRowsTotal).sum
+          stateBytes = so.map(_.memoryUsedBytes).sum
+        }
       }
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
   }
 
   private case class RunStats(rows: Long, epochMs: Seq[Double],
                               wallSec: Double,
-                              stageMs: Map[String, Seq[Double]] = Map.empty) {
+                              stageMs: Map[String, Seq[Double]] = Map.empty,
+                              stateRows: Long = 0L, stateBytes: Long = 0L) {
     /** p50 per stage, sorted by descending cost — the attribution line. */
     def stageP50Json: String = stageMs.toSeq
       .map { case (k, vs) =>
@@ -101,11 +111,12 @@ object StreamBench {
       Thread.sleep(100); prev = cur; cur = totals.synchronized(totals.rows); spins += 1
     }
     spark.streams.removeListener(totals)
-    val (rows, ms, st) = totals.synchronized(
+    val (rows, ms, st, sr, sb) = totals.synchronized(
       (totals.rows, totals.epochMs.toSeq,
-        totals.stageMs.view.mapValues(_.toSeq).toMap))
+        totals.stageMs.view.mapValues(_.toSeq).toMap,
+        totals.stateRows, totals.stateBytes))
     q.stop()
-    RunStats(rows, ms, elapsed, st)
+    RunStats(rows, ms, elapsed, st, sr, sb)
   }
 
   /** Warm-up replay (discarded) then the measured one. */
@@ -172,6 +183,26 @@ object StreamBench {
       println(s"""{"metric":"stream_stage_p50_ms",""" +
         s""""decl":${decl.stageP50Json},"fidelity":${fid.stageP50Json},""" +
         s""""join":${join.stageP50Json}}""")
+    // opt-in state-TTL sizing probe (VERDICT r16 item 7): the same
+    // transformWithState pipeline at two key cardinalities, reporting
+    // the RocksDB state rows/bytes the listener observed at drain —
+    // the measured basis for BASELINE.md's state-sizing guidance on
+    // the unbounded-key running-stats shape (AVG:97-99).
+    if (sys.env.contains("GRAFT_STREAM_STATE_PROBE")) {
+      def probe(keyCol: String, name: String): RunStats =
+        runOnce(spark, StatefulStats(Sources.eventsStreamFrom(spark, glob),
+          col(keyCol), col("value")).toDF(), name)
+      def card(c: String): Long =
+        Tables.events(spark, sfDir).select(c).distinct().count()
+      val low = probe("event_type", "state_probe_type")
+      val high = probe("user_id", "state_probe_user")
+      def j(tag: String, keys: Long, r: RunStats): String =
+        s""""$tag":{"keys":$keys,"state_rows":${r.stateRows},""" +
+        s""""state_bytes":${r.stateBytes},"rows_per_sec":${r.rowsPerSec}}"""
+      println(s"""{"metric":"stream_state_probe",""" +
+        s"""${j("event_type", card("event_type"), low)},""" +
+        s"""${j("user_id", card("user_id"), high)},"sf":"$sfDir"}""")
+    }
     spark.stop()
   }
 }

@@ -43,18 +43,20 @@ final case class JobConfig(
   def sourcePath: String = source.stripPrefix("file:")
 
   /** kafka://host:port/topic[,topic2,...] → (host:port, topic list).
-    * The topic segment passes through verbatim as the DSv2 `subscribe`
-    * value (comma list supported); a sink URI must name exactly ONE
-    * topic — [[kafkaSinkParts]] enforces that.
+    * The topic segment is normalized (trimmed, empties dropped,
+    * rejoined) before it becomes the DSv2 `subscribe` value — a
+    * malformed list like `bms,,x` or ` ,bms` would otherwise pass
+    * verbatim and only fail at stream start (ADVICE r16); a sink URI
+    * must name exactly ONE topic — [[kafkaSinkParts]] enforces that.
     */
   def kafkaParts(uri: String): (String, String) = {
     val rest = uri.stripPrefix("kafka://")
     val slash = rest.lastIndexOf('/')
     require(slash > 0, s"expected kafka://host:port/topic, got $uri")
     val topics = rest.substring(slash + 1)
-    require(topics.split(",").exists(_.trim.nonEmpty),
-      s"expected at least one topic in $uri")
-    (rest.substring(0, slash), topics)
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    require(topics.nonEmpty, s"expected at least one topic in $uri")
+    (rest.substring(0, slash), topics.mkString(","))
   }
 
   /** Sink variant: one topic only — records are produced to a single

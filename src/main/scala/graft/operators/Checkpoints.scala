@@ -33,16 +33,30 @@ object Checkpoints {
     spark.conf.getOption(Key).filter(_.nonEmpty)
       .orElse(spark.conf.getOption(LegacyKey).filter(_.nonEmpty))
 
-  /** Point the context at a fresh per-run subdirectory of the configured
-    * base — once: idempotent while the context's checkpoint dir already
-    * sits under the base, so a session running many operators shares one
-    * run directory.
+  /** One run subdirectory per configured base, cached for the JVM's
+    * lifetime — so a session running many operators shares one run
+    * directory (the documented cleanup unit). The idempotence check
+    * compares HADOOP-QUALIFIED paths, not raw strings: the context
+    * stores its checkpoint dir fully qualified with one extra
+    * Spark-minted UUID level, so a base spelled `file:///x` (or any
+    * form that qualifies differently than it was written) would never
+    * substring-match and every call would mint a new run dir
+    * (ADVICE r16).
     */
+  private val runDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def ensureDir(spark: SparkSession, base: String): Unit = {
     val sc = spark.sparkContext
-    val marker = base.stripSuffix("/") + "/graft-"
-    if (!sc.getCheckpointDir.exists(_.contains(marker)))
-      sc.setCheckpointDir(s"$marker${java.util.UUID.randomUUID()}")
+    val dir = runDirs.getOrElseUpdate(base,
+      s"${base.stripSuffix("/")}/graft-${java.util.UUID.randomUUID()}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    val qualified = p.makeQualified(fs.getUri, fs.getWorkingDirectory)
+    // setCheckpointDir appends one UUID level of its own: compare the
+    // current dir's PARENT against our qualified run dir
+    val current = sc.getCheckpointDir.map(new org.apache.hadoop.fs.Path(_))
+    if (!current.exists(c => Option(c.getParent).contains(qualified)))
+      sc.setCheckpointDir(dir)
   }
 
   /** Chain-position drop-in for `localCheckpoint(eager)`: reliable

@@ -1332,7 +1332,12 @@ object EventWindows {
       val iters = (1 to MarkovIters).map { k =>
         val prev = s"v_${tag}_${k - 1}"
         val removedCase = removed.map(r => s"WHEN s.state = '$r' THEN 0").getOrElse("")
-        s"""v_${tag}_$k AS (
+        // MATERIALIZED is load-bearing (the t98 lesson, TextOps
+        // bpeBudgetStagesSql): without it DuckDB re-inlines the shared
+        // tm/tot subtree into every one of the 85 chained stages —
+        // measured 716.6s for this one oracle at sf0.01; with it, 0.8s,
+        // identical rows (VERDICT r16 item 1).
+        s"""v_${tag}_$k AS MATERIALIZED (
            |  SELECT s.state,
            |    CAST(CASE WHEN s.state = 'conv' THEN $V9One
            |         WHEN s.state = 'null' THEN 0
@@ -1347,7 +1352,7 @@ object EventWindows {
            |    FROM tm JOIN $prev v ON v.state = tm.dst GROUP BY 1) n
            |    ON n.src = s.state)""".stripMargin
       }
-      s"v_${tag}_0 AS ($v0),\n${iters.mkString(",\n")}"
+      s"v_${tag}_0 AS MATERIALIZED ($v0),\n${iters.mkString(",\n")}"
     }
     val chains = chain("f", None) +: AttrChannels.map(ch => chain(s"r$ch", Some(ch)))
     val resRows = AttrChannels.map(ch =>
@@ -1375,11 +1380,11 @@ object EventWindows {
        |    SELECT *, MAX(rk) OVER (PARTITION BY user_id) AS mx
        |    FROM kept WHERE prk IS NULL)
        |  WHERE rk = mx),
-       |tm AS (
+       |tm AS MATERIALIZED (
        |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
        |  FROM (SELECT * FROM pairs UNION ALL SELECT * FROM tails) GROUP BY 1, 2),
-       |tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM tm GROUP BY 1),
-       |states AS ($stateRows),
+       |tot AS MATERIALIZED (SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM tm GROUP BY 1),
+       |states AS MATERIALIZED ($stateRows),
        |${chains.mkString(",\n")},
        |res AS (
        |$resRows),

@@ -42,6 +42,6 @@ EOF
 python3 tools/oracle_check.py "$SF" "$OUT" | tee "$OUT/oracle_check.log"
 rc=${PIPESTATUS[0]}
 echo "---- BASELINE.md rows ----"
-tail -1 "$OUT/oracle_check.log"
+tail -3 "$OUT/oracle_check.log"
 echo "oracle_sql.json sha256[0:16]=$(sha256sum "$OUT/oracle_sql.json" | cut -c1-16)  entries=$(python3 -c "import json;print(len(json.load(open('$OUT/oracle_sql.json'))))")"
 exit "$rc"

@@ -10,6 +10,7 @@ compares against the Spark-written parquet at <verifyOutDir>/<name>/
 """
 import json
 import sys
+import time
 
 import duckdb
 import pandas as pd
@@ -49,7 +50,14 @@ def main(sf_dir: str, out_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
+    # VERDICT r16 item 2: a 717s oracle hid inside a 17-minute pass for
+    # two rounds because per-query cost was invisible. Time every query
+    # and print a slowest-5 footer so an oracle-cost regression is caught
+    # the round it lands, not as a driver-budget {}.
+    t_start = time.time()
+    timings = []
     for name, sql in sorted(oracle.items()):
+        t_q = time.time()
         bad = hugeint_columns(con, sql)
         if bad:
             cols = ", ".join(f"{c} {t}" for c, t in bad)
@@ -94,7 +102,9 @@ def main(sf_dir: str, out_dir: str) -> int:
         try:
             pd.testing.assert_frame_equal(g, w, check_dtype=False,
                                           check_exact=True)
-            print(f"OK   {name}: {len(g)} rows")
+            dt = time.time() - t_q
+            timings.append((dt, name))
+            print(f"OK   {name}: {len(g)} rows ({dt:.1f}s)")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:2000]}")
             # show first differing cells
@@ -104,6 +114,12 @@ def main(sf_dir: str, out_dir: str) -> int:
                     i = neq.idxmax()
                     print(f"  col {c} row {i}: spark={g[c][i]!r} duck={w[c][i]!r}")
             n_fail += 1
+    total = time.time() - t_start
+    slow = sorted(timings, reverse=True)[:5]
+    print("slowest 5: " + ", ".join(f"{n}={t:.1f}s" for t, n in slow))
+    print(f"oracle wall: {total:.1f}s total, "
+          f"max single {slow[0][0]:.1f}s ({slow[0][1]})" if slow
+          else f"oracle wall: {total:.1f}s total")
     print(f"{'PASS' if n_fail == 0 else 'FAIL'}: "
           f"{len(oracle) - n_fail}/{len(oracle)} queries match")
     return 1 if n_fail else 0
