@@ -29,4 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 executor threads sharing one JVM: 8g forces full-GC churn on the
   // shuffle-heavy dedup/window queries (the machine has 128 GiB)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++
+  // experiment passthrough into the forked run JVM (e.g.
+  // GRAFT_JAVA_OPTS="-Dspark.graft.checkpointDir=/tmp/ckpt" for the
+  // reliable-mode bench rows) — env is read at sbt load, so export it
+  // before invoking sbt
+  sys.env.get("GRAFT_JAVA_OPTS").map(_.split(" ").toSeq.filter(_.nonEmpty))
+    .getOrElse(Seq.empty)

@@ -383,7 +383,23 @@ object Dedup {
           .bitwiseAND(lit(mask)))))
       .select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bval"))
     val bands = BucketGuard.capHotBuckets(rawBands, Seq("band", "bval"), DocBucketCap)
-    bands.as("x").join(bands.as("y").hint("shuffle_hash"),
+    // join strategy is conf-switchable so the shuffle-hash-vs-AQE
+    // question stays measurable (VERDICT r16 scale-killer watch: d43's
+    // contended-battery readings were the subset's worst outlier two
+    // driver rounds running). Default lets AQE pick: the r17 4-cell
+    // profile (idle / 16-spinner / 32-spinner × hint / none,
+    // BASELINE.md round-17 table) read AQE ~10% faster in EVERY cell
+    // and no worse under contention — and at cluster scale AQE's
+    // runtime choice (broadcast when a capped band side is small,
+    // sort-merge when the hash side would spill, skew-split when a
+    // bucket runs hot) beats a frozen hint. Set
+    // spark.graft.simhash.joinHint=shuffle_hash to pin the old plan.
+    val hinted = spark.conf.getOption("spark.graft.simhash.joinHint")
+      .getOrElse("none") match {
+      case "none" => bands.as("y")
+      case h => bands.as("y").hint(h)
+    }
+    bands.as("x").join(hinted,
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
