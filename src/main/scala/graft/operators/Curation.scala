@@ -178,23 +178,20 @@ object Curation {
   val c70CurationSql: String = {
     val scoreCols = TextOps.langsSorted
       .map(l => s"    ${TextOps.langScoreSql(l)} AS ${l}_score").mkString(",\n")
-    s"""WITH RECURSIVE keepers AS (
+    s"""WITH keepers AS (
        |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
        |docs0 AS (
        |  SELECT d.doc_id, d.text FROM documents d
        |  JOIN keepers k ON d.doc_id = k.doc_id),
        |${Dedup.shingleCtesFrom("docs0")},
        |${Dedup.minhashPairCtes},
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM nd_pairs
        |  UNION SELECT doc_b, doc_a FROM nd_pairs),
-       |reach(id, r) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+       |${graft.operators.CcSql.stages()},
        |losers AS (
-       |  SELECT id AS doc_id FROM reach GROUP BY id
-       |  HAVING LEAST(id, MIN(r)) <> id),
+       |  SELECT id AS doc_id FROM ${graft.operators.CcSql.labels()}
+       |  WHERE l <> id),
        |survivors AS (
        |  SELECT s.doc_id, s.text FROM docs0 s
        |  WHERE s.doc_id NOT IN (SELECT doc_id FROM losers)),

@@ -559,22 +559,19 @@ object Dedup {
         minhashNearDupPairsFrom(Tables.documents(spark, dir)), "doc_a", "doc_b")
       .orderBy(col("doc_id"))
 
-  /** Oracle: transitive closure by recursive CTE (UNION dedups, so cycles
-    * terminate), cluster id = min reachable id.
+  /** Oracle: components via the shared unrolled FastSV chain
+    * ([[CcSql]]; was a recursive-CTE transitive closure — 13s per query
+    * at sf0.1 across the three queries sharing this SQL, VERDICT r16).
     */
   val d45NearDupClustersSql: String =
-    s"""WITH RECURSIVE ${shingleCtesFrom("documents")},
+    s"""WITH ${shingleCtesFrom("documents")},
        |$minhashPairCtes,
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT doc_a AS a, doc_b AS b FROM nd_pairs
        |  UNION SELECT doc_b, doc_a FROM nd_pairs),
-       |reach(id, r) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a)
-       |SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
-       |FROM reach
-       |GROUP BY id
+       |${CcSql.stages()}
+       |SELECT id AS doc_id, l AS cluster_id
+       |FROM ${CcSql.labels()}
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------

@@ -216,17 +216,22 @@ object Graph {
   /** The li/und/deg/ored CTE block shared by q66 and q82 — the oriented
     * co-purchase graph in DuckDB terms, mirroring [[orientedCoPurchase]].
     */
+  // MATERIALIZED throughout: und is the lineitem co-purchase self-join
+  // (the block's whole cost) and is referenced by deg/ored and again by
+  // the queries' n_nodes/n_edges; ored is referenced 3x by the triangle
+  // join — DuckDB's default inlining re-ran the self-join per reference
+  // (q82 21.2s -> ~6s at sf0.1, r17 slowest-5 footer)
   private val orientedCtesSql: String =
-    """li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-      |und AS (
+    """li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |und AS MATERIALIZED (
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM li a JOIN li b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-      |deg AS (
+      |deg AS MATERIALIZED (
       |  SELECT node, COUNT(*) AS d FROM (
       |    SELECT src AS node FROM und UNION ALL SELECT dst FROM und)
       |  GROUP BY node),
-      |ored AS (
+      |ored AS MATERIALIZED (
       |  SELECT
       |    CASE WHEN (ds.d, und.src) < (dd.d, und.dst) THEN und.src ELSE und.dst END AS u,
       |    CASE WHEN (ds.d, und.src) < (dd.d, und.dst) THEN und.dst ELSE und.src END AS v

@@ -640,17 +640,14 @@ object Multimodal {
   }
 
   val m66PhashClustersSql: String =
-    s"""WITH RECURSIVE $phashCtesSql,
-       |edges AS (
+    s"""WITH $phashCtesSql,
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS a, id_b AS b FROM ph WHERE hamming <= $PhashClusterBar
        |  UNION SELECT id_b, id_a FROM ph WHERE hamming <= $PhashClusterBar),
-       |reach(id, r) AS (
-       |  SELECT a, b FROM edges
-       |  UNION
-       |  SELECT reach.id, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+       |${graft.operators.CcSql.stages()},
        |memb AS (
-       |  SELECT id AS media_id, LEAST(id, MIN(r)) AS cluster_id
-       |  FROM reach GROUP BY id),
+       |  SELECT id AS media_id, l AS cluster_id
+       |  FROM ${graft.operators.CcSql.labels()}),
        |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM memb GROUP BY cluster_id)
        |SELECT m.media_id, m.cluster_id, sz.n_members,
        |  CAST(CASE WHEN m.media_id = m.cluster_id THEN 1 ELSE 0 END AS BIGINT)

@@ -1417,49 +1417,11 @@ object Similarity {
       .foldLeft(TopicState(cents, null, null))(advanceTopics))
   }
 
-  /** Rounds of FastSV-style component resolution unrolled in the d65/d68
-    * oracle. Plain neighbor-min (even with self-pointer-jumping) stalls
-    * at local-minimum plateaus — the global min crosses another basin
-    * one hop per round, so rounds ~ eccentricity. Each stage here
-    * instead (a) HOOKS whole trees: every tree root takes the min label
-    * proposed across ALL its members' edges (aggregation keyed by
-    * current label, not adjacency), (b) one neighbor-min sweep, and
-    * (c) four pointer-jump compositions — so entire basins merge per
-    * round. Measured convergence: 3-4 rounds on the real mutual-kNN
-    * graphs (sf0.001-0.1), 8 on an adversarial 20k-node shuffled-id
-    * path; 12 carries margin. Convergence is additionally machine-
-    * checked by the gate itself — any unconverged label would
-    * hash-mismatch Spark's exact [[Dedup.connectedComponents]] output.
-    */
-  private val TopicCcRounds = 12
-
   val d65KnnTopicClustersSql: String = {
     // VERDICT r16 item 5: the former WITH RECURSIVE transitive closure
     // materializes O(sum of component^2) reachability pairs — fine at the
-    // gate SFs, >20 min at sf1's 20k vectors. Iterative MATERIALIZED
-    // hook+jump stages (the t98 unroll discipline) are O(rounds * |E|).
-    val ccStages = (1 to TopicCcRounds).map { k =>
-      val prev = s"l${k - 1}"
-      s"""h$k AS MATERIALIZED (
-         |  SELECT pa.l AS r, MIN(pb.l) AS m
-         |  FROM edges e
-         |  JOIN $prev pa ON pa.id = e.a
-         |  JOIN $prev pb ON pb.id = e.b
-         |  GROUP BY pa.l),
-         |n$k AS MATERIALIZED (
-         |  SELECT n.id, LEAST(n.l, COALESCE(h.m, n.l)) AS l
-         |  FROM $prev n LEFT JOIN h$k h ON h.r = n.l),
-         |a$k AS MATERIALIZED (
-         |  SELECT n.id, LEAST(n.l, MIN(m.l)) AS l
-         |  FROM n$k n
-         |  JOIN edges e ON e.a = n.id
-         |  JOIN n$k m ON m.id = e.b
-         |  GROUP BY n.id, n.l),
-         |j$k AS MATERIALIZED (
-         |  SELECT u.id, w.l FROM a$k u JOIN a$k w ON w.id = u.l),
-         |l$k AS MATERIALIZED (
-         |  SELECT u.id, w.l FROM j$k u JOIN j$k w ON w.id = u.l)""".stripMargin
-    }.mkString(",\n")
+    // gate SFs, >20 min at sf1's 20k vectors. The shared unrolled
+    // FastSV chain ([[CcSql]]) is O(rounds * |E|) and converges at sf1.
     s"""WITH ${centsSqlCte("cents")},
        |assigned AS MATERIALIZED (
        |  SELECT vec_id, cid FROM (
@@ -1493,10 +1455,8 @@ object Similarity {
        |  WHERE x.src < x.dst),
        |edges AS MATERIALIZED (
        |  SELECT a, b FROM mutual UNION SELECT b, a FROM mutual),
-       |l0 AS MATERIALIZED (
-       |  SELECT a AS id, LEAST(a, MIN(b)) AS l FROM edges GROUP BY a),
-       |$ccStages,
-       |comp AS (SELECT id, l AS cluster_id FROM l$TopicCcRounds)
+       |${CcSql.stages()},
+       |comp AS (SELECT id, l AS cluster_id FROM ${CcSql.labels()})
        |SELECT e.vec_id,
        |  COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
        |  CAST(COUNT(*) OVER (
@@ -1630,26 +1590,30 @@ object Similarity {
   val d62MmrRerankSql: String = {
     def stage(i: Int): String = {
       val prev = s"sel${i - 1}"
-      s"""rem$i AS (
+      // MATERIALIZED is load-bearing: each stage references its
+      // predecessor 3x (anti-filter, score join, union), so DuckDB's
+      // default inlining re-expands the chain per reference — the
+      // 10s-at-any-SF oracle the r17 slowest-5 footer surfaced
+      s"""rem$i AS MATERIALIZED (
          |  SELECT c.* FROM cand c
          |  WHERE NOT EXISTS (SELECT 1 FROM $prev s
          |    WHERE s.query_id = c.query_id AND s.neighbor_id = c.neighbor_id)),
-         |sc$i AS (
+         |sc$i AS MATERIALIZED (
          |  SELECT r.query_id, r.neighbor_id, r.ne, r.rel,
          |    $MmrLambda * r.rel - ${1.0 - MmrLambda} * MAX(${cosSql("r.ne", "s.ne")}) AS score
          |  FROM rem$i r JOIN $prev s ON s.query_id = r.query_id
          |  GROUP BY r.query_id, r.neighbor_id, r.ne, r.rel),
-         |pick$i AS (
+         |pick$i AS MATERIALIZED (
          |  SELECT query_id, neighbor_id, ne, rel, score, $i AS pick_rank FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY score DESC, neighbor_id ASC) AS prn FROM sc$i) t
          |  WHERE prn = 1),
-         |sel$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM pick$i)""".stripMargin
+         |sel$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM pick$i)""".stripMargin
     }
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
        |  WHERE vec_id < $NumQueries),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, ne, rel FROM (
        |    SELECT q.query_id, e.vec_id AS neighbor_id, e.embedding AS ne,
        |      ${cosSql("q.qe", "e.embedding")} AS rel,
@@ -1658,7 +1622,7 @@ object Similarity {
        |    FROM embeddings e CROSS JOIN q
        |    WHERE e.vec_id <> q.query_id) t
        |  WHERE rn <= $MmrCand),
-       |sel1 AS (
+       |sel1 AS MATERIALIZED (
        |  SELECT query_id, neighbor_id, ne, rel, rel AS score, 1 AS pick_rank FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY rel DESC, neighbor_id ASC) AS rn2 FROM cand) t
