@@ -33,6 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // experiment passthrough into the forked run JVM (e.g.
   // GRAFT_JAVA_OPTS="-Dspark.graft.checkpointDir=/tmp/ckpt" for the
   // reliable-mode bench rows) — env is read at sbt load, so export it
-  // before invoking sbt
+  // before invoking sbt. Split on single spaces: an option VALUE must not
+  // contain spaces (-Dfoo="a b" would break into two bogus options); no
+  // current graft conf needs one (ADVICE r17 — documented limitation)
   sys.env.get("GRAFT_JAVA_OPTS").map(_.split(" ").toSeq.filter(_.nonEmpty))
     .getOrElse(Seq.empty)

@@ -60,13 +60,18 @@ final case class JobConfig(
   }
 
   /** Sink variant: one topic only — records are produced to a single
-    * topic (`PROD:52-54`), never fanned out.
+    * topic (`PROD:52-54`), never fanned out. Validated on the RAW topic
+    * segment, before [[kafkaParts]] normalization: a sink URI like
+    * `kafka://h:9092/out,,` must fail the one-topic check rather than be
+    * silently accepted after empty tokens are dropped (ADVICE r17 — the
+    * r16 normalization had quietly loosened this).
     */
   def kafkaSinkParts(uri: String): (String, String) = {
-    val (servers, topics) = kafkaParts(uri)
-    require(!topics.contains(","),
-      s"kafka sink must name exactly one topic, got $topics")
-    (servers, topics)
+    val rest = uri.stripPrefix("kafka://")
+    val raw = rest.substring(rest.lastIndexOf('/') + 1)
+    require(raw.trim.nonEmpty && !raw.contains(","),
+      s"kafka sink must name exactly one topic, got '$raw'")
+    kafkaParts(uri)
   }
 }
 

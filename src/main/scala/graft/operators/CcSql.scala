@@ -35,10 +35,22 @@ private[graft] object CcSql {
 
   /** CTE chain fragment (no leading WITH, no trailing comma): reads a
     * symmetric edge CTE `edges(a, b)` already in scope and emits
-    * `l0 .. l<rounds>`; final labels live in `l<rounds>(id, l)` — one
-    * row per node appearing in `edges`, `l` = min id of the node's
-    * component. Singleton nodes (no edges) don't appear; callers
-    * COALESCE to self-labels, as the Spark side does.
+    * `l0 .. l<rounds>` plus a convergence-guarded final labeling; final
+    * labels live in [[labels]]`(rounds)` — one row per node appearing in
+    * `edges`, `l` = min id of the node's component. Singleton nodes (no
+    * edges) don't appear; callers COALESCE to self-labels, as the Spark
+    * side does.
+    *
+    * Convergence sentinel (ADVICE r17): the fixed unroll has no in-SQL
+    * convergence assertion, so a depth shortfall at a larger/adversarial
+    * SF would surface as an opaque value mismatch against Spark — looking
+    * like an engine bug rather than an oracle-depth shortfall. `cv<r>`
+    * counts labels that still changed in the LAST round (hook/min/jump
+    * are deterministic functions of the labeling, so an unchanged round
+    * is a fixed point); the guarded final CTE raises a self-describing
+    * `error(...)` when that count is nonzero. DuckDB evaluates the CASE
+    * branch lazily (verified v1.0.0), so a converged run never touches
+    * the error path.
     */
   def stages(rounds: Int = Rounds): String = {
     val chain = (1 to rounds).map { k =>
@@ -65,9 +77,18 @@ private[graft] object CcSql {
     }.mkString(",\n")
     s"""l0 AS MATERIALIZED (
        |  SELECT a AS id, LEAST(a, MIN(b)) AS l FROM edges GROUP BY a),
-       |$chain""".stripMargin
+       |$chain,
+       |cv$rounds AS MATERIALIZED (
+       |  SELECT COUNT(*) AS n FROM l${rounds - 1} p
+       |  JOIN l$rounds q ON q.id = p.id AND q.l <> p.l),
+       |lf$rounds AS MATERIALIZED (
+       |  SELECT id, CASE WHEN (SELECT n FROM cv$rounds) > 0
+       |    THEN CAST(error('CcSql: labels not converged after $rounds rounds - raise CcSql.Rounds') AS BIGINT)
+       |    ELSE l END AS l
+       |  FROM l$rounds)""".stripMargin
   }
 
-  /** Name of the final labeling CTE for [[stages]]`(rounds)`. */
-  def labels(rounds: Int = Rounds): String = s"l$rounds"
+  /** Name of the convergence-guarded final labeling CTE for
+    * [[stages]]`(rounds)`. */
+  def labels(rounds: Int = Rounds): String = s"lf$rounds"
 }

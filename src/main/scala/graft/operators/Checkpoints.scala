@@ -35,25 +35,31 @@ object Checkpoints {
 
   /** One run subdirectory per configured base, cached for the JVM's
     * lifetime — so a session running many operators shares one run
-    * directory (the documented cleanup unit). The idempotence check
-    * compares HADOOP-QUALIFIED paths, not raw strings: the context
-    * stores its checkpoint dir fully qualified with one extra
-    * Spark-minted UUID level, so a base spelled `file:///x` (or any
-    * form that qualifies differently than it was written) would never
-    * substring-match and every call would mint a new run dir
-    * (ADVICE r16).
+    * directory (the documented cleanup unit). Both the cache KEY and the
+    * idempotence check use the HADOOP-QUALIFIED base, not the raw
+    * configured string: the context stores its checkpoint dir fully
+    * qualified with one extra Spark-minted UUID level, so a base spelled
+    * `file:///x` (or any form that qualifies differently than it was
+    * written) would never substring-match and every call would mint a new
+    * run dir (ADVICE r16); and two spellings of the same base (`/x` vs
+    * `file:///x`) must resolve to the SAME cache entry, or a session that
+    * flips spelling mid-run mints two run dirs (VERDICT r17 item 5-minor,
+    * Round18Spec pins the two-spelling case).
     */
   private val runDirs = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def ensureDir(spark: SparkSession, base: String): Unit = {
     val sc = spark.sparkContext
-    val dir = runDirs.getOrElseUpdate(base,
-      s"${base.stripSuffix("/")}/graft-${java.util.UUID.randomUUID()}")
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(sc.hadoopConfiguration)
-    val qualified = p.makeQualified(fs.getUri, fs.getWorkingDirectory)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val fs = basePath.getFileSystem(sc.hadoopConfiguration)
+    val qualifiedBase =
+      basePath.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+    val dir = runDirs.getOrElseUpdate(qualifiedBase,
+      s"${qualifiedBase.stripSuffix("/")}/graft-${java.util.UUID.randomUUID()}")
+    // `dir` is built from the qualified base, so it is already qualified;
     // setCheckpointDir appends one UUID level of its own: compare the
-    // current dir's PARENT against our qualified run dir
+    // current dir's PARENT against our run dir
+    val qualified = new org.apache.hadoop.fs.Path(dir)
     val current = sc.getCheckpointDir.map(new org.apache.hadoop.fs.Path(_))
     if (!current.exists(c => Option(c.getParent).contains(qualified)))
       sc.setCheckpointDir(dir)

@@ -34,6 +34,39 @@ object Graph {
   private val PrScale = 1000000000000L // 1e12 rank grid
   private val PrIters = 5
 
+  /** Size-conditional broadcast for node-sized iteration state (VERDICT
+    * r17 item 4). The forced `broadcast()` on rank/score/alive frames is
+    * what keeps the corpus-sized EDGE set unshuffled per round — but a
+    * hint unconditionally overrides size-based planning, and the graph
+    * family is the one plan family whose 100× behavior is a hard failure
+    * (driver/executor OOM building a multi-GB broadcast hash table)
+    * rather than a slowdown. This helper broadcasts only while the
+    * frame's measured size stays under `spark.graft.graph.broadcastLimit`
+    * bytes (default 256 MiB): `nodeRows` is a REAL count off the
+    * already-checkpointed base frame (one cheap job per query, not per
+    * round — node sets only shrink across iterations, so the initial
+    * count is a sound upper bound), times the schema's fixed-width row
+    * size. Catalyst's own size-only estimate is useless here — its
+    * default for a Join is the PRODUCT of child sizes, so every
+    * join-derived score frame reads as astronomically large at any SF.
+    * Above the limit the frame is returned unhinted and AQE picks the
+    * strategy from runtime statistics (a shuffle join on the key — the
+    * edges still move only once per round). Round18Spec pins broadcast
+    * below the threshold and non-broadcast above it, oracles unchanged.
+    * Scalar 1-row broadcasts (totals, k thresholds) stay unconditional —
+    * they cannot outgrow anything.
+    */
+  private val BroadcastLimitKey = "spark.graft.graph.broadcastLimit"
+
+  private[operators] def nodeBroadcast(df: DataFrame, nodeRows: Long): DataFrame = {
+    val limit = df.sparkSession.conf.getOption(BroadcastLimitKey)
+      .map(_.toLong).getOrElse(256L << 20)
+    // fixed-width schemas only at these sites; +24 B/row for the hash
+    // relation's entry overhead
+    val rowBytes = df.schema.map(_.dataType.defaultSize.toLong).sum + 24L
+    if (nodeRows * rowBytes <= limit) broadcast(df) else df
+  }
+
   /** (src, dst) co-purchase edges + per-source out-degrees + node list —
     * each `localCheckpoint`ed (the d45 idiom): the edge set is invariant
     * across the five rank iterations, and checkpointing materializes it
@@ -59,21 +92,24 @@ object Graph {
 
   def q63PageRank(spark: SparkSession, dir: String): DataFrame = {
     val (e, deg, nodes) = projection(spark, dir)
+    // one cheap job over the checkpointed node frame: the measured node
+    // count that sizes every per-round broadcast decision
+    val nNodes = nodes.count()
     val nAgg = nodes.agg(count(lit(1)).as("cnt"))
     var r = nodes.crossJoin(nAgg)
       .select(col("node"), expr(s"${PrScale}L div cnt").as("r"))
     for (_ <- 1 to PrIters) {
       // per-source outflow first: rank ⋈ degree is node-sized (the part
-      // dimension), so it broadcasts and the EDGES NEVER SHUFFLE — each
-      // round is a broadcast hash join + partial-aggregated sum into
-      // destinations. (At billions of nodes the rank state outgrows the
-      // broadcast threshold; drop the hint and the same plan degrades
-      // gracefully to a shuffle join on src — the edge set still moves
-      // only once per round.)
+      // dimension), so it broadcasts — size-conditionally, see
+      // nodeBroadcast — and the EDGES NEVER SHUFFLE: each round is a
+      // broadcast hash join + partial-aggregated sum into destinations.
+      // At billions of nodes the rank state outgrows the limit and the
+      // same plan degrades gracefully to a shuffle join on src — the
+      // edge set still moves only once per round.
       val outflow = r.join(deg.withColumnRenamed("d", "dd"), "node")
         .select(col("node").as("src_n"), expr("(r * 85) div (100 * dd)").as("c"))
       val contrib = e
-        .join(broadcast(outflow), col("src") === col("src_n"))
+        .join(nodeBroadcast(outflow, nNodes), col("src") === col("src_n"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
       r = nodes.crossJoin(nAgg)
         .join(contrib, col("node") === col("dst"), "left")
@@ -551,10 +587,18 @@ object Graph {
         .select(col(key),
           expr(s"$raw div greatest(1L, CAST(t div ${HitsScale}L AS BIGINT))").as(out))
     }
+    // measured bipartite node counts (one job over the checkpointed edge
+    // frame) size the per-half-iteration score broadcasts; the 1-row
+    // normalization totals stay unconditionally broadcast
+    val sides = e.agg(countDistinct(col("c")).as("nc"),
+      countDistinct(col("p")).as("np")).first()
+    val nSide = math.max(sides.getLong(0), sides.getLong(1))
     for (_ <- 1 to HitsIters) {
-      val hRaw = e.join(broadcast(a), "p").groupBy(col("c")).agg(sum(col("a")).as("hr"))
+      val hRaw = e.join(nodeBroadcast(a, nSide), "p")
+        .groupBy(col("c")).agg(sum(col("a")).as("hr"))
       val h = normalize(hRaw, "c", "hr", "h")
-      val aRaw = e.join(broadcast(h), "c").groupBy(col("p")).agg(sum(col("h")).as("ar"))
+      val aRaw = e.join(nodeBroadcast(h, nSide), "c")
+        .groupBy(col("p")).agg(sum(col("h")).as("ar"))
       a = normalize(aRaw, "p", "ar", "a")
     }
     a.select(col("p").as("part"), col("a").as("authority"))
@@ -632,9 +676,13 @@ object Graph {
     val kv = e0.agg((count(lit(1)) * lit(7L)).as("ke"),
         (countDistinct(col("s")) * lit(10L)).as("kn"))
       .select(expr("ke div kn").as("k"))
+    // measured node count (one aggregate over the checkpointed edge
+    // frame) sizes the alive-set broadcasts; alive only shrinks across
+    // rounds, so the initial count is a sound upper bound for all 8
+    val nNodes = e0.agg(countDistinct(col("s")).as("n")).first().getLong(0)
     def filtered(alive: DataFrame): DataFrame =
-      e0.join(broadcast(alive.select(col("n").as("s"))), "s")
-        .join(broadcast(alive.select(col("n").as("d"))), "d")
+      e0.join(nodeBroadcast(alive.select(col("n").as("s")), nNodes), "s")
+        .join(nodeBroadcast(alive.select(col("n").as("d")), nNodes), "d")
         .select(col("s"), col("d"))
     var alive: DataFrame = null
     for (r <- 1 to KCoreRounds) {

@@ -373,17 +373,51 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
-  /** approx_count_distinct (HLL++) — rows-only: sketch estimates are
-    * engine-specific. Pinned instead by a ScalaTest spec (within 5% of
-    * exact). This is the 100 TB path for distinct counts.
+  /** approx_count_distinct (HLL++) — the 100 TB path for distinct counts.
+    *
+    * HLL register values are engine-specific, so the raw estimates can
+    * never hash-match a DuckDB mirror — this query spent 15 rounds as the
+    * suite's one rows-only check. But Spark's estimate IS deterministic
+    * for a given input (register merge is an order-independent max), so
+    * the ACCURACY BOUND is oracle-checkable (VERDICT r17 item 5): emit
+    * the exact count plus `within_15pct` = [|approx − exact| / exact ≤
+    * 0.15] computed engine-side; the DuckDB mirror emits (exact, 1). A
+    * hash match then CHECKS the HLL accuracy contract instead of skipping
+    * the query. The bound is 3× the 5% rsd Spark configures HLL++ with —
+    * 5% is ONE standard error, and the measured testdata readings reach
+    * 8.6% (sf0.01, returnflag N, orders), so a hard 1σ gate would fail on
+    * perfectly healthy sketches roughly a third of the time; 3σ holds
+    * with margin at every gate SF while still catching a broken sketch.
+    * Flags are BIGINT 1/0, not BOOLEAN, so the compare never depends on
+    * either engine's boolean rendering.
     */
-  def q11ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+  def q11ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    def within(approx: Column, exact: Column): Column =
+      (abs(approx.cast("double") / exact.cast("double") - 1.0) <= 0.15)
+        .cast("long")
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        countDistinct(col("l_orderkey")).as("n_orders_exact"),
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        approx_count_distinct(col("l_orderkey")).as("ao"),
+        approx_count_distinct(col("l_partkey")).as("ap"))
+      .select(col("l_returnflag"),
+        col("n_orders_exact"), col("n_parts_exact"),
+        within(col("ao"), col("n_orders_exact")).as("orders_within_15pct"),
+        within(col("ap"), col("n_parts_exact")).as("parts_within_15pct"))
       .orderBy(col("l_returnflag"))
+  }
+
+  val q11ApproxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+      |  COUNT(DISTINCT l_partkey) AS n_parts_exact,
+      |  CAST(1 AS BIGINT) AS orders_within_15pct,
+      |  CAST(1 AS BIGINT) AS parts_within_15pct
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // ---------------------------------------------------------------------
   // q11c: KMV (k-minimum-values) distinct sketch — the ENGINE-PORTABLE
@@ -2029,7 +2063,7 @@ object Relational {
     QueryDef.sql("q9_rollup", q9Rollup _, q9RollupSql),
     QueryDef.sql("q10_cube", q10Cube _, q10CubeSql),
     QueryDef.sql("q11_distinct", q11Distinct _, q11DistinctSql),
-    QueryDef.rowsOnly("q11b_approx_distinct", q11ApproxDistinct _),
+    QueryDef.sql("q11b_approx_distinct", q11ApproxDistinct _, q11ApproxDistinctSql),
     QueryDef.sql("q11c_kmv_distinct", q11cKmvDistinct _, q11cKmvDistinctSql),
     QueryDef.sql("q12_hourly_events", q12HourlyEvents _, q12HourlyEventsSql),
     QueryDef.sql("q13_grouping_sets", q13GroupingSets _, q13GroupingSetsSql),

