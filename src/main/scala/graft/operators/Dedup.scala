@@ -128,13 +128,16 @@ object Dedup {
     // the shingle pipeline runs once (AQE exchange reuse, verified in the
     // plan) — and at 100 TB pinning a corpus-wide shingle table in
     // executor memory would be a hazard, not a win.
-    // shuffle_hash: broadcasting a ~260k-row build side is slower than a
-    // partitioned hash join, and at scale a corpus self-join must never
-    // broadcast anyway.
+    // Per-site default shuffle_hash (round-18 sweep, [[CandidateJoin]]):
+    // the ONE site where the frozen hint beat AQE in every cell of the
+    // idle/IO-contended profile — the build side is the ~260k-row
+    // highly-duplicated shingle table and the hinted hash join skips the
+    // dual sort sort-merge pays. spark.graft.candidateJoinHint=none
+    // forces AQE here too.
     val sh = shingledCounted(spark, dir)
       .select(col("doc_id"), col("n_shingles"),
         PortableHash.h60(col("shingle")).as("k"))
-    sh.as("a").join(sh.as("b").hint("shuffle_hash"),
+    sh.as("a").join(CandidateJoin.hinted(sh.as("b"), default = "shuffle_hash"),
         col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.n_shingles").as("na"), col("b.n_shingles").as("nb"))
@@ -273,7 +276,7 @@ object Dedup {
     */
   private[operators] def pairsFromBandJoin(x: DataFrame, y: DataFrame,
                                            threshold: Double): DataFrame =
-    x.as("x").join(y.as("y").hint("shuffle_hash"),
+    x.as("x").join(CandidateJoin.hinted(y.as("y")),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
@@ -1144,7 +1147,7 @@ object Dedup {
       // prefix length for Jaccard θ=0.5: n − ⌈n/2⌉ + 1 (integer div)
       .where(col("rn") <= expr("n_shingles - ((n_shingles + 1) div 2) + 1"))
       .select(col("doc_id"), col("k"))
-    val cand = prefix.as("a").join(prefix.as("b").hint("shuffle_hash"),
+    val cand = prefix.as("a").join(CandidateJoin.hinted(prefix.as("b")),
         col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -1218,7 +1221,7 @@ object Dedup {
       .where(col("rn") <= expr("n_shingles - ((8 * n_shingles + 9) div 10) + 1"))
       .select(col("doc_id"), col("k"))
     val cand = prefix.as("a")
-      .join(sh.select(col("doc_id"), col("k")).as("b").hint("shuffle_hash"),
+      .join(CandidateJoin.hinted(sh.select(col("doc_id"), col("k")).as("b")),
         col("a.k") === col("b.k") && col("a.doc_id") =!= col("b.doc_id"))
       .select(col("a.doc_id").as("src_id"), col("b.doc_id").as("dst_id"))
       .distinct()
