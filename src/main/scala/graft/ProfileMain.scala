@@ -2,6 +2,13 @@ package graft
 
 // Throwaway profiling harness (not part of the library surface).
 object ProfileMain {
+  // running totals across stages, reset per profiled query — executor
+  // CPU is the contention-robust A/B metric on a co-tenanted box
+  private val totRun = new java.util.concurrent.atomic.AtomicLong(0)
+  private val totCpu = new java.util.concurrent.atomic.AtomicLong(0)
+  private val totGc = new java.util.concurrent.atomic.AtomicLong(0)
+  private val totStages = new java.util.concurrent.atomic.AtomicLong(0)
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -13,10 +20,17 @@ object ProfileMain {
         val cpu = i.taskMetrics.executorCpuTime / 1e9
         val deser = i.taskMetrics.executorDeserializeTime / 1000.0
         val gc = i.taskMetrics.jvmGCTime / 1000.0
+        totRun.addAndGet(i.taskMetrics.executorRunTime)
+        totCpu.addAndGet(i.taskMetrics.executorCpuTime / 1000000)
+        totGc.addAndGet(i.taskMetrics.jvmGCTime)
+        totStages.incrementAndGet()
         if (dur > 0.3)
           println(f"PROFSTAGE id=${i.stageId} tasks=${i.numTasks} dur=$dur%.2f run=$run%.2f cpu=$cpu%.2f gc=$gc%.2f deser=$deser%.2f rdds=${i.rddInfos.map(_.name).mkString("|").take(80)}")
       }
     })
+    def resetTotals(): Unit = { totRun.set(0); totCpu.set(0); totGc.set(0); totStages.set(0) }
+    def totals(): String =
+      f"stages=${totStages.get} run=${totRun.get / 1000.0}%.2f cpu=${totCpu.get / 1000.0}%.2f gc=${totGc.get / 1000.0}%.2f"
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.nonEmpty) args.toSeq else Seq("d41_ngram_jaccard")
     val defs = SparkEntry.allDefs.map(d => d.name -> d).toMap
@@ -27,6 +41,15 @@ object ProfileMain {
       } else if (n.startsWith("show:")) {
         defs(n.stripPrefix("show:")).fn(spark, dir).collect()
           .foreach(r => println("ROW " + r.mkString("|")))
+      } else if (n.startsWith("noop:")) {
+        // bench-faithful timing: the noop sink computes every column
+        // (guide §1.4) — count() lets Catalyst prune
+        val q = n.stripPrefix("noop:")
+        resetTotals()
+        val s = System.nanoTime
+        defs(q).fn(spark, dir).write.format("noop").mode("overwrite").save()
+        printf("PROFNOOP %s t=%.2f s %s%n", q, (System.nanoTime - s) / 1e9, totals())
+        ModelCache.releaseTransient(spark)
       } else if (n.startsWith("explain:")) {
         println(defs(n.stripPrefix("explain:")).fn(spark, dir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))

@@ -47,7 +47,7 @@ object Curation {
   private[graft] def curateFrom(docs: DataFrame): DataFrame = {
     // stage 1: exact dedup with explicit min-doc_id keeper election
     val deduped = Dedup.dedupExact(
-        docs.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
+        docs.withColumn("__h", graft.functions.HashFns.fastMd5(col("text"))), Seq("__h"), col("doc_id"))
       .drop("__h")
     // stage 2: near-dup losers = every cluster member except the
     // cluster-global min (keeper); cluster_id comes from connected
@@ -147,7 +147,7 @@ object Curation {
     def pin(df: DataFrame): DataFrame = df.graftCheckpoint(true)
     // stage 1: within-batch exact dedup, then drop content already keyed
     val inBatch = Dedup.dedupExact(
-      newDocs.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
+      newDocs.withColumn("__h", graft.functions.HashFns.fastMd5(col("text"))), Seq("__h"), col("doc_id"))
     val fresh = inBatch.join(state.hashKeepers.select("__h"), Seq("__h"), "left_anti")
     val hashKeepers = pin(state.hashKeepers.unionByName(
       fresh.select(col("__h"), col("doc_id").as("keeper_id"))))
@@ -245,7 +245,7 @@ object Curation {
     import org.apache.spark.sql.types.LongType
     val docs = Tables.documents(spark, dir)
     val keepers = Dedup.dedupExact(
-        docs.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
+        docs.withColumn("__h", graft.functions.HashFns.fastMd5(col("text"))), Seq("__h"), col("doc_id"))
       .select(col("doc_id"))
     // Materialize each gate frame ONCE behind a checkpoint before the
     // survivor join (the d55/d57 shared-frame idiom): composed bare,
@@ -367,7 +367,7 @@ object Curation {
                                  boiler: DataFrame): PrepState = {
     // stage 1: within-batch exact dedup, then drop content already seen
     val inBatch = Dedup.dedupExact(
-      batch.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
+      batch.withColumn("__h", graft.functions.HashFns.fastMd5(col("text"))), Seq("__h"), col("doc_id"))
     val fresh = inBatch.join(state.hashes, Seq("__h"), "left_anti")
     val hashes = Checkpoints.fresh(
       state.hashes.unionByName(fresh.select(col("__h"))), "__h")
@@ -785,7 +785,7 @@ object Curation {
     val base = Tables.documents(spark, dir)
       .select(col("source"), col("lang"), col("doc_id"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
-        md5(col("text")).as("h"))
+        graft.functions.HashFns.fastMd5(col("text")).as("h"))
     val dup = base.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
     val chunkDup = Dedup.d47ChunkDedup(spark, dir)
       .select(col("doc_id"),
@@ -878,7 +878,7 @@ object Curation {
       .withColumn("t", split(col("text"), " "))
       .select(col("doc_id"), col("split"),
         explode(array_distinct(TextOps.kgrams(col("t"), 8))).as("win"))
-      .select(col("doc_id"), col("split"), md5(col("win")).as("wh"))
+      .select(col("doc_id"), col("split"), graft.functions.HashFns.fastMd5(col("win")).as("wh"))
     val trainW = wins.filter(col("split") === "train").select(col("wh")).distinct()
     val hits = wins.filter(col("split") =!= "train")
       .join(trainW, Seq("wh"))
@@ -946,7 +946,7 @@ object Curation {
       .select(col("doc_id"), col("source"), col("text"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
     val keepers = Dedup.dedupExact(
-        docs.withColumn("__h", md5(col("text"))), Seq("__h"), col("doc_id"))
+        docs.withColumn("__h", graft.functions.HashFns.fastMd5(col("text"))), Seq("__h"), col("doc_id"))
       .select(col("doc_id"))
     val flagged = docs
       .join(keepers.withColumn("__k", lit(1L)), Seq("doc_id"), "left")

@@ -101,7 +101,7 @@ object Dedup {
 
   def d40ExactGroups(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .groupBy(md5(col("text")).as("text_hash"))
+      .groupBy(graft.functions.HashFns.fastMd5(col("text")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
       .orderBy(col("text_hash"))
 
@@ -190,10 +190,13 @@ object Dedup {
 
   def minhashSignaturesFrom(docs: DataFrame): DataFrame = {
     val digests = array((0 until NumDigests).map(j =>
-      md5(concat(lit(s"$j:"), col("shingle")))): _*)
+      graft.functions.HashFns.fastMd5(concat(lit(s"$j:"), col("shingle")))): _*)
+    // HexBits60 = conv(substring(.., off, 15), 16, 10) as a direct nibble
+    // parse (r18 fast path — the 32 window extractions per shingle row
+    // were the projection's dominant cost; HashFnsSpec pins equality)
     val mins = (0 until NumHashes).map(i =>
-      min(conv(substring(element_at(col("ds"), i / 2 + 1), windowOff(i), 15), 16, 10)
-        .cast(LongType)).as(s"m$i"))
+      min(graft.functions.HashFns.hexBits60(
+        element_at(col("ds"), i / 2 + 1), windowOff(i))).as(s"m$i"))
     shingledCountedFrom(docs)
       .select(col("doc_id"), col("shingle"))
       .withColumn("ds", digests)
@@ -226,7 +229,7 @@ object Dedup {
     minhashSignaturesFrom(docs)
       .select(col("doc_id"), col("sig"), posexplode(transform(
         sequence(lit(0), lit(NumBands - 1)),
-        b => md5(concat_ws(",", transform(
+        b => graft.functions.HashFns.fastMd5(concat_ws(",", transform(
           slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
           x => x.cast(StringType)))))))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
@@ -245,8 +248,8 @@ object Dedup {
   private[graft] def streamBandedSignaturesFrom(docs: DataFrame): DataFrame = {
     val sigSlots = (0 until NumHashes).map { i =>
       array_min(transform(col("ds"),
-        d => conv(substring(element_at(d, i / 2 + 1), windowOff(i), 15), 16, 10)
-          .cast(LongType))).as(s"m$i")
+        d => graft.functions.HashFns.hexBits60(
+          element_at(d, i / 2 + 1), windowOff(i)))).as(s"m$i")
     }
     docs
       .withColumn("toks", tokens)
@@ -256,13 +259,13 @@ object Dedup {
         i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1),
           element_at(col("toks"), i + 2)))))
       .withColumn("ds", transform(col("shingles"),
-        s => array((0 until NumDigests).map(j => md5(concat(lit(s"$j:"), s))): _*)))
+        s => array((0 until NumDigests).map(j => graft.functions.HashFns.fastMd5(concat(lit(s"$j:"), s))): _*)))
       .select(col("doc_id") +: sigSlots: _*)
       .select(col("doc_id"),
         array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"))
       .select(col("doc_id"), col("sig"), posexplode(transform(
         sequence(lit(0), lit(NumBands - 1)),
-        b => md5(concat_ws(",", transform(
+        b => graft.functions.HashFns.fastMd5(concat_ws(",", transform(
           slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)),
           x => x.cast(StringType)))))))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
@@ -722,7 +725,7 @@ object Dedup {
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), greatest(nChunks, lit(1))),
         i => struct(i.as("chunk_idx"),
-          md5(concat_ws(" ",
+          graft.functions.HashFns.fastMd5(concat_ws(" ",
             slice(col("toks"), (i - 1) * ChunkTokens + 1, lit(ChunkTokens)))).as("h")))).as("c"))
       .select(col("doc_id"), col("c.chunk_idx"), col("c.h"))
     val w = Window.partitionBy(col("h")).orderBy(col("doc_id").asc, col("chunk_idx").asc)
@@ -782,7 +785,7 @@ object Dedup {
       .withColumn("t", tokens)
       .select(col("doc_id"),
         explode(array_distinct(TextOps.kgrams(col("t"), 8))).as("win"))
-      .select(col("doc_id"), md5(col("win")).as("wh"))
+      .select(col("doc_id"), graft.functions.HashFns.fastMd5(col("win")).as("wh"))
     val bench = wins.filter(col("doc_id") < DecontamBench)
       .select(col("wh")).distinct()
     wins.filter(col("doc_id") >= DecontamBench)
@@ -841,7 +844,7 @@ object Dedup {
       .filter(size(col("t")) >= SpanL) // full L-token windows only
     val wins = toks.select(col("doc_id"), posexplode(
         transform(sequence(lit(1), size(col("t")) - (SpanL - 1)),
-          i => md5(concat_ws(" ",
+          i => graft.functions.HashFns.fastMd5(concat_ws(" ",
             (0 until SpanL).map(j => try_element_at(col("t"), i + lit(j))): _*)))))
       .select(col("doc_id"), (col("pos") + 1).cast(LongType).as("pos"),
         col("col").as("wh"))
@@ -1293,7 +1296,7 @@ object Dedup {
     // recompute cost at any scale (d58's judgment call, shared here)
     val wins = toks.select(col("doc_id"), posexplode(
         transform(sequence(lit(1), size(col("t")) - (NoveltyL - 1)),
-          i => md5(concat_ws(" ",
+          i => graft.functions.HashFns.fastMd5(concat_ws(" ",
             (0 until NoveltyL).map(j => try_element_at(col("t"), i + lit(j))): _*)))))
       .select(col("doc_id"), col("col").as("wh"))
     val census = wins.groupBy(col("wh"))

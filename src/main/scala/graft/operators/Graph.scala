@@ -76,12 +76,23 @@ object Graph {
     * same as connectedComponents' `spark.graft.cc.checkpointDir` switch.
     */
   private def projection(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    // r18: build the per-order part set with ONE hash aggregate
+    // (map-side-combined collect_set) and fan out the ordered pairs from
+    // the sorted array, instead of lineitem-distinct + self-join — one
+    // shuffle replaces two plus a join, and the per-order fan-out work is
+    // identical (order size is bounded, ~4 lineitems). Pair VALUES are
+    // unchanged: sort_array makes the per-order set canonical, the
+    // explode emits every ordered pair (a ≠ b), and the same pair from
+    // two orders still collapses downstream exactly as the join form did
+    // (e deliberately keeps per-order multiplicity — deg counts it).
+    val sets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val e = sets
+      .select(explode(flatten(transform(col("ps"), a =>
+        filter(transform(col("ps"), b => struct(a.as("src"), b.as("dst"))),
+          p => p.getField("src") =!= p.getField("dst"))))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .graftCheckpoint(true)
     val nodes = Tables.lineitem(spark, dir).select(col("l_partkey").as("node"))
       .distinct().graftCheckpoint(true)
@@ -111,11 +122,17 @@ object Graph {
       val contrib = e
         .join(nodeBroadcast(outflow, nNodes), col("src") === col("src_n"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      // node-sized rank state, checkpointed per round (the q151/q115
+      // idiom, r18): composed bare the 5-round unroll accumulated a
+      // 149-operator / 68-Exchange plan whose earlier rounds re-plan per
+      // reference — checkpointed, each round is one broadcast join +
+      // one hash aggregate over the frozen edge blocks
       r = nodes.crossJoin(nAgg)
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (expr(s"(${PrScale}L * 15) div (100 * cnt)") + coalesce(col("inflow"), lit(0L)))
             .as("r"))
+        .graftCheckpoint(true)
     }
     r.orderBy(col("r").desc, col("node"))
   }
@@ -173,16 +190,21 @@ object Graph {
     * orientation build below never runs for them.
     */
   private[graft] def undirectedCoPurchase(spark: SparkSession, dir: String): DataFrame = {
-    // build the undirected pair set directly (a.partkey < b.partkey in
-    // the order self-join) rather than via projection() — that helper
-    // eagerly materializes the directed edges, node list and out-degrees
-    // q63/q67 need, none of which this path uses
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    // build the undirected pair set directly (a.partkey < b.partkey)
+    // rather than via projection() — that helper eagerly materializes
+    // the directed edges, node list and out-degrees q63/q67 need, none
+    // of which this path uses. r18: per-order part sets come from ONE
+    // hash aggregate and the value-ordered pairs from the sorted array
+    // (the projection() rewrite, § there) — same pair set as the
+    // lineitem-distinct self-join, one shuffle instead of two + a join.
+    val sets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    sets
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          b => struct(a.as("src"), b.as("dst")))))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .distinct().graftCheckpoint(true)
   }
 
@@ -594,11 +616,20 @@ object Graph {
       countDistinct(col("p")).as("np")).first()
     val nSide = math.max(sides.getLong(0), sides.getLong(1))
     for (_ <- 1 to HitsIters) {
+      // checkpoint each half-iteration's RAW node-sized aggregate: it has
+      // two consumers (the normalization total and the normalized frame),
+      // and the next half-iteration re-references the result — composed
+      // bare the 2-iteration unroll re-derived every earlier half-step
+      // per reference (604-operator / 308-Exchange plan,
+      // plans/r18/q115_hits_before.txt); with the checkpoint each
+      // half-step is ONE edge-pass aggregate (r18, guide §2.4)
       val hRaw = e.join(nodeBroadcast(a, nSide), "p")
         .groupBy(col("c")).agg(sum(col("a")).as("hr"))
+        .graftCheckpoint(true)
       val h = normalize(hRaw, "c", "hr", "h")
       val aRaw = e.join(nodeBroadcast(h, nSide), "c")
         .groupBy(col("p")).agg(sum(col("h")).as("ar"))
+        .graftCheckpoint(true)
       a = normalize(aRaw, "p", "ar", "a")
     }
     a.select(col("p").as("part"), col("a").as("authority"))
@@ -662,42 +693,69 @@ object Graph {
   private val KCoreRounds = 8
 
   def q116KCore(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val und = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .select(col("a.l_partkey").as("s"), col("b.l_partkey").as("d"))
+    // r18: per-order part sets via one aggregate + sorted-pair fan-out
+    // (the undirectedCoPurchase rewrite) — same distinct pair set as the
+    // lineitem-distinct self-join, one shuffle fewer
+    val sets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val und = sets
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          b => struct(a.as("s"), b.as("d")))))).as("p"))
+      .select(col("p.s").as("s"), col("p.d").as("d"))
       .distinct()
     // symmetric closure: per-node degree = COUNT over outgoing rows
     val e0 = und.union(und.select(col("d").as("s"), col("s").as("d")))
       .graftCheckpoint(true)
-    // k = (7 · 2|E|) div (10 · |N|) — one bounded aggregate, broadcast back
+    // k = (7 · 2|E|) div (10 · |N|) — one bounded aggregate, broadcast
+    // back; checkpointed (r18): the threshold is consumed twice per
+    // round, and un-pinned each broadcast re-ran the countDistinct
+    // aggregate over the full edge set — 16 edge-scale jobs for one
+    // constant
     val kv = e0.agg((count(lit(1)) * lit(7L)).as("ke"),
         (countDistinct(col("s")) * lit(10L)).as("kn"))
       .select(expr("ke div kn").as("k"))
+      .graftCheckpoint(true)
     // measured node count (one aggregate over the checkpointed edge
-    // frame) sizes the alive-set broadcasts; alive only shrinks across
-    // rounds, so the initial count is a sound upper bound for all 8
+    // frame) sizes the removed-set broadcasts; removed sets only shrink
+    // after the first peel, so the initial count is a sound upper bound
     val nNodes = e0.agg(countDistinct(col("s")).as("n")).first().getLong(0)
-    def filtered(alive: DataFrame): DataFrame =
-      e0.join(nodeBroadcast(alive.select(col("n").as("s")), nNodes), "s")
-        .join(nodeBroadcast(alive.select(col("n").as("d")), nNodes), "d")
-        .select(col("s"), col("d"))
-    var alive: DataFrame = null
-    for (r <- 1 to KCoreRounds) {
-      val deg = (if (r == 1) e0 else filtered(alive))
-        .groupBy(col("s")).agg(count(lit(1)).as("c"))
-      alive = deg.crossJoin(broadcast(kv)).filter(col("c") >= col("k"))
-        .select(col("s").as("n"))
-        .graftCheckpoint(true)
+    // r18: INCREMENTAL peeling. The r17 shape re-filtered the whole edge
+    // set by two alive-broadcast joins and re-aggregated full degrees
+    // every round (~10 s executor run per round at sf0.1, 8 rounds). The
+    // rewrite maintains the alive-degree frame and DECREMENTS it by the
+    // edges incident to the nodes removed last round:
+    //   deg_r(n) = deg_{r-1}(n) − |{m ∈ removed_{r-1} : (n,m) ∈ E}|
+    // (removed sets are disjoint, so each lost neighbor is subtracted
+    // exactly once — deg_r equals the alive_{r-1}-induced degree by
+    // induction). Per round: ONE broadcast probe of e0 against the
+    // (shrinking, usually tiny) removed set + a node-sized left join,
+    // instead of two corpus-broadcast joins + a full re-count. The
+    // 8-round fixed unroll and every emitted value are unchanged —
+    // hash-grade oracle (the 8-round SQL chain) proves it. k = 0
+    // degenerate case: removed is empty every round and deg never
+    // decrements — same all-alive output as the re-filtering form.
+    var deg = e0.groupBy(col("s").as("n")).agg(count(lit(1)).as("c"))
+      .graftCheckpoint(true)
+    def removedOf(d: DataFrame): DataFrame =
+      d.crossJoin(broadcast(kv)).filter(col("c") < col("k")).select(col("n"))
+    def decremented(d: DataFrame, removed: DataFrame): DataFrame = {
+      val dec = e0.join(nodeBroadcast(removed.select(col("n").as("d")), nNodes), "d")
+        .groupBy(col("s").as("n")).agg(count(lit(1)).as("dec"))
+      d.crossJoin(broadcast(kv)).filter(col("c") >= col("k"))
+        .select(col("n"), col("c"))
+        .join(dec, Seq("n"), "left")
+        .select(col("n"), (col("c") - coalesce(col("dec"), lit(0L))).as("c"))
     }
-    val finalDeg = filtered(alive)
-      .groupBy(col("s").as("n")).agg(count(lit(1)).as("core_degree"))
-    alive.join(finalDeg, Seq("n"), "left")
+    for (_ <- 2 to KCoreRounds)
+      deg = decremented(deg, removedOf(deg)).graftCheckpoint(true)
+    // deg now holds deg_8 over the alive_7 universe; the survivors are
+    // c ≥ k, and their core degree is deg_9 (one more decrement by the
+    // round-8 removals = neighbors inside alive_8 exactly)
+    decremented(deg, removedOf(deg))
       .crossJoin(broadcast(kv))
-      .select(col("n").as("node"), coalesce(col("core_degree"), lit(0L)).as("core_degree"),
-        col("k"))
+      .select(col("n").as("node"), col("c").as("core_degree"), col("k"))
       .orderBy(col("node"))
   }
 
@@ -1035,18 +1093,34 @@ object Graph {
     * from the report (q135's universe).
     */
   private[graft] def louvainSweepFrom(und: DataFrame, comm: DataFrame): DataFrame = {
+    // Node-sized sweep state (deg, m, the degree-restricted partition)
+    // is materialized ONCE — q151's checkpoint discipline brought to the
+    // single-sweep form. Composed bare, every consumer re-derived
+    // deg/dc/m from the edge set and the plan exploded to 1477 operators
+    // / 534 Exchanges / 124 parquet scans (plans/r18/q154_*_before.txt);
+    // checkpointed state cuts it to one edge-linear pass per aggregate
+    // (optimization guide §2.4 — remove re-derived shuffles outright).
+    // Q before/after ride the same checkpointed frames through the
+    // 1-row [[modularityQFrame]] (arithmetic identical to
+    // [[modularityFrom]]'s q column — oracle hash-checks it), instead of
+    // two full per-community modularityFrom reports max-folded to the
+    // same scalar.
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
-    val nodes = deg.join(broadcast(comm), "node") // node, d, comm
+      .groupBy("node").agg(count(lit(1)).as("d")).graftCheckpoint(true)
+    val m = und.agg(count(lit(1)).as("m")).graftCheckpoint(true)
+    val nodes = deg.join(broadcast(comm), "node").graftCheckpoint(true) // node, d, comm
+    val comm0 = nodes.select(col("node"), col("comm"))
     val dc = nodes.groupBy("comm").agg(count(lit(1)).as("n_before"))
-    val m = und.agg(count(lit(1)).as("m"))
-    val moves = louvainMoves(und, deg, m, nodes.select(col("node"), col("comm")))
-    val comm1 = nodes.select(col("node"), col("comm"))
+    // the move set has three consumers (comm1, n_in, n_out) — one
+    // materialization serves all (the q151 idiom)
+    val moves = Checkpoints.fresh(louvainMoves(und, deg, m, comm0),
+      "node", "old_comm", "new_comm")
+    val comm1 = comm0
       .join(moves.select(col("node"), col("new_comm")), Seq("node"), "left")
       .select(col("node"), coalesce(col("new_comm"), col("comm")).as("comm"))
-    val qBefore = modularityFrom(und, comm).agg(max(col("q")).as("q_before"))
-    val qAfter = modularityFrom(und, comm1).agg(max(col("q")).as("q_after"))
+    val qBefore = modularityQFrame(und, deg, m, comm0, "q_before")
+    val qAfter = modularityQFrame(und, deg, m, comm1, "q_after")
     val nIn = moves.groupBy(col("new_comm").as("comm")).agg(count(lit(1)).as("n_in"))
     val nOut = moves.groupBy(col("old_comm").as("comm")).agg(count(lit(1)).as("n_out"))
     dc.select(col("comm"), col("n_before"))
@@ -1166,7 +1240,15 @@ object Graph {
     * the reading is bit-identical to q135/q154's q column.
     */
   private def modularityQ(und: DataFrame, deg: DataFrame, m: DataFrame,
-      comm: DataFrame): Double = {
+      comm: DataFrame): Double =
+    modularityQFrame(und, deg, m, comm, "q").head().getDouble(0)
+
+  /** The same exact-integer Q reading as a LAZY 1-row frame, so a
+    * single-plan consumer (q154's sweep report) can attach it by
+    * broadcast crossJoin instead of a driver action.
+    */
+  private def modularityQFrame(und: DataFrame, deg: DataFrame, m: DataFrame,
+      comm: DataFrame, out: String): DataFrame = {
     val d38 = DecimalType(38, 0)
     val dc = deg.join(broadcast(comm), "node")
       .groupBy("comm").agg(sum(col("d")).as("d_c"))
@@ -1182,8 +1264,8 @@ object Graph {
         - col("d_c").cast(d38) * col("d_c")).as("q_num_sum"),
         max(col("m")).as("m"))
       .select(round(col("q_num_sum").cast(DoubleType)
-        / (lit(4.0) * col("m").cast(DoubleType) * col("m").cast(DoubleType)), 6))
-      .head().getDouble(0)
+        / (lit(4.0) * col("m").cast(DoubleType) * col("m").cast(DoubleType)), 6)
+        .as(out))
   }
 
   def q151LouvainIterate(spark: SparkSession, dir: String): DataFrame =

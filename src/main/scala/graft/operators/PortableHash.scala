@@ -23,8 +23,14 @@ object PortableHash {
     */
   val HashSpaceSqlHugeInt: String = s"$HashSpace::HUGEINT"
 
+  /** Same value as `conv(substring(md5(..), 1, 15), 16, 10)::long`, via
+    * the native [[graft.functions.Md5Bits60]] fast path (≈5× cheaper per
+    * call: no hex string, no base-conversion parse — measured r18, see
+    * HashExpressions). HashFnsSpec pins bit-equality to the built-in
+    * spelling; every hash-grade oracle query re-proves it downstream.
+    */
   def h60(c: Column): Column =
-    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+    graft.functions.HashFns.md5Bits60(c.cast(StringType))
 
   def h60Sql(expr: String): String =
     s"('0x' || substr(md5(CAST($expr AS VARCHAR)), 1, 15))::BIGINT"

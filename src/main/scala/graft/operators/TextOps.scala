@@ -203,7 +203,7 @@ object TextOps {
       .withColumn("norm", norm)
       .withColumn("codes", codes)
       .select(col("doc_id"),
-        md5(col("norm")).as("content_md5"),
+        graft.functions.HashFns.fastMd5(col("norm")).as("content_md5"),
         array_min(transform(
           sequence(lit(1), greatest(length(col("norm")) - (WindowChars - 1), lit(1))),
           i => windowHash(i))).as("min_shingle_hash"))
@@ -1173,10 +1173,21 @@ object TextOps {
     val d = docs(spark, dir)
       .select(col("doc_id"), toks.as("ts"))
       .withColumn("n_toks", size(col("ts")).cast(LongType))
-    val cum = Relational.prefixSumByRange(d, Seq.empty, Seq(col("doc_id")),
-      Seq("cum" -> col("n_toks")))
-    val first = cum
-      .select((col("cum") - col("n_toks")).as("off"), posexplode(col("ts")))
+    // r18: run the prefix sum over the NARROW (doc_id, n_toks) frame and
+    // checkpoint the doc-sized offsets — the token ARRAYS no longer ride
+    // the slice repartition + two window sorts (guide §8: decide on a
+    // lightweight proxy, move the payload once), and the offsets frame's
+    // three consumers (explode join, corpus total) stop re-deriving the
+    // whole chain (16 scans / 86 Exchanges in the composed-bare plan,
+    // plans/r18/t80_heaps_law_before.txt). Values unchanged: cum is the
+    // same running total, tot the same max.
+    val cum = Relational.prefixSumByRange(
+        d.select(col("doc_id"), col("n_toks")), Seq.empty, Seq(col("doc_id")),
+        Seq("cum" -> col("n_toks")))
+      .graftCheckpoint(true)
+    val first = d
+      .join(cum.select(col("doc_id"), (col("cum") - col("n_toks")).as("off")), "doc_id")
+      .select(col("off"), posexplode(col("ts")))
       .select((col("off") + col("pos") + 1L).as("gp"), col("col").as("w"))
       .groupBy(col("w")).agg(min(col("gp")).as("fp"))
     val tot = cum.agg(max(col("cum")).as("t"))
@@ -1459,8 +1470,14 @@ object TextOps {
         .groupBy(col("p")).agg(sum(col("cnt")).as("pc"))
       val top = pairs.orderBy(col("pc").desc, col("p").asc).limit(1)
         .select(col("p").as("pair"), col("pc").as("pair_count"))
+      // r18: checkpoint each round's merged vocabulary (t98's
+      // per-round-checkpoint discipline brought back to the 3-round
+      // fold) — composed bare, round k's replace chain re-executed for
+      // every downstream consumer (next round's pair stats AND merge AND
+      // report), ~2^R duplicated vocabulary passes by round R
       val merged = prev.crossJoin(broadcast(top))
         .withColumn("spaced", expr("replace(spaced, pair, replace(pair, '> <', ''))"))
+        .graftCheckpoint(true)
       val report = merged
         .groupBy(col("pair"), col("pair_count"))
         .agg(sum(col("cnt") * size(split(col("spaced"), " "))).as("syms_after"))
@@ -1940,7 +1957,7 @@ object TextOps {
       .withColumn("start_tok", col("chunk_id") * ChunkS)
       .withColumn("n_tok", least(lit(ChunkW.toLong), col("n") - col("start_tok")))
       .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
-        md5(concat_ws(" ",
+        graft.functions.HashFns.fastMd5(concat_ws(" ",
           slice(col("tk"), (col("start_tok") + 1).cast("int"), col("n_tok").cast("int"))))
           .as("chunk_md5"))
 
@@ -3389,7 +3406,7 @@ object TextOps {
     val rule = gopherRulesFrom(d).select(col("doc_id"), col("pass").cast(LongType).as("pass"))
     val learned = qualityScoresFrom(d).select(col("doc_id"), col("keep"))
     val base = d.select(col("doc_id"), col("source"),
-      size(toks).cast(LongType).as("n_words"), md5(col("text")).as("h"))
+      size(toks).cast(LongType).as("n_words"), graft.functions.HashFns.fastMd5(col("text")).as("h"))
     val keeper = base.groupBy(col("h")).agg(min(col("doc_id")).as("kid"))
     base.join(rule, "doc_id").join(learned, "doc_id").join(keeper, "h")
       .withColumn("uniq", (col("doc_id") === col("kid")).cast(LongType))
@@ -3491,7 +3508,7 @@ object TextOps {
     val d = docs(spark, dir)
     val rule = gopherRulesFrom(d).select(col("doc_id"), col("pass").cast(LongType).as("pass"))
     val learned = qualityScoresFrom(d).select(col("doc_id"), col("keep"))
-    val base = d.select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val base = d.select(col("doc_id"), col("source"), graft.functions.HashFns.fastMd5(col("text")).as("h"))
     val keeper = base.groupBy(col("h")).agg(min(col("doc_id")).as("kid"))
     cochranQFrom(base.join(rule, "doc_id").join(learned, "doc_id").join(keeper, "h")
       .withColumn("uniq", (col("doc_id") === col("kid")).cast(LongType)))

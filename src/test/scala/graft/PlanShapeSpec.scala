@@ -207,20 +207,32 @@ class PlanShapeSpec extends AnyFunSuite {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
-    val root = TextOps.t80HeapsLaw(spark, dir).queryExecution.executedPlan
-    val plan = root match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
-    val windows = plan.collect { case w: WindowExec => w }
+    def windowsOf(df: org.apache.spark.sql.DataFrame) = {
+      val root = df.queryExecution.executedPlan
+      val plan = root match { case a: AdaptiveSparkPlanExec => a.executedPlan; case p => p }
+      plan.collect { case w: WindowExec => w }
+    }
+    // r18: the prefix sum runs over the NARROW (doc_id, n_toks) frame
+    // behind a checkpoint, so the query's FINAL plan must carry NO
+    // window at all — the token arrays and the vocabulary election
+    // never ride a window reducer
+    assert(windowsOf(TextOps.t80HeapsLaw(spark, dir)).isEmpty,
+      "t80's final plan must be window-free (election is a min-aggregate; " +
+        "prefix sums live behind the narrow checkpoint)")
+    // the prefix-sum helper itself still windows only on the slice id
+    // (__pid) / the bounded offset side table — never a data key
+    import org.apache.spark.sql.functions._
+    val narrow = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_toks"))
+    val pre = graft.operators.Relational.prefixSumByRange(narrow, Seq.empty, Seq(col("doc_id")),
+      Seq("cum" -> col("n_toks")))
+    val windows = windowsOf(pre)
     assert(windows.nonEmpty, "expected the prefix-sum slice windows")
-    // a WindowExec partitioned on the WORD would funnel the vocabulary
-    // through per-word window reducers — the election must stay the
-    // map-side-combined min-aggregate; the only windows allowed are the
-    // slice-local cumulatives (__pid) and the bounded offset side table
-    // (empty partition spec over `parts` rows)
     assert(windows.forall(_.partitionSpec.forall {
         case a: AttributeReference => a.name == "__pid"
         case _                     => false
       }),
-      s"unexpected window partitioning:\n$plan")
+      s"unexpected window partitioning")
   }
 
   test("d49 probes the benchmark set via broadcast — no corpus-vs-benchmark shuffle join") {
