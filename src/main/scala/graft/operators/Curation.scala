@@ -365,7 +365,12 @@ object Curation {
     */
   private[graft] def advancePrep(state: PrepState, batch: DataFrame,
                                  boiler: DataFrame): PrepState = {
-    // stage 1: within-batch exact dedup, then drop content already seen
+    // stage 1: within-batch exact dedup, then drop content already seen.
+    // (r18 note: an explicit repartition here to parallelize the gate
+    // projections was measured and REJECTED — wall unchanged, total
+    // executor CPU 3x, see OPTIMIZATION_r18.md; the 1-task gate stages
+    // are an AQE small-data artifact that disappears at real batch
+    // sizes, where partitions are sized by bytes.)
     val inBatch = Dedup.dedupExact(
       batch.withColumn("__h", graft.functions.HashFns.fastMd5(col("text"))), Seq("__h"), col("doc_id"))
     val fresh = inBatch.join(state.hashes, Seq("__h"), "left_anti")

@@ -1053,15 +1053,27 @@ object Graph {
       Tables.part(spark, dir)
         .select(col("p_partkey").as("node"), col("p_brand").as("comm")))
 
-  /** One sweep's best strictly-positive moves under partition `comm`
-    * (restricted to `deg`'s universe): (node, old_comm, new_comm).
-    * `deg`/`m` are passed in so iterated sweeps (q151) compute them once.
+  /** One sweep's shared computation under partition `comm` (restricted
+    * to `deg`'s universe): the best strictly-positive move per node AND
+    * the exact Q of `comm` itself, as a 1-row frame named `qName`.
+    *
+    * r18 shape: `kic` (edge-bounded) and `ctx` (node-sized) are
+    * checkpointed, so one call reads the edge set ONCE and everything
+    * downstream — community totals, the Q reading, the gains — runs on
+    * the frozen frames. The Q arithmetic is [[modularityFrom]]'s
+    * exactly: Σ_comm 4m·e_c = 2m·Σ_n k_{n,own} = 2m·Σ ctx.e_ia (each
+    * intra-community edge counted at both endpoints), all sums in
+    * DECIMAL(38,0), one double division rounded once — so the sweep's
+    * Q readings cost no separate edge pass. The best-move election is
+    * an argmin AGGREGATE of the (−gain, c) struct per node — a
+    * map-side-combinable hash aggregate replacing the r17 row_number
+    * window over the ≤2|E| gains frame; (gain, c) is unique per node,
+    * so it picks exactly the window's (gain DESC, c ASC) rn = 1 row,
+    * and the strict-positivity gate is `−gain < 0`.
     */
-  private def louvainMoves(und: DataFrame, deg: DataFrame, m: DataFrame,
-      comm: DataFrame): DataFrame = {
+  private def louvainSweepCore(und: DataFrame, deg: DataFrame, m: DataFrame,
+      comm: DataFrame, qName: String): (DataFrame, DataFrame) = {
     val d38 = DecimalType(38, 0)
-    val dc = deg.join(broadcast(comm), "node")
-      .groupBy("comm").agg(sum(col("d")).as("d_c"))
     // edges annotated with both endpoint communities → k_{i,c}
     val ec2 = und
       .join(broadcast(comm.select(col("node").as("src"), col("comm").as("cs"))), "src")
@@ -1069,10 +1081,20 @@ object Graph {
     val kic = ec2.select(col("src").as("node"), col("cd").as("c"))
       .union(ec2.select(col("dst").as("node"), col("cs").as("c")))
       .groupBy(col("node"), col("c")).agg(count(lit(1)).as("k_ic"))
+      .graftCheckpoint(true)
     val ctx = deg.join(broadcast(comm), "node")
       .join(kic.select(col("node"), col("c").as("comm"), col("k_ic").as("e_ia")),
         Seq("node", "comm"), "left")
       .na.fill(0L, Seq("e_ia"))
+      .graftCheckpoint(true)
+    val dc = ctx.groupBy("comm").agg(sum(col("d")).as("d_c"))
+    val q = ctx.agg(sum(col("e_ia")).as("se"))
+      .crossJoin(broadcast(dc.agg(sum(col("d_c").cast(d38) * col("d_c")).as("sd2"))))
+      .crossJoin(broadcast(m))
+      .select(round(
+        (col("m").cast(d38) * lit(2L) * col("se") - col("sd2")).cast(DoubleType)
+          / (lit(4.0) * col("m").cast(DoubleType) * col("m").cast(DoubleType)), 6)
+        .as(qName))
     val gains = ctx.join(kic, "node").filter(col("c") =!= col("comm"))
       .join(broadcast(dc.select(col("comm"), col("d_c").as("d_a"))), "comm")
       .join(broadcast(dc.select(col("comm").as("c"), col("d_c").as("d_b"))), "c")
@@ -1080,11 +1102,12 @@ object Graph {
       .withColumn("gain_num",
         lit(2L).cast(d38) * col("m") * (col("k_ic") - col("e_ia"))
           - col("d").cast(d38) * (col("d_b") - col("d_a") + col("d")))
-    val wBest = Window.partitionBy(col("node"))
-      .orderBy(col("gain_num").desc, col("c").asc)
-    gains.withColumn("rn", row_number().over(wBest))
-      .filter(col("rn") === 1 && col("gain_num") > 0)
-      .select(col("node"), col("comm").as("old_comm"), col("c").as("new_comm"))
+    val moves = gains
+      .groupBy(col("node"), col("comm"))
+      .agg(min(struct((-col("gain_num")).as("ng"), col("c").as("c"))).as("b"))
+      .filter(col("b.ng") < 0)
+      .select(col("node"), col("comm").as("old_comm"), col("b.c").as("new_comm"))
+    (moves, q)
   }
 
   /** One synchronous Louvain sweep of any (node, comm) partition over any
@@ -1113,13 +1136,13 @@ object Graph {
     val comm0 = nodes.select(col("node"), col("comm"))
     val dc = nodes.groupBy("comm").agg(count(lit(1)).as("n_before"))
     // the move set has three consumers (comm1, n_in, n_out) — one
-    // materialization serves all (the q151 idiom)
-    val moves = Checkpoints.fresh(louvainMoves(und, deg, m, comm0),
-      "node", "old_comm", "new_comm")
+    // materialization serves all (the q151 idiom); q_before rides the
+    // core's own checkpointed context for free
+    val (mv0, qBefore) = louvainSweepCore(und, deg, m, comm0, "q_before")
+    val moves = Checkpoints.fresh(mv0, "node", "old_comm", "new_comm")
     val comm1 = comm0
       .join(moves.select(col("node"), col("new_comm")), Seq("node"), "left")
       .select(col("node"), coalesce(col("new_comm"), col("comm")).as("comm"))
-    val qBefore = modularityQFrame(und, deg, m, comm0, "q_before")
     val qAfter = modularityQFrame(und, deg, m, comm1, "q_after")
     val nIn = moves.groupBy(col("new_comm").as("comm")).agg(count(lit(1)).as("n_in"))
     val nOut = moves.groupBy(col("old_comm").as("comm")).agg(count(lit(1)).as("n_out"))
@@ -1284,20 +1307,27 @@ object Graph {
     var comm = Checkpoints.fresh(
       deg.join(broadcast(brand), "node").select(col("node"), col("comm")),
       "node", "comm")
-    var qCur = modularityQ(und, deg, m, comm)
+    // r18: each sweep's Q-before comes FREE from the core's checkpointed
+    // context (one edge pass yields moves AND the exact Q of the input
+    // partition), and sweep k's Q-after is sweep k+1's Q-before — so
+    // `sweeps` core passes + ONE final modularityQ replace the r17
+    // shape's `sweeps` move passes + `sweeps`+1 standalone Q passes.
+    var (mvRaw, qFrame) = louvainSweepCore(und, deg, m, comm, "q")
+    var mv = Checkpoints.fresh(mvRaw, "node", "old_comm", "new_comm")
+    var qCur = qFrame.head().getDouble(0)
     val rows = Seq.newBuilder[(Int, Long, Double, Double)]
     for (k <- 1 to sweeps) {
-      // checkpoint the move set BEFORE counting it: the count action and
-      // the partition update below would otherwise each execute the full
-      // gains plan — one materialization serves both
-      val mv = Checkpoints.fresh(louvainMoves(und, deg, m, comm),
-        "node", "old_comm", "new_comm")
       val nMoves = mv.count()
       comm = Checkpoints.fresh(
         comm.join(mv.select(col("node"), col("new_comm")), Seq("node"), "left")
           .select(col("node"), coalesce(col("new_comm"), col("comm")).as("comm")),
         "node", "comm")
-      val qNext = modularityQ(und, deg, m, comm)
+      val qNext =
+        if (k < sweeps) {
+          val (nextMv, nextQ) = louvainSweepCore(und, deg, m, comm, "q")
+          mv = Checkpoints.fresh(nextMv, "node", "old_comm", "new_comm")
+          nextQ.head().getDouble(0)
+        } else modularityQ(und, deg, m, comm)
       rows += ((k, nMoves, qCur, qNext))
       qCur = qNext
     }
@@ -1393,9 +1423,10 @@ object Graph {
   //
   // Scale shape: one round = one shuffle join (labels onto the directed
   // neighbor list) + one (node, label) hash aggregate + a per-node
-  // argmax window over that node's ≤deg candidate labels — the
+  // argmax AGGREGATE (max over the (cnt, −label) struct — r18, was a
+  // row_number window that re-shuffled and sorted per node) — the
   // PageRank message-passing class, O(|E|) per round, no driver state
-  // at all. The argmax windows partition per node (never global). This
+  // at all. The argmax is per node (never global). This
   // is the community detector that actually runs at 100 TB: no
   // modularity bookkeeping, no community-total broadcasts — labels ride
   // the edges. q135's modularityFrom can score the result; q154/q151
@@ -1413,13 +1444,20 @@ object Graph {
     var lbl = nb.select(col("node")).distinct()
       .select(col("node"), col("node").as("label")).graftCheckpoint(true)
     for (_ <- 1 to LpaRounds) {
-      val w = Window.partitionBy(col("node"))
-        .orderBy(col("cnt").desc, col("label").asc)
+      // r18: the per-node argmax (count DESC, label ASC) is a MAX over
+      // the lexicographic struct (cnt, −label) — one more map-side-
+      // combinable hash aggregate instead of the row_number window,
+      // which re-shuffled the (node, label) frame onto node partitions
+      // and sorted each (guide §2.4: two ops keyed alike share one
+      // exchange — and an aggregate needs no sort at all). Election
+      // identical: (cnt, label) is unique per node, labels are
+      // non-negative part keys, so max(cnt, −label) picks exactly the
+      // window's rn = 1 row.
       lbl = nb.join(lbl.select(col("node").as("nbr"), col("label")), "nbr")
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
         .graftCheckpoint(true)
     }
     lbl
