@@ -74,6 +74,14 @@ object Checkpoints {
       extends AnyVal {
     def graftCheckpoint(eager: Boolean = true): Dataset[T] = {
       val spark = ds.sparkSession
+      // debug-only plan visibility: the per-round plans of iterative
+      // operators execute INSIDE checkpoint materialization and never
+      // appear in the final frame's explain — this prints each
+      // checkpointed frame's physical plan when the switch is set
+      // (profiling evidence only; off on every query/bench path)
+      if (spark.conf.getOption("spark.graft.explainCheckpoints").contains("true"))
+        println("GRAFT_CKPT_PLAN\n" + ds.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       configuredDir(spark) match {
         case Some(base) => ensureDir(spark, base); ds.checkpoint(eager)
         case None => ds.localCheckpoint(eager)

@@ -1072,17 +1072,22 @@ object Graph {
     * and the strict-positivity gate is `−gain < 0`.
     */
   private def louvainSweepCore(und: DataFrame, deg: DataFrame, m: DataFrame,
-      comm: DataFrame, qName: String): (DataFrame, DataFrame) = {
+      comm: DataFrame, qName: String, nNodes: Long): (DataFrame, DataFrame) = {
     val d38 = DecimalType(38, 0)
-    // edges annotated with both endpoint communities → k_{i,c}
+    // edges annotated with both endpoint communities → k_{i,c}; the
+    // node-sized partition broadcasts size-conditionally (r19 — these
+    // were forced broadcast() hints, the exact 100×-scale OOM hazard
+    // nodeBroadcast exists for; below the limit the plan is unchanged)
     val ec2 = und
-      .join(broadcast(comm.select(col("node").as("src"), col("comm").as("cs"))), "src")
-      .join(broadcast(comm.select(col("node").as("dst"), col("comm").as("cd"))), "dst")
+      .join(nodeBroadcast(
+        comm.select(col("node").as("src"), col("comm").as("cs")), nNodes), "src")
+      .join(nodeBroadcast(
+        comm.select(col("node").as("dst"), col("comm").as("cd")), nNodes), "dst")
     val kic = ec2.select(col("src").as("node"), col("cd").as("c"))
       .union(ec2.select(col("dst").as("node"), col("cs").as("c")))
       .groupBy(col("node"), col("c")).agg(count(lit(1)).as("k_ic"))
       .graftCheckpoint(true)
-    val ctx = deg.join(broadcast(comm), "node")
+    val ctx = deg.join(nodeBroadcast(comm, nNodes), "node")
       .join(kic.select(col("node"), col("c").as("comm"), col("k_ic").as("e_ia")),
         Seq("node", "comm"), "left")
       .na.fill(0L, Seq("e_ia"))
@@ -1095,7 +1100,12 @@ object Graph {
         (col("m").cast(d38) * lit(2L) * col("se") - col("sd2")).cast(DoubleType)
           / (lit(4.0) * col("m").cast(DoubleType) * col("m").cast(DoubleType)), 6)
         .as(qName))
-    val gains = ctx.join(kic, "node").filter(col("c") =!= col("comm"))
+    // r19 (VERDICT r18 item 1): the node-sized checkpointed ctx frame
+    // broadcasts into the edge-bounded kic frame (size-conditionally) so
+    // the gains join never re-shuffles kic per sweep; above the limit it
+    // degrades to the old shuffle join
+    val gains = nodeBroadcast(ctx, nNodes).join(kic, "node")
+      .filter(col("c") =!= col("comm"))
       .join(broadcast(dc.select(col("comm"), col("d_c").as("d_a"))), "comm")
       .join(broadcast(dc.select(col("comm").as("c"), col("d_c").as("d_b"))), "c")
       .crossJoin(broadcast(m))
@@ -1132,18 +1142,22 @@ object Graph {
       .union(und.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d")).graftCheckpoint(true)
     val m = und.agg(count(lit(1)).as("m")).graftCheckpoint(true)
-    val nodes = deg.join(broadcast(comm), "node").graftCheckpoint(true) // node, d, comm
+    // one cheap job over the checkpointed degree frame: the measured
+    // node count that sizes every broadcast decision in the sweep
+    val nNodes = deg.count()
+    val nodes = deg.join(nodeBroadcast(comm, nNodes), "node")
+      .graftCheckpoint(true) // node, d, comm
     val comm0 = nodes.select(col("node"), col("comm"))
     val dc = nodes.groupBy("comm").agg(count(lit(1)).as("n_before"))
     // the move set has three consumers (comm1, n_in, n_out) — one
     // materialization serves all (the q151 idiom); q_before rides the
     // core's own checkpointed context for free
-    val (mv0, qBefore) = louvainSweepCore(und, deg, m, comm0, "q_before")
+    val (mv0, qBefore) = louvainSweepCore(und, deg, m, comm0, "q_before", nNodes)
     val moves = Checkpoints.fresh(mv0, "node", "old_comm", "new_comm")
     val comm1 = comm0
       .join(moves.select(col("node"), col("new_comm")), Seq("node"), "left")
       .select(col("node"), coalesce(col("new_comm"), col("comm")).as("comm"))
-    val qAfter = modularityQFrame(und, deg, m, comm1, "q_after")
+    val qAfter = modularityQFrame(und, deg, m, comm1, "q_after", nNodes)
     val nIn = moves.groupBy(col("new_comm").as("comm")).agg(count(lit(1)).as("n_in"))
     val nOut = moves.groupBy(col("old_comm").as("comm")).agg(count(lit(1)).as("n_out"))
     dc.select(col("comm"), col("n_before"))
@@ -1263,21 +1277,23 @@ object Graph {
     * the reading is bit-identical to q135/q154's q column.
     */
   private def modularityQ(und: DataFrame, deg: DataFrame, m: DataFrame,
-      comm: DataFrame): Double =
-    modularityQFrame(und, deg, m, comm, "q").head().getDouble(0)
+      comm: DataFrame, nNodes: Long): Double =
+    modularityQFrame(und, deg, m, comm, "q", nNodes).head().getDouble(0)
 
   /** The same exact-integer Q reading as a LAZY 1-row frame, so a
     * single-plan consumer (q154's sweep report) can attach it by
     * broadcast crossJoin instead of a driver action.
     */
   private def modularityQFrame(und: DataFrame, deg: DataFrame, m: DataFrame,
-      comm: DataFrame, out: String): DataFrame = {
+      comm: DataFrame, out: String, nNodes: Long): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val dc = deg.join(broadcast(comm), "node")
+    val dc = deg.join(nodeBroadcast(comm, nNodes), "node")
       .groupBy("comm").agg(sum(col("d")).as("d_c"))
     val ec = und
-      .join(broadcast(comm.select(col("node").as("src"), col("comm").as("cs"))), "src")
-      .join(broadcast(comm.select(col("node").as("dst"), col("comm").as("cd"))), "dst")
+      .join(nodeBroadcast(
+        comm.select(col("node").as("src"), col("comm").as("cs")), nNodes), "src")
+      .join(nodeBroadcast(
+        comm.select(col("node").as("dst"), col("comm").as("cd")), nNodes), "dst")
       .filter(col("cs") === col("cd"))
       .groupBy(col("cs").as("comm")).agg(count(lit(1)).as("e_c"))
     dc.join(ec, Seq("comm"), "left")
@@ -1304,15 +1320,18 @@ object Graph {
       .union(und.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d")).graftCheckpoint(true)
     val m = und.agg(count(lit(1)).as("m")).graftCheckpoint(true)
+    // one cheap job over the checkpointed degree frame sizes every
+    // broadcast decision across the sweeps (node sets never grow)
+    val nNodes = deg.count()
     var comm = Checkpoints.fresh(
-      deg.join(broadcast(brand), "node").select(col("node"), col("comm")),
+      deg.join(nodeBroadcast(brand, nNodes), "node").select(col("node"), col("comm")),
       "node", "comm")
     // r18: each sweep's Q-before comes FREE from the core's checkpointed
     // context (one edge pass yields moves AND the exact Q of the input
     // partition), and sweep k's Q-after is sweep k+1's Q-before — so
     // `sweeps` core passes + ONE final modularityQ replace the r17
     // shape's `sweeps` move passes + `sweeps`+1 standalone Q passes.
-    var (mvRaw, qFrame) = louvainSweepCore(und, deg, m, comm, "q")
+    var (mvRaw, qFrame) = louvainSweepCore(und, deg, m, comm, "q", nNodes)
     var mv = Checkpoints.fresh(mvRaw, "node", "old_comm", "new_comm")
     var qCur = qFrame.head().getDouble(0)
     val rows = Seq.newBuilder[(Int, Long, Double, Double)]
@@ -1324,10 +1343,10 @@ object Graph {
         "node", "comm")
       val qNext =
         if (k < sweeps) {
-          val (nextMv, nextQ) = louvainSweepCore(und, deg, m, comm, "q")
+          val (nextMv, nextQ) = louvainSweepCore(und, deg, m, comm, "q", nNodes)
           mv = Checkpoints.fresh(nextMv, "node", "old_comm", "new_comm")
           nextQ.head().getDouble(0)
-        } else modularityQ(und, deg, m, comm)
+        } else modularityQ(und, deg, m, comm, nNodes)
       rows += ((k, nMoves, qCur, qNext))
       qCur = qNext
     }
@@ -1443,6 +1462,10 @@ object Graph {
       .graftCheckpoint(true)
     var lbl = nb.select(col("node")).distinct()
       .select(col("node"), col("node").as("label")).graftCheckpoint(true)
+    // one cheap job over the checkpointed node frame (the q63 idiom):
+    // sizes every per-round broadcast decision — label frames stay
+    // node-sized across rounds, so the initial count is a sound bound
+    val nNodes = lbl.count()
     for (_ <- 1 to LpaRounds) {
       // r18: the per-node argmax (count DESC, label ASC) is a MAX over
       // the lexicographic struct (cnt, −label) — one more map-side-
@@ -1453,7 +1476,13 @@ object Graph {
       // identical: (cnt, label) is unique per node, labels are
       // non-negative part keys, so max(cnt, −label) picks exactly the
       // window's rn = 1 row.
-      lbl = nb.join(lbl.select(col("node").as("nbr"), col("label")), "nbr")
+      // r19: the node-sized label state broadcasts (size-conditionally,
+      // [[nodeBroadcast]]) so the checkpointed edge-scale `nb` frame is
+      // never re-shuffled per round (guide §3.1) — above the limit the
+      // same plan degrades to a shuffle join on nbr and the edges still
+      // move only once per round.
+      lbl = nb.join(
+          nodeBroadcast(lbl.select(col("node").as("nbr"), col("label")), nNodes), "nbr")
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("node"))
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
