@@ -533,29 +533,41 @@ object Dedup {
       .withColumn("label", col("id")))
     // label-graph edges; contracted (relabeled + dedup'd) every round
     var edges = persistIter(sym.distinct())
-    var done = false
-    while (!done) {
-      // min neighbor label per label-graph node
+    // Convergence check (r19): the contracted edge set is SYMMETRIC at
+    // every round (`sym` is, relabeling maps both directions, the a≠b
+    // filter and distinct preserve it), so "some node sees a smaller
+    // neighbor label" ⟺ "any contracted edge remains" — edges.isEmpty
+    // replaces the old per-round minN aggregate ACTION, which cost one
+    // full edge-scale aggregate job per round and made minN compute
+    // TWICE (once for the check, once inside the label update). The
+    // take(1) probe runs on the round's already-materialized checkpoint
+    // blocks; the loop runs the same number of rounds to the same fixed
+    // point (the converged labeling is round-schedule-invariant: label =
+    // min id of the component).
+    while (!edges.isEmpty) {
+      // min neighbor label per label-graph node — now evaluated once,
+      // inside the label-update checkpoint's job
       val minN = edges.groupBy(col("a").as("label")).agg(min(col("b")).as("nl"))
         .filter(col("nl") < col("label"))
-      if (minN.isEmpty) {
-        done = true
-      } else {
-        // apply update, then pointer-jump: label(v) ← label(label(v)) —
-        // every label value is itself a node id, so the lookup is a
-        // self-join of the updated table (halves chain depth per round)
-        val updated = labels.join(minN, Seq("label"), "left")
-          .select(col("id"), least(col("label"), col("nl")).as("label"))
-        val jump = updated.select(col("id").as("jid"), col("label").as("jl"))
-        labels = persistIter(updated.join(jump, col("label") === col("jid"), "left")
-          .select(col("id"), coalesce(col("jl"), col("label")).as("label")))
-        edges = persistIter(edges
-          .join(labels.withColumnRenamed("id", "a").withColumnRenamed("label", "la"), Seq("a"))
-          .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "lb"), Seq("b"))
-          .select(col("la").as("a"), col("lb").as("b"))
-          .filter(col("a") =!= col("b"))
-          .distinct())
-      }
+      // apply update, then pointer-jump: label(v) ← label(label(v)) —
+      // every label value is itself a node id, so the lookup is a
+      // self-join of the updated table (halves chain depth per round).
+      // A second jump per round was measured in r19 and REJECTED: round
+      // counts at sf0.1 are bound by basin-graph diameter (the per-round
+      // contraction already gives minN the FastSV hook's label-keyed
+      // semantics), so extra jumps added broadcast sub-jobs without
+      // cutting a single round (m66 stayed at 3, d45 at 1).
+      val updated = labels.join(minN, Seq("label"), "left")
+        .select(col("id"), least(col("label"), col("nl")).as("label"))
+      val jump = updated.select(col("id").as("jid"), col("label").as("jl"))
+      labels = persistIter(updated.join(jump, col("label") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jl"), col("label")).as("label")))
+      edges = persistIter(edges
+        .join(labels.withColumnRenamed("id", "a").withColumnRenamed("label", "la"), Seq("a"))
+        .join(labels.withColumnRenamed("id", "b").withColumnRenamed("label", "lb"), Seq("b"))
+        .select(col("la").as("a"), col("lb").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct())
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
