@@ -961,13 +961,37 @@ object Dedup {
   private val EditRelMax = 0.05
 
   def d50EditDistance(spark: SparkSession, dir: String): DataFrame = {
+    // r19 (guide §1.2 step 2): BANDED verification. The full Levenshtein
+    // DP is O(|a|·|b|) per candidate and was the engine's single largest
+    // CPU concentration; the 3-arg levenshtein (Spark 3.5+) runs the
+    // banded O(threshold·n) DP and returns −1 above the threshold.
+    // Semantics proof (the output must be bit-identical to the full DP,
+    // and the oracle still spells the full DP):
+    //  - kept rows: a row survives iff round(dist/len_max, 6) ≤ 0.05,
+    //    i.e. dist ≤ len_max·(0.05 + 5e-7 rounding slack) < T where
+    //    T = floor(0.06·len_max) + 1 — for every such row the banded DP
+    //    returns the EXACT distance (threshold not exceeded), so dist,
+    //    rel_dist and the filter are unchanged;
+    //  - dropped rows: banded −1 means dist > T ≥ 0.06·len_max, so
+    //    rel_dist ≥ 0.06; the 0.01 margin over the 0.05 gate is 4 orders
+    //    of magnitude above the 1e-6 rounding granularity, so no −1 row
+    //    could have passed the original filter. Rows with an exact
+    //    distance in the (0.05, 0.06] band are computed exactly and then
+    //    dropped by the same rel_dist filter as before.
+    // The 0.06 band still cuts the DP matrix to ~12% of cells; a doc
+    // would need len_max > 2e6 chars for the margin to matter, and even
+    // then the proof only needs dist/len_max − 0.05 > 5e-7.
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     minhashNearDupPairsFrom(Tables.documents(spark, dir))
       .join(d.as("da"), col("doc_a") === col("da.doc_id"))
       .join(d.as("db"), col("doc_b") === col("db.doc_id"))
+      .withColumn("len_max",
+        greatest(length(col("da.text")), length(col("db.text"))))
       .select(col("doc_a"), col("doc_b"), col("est_jaccard"),
-        levenshtein(col("da.text"), col("db.text")).as("dist"),
-        greatest(length(col("da.text")), length(col("db.text"))).as("len_max"))
+        expr(s"levenshtein(da.text, db.text, cast($EditRelMax * 1.2 * len_max as int) + 1)")
+          .as("dist"),
+        col("len_max"))
+      .filter(col("dist") >= 0)
       .withColumn("rel_dist", round(col("dist") / col("len_max"), 6))
       .filter(col("rel_dist") <= EditRelMax)
       .orderBy(col("doc_a"), col("doc_b"))
