@@ -364,15 +364,29 @@ object Dedup {
     * 2·ones_b > n_shingles.
     */
   def simhashes(spark: SparkSession, dir: String): DataFrame = {
-    val ones = (0 until SimBits).map(b =>
-      sum(expr(s"shiftright(h, $b)").bitwiseAND(lit(1L))).as(s"o$b"))
+    // r19 (guide §1.2 step 2): two 32-bit bit-counters packed per SUM
+    // column — 30 aggregate buffer slots instead of 60. Fields cannot
+    // carry into each other: each 32-bit field counts 0/1 per shingle
+    // row, so it would take 2^32 shingle rows in ONE document (a 4 GB
+    // text) to overflow. Extraction back to per-bit counts happens on
+    // the doc-sized aggregate output; the resulting simhash is
+    // bit-identical (sums are exact, the oracle recomputes the per-bit
+    // form and hash-matches).
+    val packed = (0 until SimBits / 2).map(j =>
+      sum(expr(s"shiftright(h, ${2 * j})").bitwiseAND(lit(1L)) +
+        expr(s"shiftright(h, ${2 * j + 1})").bitwiseAND(lit(1L)) * lit(1L << 32))
+        .as(s"p$j"))
+    def ones(b: Int): Column = {
+      val p = col(s"p${b / 2}")
+      if (b % 2 == 0) p.bitwiseAND(lit(0xFFFFFFFFL)) else shiftright(p, 32)
+    }
     shingled(spark, dir)
       .withColumn("h", PortableHash.h60(col("shingle")))
       .groupBy(col("doc_id"))
-      .agg(ones.head, (ones.tail :+ count(lit(1)).as("n")): _*)
+      .agg(packed.head, (packed.tail :+ count(lit(1)).as("n")): _*)
       .select(col("doc_id"),
         (0 until SimBits).map(b =>
-          when(col(s"o$b") * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
+          when(ones(b) * 2 > col("n"), lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
 
