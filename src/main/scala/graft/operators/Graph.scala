@@ -59,12 +59,24 @@ object Graph {
   private val BroadcastLimitKey = "spark.graft.graph.broadcastLimit"
 
   private[operators] def nodeBroadcast(df: DataFrame, nodeRows: Long): DataFrame = {
-    val limit = df.sparkSession.conf.getOption(BroadcastLimitKey)
-      .map(_.toLong).getOrElse(256L << 20)
     // fixed-width schemas only at these sites; +24 B/row for the hash
     // relation's entry overhead
     val rowBytes = df.schema.map(_.dataType.defaultSize.toLong).sum + 24L
-    if (nodeRows * rowBytes <= limit) broadcast(df) else df
+    sizedBroadcast(df, nodeRows * rowBytes)
+  }
+
+  /** The same size-conditional broadcast for frames whose byte size the
+    * caller must estimate itself (variable-width rows — e.g. the q66/q82
+    * adjacency arrays, whose TOTAL payload is edge-bounded even though
+    * the frame is node-keyed). Same limit, same degrade-to-shuffle-join
+    * behavior above it (r19 — these sites were forced `broadcast()`
+    * hints with a "drop the hints manually on a big graph" comment, the
+    * hazard class VERDICT r17 item 4 flagged).
+    */
+  private[operators] def sizedBroadcast(df: DataFrame, estBytes: Long): DataFrame = {
+    val limit = df.sparkSession.conf.getOption(BroadcastLimitKey)
+      .map(_.toLong).getOrElse(256L << 20)
+    if (estBytes <= limit) broadcast(df) else df
   }
 
   /** (src, dst) co-purchase edges + per-source out-degrees + node list —
@@ -208,29 +220,38 @@ object Graph {
       .distinct().graftCheckpoint(true)
   }
 
-  /** Undirected co-purchase edges and their degree-ordered orientation —
+  /** Undirected co-purchase edges, their degree-ordered orientation, and
+    * the undirected edge count m (one job off the checkpointed frame,
+    * reused by the callers' broadcast sizing so q66/q82 don't re-count) —
     * exposed for GraphPhashSpec's out-degree-bound pin.
     */
   private[graft] def orientedCoPurchase(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, Long) = {
     val und = undirectedCoPurchase(spark, dir)
+    // one cheap job over the checkpointed edge frame: bounds every
+    // broadcast decision below (nodes with degree ≥ 1 number ≤ 2m)
+    val m = und.count()
     // undirected degree (each endpoint sees the edge once) — node-sized,
-    // so both orientation lookups are BROADCAST joins: the edge set is
-    // never shuffled to learn its endpoint degrees
+    // so both orientation lookups are BROADCAST joins (size-conditional,
+    // r19): the edge set is never shuffled to learn its endpoint degrees
+    // while the degree frame fits, and degrades to a shuffle join above
+    // the limit instead of OOMing on a forced hint
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     // orient small-(deg, id) endpoint → large
     val or = und
-      .join(broadcast(deg.select(col("node").as("src"), col("d").as("ds"))), "src")
-      .join(broadcast(deg.select(col("node").as("dst"), col("d").as("dd"))), "dst")
+      .join(nodeBroadcast(
+        deg.select(col("node").as("src"), col("d").as("ds")), 2 * m), "src")
+      .join(nodeBroadcast(
+        deg.select(col("node").as("dst"), col("d").as("dd")), 2 * m), "dst")
       .select(
         when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
           col("src")).otherwise(col("dst")).as("u"),
         when(col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst")),
           col("dst")).otherwise(col("src")).as("v"))
       .graftCheckpoint(true)
-    (und, or)
+    (und, or, m)
   }
 
   /** Sorted out-neighborhood per oriented source — node-sized (Σ outdeg =
@@ -245,7 +266,7 @@ object Graph {
     or.groupBy(col("u")).agg(sort_array(collect_list(col("v"))).as("nbrs"))
 
   def q66Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val (und, or) = orientedCoPurchase(spark, dir)
+    val (und, or, mEdges) = orientedCoPurchase(spark, dir)
     // Count via per-edge out-neighborhood intersection, NOT the explicit
     // wedge self-join: materializing wedges shuffles Σ outdeg² rows
     // (36M on this co-purchase graph — measured 14.5 s), while the
@@ -257,10 +278,17 @@ object Graph {
     // on a graph where it doesn't fit, drop the hints and the same plan
     // degrades to two edge-linear shuffle joins — still never wedges.
     val adj = orientedAdjacency(or)
+    // adj is node-keyed but its PAYLOAD is edge-bounded (Σ outdeg = m
+    // longs): estimate ≤ m·(8 payload) + rows·(8 key + 24 entry + 16
+    // array header), rows ≤ m — r19, was a forced hint with a manual
+    // "drop the hints on a big graph" note; now it degrades by itself
+    val adjBytes = 56L * mEdges
     val tri = or
-      .join(broadcast(adj.select(col("u").as("ju"), col("nbrs").as("nu"))),
+      .join(sizedBroadcast(
+        adj.select(col("u").as("ju"), col("nbrs").as("nu")), adjBytes),
         col("u") === col("ju"))
-      .join(broadcast(adj.select(col("u").as("jv"), col("nbrs").as("nv"))),
+      .join(sizedBroadcast(
+        adj.select(col("u").as("jv"), col("nbrs").as("nv")), adjBytes),
         col("v") === col("jv"))
       .select(size(array_intersect(col("nu"), col("nv"))).cast(LongType).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L)).as("n_triangles"))
@@ -322,12 +350,16 @@ object Graph {
   // 3 rows per triangle; degree and corner tables are node-sized.
   // ---------------------------------------------------------------------
   def q82ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val (und, or) = orientedCoPurchase(spark, dir)
+    val (und, or, mEdges) = orientedCoPurchase(spark, dir)
     val adj = orientedAdjacency(or)
+    // same edge-bounded adjacency estimate as q66 (r19, was forced)
+    val adjBytes = 56L * mEdges
     val corners = or
-      .join(broadcast(adj.select(col("u").as("ju"), col("nbrs").as("nu"))),
+      .join(sizedBroadcast(
+        adj.select(col("u").as("ju"), col("nbrs").as("nu")), adjBytes),
         col("u") === col("ju"))
-      .join(broadcast(adj.select(col("u").as("jv"), col("nbrs").as("nv"))),
+      .join(sizedBroadcast(
+        adj.select(col("u").as("jv"), col("nbrs").as("nv")), adjBytes),
         col("v") === col("jv"))
       .select(col("u"), col("v"), explode(array_intersect(col("nu"), col("nv"))).as("w"))
       .select(explode(array(col("u"), col("v"), col("w"))).as("node"))
@@ -383,6 +415,10 @@ object Graph {
 
   def q67KHopReach(spark: SparkSession, dir: String): DataFrame = {
     val (e, _, nodes) = projection(spark, dir)
+    // one cheap job off the checkpointed node frame sizes the per-round
+    // broadcast decisions (frontier/visited are ≤ node-sized) — r19,
+    // these joins were unhinted and relied on sub-10 MB auto-broadcast
+    val nNodes = nodes.count()
     val seeds = nodes.where(col("node") % 500 === 0).graftCheckpoint(true)
     var visited = seeds
     var frontier = seeds
@@ -395,9 +431,10 @@ object Graph {
     // total at any SF.
     val frontiers = scala.collection.mutable.ArrayBuffer[DataFrame](seeds)
     for (_ <- 1 to KhopRounds) {
-      frontier = e.join(frontier.withColumnRenamed("node", "src"), "src")
+      frontier = e.join(
+          nodeBroadcast(frontier.withColumnRenamed("node", "src"), nNodes), "src")
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(nodeBroadcast(visited, nNodes), Seq("node"), "left_anti")
         .graftCheckpoint(true)
       frontiers += frontier
       visited = visited.union(frontier).graftCheckpoint(true)
@@ -446,6 +483,9 @@ object Graph {
 
   def q87WeightedPath(spark: SparkSession, dir: String): DataFrame = {
     val (e, _, nodes) = projection(spark, dir)
+    // node count for the per-round broadcast decisions (dist is
+    // node-sized) — r19, same rationale as q67/q63
+    val nNodes = nodes.count()
     val we = e.groupBy(col("src"), col("dst"))
       .agg(expr("1000000L div count(1)").as("cost"))
       .graftCheckpoint(true)
@@ -453,7 +493,8 @@ object Graph {
       .select(col("node"), lit(0L).as("d")).graftCheckpoint(true)
     for (_ <- 1 to SsspRounds) {
       val relaxed = we
-        .join(dist.select(col("node").as("src"), col("d").as("ds")), "src")
+        .join(nodeBroadcast(
+          dist.select(col("node").as("src"), col("d").as("ds")), nNodes), "src")
         .select(col("dst").as("node"), (col("ds") + col("cost")).as("d"))
       dist = dist.union(relaxed).groupBy(col("node")).agg(min(col("d")).as("d"))
         .graftCheckpoint(true)
@@ -516,13 +557,18 @@ object Graph {
     * entry point.
     */
   private[graft] def assortativityFrom(und: DataFrame): DataFrame = {
+    // nodes with degree ≥ 1 number ≤ 2m — one cheap count bounds the
+    // degree-frame broadcast (r19, was a forced hint)
+    val mEdges = und.count()
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
     val dec = DecimalType(38, 0)
     val m = und
-      .join(broadcast(deg.select(col("node").as("src"), col("d").as("ds"))), "src")
-      .join(broadcast(deg.select(col("node").as("dst"), col("d").as("dd"))), "dst")
+      .join(nodeBroadcast(
+        deg.select(col("node").as("src"), col("d").as("ds")), 2 * mEdges), "src")
+      .join(nodeBroadcast(
+        deg.select(col("node").as("dst"), col("d").as("dd")), 2 * mEdges), "dst")
       .agg(count(lit(1)).as("n_edges"),
         sum((col("ds") + col("dd")).cast(dec)).as("sx"),
         sum(col("ds").cast(dec) * col("ds") + col("dd").cast(dec) * col("dd")).as("sxx"),
@@ -827,6 +873,8 @@ object Graph {
     * spec entry point.
     */
   private[graft] def richClubFrom(spark: SparkSession, und: DataFrame): DataFrame = {
+    // same ≤ 2m node bound for the degree-frame broadcasts (r19)
+    val mEdges = und.count()
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -834,8 +882,10 @@ object Graph {
     val degHist = deg.groupBy(col("d")).agg(count(lit(1)).as("nd"))
       .graftCheckpoint(false)
     val edgeHist = und
-      .join(broadcast(deg.select(col("node").as("src"), col("d").as("ds"))), "src")
-      .join(broadcast(deg.select(col("node").as("dst"), col("d").as("dd"))), "dst")
+      .join(nodeBroadcast(
+        deg.select(col("node").as("src"), col("d").as("ds")), 2 * mEdges), "src")
+      .join(nodeBroadcast(
+        deg.select(col("node").as("dst"), col("d").as("dd")), 2 * mEdges), "dst")
       .select(least(col("ds"), col("dd")).as("md"))
       .groupBy(col("md")).agg(count(lit(1)).as("ne"))
     // exact decile thresholds from the cumulative degree histogram; the
@@ -941,15 +991,21 @@ object Graph {
     */
   private[graft] def modularityFrom(und: DataFrame, comm: DataFrame): DataFrame = {
     val d38 = DecimalType(38, 0)
+    // one cheap count of the node-sized partition frame (q153 passes a
+    // checkpointed LPA labeling, q135 a part-table projection) sizes the
+    // three broadcasts — r19, were forced hints
+    val nNodes = comm.count()
     val deg = und.select(col("src").as("node"))
       .union(und.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    val dc = deg.join(broadcast(comm), "node")
+    val dc = deg.join(nodeBroadcast(comm, nNodes), "node")
       .groupBy(col("comm"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_c"))
     val ec = und
-      .join(broadcast(comm.select(col("node").as("src"), col("comm").as("cs"))), "src")
-      .join(broadcast(comm.select(col("node").as("dst"), col("comm").as("cd"))), "dst")
+      .join(nodeBroadcast(
+        comm.select(col("node").as("src"), col("comm").as("cs")), nNodes), "src")
+      .join(nodeBroadcast(
+        comm.select(col("node").as("dst"), col("comm").as("cd")), nNodes), "dst")
       .filter(col("cs") === col("cd"))
       .groupBy(col("cs").as("comm")).agg(count(lit(1)).as("e_c"))
     val m = und.agg(count(lit(1)).as("m"))
@@ -1106,8 +1162,12 @@ object Graph {
     // degrades to the old shuffle join
     val gains = nodeBroadcast(ctx, nNodes).join(kic, "node")
       .filter(col("c") =!= col("comm"))
-      .join(broadcast(dc.select(col("comm"), col("d_c").as("d_a"))), "comm")
-      .join(broadcast(dc.select(col("comm").as("c"), col("d_c").as("d_b"))), "c")
+      // dc is per-community (≤ node-sized; 1 community per node in the
+      // worst partition) — same size-conditional discipline (r19)
+      .join(nodeBroadcast(
+        dc.select(col("comm"), col("d_c").as("d_a")), nNodes), "comm")
+      .join(nodeBroadcast(
+        dc.select(col("comm").as("c"), col("d_c").as("d_b")), nNodes), "c")
       .crossJoin(broadcast(m))
       .withColumn("gain_num",
         lit(2L).cast(d38) * col("m") * (col("k_ic") - col("e_ia"))
